@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] demonstrates one operator from SURVEY.md §2
+  * (or an LLM-data-pipeline extension) over the driver's testdata; the
+  * paired [[oracleSql]] is the DuckDB-runnable equivalent used as the
+  * correctness oracle.
+  */
 object SparkEntry {
+
+  /** All registered query packs. Order matters only for readability. */
+  private val packs: Seq[QueryPack] = Seq(
+    Relational)
+
+  private lazy val all: Seq[Q] = {
+    val qs = packs.flatMap(_.queries)
+    require(qs.map(_.name).distinct.size == qs.size,
+      s"duplicate query names: ${qs.map(_.name).diff(qs.map(_.name).distinct)}")
+    qs
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
