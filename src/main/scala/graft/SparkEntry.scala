@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** All registered query packs. Order matters only for readability. */
   private val packs: Seq[QueryPack] = Seq(
-    Relational)
+    Relational, Functions, CleaningQ, EventsQ)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

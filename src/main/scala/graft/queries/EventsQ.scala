@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.Cleaning
+import graft.util.Exact._
+
+/** Event-stream operator coverage (SURVEY §2.9) run in batch mode so the
+  * DuckDB oracle can check it. The streaming library
+  * ([[graft.streaming.Relay]]) executes the SAME column logic via
+  * readStream/writeStream; these batch twins pin the semantics:
+  * Structured Streaming's incremental execution of a plan must equal its
+  * batch execution over the full input.
+  */
+object EventsQ extends QueryPack {
+
+  /** S9-shaped tumbling-hour aggregation (the reference's streaming relay
+    * appends to hourly-queryable Delta tables; `src/streaming/writers
+    * .py:12-76`). date_trunc on the event time = tumbling window of 1 hour;
+    * at scale this is a hash shuffle on (hour, type) with map-side
+    * combine, identical in batch and streaming. */
+  private def s9HourlyAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumExact(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  private val s9Sql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** S10/S11 — MERGE-style "latest wins" upsert result (reference
+    * foreachBatch MERGE keyed on FLIGHT_SK, `src/streaming/writers
+    * .py:78-132`, `src/incrementatl_processing/incremetal_flights.py:10-19`).
+    * Computed via [[Cleaning.latestByKey]]: one hash shuffle on the key +
+    * per-key sort — the scalable deduplicating-upsert primitive (no global
+    * sort, no driver loop). Tie-break (ts, event_id) makes it
+    * deterministic. */
+  private def s10UpsertLatest(spark: SparkSession, d: String): DataFrame =
+    Cleaning.latestByKey(Seq("user_id"), Seq(col("ts"), col("event_id")))(
+        Tables.events(spark, d))
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+
+  private val s10Sql =
+    """SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+       WHERE rn = 1 ORDER BY user_id"""
+
+  /** JSON extraction from the props column (driver-side-only in the
+    * reference — `bronze_orchestrator.py:74-75` parses JSON in Python; here
+    * it's a distributed expression, as it must be at 100 TB). */
+  private def fJsonExtract(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .groupBy("prop_k")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("prop_k")
+
+  private val fJsonSql =
+    """SELECT CAST(props->>'k' AS INT) AS prop_k, COUNT(*) AS n_events
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  /** W4 — monotonically_increasing_id surrogate keys (reference flight_sk,
+    * `…fact_flights.ipynb:318`). Values are partition-dependent, so no
+    * value oracle exists by design (SURVEY §7.4 risk 2) — the driver
+    * records a rows-only check. The invariant check (distinct = total)
+    * lives in RelationalSpec. */
+  private def w4MonotonicSk(spark: SparkSession, d: String): DataFrame =
+    Tables.supplier(spark, d)
+      .withColumn("supplier_sk", monotonically_increasing_id())
+
+  override def queries: Seq[Q] = Seq(
+    Q("s9_hourly_agg", s9HourlyAgg, Some(s9Sql)),
+    Q("s10_upsert_latest", s10UpsertLatest, Some(s10Sql)),
+    Q("f_json_extract", fJsonExtract, Some(fJsonSql)),
+    Q("w4_monotonic_sk", w4MonotonicSk, None))
+}
