@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** All registered query packs. Order matters only for readability. */
   private val packs: Seq[QueryPack] = Seq(
-    Relational, Functions, CleaningQ, EventsQ)
+    Relational, Functions, CleaningQ, EventsQ,
+    TextQ, DedupQ, SimQ, MultimodalQ)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,154 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.Text
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * groupBy), n-gram Jaccard, MinHash+LSH, SimHash. (Extension surface —
+  * BASELINE.json north star.)
+  *
+  * Design for 100 TB:
+  *  - exact dedup = one hash shuffle on the content fingerprint;
+  *  - Jaccard verification only ever runs on CANDIDATE pairs (LSH-bucketed),
+  *    never the O(n²) cross join — [[jaccardPairs]]'s all-pairs shape is the
+  *    small-data oracle baseline, [[minhashLshPairs]] is the scale path;
+  *  - all hashing is md5-based (DuckDB-reproducible, no JVM hash seeds), so
+  *    results are deterministic across engines, partitionings, and reruns.
+  */
+object Dedup {
+
+  /** Word n-gram shingles (distinct) from a token array. Guarded: Spark's
+    * `sequence(1, 0)` would generate a DESCENDING sequence, so short docs
+    * (< n tokens) explicitly get an empty shingle set. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+
+  /** Exact dedup by content key: keeps the row with the minimal `idCol` per
+    * key (deterministic survivor). One shuffle on the key — the minimal
+    * cost of exact dedup at any scale. */
+  def exactDedup(df: DataFrame, keyCol: Column, idCol: String): DataFrame = {
+    val withKey = df.withColumn("__key", keyCol)
+    val survivors = withKey.groupBy("__key").agg(min(col(idCol)).as(idCol))
+    withKey.join(survivors, Seq("__key", idCol), "inner").drop("__key")
+  }
+
+  /** All-pairs n-gram Jaccard similarity join: explode distinct shingles,
+    * self-join on shingle, count intersections, filter by threshold.
+    * Exact but quadratic in cluster size — use as verification on LSH
+    * candidates (or small corpora); this is also the DuckDB-oracle shape.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(shingles(Text.tokens(col(textCol)), n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature as an array of `k` hex-string minima:
+    * sig[i] = min over shingles s of md5(i || '|' || s).
+    * String minima are lexicographic — identical in any engine — and md5
+    * needs no seed management. k=16 with 4-row bands gives the standard
+    * (4,4) LSH S-curve. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleArr,
+        s => md5(concat(i.cast("string"), lit("|"), s)))))
+
+  /** MinHash + LSH banding + exact-Jaccard verification.
+    *
+    * Pipeline: shingle → k-hash signature → band buckets (md5 of each
+    * r-slice) → explode bands → self-join per (band, bucket) → distinct
+    * candidate pairs → verify with exact Jaccard ≥ threshold.
+    *
+    * At 100 TB the band join shuffles only (band, bucket) keys — docs
+    * collide only when a full band matches — and verification touches
+    * candidate pairs, not n². Returns (id_a, id_b, jaccard). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val withSig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(Text.tokens(col("text")), n))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = withSig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          md5(concat_ws("|", slice(col("sig"), b * lit(r) + lit(1), lit(r)))).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verification on candidates only.
+    val sh = docs.select(col(idCol).as("id"),
+        explode(shingles(Text.tokens(col(textCol)), n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit md5-derived token hash (first 8 hex chars → long). Seedless and
+    * engine-portable, unlike JVM/xxhash hashes. */
+  def tokenHash32(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  /** 32-bit SimHash table: (id, simhash).
+    *
+    * Classic SimHash: for each bit j, sum +1/−1 votes of every distinct
+    * token's hash bit j; simhash bit j is set where the vote is positive.
+    * Implemented as explode(tokens) × explode(bits) → two key-partitioned
+    * aggregations — shuffles only (id, j) vote rows, never materializes an
+    * n² pair set, and parallelizes across the corpus at any scale.
+    * (A nested higher-order-function version would avoid the explode, but
+    * Spark's Scala lambda DSL shadows nested lambda variables — and the
+    * exploded form keeps each aggregate in whole-stage codegen anyway.)
+    * Near-dup = [[hamming]] distance ≤ k between simhashes. */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashes = docs.select(col(idCol).as("id"),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+      .select(col("id"), tokenHash32(col("tok")).as("h"))
+    val votes = tokenHashes
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+      // bit j of h without shift-by-column: floor(h / 2^j) % 2 (exact in
+      // double for h < 2^32, j ≤ 31)
+      .withColumn("bit",
+        pmod(floor(col("h") / pow(lit(2.0), col("j"))).cast("long"), lit(2L)))
+      .groupBy("id", "j")
+      .agg(sum(col("bit") * lit(2L) - lit(1L)).as("vote"))
+    votes.groupBy("id")
+      .agg(sum(when(col("vote") > 0,
+        pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.Text
+
+/** Deduplication coverage over `documents` (LLM-data-pipeline extension):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash — all md5-based so the
+  * DuckDB oracle reproduces every hash bit-for-bit.
+  */
+object DedupQ extends QueryPack {
+
+  /** Exact dedup by bag-of-words fingerprint: deterministic min-id survivor
+    * per content group (446 survivors of 500 docs at sf0.01). */
+  private def dExact(spark: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(
+        Tables.documents(spark, d)
+          .withColumn("fingerprint", Text.bagOfWordsFingerprint(col("text"))),
+        col("fingerprint"), "doc_id")
+      .select("doc_id", "lang", "source", "fingerprint")
+      .orderBy("doc_id")
+
+  private val dExactSql =
+    """WITH f AS (
+         SELECT doc_id, lang, source,
+                md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                    'string_agg', ' ')) AS fingerprint
+         FROM documents)
+       SELECT doc_id, lang, source, fingerprint
+       FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS m FROM f) t
+       WHERE doc_id = m ORDER BY doc_id"""
+
+  /** All-pairs 3-gram Jaccard near-dup join at θ=0.8 (exact baseline; the
+    * LSH query below is the scale path). */
+  private def dJaccard(spark: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, d), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  private val dJaccardSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM toks WHERE len(t) >= 3),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       FROM inter
+       JOIN sizes sa ON id_a = sa.doc_id
+       JOIN sizes sb ON id_b = sb.doc_id
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+       ORDER BY id_a, id_b"""
+
+  /** MinHash(k=16) + LSH(4 bands × 4 rows) with exact-Jaccard verification
+    * at θ=0.8 — the 100 TB dedup path: candidates come from band-bucket
+    * collisions, so the pairwise work is proportional to true duplicates,
+    * not n². md5-minima signatures make the oracle exact. */
+  private def dMinhashLsh(spark: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, d), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  private val dMinhashSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM toks WHERE len(t) >= 3),
+       mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || sh)) AS m
+              FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+       bands AS (SELECT doc_id, i // 4 AS band,
+                        md5(string_agg(m, '|' ORDER BY i)) AS bucket
+                 FROM mh GROUP BY 1, 2),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter
+                 FROM cand
+                 JOIN sh a ON a.doc_id = id_a
+                 JOIN sh b ON b.doc_id = id_b AND a.sh = b.sh
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       FROM inter
+       JOIN sizes sa ON id_a = sa.doc_id
+       JOIN sizes sb ON id_b = sb.doc_id
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+       ORDER BY id_a, id_b"""
+
+  /** SimHash near-dup: 32-bit md5-vote simhash per doc, pairs at Hamming
+    * distance ≤ 3. Demonstrates the shuffle-light fingerprint family
+    * (signature is one long per doc; the pair join is on the tiny
+    * signature table). */
+  private def dSimhash(spark: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.simhashTable(Tables.documents(spark, d), "doc_id", "text")
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Dedup.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dSimhashSql =
+    """WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+                     FROM documents),
+       th AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+       votes AS (SELECT doc_id, j,
+                        SUM(((h >> j) & 1) * 2 - 1) AS vote
+                 FROM th CROSS JOIN range(32) r(j) GROUP BY 1, 2),
+       sims AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM votes GROUP BY 1)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ORDER BY id_a, id_b"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("d_exact", dExact, Some(dExactSql)),
+    Q("d_jaccard_pairs", dJaccard, Some(dJaccardSql)),
+    Q("d_minhash_lsh", dMinhashLsh, Some(dMinhashSql)),
+    Q("d_simhash_pairs", dSimhash, Some(dSimhashSql)))
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sim.Similarity
+
+/** Similarity-search coverage over `embeddings` (LLM-data-pipeline
+  * extension): exact brute-force cosine top-k, threshold near-dup join,
+  * and the LSH-bucketed approximate path (rows-only check — bucket
+  * membership is engine-deterministic but the oracle SQL for 16 md5
+  * hyperplanes is impractical; recall is asserted in SimilaritySpec).
+  */
+object SimQ extends QueryPack {
+
+  /** Exact ANN baseline: top-5 cosine neighbors for every 25th vector.
+    * Similarities rounded to 4dp before ranking; ties break on neighbor
+    * id → fully deterministic across engines. */
+  private def simTopk(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 25 === 0), emb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val simTopkSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 25 = 0),
+       pairs AS (
+         SELECT qid AS query_id, vec_id AS neighbor_id,
+                round(list_dot_product(qe, e)
+                      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+                      4) AS sim
+         FROM q JOIN v ON vec_id != qid)
+       SELECT query_id, rank, neighbor_id, sim FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         FROM pairs) t
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Embedding-cosine near-dup pairs at θ=0.4 (the corpus max is ~0.51, so
+    * this exercises the threshold join against a sparse result). */
+  private def simNearDup(spark: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(Similarity.cosine(col("a.e"), col("b.e")), 4).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val simNearDupSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                    4) AS sim
+       FROM v a JOIN v b ON a.vec_id < b.vec_id
+       WHERE round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                   4) >= 0.4
+       ORDER BY id_a, id_b"""
+
+  /** LSH-bucketed approximate top-k (scale path: candidates from band
+    * collisions only). No SQL oracle — recall vs the brute-force baseline
+    * is asserted in SimilaritySpec; the driver records rows>0. */
+  private def simLshTopk(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.lshTopK(
+        emb.filter(col("vec_id") % 25 === 0), emb, k = 5,
+        planes = 16, bands = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("sim_topk", simTopk, Some(simTopkSql)),
+    Q("sim_near_dup", simNearDup, Some(simNearDupSql)),
+    Q("sim_lsh_topk", simLshTopk, None))
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.Text
+
+/** Text-analysis coverage over the `documents` table (LLM-data-pipeline
+  * extension surface): token stats, quality scoring, language ID,
+  * fingerprinting — all through [[graft.text.Text]] so the oracle checks
+  * the library code.
+  */
+object TextQ extends QueryPack {
+
+  /** Token counting: whitespace tokens, distinct tokens, type-token ratio,
+    * mean token length. Pure projection — fuses into the scan. */
+  private def tTokens(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.distinctTokenCount(col("text")).as("n_distinct"),
+        Text.typeTokenRatio(col("text")).as("ttr"),
+        Text.avgTokenLen(col("text")).as("avg_tok_len"),
+        length(col("text")).as("n_chars_computed"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  private val tTokensSql =
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS ttr,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_tok_len,
+       CAST(length(text) AS INT) AS n_chars_computed,
+       n_chars
+       FROM documents ORDER BY doc_id"""
+
+  private val enStop = Text.langStopwords.toMap.apply("en")
+
+  /** Quality scoring: stopword ratio + lexical diversity + length gate →
+    * composite score (the stack every pretraining filter runs). */
+  private def tQuality(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        Text.stopwordHits(col("text"), enStop).as("stop_hits"),
+        Text.stopwordRatio(col("text"), enStop).as("stop_ratio"),
+        Text.typeTokenRatio(col("text")).as("ttr"),
+        Text.qualityScore(col("text"), enStop).as("quality"))
+      .orderBy("doc_id")
+
+  private val tQualitySql = {
+    val stopList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       SELECT doc_id,
+         CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS INT) AS stop_hits,
+         CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+           / len(toks) AS stop_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+           + (CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+              / len(toks)) * 0.25
+           + (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.25
+           AS quality
+       FROM t ORDER BY doc_id"""
+  }
+
+  /** Language ID: stopword-hit argmax with fixed tie priority. The `lang`
+    * column rides along so downstream evaluation can compare. */
+  private def tLangid(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        Text.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  private val tLangidSql = {
+    val lists = Text.langStopwords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+    val hitCols = lists.map { case (l, arr) =>
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS h_$l"
+    }.mkString(", ")
+    val langs = lists.map(_._1)
+    val g = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN h_$l = g AND g > 0 THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       h AS (SELECT doc_id, lang, $hitCols FROM t),
+       m AS (SELECT *, $g AS g FROM h)
+       SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_guess
+       FROM m ORDER BY doc_id"""
+  }
+
+  /** Document fingerprinting: order-insensitive bag-of-words md5 + dup
+    * group size via a window over the fingerprint (446 distinct groups in
+    * the 500-doc sf0.01 corpus — the planted near-dups share bags). */
+  private def tFingerprint(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        Text.bagOfWordsFingerprint(col("text")).as("fingerprint"))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy("fingerprint")))
+      .orderBy("doc_id")
+  }
+
+  private val tFingerprintSql =
+    """SELECT doc_id,
+       md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+           'string_agg', ' ')) AS fingerprint,
+       COUNT(*) OVER (PARTITION BY md5(list_aggregate(list_sort(list_distinct(
+           string_split(text, ' '))), 'string_agg', ' '))) AS group_size
+       FROM documents ORDER BY doc_id"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("t_tokens", tTokens, Some(tTokensSql)),
+    Q("t_quality", tQuality, Some(tQualitySql)),
+    Q("t_langid", tLangid, Some(tLangidSql)),
+    Q("t_fingerprint", tFingerprint, Some(tFingerprintSql)))
+}

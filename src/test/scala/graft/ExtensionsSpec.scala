@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.mm.Multimodal
+import graft.sim.Similarity
+import graft.text.Text
+
+/** Specs for the LLM-data-pipeline extension operators (text analysis,
+  * dedup, similarity, multimodal) over the sf0.001 testdata. */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = Sessions.local("4", "graft-ext-test")
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rollingHash: order-sensitive, deterministic") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b c"), (2L, "c b a"), (3L, "a b c"))).toDF("id", "text")
+    val out = df.select(col("id"), Text.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(3L), "same text, same hash")
+    assert(out(1L) != out(2L), "reordered text, different hash")
+  }
+
+  test("bagOfWordsFingerprint: order- and multiplicity-insensitive") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b c"), (2L, "c b a a"), (3L, "a b d"))).toDF("id", "text")
+    val out = df.select(col("id"), Text.bagOfWordsFingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("langId: stopword argmax with en tie priority") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat of the house"), (2L, "el gato de la casa"),
+      (3L, "xyzzy qwerty"))).toDF("id", "text")
+    val out = df.select(col("id"), Text.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+
+  test("shingles: short docs yield empty set, not descending-sequence junk") {
+    val df = spark.createDataFrame(Seq((1L, "a b"), (2L, "a b c d")))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        Dedup.shingles(Text.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L) == Seq("a b c", "b c d"))
+  }
+
+  test("minhashLshPairs recall vs exact jaccardPairs on testdata") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH+verify must not produce false positives")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8,
+        s"LSH recall ${lsh.size}/${exact.size} below 0.8")
+  }
+
+  test("simhash: identical docs get identical signatures; hamming 0") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "spark query engine test"), (2L, "spark query engine test"),
+      (3L, "completely different words here"))).toDF("doc_id", "text")
+    val sh = Dedup.simhashTable(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("cosine: self-similarity is 1.0") {
+    val emb = Tables.embeddings(spark, sf).limit(5)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
+    val sims = emb.select(round(Similarity.cosine(col("e"), col("e")), 6).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(_ == 1.0))
+  }
+
+  test("lshTopK: no false results and sane recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val bf = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(queries, emb, 5, 16, 4)
+      .select("query_id", "rank", "neighbor_id", "sim").collect()
+    assert(lsh.forall(_.getInt(1) <= 5))
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = lshPairs.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.10, s"LSH recall $recall unexpectedly low")
+  }
+
+  test("multimodal: stub decode is deterministic byte math") {
+    val docs = spark.createDataFrame(Seq((7L, "abcd"))).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+    val row = Multimodal.decodeFeatures(media).collect()(0)
+    assert(row.getLong(0) == 7L)
+    assert(row.getInt(1) == 4 % 640 && row.getInt(2) == (4 * 7) % 480)
+    assert(row.getDouble(3) == ('a' + 'b' + 'c' + 'd').toDouble / 4)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
