@@ -44,8 +44,13 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // Exchange boundary: `sh` feeds three consumers (both join sides +
+    // sizes); the repartition makes the subtrees identical so Spark's
+    // ReusedExchange computes the shingle explosion ONCE instead of 3×.
     val sh = docs.select(col(idCol).as("id"),
         explode(shingles(Text.tokens(col(textCol)), n)).as("sh"))
+      .repartition(col("id"))
+      .select("id", "sh")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -84,9 +89,20 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val withSig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(Text.tokens(col("text")), n))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+    // The repartitions are deliberate exchange boundaries. Catalyst's
+    // project-collapsing would otherwise inline the shingle-construction
+    // tree into the k-hash signature lambda (k× recompute per doc) and the
+    // signature tree into every band slice (another bands×) — measured 26s
+    // vs ~2s at sf0.1. Materializing each stage costs one tiny shuffle of
+    // (id, small array); the shArr exchange is additionally REUSED by the
+    // verification explode below (ReusedExchange), so shingling runs once
+    // for the whole pipeline.
+    val shArr = docs.select(col(idCol).as("id"),
+        shingles(Text.tokens(col(textCol)), n).as("sh"))
+      .repartition(col("id"))
+    val withSig = shArr
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .repartition(col("id"))
     val banded = withSig.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -98,9 +114,11 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Exact verification on candidates only.
-    val sh = docs.select(col(idCol).as("id"),
-        explode(shingles(Text.tokens(col(textCol)), n)).as("sh"))
+    // Exact verification on candidates only, reusing the materialized
+    // shingle arrays (one cheap explode; shared by both join sides and
+    // sizes via its own exchange).
+    val sh = shArr.select(col("id"), explode(col("sh")).as("sh"))
+      .repartition(col("id"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

@@ -25,13 +25,15 @@ object SimQ extends QueryPack {
   }
 
   private val simTopkSql =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 25 = 0),
+    """WITH v AS (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                  AS nv
+              FROM embeddings),
+       q AS (SELECT vec_id AS qid, nv AS qv FROM v WHERE vec_id % 25 = 0),
        pairs AS (
          SELECT qid AS query_id, vec_id AS neighbor_id,
-                round(list_dot_product(qe, e)
-                      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
-                      4) AS sim
+                round(list_dot_product(qv, nv), 4) AS sim
          FROM q JOIN v ON vec_id != qid)
        SELECT query_id, rank, neighbor_id, sim FROM (
          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -41,26 +43,20 @@ object SimQ extends QueryPack {
 
   /** Embedding-cosine near-dup pairs at θ=0.4 (the corpus max is ~0.51, so
     * this exercises the threshold join against a sparse result). */
-  private def simNearDup(spark: SparkSession, d: String): DataFrame = {
-    val v = Tables.embeddings(spark, d)
-      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("e"))
-    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(Similarity.cosine(col("a.e"), col("b.e")), 4).as("sim"))
-      .filter(col("sim") >= 0.4)
+  private def simNearDup(spark: SparkSession, d: String): DataFrame =
+    Similarity.allPairsAboveThreshold(Tables.embeddings(spark, d), 0.4)
       .orderBy("id_a", "id_b")
-  }
 
   private val simNearDupSql =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    """WITH v AS (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                  AS nv
+              FROM embeddings)
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              round(list_dot_product(a.e, b.e)
-                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-                    4) AS sim
+              round(list_dot_product(a.nv, b.nv), 4) AS sim
        FROM v a JOIN v b ON a.vec_id < b.vec_id
-       WHERE round(list_dot_product(a.e, b.e)
-                   / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-                   4) >= 0.4
+       WHERE round(list_dot_product(a.nv, b.nv), 4) >= 0.4
        ORDER BY id_a, id_b"""
 
   /** LSH-bucketed approximate top-k (scale path: candidates from band

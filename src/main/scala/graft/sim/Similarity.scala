@@ -9,11 +9,18 @@ import org.apache.spark.sql.functions._
   * hyperplane LSH variant as the scale path. (Extension surface —
   * BASELINE.json north star.)
   *
-  * 100 TB design: the query set is broadcast (queries are small by
-  * definition); the corpus is scanned once, partition-parallel; per-query
-  * top-k is a key-partitioned window over (query, sim) — the only shuffle
-  * is candidate rows, and LSH bucketing cuts candidates from |corpus| to a
-  * bucket's worth before any pairwise math.
+  * Performance model: Spark's higher-order array functions (`aggregate`,
+  * `zip_with`, `transform`) are interpreted, not codegen'd, so the cosine
+  * kernel must execute the FEWEST folds possible and never let Catalyst
+  * inline an expensive array expression into multiple consumers. The
+  * pattern throughout: (1) L2-normalize every vector ONCE behind an
+  * exchange boundary ([[normalized]]) so cosine degrades to a single dot
+  * fold per pair; (2) round to 4dp before ranking so results are
+  * bit-stable across engines and partitionings.
+  *
+  * 100 TB design: the query set is broadcast; the corpus is scanned once,
+  * partition-parallel; LSH bucketing cuts candidate pairs from |corpus| to
+  * a bucket's worth before any pairwise math.
   */
 object Similarity {
 
@@ -24,31 +31,85 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; callers should `round` the result before ranking
-    * if cross-engine determinism matters (float sums differ in the last
-    * ulp across engines; rounding to 4dp absorbs that). */
+  /** Cosine similarity on RAW vectors (3 folds — prefer [[normalized]] +
+    * [[dot]] on the hot path). Callers should `round` before ranking. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Cast an Array[Float] embedding to Array[Double] for stable math. */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** (id, nv): L2-normalized double vectors, materialized behind an
+    * exchange so downstream pair math reuses the computed arrays instead
+    * of re-deriving them per consumer (Catalyst would otherwise inline the
+    * normalize tree into every fold). One shuffle of |corpus| small rows.
+    */
+  def normalized(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = asDouble(col(vecCol))
+    df.select(col(idCol).as("id"),
+        transform(e, x => x / sqrt(aggregate(
+          zip_with(e, e, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)))
+          .as("nv"))
+      .repartition(col("id"))
+  }
+
+  /** Round half-away-from-zero to 4dp — matches both Spark's ROUND
+    * (HALF_UP) and DuckDB's round(). */
+  private def round4(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** All-pairs cosine near-dup join at a threshold.
+    *
+    * Kernel: normalize once, broadcast the (small) normalized corpus,
+    * mapPartitions with a primitive while-loop dot product — the MLlib-
+    * style block-similarity shape. A Column-expression nested-loop join
+    * materializes |pairs| rows of boxed arrays and runs interpreted folds
+    * (measured 30s+ at sf0.1); the JVM kernel does the same 128M flops in
+    * well under a second and emits only surviving pairs. The in-order
+    * summation is bit-identical to the SQL fold, so oracle hashes agree.
+    *
+    * 100 TB path: a full corpus no longer fits one broadcast — chunk the
+    * broadcast side into B blocks and union B block-passes (corpus scans
+    * stream; only the broadcast block is resident), or pre-bucket with
+    * [[lshTopK]]'s banding and run this kernel per bucket. */
+  def allPairsAboveThreshold(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nv = normalized(df, idCol, vecCol)
+      .as[(Long, Array[Double])]
+    val ref = spark.sparkContext.broadcast(nv.collect().sortBy(_._1))
+    nv.mapPartitions { it =>
+      val all = ref.value
+      it.flatMap { case (ida, va) =>
+        all.iterator
+          .filter(_._1 > ida)
+          .map { case (idb, vb) =>
+            var s = 0.0; var i = 0
+            while (i < va.length) { s += va(i) * vb(i); i += 1 }
+            (ida, idb, round4(s))
+          }
+          .filter(_._3 >= threshold)
+      }
+    }.toDF("id_a", "id_b", "sim")
+  }
+
   /** Exact brute-force cosine top-k: for each query row, the k nearest
-    * corpus rows (excluding self-matches by id). Cross join with the
-    * query side broadcast → corpus is scanned once, no corpus shuffle
-    * until the per-query top-k window (which shuffles |Q|·|corpus| sim
-    * rows — prune with [[lshTopK]] when |corpus| is large).
+    * corpus rows (excluding self-matches by id). Query side normalized
+    * and broadcast; corpus normalized once; one dot fold per pair.
     * Similarity is rounded to 4dp BEFORE ranking; ties break on neighbor
-    * id, so results are fully deterministic. */
+    * id → fully deterministic. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"))
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nv").as("qv"))
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("nv").as("cv"))
     val sims = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(dot(col("qv"), col("cv")), 4).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     sims.withColumn("rank", row_number().over(w))
@@ -65,8 +126,8 @@ object Similarity {
       .otherwise(lit(-1.0))
 
   /** Sign-random-projection LSH signature: bit p = (v · plane_p) > 0, for
-    * `planes` md5-derived ±1 hyperplanes, packed into a long. One
-    * projection, no shuffle. */
+    * `planes` md5-derived ±1 hyperplanes, packed into a long. Sign is
+    * scale-invariant, so raw and normalized vectors give the same bits. */
   def lshSignature(vec: Column, planes: Int): Column = {
     val sig = (0 until planes).map { p =>
       val proj = aggregate(
@@ -79,32 +140,34 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing the
-    * query's signature bucket on ANY of the `bands` signature bands
-    * (multi-probe by banding); exact cosine reranking only on candidates.
-    * Falls back to fewer than k results when a bucket is sparse — the
-    * standard ANN recall/latency trade. */
+    * query's signature bucket on ANY of the `bands` signature bands;
+    * exact cosine rerank (single dot fold) only on candidates. Fewer than
+    * k results when buckets are sparse — the standard ANN recall/latency
+    * trade. Shift-by-column isn't in the Column API, so band buckets use
+    * integer division: bucket = (sig div 2^(band*r)) & mask. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 16, bands: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes % bands == 0)
     val r = planes / bands
     val mask = (1L << r) - 1
-    // Shift-by-column isn't in the Column API; band buckets are derived by
-    // integer division instead: bucket = (sig div 2^(band*r)) & mask.
-    val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"),
-      lshSignature(asDouble(col(vecCol)), planes).as("qsig"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"),
-      lshSignature(asDouble(col(vecCol)), planes).as("csig"))
     def bandBucket(sig: Column, band: Column): Column =
       pmod(floor(sig / pow(lit(2.0), band * lit(r))).cast("long"), lit(mask + 1))
+    // signature + normalize computed once per side behind the exchange
+    val q = normalized(queries, idCol, vecCol)
+      .withColumn("sig", lshSignature(col("nv"), planes))
+      .select(col("id").as("query_id"), col("nv").as("qv"), col("sig"))
+    val c = normalized(corpus, idCol, vecCol)
+      .withColumn("sig", lshSignature(col("nv"), planes))
+      .select(col("id").as("neighbor_id"), col("nv").as("cv"), col("sig"))
     val qb = q.select(col("query_id"), col("qv"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("qsig"))
-      .withColumn("bucket", bandBucket(col("qsig"), col("band")))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .withColumn("bucket", bandBucket(col("sig"), col("band")))
+      .drop("sig")
     val cb = c.select(col("neighbor_id"), col("cv"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("csig"))
-      .withColumn("bucket", bandBucket(col("csig"), col("band")))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .withColumn("bucket", bandBucket(col("sig"), col("band")))
+      .drop("sig")
     val candidates = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv")
@@ -113,7 +176,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     candidates
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(dot(col("qv"), col("cv")), 4).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
