@@ -16,7 +16,7 @@ object SparkEntry {
   /** All registered query packs. Order matters only for readability. */
   private val packs: Seq[QueryPack] = Seq(
     Relational, Functions, CleaningQ, EventsQ,
-    TextQ, DedupQ, SimQ, MultimodalQ)
+    TextQ, DedupQ, SimQ, MultimodalQ, StarQ)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)
@@ -25,9 +25,11 @@ object SparkEntry {
     qs
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full EP3 medallion path: cleanse → conformed star fact
+    * (hash surrogate keys, 6 broadcast dim joins) → gold daily summary. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("ep3_star_gold")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

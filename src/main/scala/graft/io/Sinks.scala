@@ -1,0 +1,83 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Cleaning
+
+/** Batch sinks (SURVEY §2.1 S5/S6/S11) — Spark-native re-expression of the
+  * reference's write helpers (`src/io_utils/write_to_table_utils.py:12-140`,
+  * `src/incrementatl_processing/incremetal_flights.py:1-19`).
+  *
+  * Offline stand-ins: managed parquet tables instead of Delta
+  * (SURVEY §7.4 risk 1); `overwrite` drops & recreates, so the reference's
+  * `overwriteSchema` semantics fall out naturally. The upsert keeps the
+  * reference's MERGE contract (`existing.SK = new.SK → update else insert`)
+  * via a latest-wins key rewrite.
+  */
+object Sinks {
+
+  /** S5 — batch managed-table sink (reference `save_to_table`,
+    * `write_to_table_utils.py:12-48`): modes `overwrite` (default) and
+    * `append`. */
+  def saveToTable(df: DataFrame, table: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).saveAsTable(table)
+
+  /** S6 — partitioned path sink with bounded retry (reference
+    * `write_partitioned_table`, `write_to_table_utils.py:99-140`: 3
+    * attempts, 2 s delay). Partition columns drive partition pruning for
+    * every downstream read — the reference prescribes silver partitioning
+    * by date and gold by business dims (`README.md:64-68`). */
+  def savePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: String = "append", format: String = "parquet",
+      retries: Int = 3, retryDelayMs: Long = 2000): Unit = {
+    var attempt = 0
+    var done = false
+    var last: Throwable = null
+    while (!done && attempt < retries) {
+      try {
+        df.write.mode(mode).partitionBy(partitionCols: _*).format(format).save(path)
+        done = true
+      } catch {
+        case e: Throwable =>
+          last = e; attempt += 1
+          if (attempt < retries) Thread.sleep(retryDelayMs)
+      }
+    }
+    if (!done) throw last
+  }
+
+  /** S11 — batch keyed upsert (reference Delta MERGE,
+    * `incremetal_flights.py:10-19`: whenMatchedUpdateAll /
+    * whenNotMatchedInsertAll). Without Delta: union existing+updates,
+    * keep the update row per key (latest wins via the `isUpdate` flag),
+    * rewrite atomically via a staging path + swap.
+    *
+    * Scale note: this rewrites the table — correct but O(table). The
+    * production path is Delta/Iceberg MERGE, which rewrites only touched
+    * files; the API contract here is identical so callers don't change.
+    */
+  def upsertByKey(spark: SparkSession, updates: DataFrame, targetPath: String,
+      keys: Seq[String]): Unit = {
+    val fs = new java.io.File(targetPath)
+    val merged =
+      if (!fs.exists()) updates
+      else {
+        val existing = spark.read.parquet(targetPath)
+        val all = existing.withColumn("__upd", lit(0))
+          .unionByName(updates.withColumn("__upd", lit(1)))
+        Cleaning.latestByKey(keys, Seq(col("__upd")))(all).drop("__upd")
+      }
+    val staging = targetPath + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    // atomic-ish swap (single-FS rename; object stores would need a
+    // manifest commit — that's what Delta's transaction log provides)
+    val target = new java.io.File(targetPath)
+    if (target.exists()) {
+      val old = new java.io.File(targetPath + ".old")
+      if (old.exists()) old.listFiles().foreach(_.delete())
+      target.renameTo(old)
+    }
+    new java.io.File(staging).renameTo(target)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch sources (SURVEY §2.1 S1–S4) — Spark-native re-expression of the
+  * reference's read helpers (`unicargo_etl/scripts/01_bronze/
+  * etl_operations.py:4-10`, `src/io_utils/read_utils`).
+  *
+  * Schemas are always EXPLICIT (never inferred): inference costs an extra
+  * full scan at 100 TB and silently drifts types; the reference made the
+  * same call (`etl_operations.py:7-10`).
+  */
+object Sources {
+
+  /** S1 — schema-enforced, header-skipping CSV read (reference
+    * `read_csv_data`, `etl_operations.py:4-10`). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** S2 — managed-table read (reference `spark.read.table`). */
+  def readTable(spark: SparkSession, name: String): DataFrame =
+    spark.read.table(name)
+
+  /** S3 — path-based columnar read (reference Delta-path read,
+    * `bronze_orchestrator.py:230`; parquet is the offline stand-in). */
+  def readPath(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S4 — generated date dimension, replacing the reference's driver-side
+    * Python row loop (`02_silver_unicargo_create_dim_date.ipynb:85-108`,
+    * 5,844 rows built in pandas) with a distributed `spark.range` — no
+    * driver materialization, scales to any span, and every derived column
+    * is a codegen'd expression.
+    *
+    * Day-of-week follows the reference's Monday=1 convention
+    * (`…create_dim_date.ipynb:92`; the ISO adjustment the reference makes
+    * at `…fact_flights.ipynb:418-424`). */
+  def dateDim(spark: SparkSession, start: String, endInclusive: String): DataFrame = {
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(start), java.time.LocalDate.parse(endInclusive)) + 1
+    spark.range(nDays)
+      .select(date_add(lit(start).cast("date"), col("id").cast("int")).as("full_date"))
+      .select(
+        (year(col("full_date")) * 10000 + month(col("full_date")) * 100 +
+          dayofmonth(col("full_date"))).as("date_sk"),
+        col("full_date"),
+        year(col("full_date")).as("year"),
+        quarter(col("full_date")).as("quarter"),
+        month(col("full_date")).as("month"),
+        dayofmonth(col("full_date")).as("day_of_month"),
+        (((dayofweek(col("full_date")) + lit(5)) % lit(7)) + lit(1)).as("day_of_week"),
+        date_format(col("full_date"), "EEEE").as("day_name"),
+        date_format(col("full_date"), "MMMM").as("month_name"),
+        (((dayofweek(col("full_date")) + lit(5)) % lit(7)) + lit(1) >= 6)
+          .as("is_weekend"))
+  }
+}

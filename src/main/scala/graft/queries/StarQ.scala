@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.Sources
+import graft.silver.{Star, SurrogateKeys}
+
+/** Medallion/star-schema coverage (SURVEY §2.1 S4, §2.5 W1/W4 scalable
+  * alternative, and EP3's full silver→gold path) exercised through the
+  * [[graft.silver.Star]] and [[graft.io.Sources]] library code.
+  */
+object StarQ extends QueryPack {
+
+  /** S4 — generated date dimension via spark.range (no driver loop;
+    * replaces the reference's 5,844-row pandas list). */
+  private def s4DateDim(spark: SparkSession, d: String): DataFrame =
+    Sources.dateDim(spark, "2024-01-01", "2024-03-31").orderBy("full_date")
+
+  private val s4Sql =
+    """SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_sk,
+       CAST(d AS DATE) AS full_date,
+       CAST(year(d) AS INT) AS year,
+       CAST(quarter(d) AS INT) AS quarter,
+       CAST(month(d) AS INT) AS month,
+       CAST(day(d) AS INT) AS day_of_month,
+       CAST(isodow(d) AS INT) AS day_of_week,
+       dayname(d) AS day_name,
+       monthname(d) AS month_name,
+       isodow(d) >= 6 AS is_weekend
+       FROM generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY) t(d)
+       ORDER BY full_date"""
+
+  /** W5 — scalable hash surrogate key (SURVEY §7.3: the alternative to
+    * global-window row_number/monotonically_increasing_id): md5-derived
+    * 60-bit key, shuffle-free and engine-reproducible. */
+  private def w5HashSk(spark: SparkSession, d: String): DataFrame =
+    Tables.supplier(spark, d)
+      .select(
+        SurrogateKeys.hashSk(lit("supp"), col("s_suppkey")).as("supplier_sk"),
+        col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+
+  private val w5Sql =
+    """SELECT CAST(('0x' || substr(md5('supp|' || CAST(s_suppkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS supplier_sk,
+       s_suppkey, s_name
+       FROM supplier ORDER BY s_suppkey"""
+
+  /** EP3 — the full analytical path: cleanse → conformed star fact (hash
+    * SKs, 6 broadcast dim joins) → gold daily summary. The oracle states
+    * the same semantics over natural keys (the date/customer/part/supplier
+    * dim joins are lossless by construction; the only row filters are the
+    * theta sanity filter and orders inner join). */
+  private def ep3StarGold(spark: SparkSession, d: String): DataFrame =
+    Star.goldDailySummary(spark, d)
+
+  private val ep3Sql =
+    """WITH li AS (
+         SELECT * FROM (
+           SELECT l.*, ROW_NUMBER() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_quantity DESC, l_extendedprice DESC, l_discount DESC,
+                      l_tax DESC, l_returnflag DESC, l_linestatus DESC,
+                      l_shipdate DESC, l_partkey DESC, l_suppkey DESC) AS rn
+           FROM (SELECT * FROM lineitem WHERE l_partkey != l_suppkey) l) t
+         WHERE rn = 1)
+       SELECT CAST(l_shipdate AS DATE) AS ship_date,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS return_rate
+       FROM li JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1 ORDER BY 1"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("s4_date_dim", s4DateDim, Some(s4Sql)),
+    Q("w5_hash_sk", w5HashSk, Some(w5Sql)),
+    Q("ep3_star_gold", ep3StarGold, Some(ep3Sql)))
+}
