@@ -18,6 +18,7 @@ object Sessions {
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

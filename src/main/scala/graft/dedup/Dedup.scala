@@ -21,12 +21,31 @@ object Dedup {
 
   /** Word n-gram shingles (distinct) from a token array. Guarded: Spark's
     * `sequence(1, 0)` would generate a DESCENDING sequence, so short docs
-    * (< n tokens) explicitly get an empty shingle set. */
+    * (< n tokens) explicitly get an empty shingle set.
+    * Reference formulation in built-in HOFs; the hot path uses
+    * [[shinglesFast]] (same semantics, one eval per document). */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
+
+  /** Custom-expression shingles straight from the text column
+    * ([[graft.plans.ShinglesExpr]]) — bit-identical to
+    * `shingles(Text.tokens(text), n)` but ~10× cheaper per row (one JVM
+    * eval instead of interpreted per-element lambdas). */
+  def shinglesFast(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.ShinglesExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
+
+  /** Custom-expression MinHash signature over a shingle array
+    * ([[graft.plans.MinHashSigExpr]]) — bit-identical to
+    * [[minhashSignature]]. */
+  def minhashSigFast(shingleArr: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.MinHashSigExpr(
+        org.apache.spark.sql.GraftBridge.expression(shingleArr), k))
 
   /** Exact dedup by content key: keeps the row with the minimal `idCol` per
     * key (deterministic survivor). One shuffle on the key — the minimal
@@ -48,7 +67,7 @@ object Dedup {
     // sizes); the repartition makes the subtrees identical so Spark's
     // ReusedExchange computes the shingle explosion ONCE instead of 3×.
     val sh = docs.select(col(idCol).as("id"),
-        explode(shingles(Text.tokens(col(textCol)), n)).as("sh"))
+        explode(shinglesFast(col(textCol), n)).as("sh"))
       .repartition(col("id"))
       .select("id", "sh")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
@@ -98,10 +117,10 @@ object Dedup {
     // verification explode below (ReusedExchange), so shingling runs once
     // for the whole pipeline.
     val shArr = docs.select(col(idCol).as("id"),
-        shingles(Text.tokens(col(textCol)), n).as("sh"))
+        shinglesFast(col(textCol), n).as("sh"))
       .repartition(col("id"))
     val withSig = shArr
-      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("id"), minhashSigFast(col("sh"), k).as("sig"))
       .repartition(col("id"))
     val banded = withSig.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),

@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions hook registering the custom expressions as SQL
+  * functions, so `spark.sql("SELECT shingles(text, 3) …")` works alongside
+  * the Column API (the standard extension-injection path; wire with
+  * `.withExtensions(new GraftExtensions)` — [[graft.Sessions]] does).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
+      (args: Seq[Expression]) =>
+        ShinglesExpr(args.head, intArg(args(1), "shingle size n"))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSigExpr(args.head, intArg(args(1), "signature size k"))))
+  }
+}

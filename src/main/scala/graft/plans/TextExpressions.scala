@@ -1,0 +1,151 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text-dedup hot path.
+  *
+  * Rationale (measured, see Dedup scaladoc): Spark's higher-order array
+  * functions are interpreted per element — building 3-gram shingles and a
+  * k=16 MinHash signature through transform/slice/concat_ws/array_min
+  * costs ~8 s at sf0.1 in lambda-interpretation overhead. Each expression
+  * below does the whole document in one `eval` of tight JVM code
+  * (~10× less per-row overhead). They are single-call-per-row, so
+  * CodegenFallback costs one virtual call per DOCUMENT — negligible
+  * against the O(tokens × k) work inside — while keeping the surrounding
+  * projection in whole-stage codegen.
+  *
+  * Semantics are BIT-IDENTICAL to the Column-expression formulations in
+  * [[graft.dedup.Dedup]] (asserted in ExtensionsSpec), so the DuckDB
+  * oracles are unchanged: tokens = split on single space (trailing empty
+  * tokens preserved, like Spark's regex split with limit -1); shingle
+  * set is distinct in first-occurrence order; minhash_i = lexicographic
+  * min over md5(i || "|" || shingle) hex strings.
+  */
+object TextKernels {
+  /** Tokenize exactly like Spark's split(text, " ") (regex, limit -1). */
+  def tokens(text: String): Array[String] = text.split(" ", -1)
+
+  /** Distinct word n-grams in first-occurrence order. */
+  def shingles(text: String, n: Int): Array[String] = {
+    val toks = tokens(text)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private val digestTL = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf); out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def md5Hex(s: String): String = {
+    val md = digestTL.get(); md.reset()
+    toHex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** Unsigned lexicographic compare of two 16-byte digests — identical
+    * order to comparing their lowercase-hex encodings. */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  /** k-hash MinHash signature over a shingle set: sig(i) = min md5 hex of
+    * s"$i|$shingle"; null entries when the set is empty (mirrors
+    * array_min of an empty transform). Hot path: thread-local digest,
+    * shingle bytes encoded once, digests compared as raw bytes (same
+    * order as hex strings), winners hex-encoded at the end. */
+  def minhash(shingleArr: Array[String], k: Int): Array[String] = {
+    val sig = new Array[String](k)
+    if (shingleArr.isEmpty) return sig
+    val md = digestTL.get()
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val shingleBytes = new Array[Array[Byte]](shingleArr.length)
+    var s = 0
+    while (s < shingleArr.length) {
+      shingleBytes(s) = shingleArr(s).getBytes(utf8); s += 1
+    }
+    var i = 0
+    while (i < k) {
+      val prefix = (i + "|").getBytes(utf8)
+      var best: Array[Byte] = null
+      s = 0
+      while (s < shingleBytes.length) {
+        md.reset()
+        md.update(prefix)
+        md.update(shingleBytes(s))
+        val h = md.digest()
+        if (best == null || lessThan(h, best)) best = h
+        s += 1
+      }
+      sig(i) = toHex(best)
+      i += 1
+    }
+    sig
+  }
+}
+
+/** shingles(text, n) → array<string>: distinct word n-grams. */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextKernels.shingles(input.asInstanceOf[UTF8String].toString, n)
+        .map(UTF8String.fromString): Array[Any])
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "shingles"
+}
+
+/** minhash_sig(shingleArray, k) → array<string>: k md5-minima hex. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "signature size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val shingleArr = new Array[String](arr.numElements())
+    var i = 0
+    while (i < shingleArr.length) {
+      shingleArr(i) = arr.getUTF8String(i).toString; i += 1
+    }
+    new GenericArrayData(
+      TextKernels.minhash(shingleArr, k)
+        .map(s => if (s == null) null else UTF8String.fromString(s)): Array[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}

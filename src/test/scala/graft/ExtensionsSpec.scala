@@ -54,6 +54,25 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == Seq("a b c", "b c d"))
   }
 
+  test("custom expressions are bit-identical to the HOF formulations") {
+    val docs = Tables.documents(spark, sf)
+    val both = docs.select(
+      Dedup.shingles(graft.text.Text.tokens(col("text")), 3).as("slow_sh"),
+      Dedup.shinglesFast(col("text"), 3).as("fast_sh"))
+    assert(both.filter(col("slow_sh") =!= col("fast_sh")).count() == 0)
+    val sigs = docs.select(
+      Dedup.minhashSignature(Dedup.shinglesFast(col("text"), 3), 16).as("slow_sig"),
+      Dedup.minhashSigFast(Dedup.shinglesFast(col("text"), 3), 16).as("fast_sig"))
+    assert(sigs.filter(col("slow_sig") =!= col("fast_sig")).count() == 0)
+  }
+
+  test("extension-registered SQL functions work") {
+    val n = spark.sql(
+      "SELECT shingles('a b c d', 3) AS sh, minhash_sig(shingles('a b c d', 3), 4) AS sig")
+      .selectExpr("size(sh) AS ns", "size(sig) AS nk").collect()(0)
+    assert(n.getInt(0) == 2 && n.getInt(1) == 4)
+  }
+
   test("minhashLshPairs recall vs exact jaccardPairs on testdata") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
