@@ -117,22 +117,26 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * ±1 derived from one md5 hex nibble — no RNG state, reproducible on
-    * any engine/partitioning. */
-  private def planeSign(p: Int, d: Column): Column =
-    when(conv(substring(md5(concat(lit(p.toString), lit("_"),
-      d.cast("string"))), 1, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
-      .otherwise(lit(-1.0))
+  /** Deterministic pseudo-random ±1 hyperplane component for (plane p,
+    * dim d): parity of the first md5 hex nibble of "p_d". Computed ONCE
+    * driver-side per (plane, dim) — an earlier per-row-per-element md5
+    * formulation dominated the whole LSH pipeline. No RNG state →
+    * reproducible on any engine/partitioning. */
+  private def planeSign(p: Int, d: Int): Double =
+    if (Integer.parseInt(
+      graft.plans.TextKernels.md5Hex(s"${p}_$d").substring(0, 1), 16) % 2 == 0)
+      1.0 else -1.0
 
   /** Sign-random-projection LSH signature: bit p = (v · plane_p) > 0, for
-    * `planes` md5-derived ±1 hyperplanes, packed into a long. Sign is
-    * scale-invariant, so raw and normalized vectors give the same bits. */
-  def lshSignature(vec: Column, planes: Int): Column = {
+    * `planes` md5-derived ±1 hyperplanes (embedded as literal arrays),
+    * packed into a long. Sign is scale-invariant, so raw and normalized
+    * vectors give the same bits. `dims` is the embedding dimensionality
+    * (plane vectors are driver-side constants of that length). */
+  def lshSignature(vec: Column, planes: Int, dims: Int): Column = {
     val sig = (0 until planes).map { p =>
+      val plane = Array.tabulate(dims)(d => planeSign(p, d))
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * planeSign(p, d)),
+        zip_with(vec, typedLit(plane), (x, s) => x * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -146,7 +150,7 @@ object Similarity {
     * trade. Shift-by-column isn't in the Column API, so band buckets use
     * integer division: bucket = (sig div 2^(band*r)) & mask. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 16, bands: Int = 4,
+      planes: Int = 16, bands: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes % bands == 0)
     val r = planes / bands
@@ -155,26 +159,31 @@ object Similarity {
       pmod(floor(sig / pow(lit(2.0), band * lit(r))).cast("long"), lit(mask + 1))
     // signature + normalize computed once per side behind the exchange
     val q = normalized(queries, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("nv"), planes))
+      .withColumn("sig", lshSignature(col("nv"), planes, dims))
       .select(col("id").as("query_id"), col("nv").as("qv"), col("sig"))
     val c = normalized(corpus, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("nv"), planes))
+      .withColumn("sig", lshSignature(col("nv"), planes, dims))
       .select(col("id").as("neighbor_id"), col("nv").as("cv"), col("sig"))
-    val qb = q.select(col("query_id"), col("qv"),
+    // Band join + distinct run on IDs ONLY — shuffling the 64-double
+    // vectors through the band explosion and hashing them in the distinct
+    // would dominate; vectors are re-attached once per surviving pair.
+    val qb = q.select(col("query_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .withColumn("bucket", bandBucket(col("sig"), col("band")))
-      .drop("sig")
-    val cb = c.select(col("neighbor_id"), col("cv"),
+      .select("query_id", "band", "bucket")
+    val cb = c.select(col("neighbor_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .withColumn("bucket", bandBucket(col("sig"), col("band")))
-      .drop("sig")
-    val candidates = qb.join(cb, Seq("band", "bucket"))
+      .select("neighbor_id", "band", "bucket")
+    val candidateIds = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "neighbor_id")
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    candidates
+    candidateIds
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")), 4).as("sim"))
       .withColumn("rank", row_number().over(w))
