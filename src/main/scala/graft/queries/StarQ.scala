@@ -54,7 +54,7 @@ object StarQ extends QueryPack {
     * dim joins are lossless by construction; the only row filters are the
     * theta sanity filter and orders inner join). */
   private def ep3StarGold(spark: SparkSession, d: String): DataFrame =
-    Star.goldDailySummary(spark, d)
+    graft.gold.Analytics.dailySummary(Star.factLineitem(spark, d))
 
   private val ep3Sql =
     """WITH li AS (
@@ -76,8 +76,91 @@ object StarQ extends QueryPack {
        FROM li JOIN orders ON l_orderkey = o_orderkey
        GROUP BY 1 ORDER BY 1"""
 
+  /** Shared oracle prefix: the deterministically-deduplicated fact over
+    * natural keys (mirrors [[Star.factLineitem]]'s cleanse; the dim joins
+    * are lossless by construction). */
+  private val factCte =
+    """WITH li AS (
+         SELECT * FROM (
+           SELECT l.*, ROW_NUMBER() OVER (
+             PARTITION BY l_orderkey, l_linenumber
+             ORDER BY l_quantity DESC, l_extendedprice DESC, l_discount DESC,
+                      l_tax DESC, l_returnflag DESC, l_linestatus DESC,
+                      l_shipdate DESC, l_partkey DESC, l_suppkey DESC) AS rn
+           FROM (SELECT * FROM lineitem WHERE l_partkey != l_suppkey) l) t
+         WHERE rn = 1),
+       f AS (SELECT li.*, o_custkey, CAST(l_shipdate AS DATE) AS ship_date
+             FROM li JOIN orders ON l_orderkey = o_orderkey)"""
+
+  /** Gold library: weekly grain with extremes + exact stddev. */
+  private def gWeekly(spark: SparkSession, d: String): DataFrame =
+    graft.gold.Analytics.weeklySummary(Star.factLineitem(spark, d))
+
+  private val gWeeklySql = factCte +
+    """
+       SELECT CAST(year(ship_date) AS INT) AS year,
+              CAST(weekofyear(ship_date) AS INT) AS week,
+              COUNT(*) AS n_lines,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              MIN(l_quantity) AS min_qty,
+              MAX(l_quantity) AS max_qty,
+              SQRT((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+                   / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))) AS std_qty
+       FROM f GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Gold library: monthly grain. */
+  private def gMonthly(spark: SparkSession, d: String): DataFrame =
+    graft.gold.Analytics.monthlySummary(Star.factLineitem(spark, d))
+
+  private val gMonthlySql = factCte +
+    """
+       SELECT strftime(ship_date, '%Y-%m') AS year_month,
+              COUNT(*) AS n_lines,
+              COUNT(DISTINCT o_custkey) AS n_customers,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+       FROM f GROUP BY 1 ORDER BY 1"""
+
+  /** Gold library: distribution buckets + share-of-total window. */
+  private def gQtyBuckets(spark: SparkSession, d: String): DataFrame =
+    graft.gold.Analytics.quantityBuckets(Star.factLineitem(spark, d))
+
+  private val gQtyBucketsSql = factCte +
+    """
+       SELECT qty_bucket, n_lines, revenue,
+              n_lines * 100.0 / SUM(n_lines) OVER () AS pct_of_lines
+       FROM (
+         SELECT CASE WHEN l_quantity <= 10 THEN '0-10'
+                     WHEN l_quantity <= 25 THEN '11-25'
+                     WHEN l_quantity <= 40 THEN '26-40'
+                     ELSE '41+' END AS qty_bucket,
+                COUNT(*) AS n_lines,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM f GROUP BY 1) b
+       ORDER BY qty_bucket"""
+
+  /** Gold library: partitioned 7-day rolling revenue. */
+  private def gRolling(spark: SparkSession, d: String): DataFrame =
+    graft.gold.Analytics.rollingRevenue(Star.factLineitem(spark, d))
+
+  private val gRollingSql = factCte +
+    """,
+       daily AS (SELECT l_returnflag AS return_flag, ship_date,
+                        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+                 FROM f GROUP BY 1, 2)
+       SELECT return_flag, ship_date,
+              CAST(rev_dec AS DOUBLE) AS daily_rev,
+              CAST(SUM(rev_dec) OVER (PARTITION BY return_flag ORDER BY ship_date
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+       FROM daily ORDER BY return_flag, ship_date"""
+
   override def queries: Seq[Q] = Seq(
     Q("s4_date_dim", s4DateDim, Some(s4Sql)),
     Q("w5_hash_sk", w5HashSk, Some(w5Sql)),
-    Q("ep3_star_gold", ep3StarGold, Some(ep3Sql)))
+    Q("ep3_star_gold", ep3StarGold, Some(ep3Sql)),
+    Q("g_weekly", gWeekly, Some(gWeeklySql)),
+    Q("g_monthly", gMonthly, Some(gMonthlySql)),
+    Q("g_qty_buckets", gQtyBuckets, Some(gQtyBucketsSql)),
+    Q("g_rolling", gRolling, Some(gRollingSql)))
 }

@@ -133,20 +133,4 @@ object Star {
   def riOrphans(fact: DataFrame, dim: DataFrame, sk: String): Long =
     fact.join(dim, Seq(sk), "left_anti").count()
 
-  /** Gold daily summary (EP3's first gold table,
-    * `03_gold_unikargo_01_daily_analytics.ipynb:66-79`): per ship-date
-    * counts, exact sums, conditional rates. */
-  def goldDailySummary(spark: SparkSession, d: String): DataFrame = {
-    val fact = factLineitem(spark, d)
-    fact.groupBy("ship_date")
-      .agg(
-        count(lit(1)).as("n_lines"),
-        countDistinct(col("customer_sk")).as("n_customers"),
-        sumExact(col("quantity")).as("sum_qty"),
-        sumExact(col("extended_price")).as("revenue"),
-        sum(when(col("return_flag") === "R", 1).otherwise(0)).as("n_returned"),
-        (sum(when(col("return_flag") === "R", 1).otherwise(0)) * lit(100.0) /
-          count(lit(1))).as("return_rate"))
-      .orderBy("ship_date")
-  }
 }

@@ -93,6 +93,28 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(logDf.filter(col("environment") === "dev").count() == logs.size)
   }
 
+  test("S2/S5/S7/S12: catalog DDL, managed-table write/read, table stream") {
+    val wh = tmp()
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_test LOCATION '$wh/graft_test'")
+    assert(spark.sql("SHOW DATABASES").collect()
+      .map(_.getString(0)).contains("graft_test"))
+    io.Sinks.saveToTable(
+      Tables.region(spark, sf), "graft_test.region_bronze", mode = "overwrite")
+    val back = io.Sources.readTable(spark, "graft_test.region_bronze")
+    assert(back.count() == 5)
+    assert(spark.sql("DESCRIBE TABLE graft_test.region_bronze").collect()
+      .map(_.getString(0)).contains("r_name"))
+    // S7: stream FROM the managed table into a path sink
+    val dst = tmp() + "/s7_out"
+    val q = streaming.Relay.writeStreamPath(
+      streaming.Relay.readStreamTable(spark, "graft_test.region_bronze"),
+      dst, tmp() + "/s7_ckp", queryName = "s7relay")
+    q.awaitTermination()
+    assert(spark.read.parquet(dst).count() == 5)
+    spark.sql("DROP TABLE graft_test.region_bronze")
+    spark.sql("DROP DATABASE graft_test")
+  }
+
   test("star build: RI orphan counts are zero for every dim") {
     val fact = Star.factLineitem(spark, sf)
     assert(Star.riOrphans(fact,
