@@ -64,7 +64,9 @@ object EventsQ extends QueryPack {
   private def fJsonExtract(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))("k")
+          .as("prop_k"))
       .groupBy("prop_k")
       .agg(count(lit(1)).as("n_events"))
       .orderBy("prop_k")

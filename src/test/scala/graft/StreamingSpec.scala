@@ -61,6 +61,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
   }
 
+  test("streaming execution of the hourly agg equals its batch twin") {
+    // The EventsQ batch queries pin semantics for the streaming relay;
+    // here the SAME column logic runs through readStream + complete-mode
+    // memory sink and must produce identical rows.
+    import org.apache.spark.sql.functions._
+    import graft.util.Exact._
+    val sf = "/root/testdata/sf0.001"
+    // file streams require a DIRECTORY source; stage the single file
+    val srcDir = tmp() + "/events_stream_src"
+    new java.io.File(srcDir).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = Relay.readStreamPath(spark, srcDir, schema)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(col("value")).as("sum_value"))
+    val q = stream.writeStream.format("memory").queryName("hourly_mem")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("hourly_mem")
+      .orderBy("hour", "event_type").collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type").collect()
+    assert(streamed.sameElements(batch),
+      s"streaming result (${streamed.length} rows) != batch (${batch.length})")
+  }
+
   test("trigger name mapping covers the reference's three modes") {
     import org.apache.spark.sql.streaming.Trigger
     assert(Relay.trigger("availableNow") == Trigger.AvailableNow())
