@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-technique specs: the 100 TB design claims in README, demonstrated
+  * on the real plans — bucketed co-located joins eliminate the shuffle,
+  * partitioned writes prune at the scan, approximate distinct tracks exact
+  * within tolerance.
+  */
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = Sessions.local("4", "graft-scale-test")
+  private val sf = "/root/testdata/sf0.001"
+  private def tmp(): String = Files.createTempDirectory("graft_scale_").toString
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = tmp()
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$wh/graft_bkt'")
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt.li_bucketed")
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt.ord_bucketed")
+    val joined = spark.table("graft_bkt.li_bucketed")
+      .join(spark.table("graft_bkt.ord_bucketed").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE graft_bkt.li_bucketed")
+    spark.sql("DROP TABLE graft_bkt.ord_bucketed")
+    spark.sql("DROP DATABASE graft_bkt")
+  }
+
+  test("partitioned silver write prunes partitions at the scan") {
+    val dir = tmp() + "/fact_partitioned"
+    val fact = silver.Star.factLineitem(spark, sf)
+      .withColumn("ship_month", date_format(col("ship_date"), "yyyy-MM"))
+    io.Sinks.savePartitioned(fact, dir, Seq("ship_month"), mode = "overwrite")
+    val pruned = spark.read.parquet(dir)
+      .filter(col("ship_month") === "1996-03")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(ship_month"),
+      s"expected partition filters in:\n$scan")
+    val monthDirs = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("ship_month="))
+    assert(monthDirs > 50, s"expected many month partitions, got $monthDirs")
+    assert(pruned.count() > 0)
+  }
+
+  test("approx_count_distinct tracks exact within 5%") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("BPE-ish tokenizer splits on whitespace and letter/digit boundaries") {
+    val df = spark.createDataFrame(Seq((1L, "abc123 def x9y"))).toDF("id", "text")
+    val toks = df.select(text.Text.tokensBpeish(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(toks == Seq("abc", "123", "def", "x", "9", "y"))
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
