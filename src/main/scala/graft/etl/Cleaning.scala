@@ -38,16 +38,23 @@ object Cleaning {
     if (subset.isEmpty) df.dropDuplicates()
     else df.dropDuplicates(subset)
 
-  /** Deterministic dedup: keep the row with the greatest `orderCol` per key
-    * (ties broken by the ordering itself — pass a compound struct for full
-    * determinism). This is the scalable MERGE-style "latest wins" upsert
-    * primitive: one hash shuffle on the key, no global sort. */
+  /** Deterministic dedup: keep the row with the greatest `orderCols` tuple
+    * per key. This is the scalable MERGE-style "latest wins" upsert
+    * primitive. Implemented as max_by over a struct — a hash aggregate
+    * with map-side partial combine, which beats the equivalent
+    * row_number window (full shuffle + per-key SORT) and, unlike it,
+    * reduces data before the shuffle. Survivor choice is identical to
+    * `row_number over (order by orderCols desc) = 1` provided the
+    * ordering is total (pass enough columns to break all ties). */
   def latestByKey(keys: Seq[String], orderCols: Seq[Column])(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val valueCols = df.columns.filterNot(keys.contains)
+    val packed = df.groupBy(keys.map(col): _*)
+      .agg(max_by(
+        struct(valueCols.map(col): _*),
+        struct(orderCols: _*)).as("__row"))
+    packed.select(keys.map(col) ++
+      valueCols.map(c => col(s"__row.$c").as(c)): _*)
+      .select(df.columns.map(col): _*)
   }
 
   /** Reference `handle_null_values` (`cleaning.py:89-130`): per-column
