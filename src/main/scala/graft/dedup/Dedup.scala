@@ -186,6 +186,37 @@ object Dedup {
         pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L))).as("simhash"))
   }
 
+  /** SimHash near-dup pairs at `maxHamming` via pigeonhole banding: split
+    * the 32-bit signature into maxHamming+1 bands — any pair within the
+    * Hamming budget must agree EXACTLY on at least one band — then
+    * equi-join per (band, bandValue) and verify the true distance.
+    * Identical output to the all-pairs formulation, but candidate
+    * generation is a hash join on band values instead of an n² nested
+    * loop, so it scales with true-duplicate density. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val bandBits = 32 / bands
+    val mask = (1L << bandBits) - 1
+    val sh = simhashTable(docs, idCol, textCol).repartition(col("id"))
+    val banded = sh.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_val",
+        pmod(floor(col("simhash") / pow(lit(2.0), col("band") * lit(bandBits)))
+          .cast("long"), lit(mask + 1)))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+    candidates
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

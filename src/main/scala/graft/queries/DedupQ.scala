@@ -100,14 +100,10 @@ object DedupQ extends QueryPack {
     * distance ≤ 3. Demonstrates the shuffle-light fingerprint family
     * (signature is one long per doc; the pair join is on the tiny
     * signature table). */
-  private def dSimhash(spark: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.simhashTable(Tables.documents(spark, d), "doc_id", "text")
-    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Dedup.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .filter(col("hamming") <= 3)
+  private def dSimhash(spark: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, d), "doc_id", "text",
+        maxHamming = 3)
       .orderBy("id_a", "id_b")
-  }
 
   private val dSimhashSql =
     """WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t

@@ -128,6 +128,15 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ship_date_sk") == 0)
   }
 
+  test("entry() works on a vanilla session (driver t1 smoke contract)") {
+    // the driver calls entry(spark) with ITS session, which won't have
+    // Sessions.local's conveniences; prove entry doesn't need nanosAsLong
+    // (getOrCreate would reuse the extended session, so clone + flip conf)
+    val vanilla = spark.newSession()
+    vanilla.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    assert(SparkEntry.entry(vanilla).count() > 0)
+  }
+
   test("star fact: surrogate keys are collision-free") {
     val fact = Star.factLineitem(spark, sf)
     val n = fact.count()
