@@ -123,4 +123,34 @@ object Cleaning {
     * cleaning steps. */
   def pipeline(steps: Seq[DataFrame => DataFrame])(df: DataFrame): DataFrame =
     steps.foldLeft(df)((acc, step) => step(acc))
+
+  /** Reference `CleaningConfig` (`src/config/cleaning_config.py:5-41`):
+    * declarative cleaning plan — operation names in execution order plus
+    * their parameters. */
+  final case class CleaningConfig(
+      operations: Seq[String] =
+        Seq("add_timestamp", "drop_columns", "remove_duplicates", "handle_nulls"),
+      dropCols: Seq[String] = Nil,
+      dedupSubset: Seq[String] = Nil,
+      customFills: Map[String, Any] = Map.empty,
+      stringDefault: String = "Unknown",
+      numericDefault: Double = 0d,
+      timestampCol: String = "ingestion_timestamp")
+
+  /** Reference `clean_dataframe(df, config)`: resolve the named operation
+    * list to concrete steps and fold. Unknown operation names fail fast
+    * (config typos surface at build time, not as silently-skipped steps).
+    */
+  def fromConfig(cfg: CleaningConfig): DataFrame => DataFrame = {
+    val steps = cfg.operations.map {
+      case "add_timestamp" => addIngestionTimestamp(cfg.timestampCol) _
+      case "drop_columns" => dropColumns(cfg.dropCols) _
+      case "remove_duplicates" => removeDuplicates(cfg.dedupSubset) _
+      case "handle_nulls" =>
+        handleNulls(cfg.customFills, cfg.stringDefault, cfg.numericDefault) _
+      case other =>
+        throw new IllegalArgumentException(s"unknown cleaning operation: $other")
+    }
+    pipeline(steps)
+  }
 }

@@ -93,4 +93,34 @@ object Medallion {
       .withColumn("environment", lit(env))
       .withColumn("log_date", current_date())
   }
+
+  /** Pipeline-level event log (reference `PipelineLogger` +
+    * `log_pipeline_event`, `src/logging_utils/pipeline_logger_utils
+    * .py:27-152`): start/complete/fail events around a whole run,
+    * accumulated driver-side (events are O(tasks), not O(rows)) and
+    * persisted like task logs. */
+  final class PipelineRun(val pipelineId: String, val runId: String,
+      val env: String) {
+    private val events = ListBuffer.empty[(String, String, java.sql.Timestamp)]
+
+    def logEvent(event: String, status: String): Unit =
+      events += ((event, status, new java.sql.Timestamp(System.currentTimeMillis())))
+
+    /** Run `body` bracketed by started/completed|failed events (the
+      * reference's context-manager semantics). */
+    def bracket[T](body: => T): T = {
+      logEvent("pipeline", "started")
+      try { val r = body; logEvent("pipeline", "completed"); r }
+      catch { case e: Throwable => logEvent("pipeline", "failed"); throw e }
+    }
+
+    def eventsDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      events.toSeq.toDF("event", "status", "event_time")
+        .withColumn("pipeline_id", lit(pipelineId))
+        .withColumn("run_id", lit(runId))
+        .withColumn("environment", lit(env))
+        .withColumn("log_date", current_date())
+    }
+  }
 }

@@ -58,6 +58,35 @@ object Multimodal {
       lit(mediaType).as("media_type"),
       length(col(payloadCol).cast("binary")).cast("long").as("byte_len"))
 
+  /** Frame-sampling stage: one output row per sampled "frame"
+    * (media_id, frame_idx, frame_checksum) — the Spark-side shape of
+    * video frame extraction: mapPartitions + flatMap, rows ∝ frames. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_checksum", IntegerType, nullable = false)))
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val bytes = Option(row.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        StubCodec.sampleFrames(bytes, n).zipWithIndex.map {
+          case (ck, i) => Row(id, i, ck)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize stage (stub): deterministic fake target-bound dimensions —
+    * the real implementation would decode, scale, re-encode; the Spark
+    * shape (projection over binary + metadata) is identical. */
+  def resize(features: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    features
+      .withColumn("resized_w", least(col("width"), lit(targetW)))
+      .withColumn("resized_h", least(col("height"), lit(targetH)))
+
   /** Batch decode stage: mapPartitions so the (stub) codec amortizes any
     * per-batch init across the partition — the same batch shape a Pandas
     * UDF / mapInPandas stage has in PySpark. Output schema is fixed and

@@ -78,6 +78,29 @@ class CleaningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.contains("processed_timestamp"))
   }
 
+  test("fromConfig resolves named ops in order; unknown op fails fast") {
+    val cfg = Cleaning.CleaningConfig(
+      operations = Seq("drop_columns", "handle_nulls", "remove_duplicates"),
+      dropCols = Seq("score"))
+    val out = Cleaning.fromConfig(cfg)(df)
+    assert(out.columns.toSeq == Seq("id", "name") && out.count() == 3)
+    intercept[IllegalArgumentException] {
+      Cleaning.fromConfig(Cleaning.CleaningConfig(operations = Seq("nope")))
+    }
+  }
+
+  test("PipelineRun brackets a run with events and survives failure") {
+    val run = new graft.etl.Medallion.PipelineRun("pl1", "r1", "dev")
+    run.bracket { 42 }
+    intercept[RuntimeException] {
+      new graft.etl.Medallion.PipelineRun("pl2", "r2", "dev")
+        .bracket { throw new RuntimeException("boom") }
+    }
+    val events = run.eventsDf(spark).collect()
+    assert(events.map(_.getString(1)).toSeq == Seq("started", "completed"))
+    assert(events.forall(_.getAs[String]("pipeline_id") == "pl1"))
+  }
+
   test("pipeline folds steps in order") {
     val out = Cleaning.pipeline(Seq(
       Cleaning.dropColumns(Seq("score")),
