@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Cleaning
+import graft.plans.TextKernels
+
+/** Property-based specs (SURVEY §5: dedup idempotence, null-fill totality)
+  * over generated inputs — invariants that must hold for ANY data, not
+  * just the fixtures. */
+class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = Sessions.local("2", "graft-prop-test")
+
+  /** Deterministic mini property driver (the scalatest-scalacheck bridge
+    * isn't resolvable offline): n generated cases with fixed seeds. */
+  private def forAll[T](gen: Gen[T], n: Int = 10)(f: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default.withSize(20), Seed(i.toLong)))
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val rowGen: Gen[(Long, Option[String], Option[Double])] = for {
+    id <- Gen.choose(0L, 5L)
+    name <- Gen.option(Gen.oneOf("a", "b", "c"))
+    score <- Gen.option(Gen.choose(-10.0, 10.0))
+  } yield (id, name, score)
+
+  private val dfGen: Gen[Seq[(Long, Option[String], Option[Double])]] =
+    Gen.listOfN(12, rowGen)
+
+  private def toDf(rows: Seq[(Long, Option[String], Option[Double])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2.orNull,
+        r._3.map(Double.box).orNull)).asJava, schema)
+  }
+
+  test("property: removeDuplicates is idempotent and row-minimal") {
+    forAll(dfGen) { rows =>
+      val df = toDf(rows)
+      val once = Cleaning.removeDuplicates()(df)
+      val twice = Cleaning.removeDuplicates()(once)
+      assert(once.count() == twice.count())
+      assert(once.count() == rows.distinct.size)
+    }
+  }
+
+  test("property: handleNulls is total — no nulls remain") {
+    forAll(dfGen) { rows =>
+      val filled = Cleaning.handleNulls()(toDf(rows))
+      assert(filled.filter(
+        col("name").isNull || col("score").isNull || col("id").isNull)
+        .count() == 0)
+      assert(filled.count() == rows.size, "fill must not drop rows")
+    }
+  }
+
+  test("property: latestByKey yields exactly one row per key, from the input") {
+    forAll(dfGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = toDf(rows)
+        val out = Cleaning.latestByKey(Seq("id"),
+          Seq(col("name"), col("score")))(df).collect()
+        val keys = rows.map(_._1).distinct
+        assert(out.length == keys.size)
+        val inputSet = rows.map(r => (r._1, r._2.orNull,
+          r._3.map(Double.box).orNull)).toSet
+        assert(out.forall(r =>
+          inputSet.contains((r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) null else Double.box(r.getDouble(2))))))
+      }
+    }
+  }
+
+  test("property: shingle kernel matches a naive specification") {
+    val textGen = Gen.listOfN(8, Gen.oneOf("x", "y", "zz", ""))
+      .map(_.mkString(" "))
+    forAll(textGen) { text =>
+      val kernel = TextKernels.shingles(text, 3).toSeq
+      val toks = text.split(" ", -1)
+      val naive = if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      assert(kernel == naive)
+    }
+  }
+
+  test("property: minhash signatures are permutation-invariant over sets") {
+    val setGen = Gen.nonEmptyListOf(Gen.oneOf("p", "q", "r", "s", "t"))
+      .map(_.distinct)
+    forAll(setGen) { shingleSet =>
+      val a = TextKernels.minhash(shingleSet.toArray, 8).toSeq
+      val b = TextKernels.minhash(shingleSet.reverse.toArray, 8).toSeq
+      assert(a == b, "signature must not depend on shingle order")
+    }
+  }
+
+  override def afterAll(): Unit = spark.stop()
+}
