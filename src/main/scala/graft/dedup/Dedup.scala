@@ -169,7 +169,18 @@ object Dedup {
     * Spark's Scala lambda DSL shadows nested lambda variables — and the
     * exploded form keeps each aggregate in whole-stage codegen anyway.)
     * Near-dup = [[hamming]] distance ≤ k between simhashes. */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.SimHashExpr(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol))))
+        .as("simhash"))
+
+  /** Reference DataFrame formulation of [[simhashTable]] (explode tokens ×
+    * bits → two key-partitioned vote aggregations). Kept as the
+    * equivalence baseline for the custom expression — see ExtensionsSpec.
+    */
+  def simhashTableHof(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokenHashes = docs.select(col(idCol).as("id"),
         explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
       .select(col("id"), tokenHash32(col("tok")).as("h"))

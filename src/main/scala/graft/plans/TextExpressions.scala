@@ -115,6 +115,40 @@ object TextKernels {
   }
 }
 
+/** simhash32(text) → long: 32-bit SimHash over distinct tokens (md5-derived
+  * token hashes, ±1 bit votes) — bit-identical to the exploded DataFrame
+  * formulation in Dedup.simhashTable but one eval per document instead of
+  * |tokens|×32 vote rows through two shuffles. */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextKernels.tokens(input.asInstanceOf[UTF8String].toString)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        // token hash = first 8 md5 hex chars as unsigned 32-bit value
+        val h = java.lang.Long.parseLong(TextKernels.md5Hex(toks(i)).substring(0, 8), 16)
+        var j = 0
+        while (j < 32) {
+          votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash32"
+}
+
 /** shingles(text, n) → array<string>: distinct word n-grams. */
 case class ShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {

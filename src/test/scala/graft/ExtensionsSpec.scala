@@ -64,6 +64,10 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.minhashSignature(Dedup.shinglesFast(col("text"), 3), 16).as("slow_sig"),
       Dedup.minhashSigFast(Dedup.shinglesFast(col("text"), 3), 16).as("fast_sig"))
     assert(sigs.filter(col("slow_sig") =!= col("fast_sig")).count() == 0)
+    val simhashes = Dedup.simhashTable(docs, "doc_id", "text").as("f")
+      .join(Dedup.simhashTableHof(docs, "doc_id", "text").as("h"),
+        col("f.id") === col("h.id"))
+    assert(simhashes.filter(col("f.simhash") =!= col("h.simhash")).count() == 0)
   }
 
   test("extension-registered SQL functions work") {
