@@ -77,8 +77,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: the normalized vectors feed BOTH the driver collect (for
+    // the broadcast reference side) and the distributed scan side
     val nv = normalized(df, idCol, vecCol)
       .as[(Long, Array[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ref = spark.sparkContext.broadcast(nv.collect().sortBy(_._1))
     nv.mapPartitions { it =>
       val all = ref.value
