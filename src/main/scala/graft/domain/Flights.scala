@@ -162,6 +162,68 @@ object Flights {
           count(lit(1))).as("cancellation_rate"))
       .orderBy("full_date")
 
+  /** Gold: airline performance (`03_gold_unikargo_02_airline_performance
+    * .ipynb:72-82`): per-airline delay stats, on-time rate, volume. */
+  def goldAirlinePerformance(fact: DataFrame, dimAirlineDf: DataFrame): DataFrame =
+    fact.join(broadcast(dimAirlineDf), Seq("airline_sk"))
+      .groupBy("airline_sk", "iata_code", "airline")
+      .agg(
+        count(lit(1)).as("total_flights"),
+        avgExact(col("departure_delay")).as("avg_departure_delay"),
+        avgExact(col("arrival_delay")).as("avg_arrival_delay"),
+        sumExact(col("distance")).as("total_distance"),
+        (sum(when(col("arrival_delay") <= 15, 1).otherwise(0)) * lit(100.0) /
+          count(lit(1))).as("on_time_rate"),
+        (sum(when(col("cancelled") === 1, 1).otherwise(0)) * lit(100.0) /
+          count(lit(1))).as("cancellation_rate"))
+      .orderBy(col("total_flights").desc, col("iata_code"))
+
+  /** Gold: route analytics (`03_gold_unikargo_03_route_analytics
+    * .ipynb:74-131`): aggregate by route, HAVING volume floor, enrich with
+    * both airport dims AFTER the aggregate, top-k busiest. */
+  def goldRouteAnalytics(fact: DataFrame, dimAirportDf: DataFrame,
+      minFlights: Long = 2, topK: Int = 50): DataFrame = {
+    val routeAgg = fact
+      .groupBy("origin_airport_sk", "destination_airport_sk")
+      .agg(
+        count(lit(1)).as("total_flights"),
+        avgExact(col("arrival_delay")).as("avg_arrival_delay"),
+        countDistinct(col("airline_sk")).as("airlines_serving"))
+      .filter(col("total_flights") >= minFlights)
+    routeAgg
+      .join(broadcast(dimAirportDf.select(
+        col("airport_sk").as("origin_airport_sk"),
+        col("airport").as("origin_airport"), col("city").as("origin_city"))),
+        Seq("origin_airport_sk"))
+      .join(broadcast(dimAirportDf.select(
+        col("airport_sk").as("destination_airport_sk"),
+        col("airport").as("destination_airport"), col("city").as("destination_city"))),
+        Seq("destination_airport_sk"))
+      .orderBy(col("total_flights").desc, col("origin_airport"),
+        col("destination_airport"))
+      .limit(topK)
+  }
+
+  /** Gold: delay-distribution buckets (`03_gold_unikargo_06_delay_analytics
+    * .ipynb:68-80`): the reference's 5-way delay classification with
+    * share-of-total. */
+  def goldDelayBuckets(fact: DataFrame): DataFrame = {
+    val bucketed = fact
+      .withColumn("delay_bucket",
+        when(col("arrival_delay") <= 0, "early_or_ontime")
+          .when(col("arrival_delay") <= 15, "minor_0_15")
+          .when(col("arrival_delay") <= 60, "moderate_15_60")
+          .when(col("arrival_delay") <= 180, "severe_60_180")
+          .otherwise("extreme_180_plus"))
+      .groupBy("delay_bucket")
+      .agg(count(lit(1)).as("n_flights"),
+        avgExact(col("arrival_delay")).as("avg_delay"))
+    bucketed.select(col("delay_bucket"), col("n_flights"), col("avg_delay"),
+        (col("n_flights") * lit(100.0) /
+          sum(col("n_flights")).over(Window.partitionBy())).as("pct_of_flights"))
+      .orderBy("delay_bucket")
+  }
+
   /** End-to-end medallion run over flight CSVs into a warehouse dir
     * (EP1+EP3): bronze ingest ×3 → dims → fact → gold, each layer
     * persisted via the partitioned/managed sinks. Returns the gold

@@ -94,6 +94,34 @@ class FlightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dows("2015-01-02") == 5) // Friday
   }
 
+  test("gold: airline performance, route analytics, delay buckets") {
+    val airlines = Flights.dimAirline(Flights.bronzeIngest(spark,
+      s"$dir/airlines.csv", Flights.airlinesSchema, "p", "r", "t"))
+    val airports = Flights.dimAirport(Flights.bronzeIngest(spark,
+      s"$dir/airports.csv", Flights.airportsSchema, "p", "r", "t"))
+    val fact = Flights.factFlight(
+      Flights.bronzeIngest(spark, s"$dir/flights.csv", Flights.flightsSchema,
+        "p", "r", "t"),
+      Flights.dimDate(spark), airlines, airports)
+
+    val perf = Flights.goldAirlinePerformance(fact, airlines).collect()
+    assert(perf.length == 2)
+    val aa = perf.find(_.getAs[String]("iata_code") == "AA").get
+    assert(aa.getAs[Long]("total_flights") == 1L &&
+      aa.getAs[Double]("on_time_rate") == 0.0)
+
+    val routes = Flights.goldRouteAnalytics(fact, airports, minFlights = 1)
+      .collect()
+    assert(routes.length == 2)
+    assert(routes.forall(r => r.getAs[String]("origin_airport") != null &&
+      r.getAs[String]("destination_airport") != null))
+
+    val buckets = Flights.goldDelayBuckets(fact).collect()
+    assert(buckets.map(_.getAs[Double]("pct_of_flights")).sum == 100.0)
+    assert(buckets.map(_.getAs[String]("delay_bucket")).toSet ==
+      Set("early_or_ontime", "moderate_15_60"))
+  }
+
   test("dim_date spans the reference's 2015–2030 range with 5844 rows") {
     val dd = Flights.dimDate(spark)
     assert(dd.count() == 5844)
