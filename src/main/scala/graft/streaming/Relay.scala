@@ -21,6 +21,13 @@ import graft.io.Sinks
   */
 object Relay {
 
+  /** Per-(layer, query) checkpoint directory layout (reference
+    * `src/streaming/checkpoints.py:4-20` + `streaming_config.py:6-48`):
+    * one checkpoint root per environment, isolated subdirectory per
+    * relay query so restarts resume the right offsets. */
+  def checkpointPath(root: String, layer: String, queryName: String): String =
+    s"$root/_checkpoints/$layer/$queryName"
+
   /** S7 — streaming table source (reference `read_stream_from_table`). */
   def readStreamTable(spark: SparkSession, table: String, format: String = "parquet",
       options: Map[String, String] = Map.empty): DataFrame =

@@ -95,6 +95,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming result (${streamed.length} rows) != batch (${batch.length})")
   }
 
+  test("param fallback chain: explicit > system property > env > default") {
+    import graft.etl.Params
+    assert(Params.resolve("env_name", Map("env_name" -> "prod")) == Some("prod"))
+    sys.props.put("graft.env_name", "staging")
+    try {
+      assert(Params.resolve("env_name", Map("env_name" -> "prod")) == Some("prod"))
+      assert(Params.resolve("env_name") == Some("staging"))
+    } finally sys.props.remove("graft.env_name")
+    assert(Params.resolve("missing", default = Some("dev")) == Some("dev"))
+    intercept[IllegalArgumentException] { Params.require("missing") }
+  }
+
+  test("checkpoint paths isolate per layer and query") {
+    assert(Relay.checkpointPath("/wh", "02_silver", "relay_flights") ==
+      "/wh/_checkpoints/02_silver/relay_flights")
+    assert(Relay.checkpointPath("/wh", "02_silver", "a") !=
+      Relay.checkpointPath("/wh", "02_silver", "b"))
+  }
+
   test("trigger name mapping covers the reference's three modes") {
     import org.apache.spark.sql.streaming.Trigger
     assert(Relay.trigger("availableNow") == Trigger.AvailableNow())
