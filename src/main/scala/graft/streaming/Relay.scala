@@ -69,6 +69,86 @@ object Relay {
       .trigger(trig)
       .start()
 
+  /** Watermarked tumbling-window aggregation (beyond the reference's
+    * relay-only surface; the standard event-time streaming shape). In
+    * append mode a window emits exactly once, when the watermark passes
+    * its end — late events beyond `watermark` are dropped, bounding state.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, window: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col(tsCol), window))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .select(
+        org.apache.spark.sql.functions.col("window.start").as("window_start"),
+        org.apache.spark.sql.functions.col("n_events"))
+
+  /** One event for the stateful sessionizer. */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+
+  /** Mutable per-user session state carried across micro-batches. */
+  final case class SessionState(start: Long, end: Long, nEvents: Long,
+      sumValue: Double)
+
+  /** A completed session emitted once its gap timeout expires. */
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Custom streaming state via flatMapGroupsWithState (beyond the
+    * reference): per-user sessions closed after `gapSeconds` of event-time
+    * inactivity. State is one small record per ACTIVE user — the
+    * watermark-driven timeout guarantees it's bounded; completed sessions
+    * stream out in append mode. */
+  def statefulSessions(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSeconds: Long, watermark: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          def emit(s: SessionState) = SessionOut(userId,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+            s.nEvents, s.sumValue)
+          if (batch.isEmpty && state.hasTimedOut) {
+            // gap elapsed in event time → close and emit the session
+            val done = state.get
+            state.remove()
+            Iterator(emit(done))
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            events.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapSeconds * 1000 =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.nEvents + 1, s.sumValue + e.value))
+                case Some(s) =>
+                  closed ::= emit(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF()
+  }
+
   /** S10 — streaming upsert sink via foreachBatch (reference
     * `write_stream_upsert`, `writers.py:78-132`: MERGE INTO per batch).
     * Each micro-batch is upserted into the target keyed on `keys` with

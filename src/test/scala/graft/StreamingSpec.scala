@@ -95,6 +95,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming result (${streamed.length} rows) != batch (${batch.length})")
   }
 
+  test("watermarked window appends only watermark-closed windows") {
+    import spark.implicits._
+    val src = tmp() + "/wsrc"; val ckp = tmp() + "/wckp"
+    def write(rows: Seq[(java.sql.Timestamp, Long)]): Unit =
+      rows.toDF("ts", "user_id").write.mode("append").parquet(src)
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val dst = tmp() + "/wdst"
+    write(Seq((ts(1), 1L), (ts(2), 2L), (ts(12), 1L)))
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = Relay.windowedCounts(
+        Relay.readStreamPath(spark, src, schema), "ts", "10 minutes", "5 minutes")
+        .writeStream.format("parquet").option("path", dst)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp).start()
+      q.awaitTermination()
+    }
+    run()
+    // watermark starts at 0 in the first run → nothing closed yet
+    assert(spark.read.parquet(dst).count() == 0)
+    // later events push the watermark past the 10:00–10:10 window
+    write(Seq((ts(31), 3L)))
+    run()
+    val out = spark.read.parquet(dst)
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(out("2024-01-01 10:00:00.0") == 2L,
+      s"first window must close with its 2 events, got $out")
+  }
+
+  test("flatMapGroupsWithState closes sessions after the event-time gap") {
+    import spark.implicits._
+    val src = tmp() + "/ssrc"; val ckp = tmp() + "/sckp"
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 09:$min%02d:00")
+    def write(rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit =
+      rows.toDF("user_id", "ts", "value").write.mode("append").parquet(src)
+    write(Seq((1L, ts(0), 1.0), (1L, ts(5), 2.0), (2L, ts(1), 5.0)))
+    val dst = tmp() + "/sdst"
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val stream = Relay.readStreamPath(spark, src, schema)
+        .as[Relay.SessionEvent]
+      val q = Relay.statefulSessions(stream, gapSeconds = 600, watermark = "1 minute")
+        .writeStream.format("parquet").option("path", dst)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(dst).count() == 0, "sessions still open")
+    // an event far in the future advances the watermark → both sessions
+    // time out (gap 10 min exceeded) and are emitted closed
+    write(Seq((3L, ts(50), 9.0)))
+    run()
+    val out = spark.read.parquet(dst).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)),
+      s"user1: 2-event session value 3.0; user2: 1-event session 5.0; got ${out.toSeq}")
+  }
+
   test("param fallback chain: explicit > system property > env > default") {
     import graft.etl.Params
     assert(Params.resolve("env_name", Map("env_name" -> "prod")) == Some("prod"))
