@@ -60,8 +60,10 @@ object SimQ extends QueryPack {
        ORDER BY id_a, id_b"""
 
   /** LSH-bucketed approximate top-k (scale path: candidates from band
-    * collisions only). No SQL oracle — recall vs the brute-force baseline
-    * is asserted in SimilaritySpec; the driver records rows>0. */
+    * collisions only). The pipeline is deterministic end-to-end (md5
+    * hyperplanes, rounded rerank sims, id tie-breaks), so the oracle SQL
+    * is GENERATED with the same ±1 plane constants embedded — DuckDB
+    * reproduces signatures, buckets, candidates, and rerank exactly. */
   private def simLshTopk(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     Similarity.lshTopK(
@@ -70,8 +72,43 @@ object SimQ extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  private val simLshSql: String = {
+    val planes = Similarity.planeSigns(16, 64)
+    val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(nv, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                  AS nv
+              FROM embeddings),
+       sigs AS (SELECT vec_id, nv, CAST($sigExpr AS BIGINT) AS sig FROM v),
+       q AS (SELECT vec_id AS query_id, nv AS qv, sig AS qsig FROM sigs
+             WHERE vec_id % 25 = 0),
+       qb AS (SELECT query_id, band,
+                     (qsig // CAST(pow(2, band * 4) AS BIGINT)) % 16 AS bucket
+              FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+       cb AS (SELECT vec_id AS neighbor_id, band,
+                     (sig // CAST(pow(2, band * 4) AS BIGINT)) % 16 AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+       cand AS (SELECT DISTINCT query_id, neighbor_id
+                FROM qb JOIN cb USING (band, bucket)
+                WHERE query_id != neighbor_id),
+       sims AS (SELECT query_id, neighbor_id,
+                       round(list_dot_product(q.qv, s.nv), 4) AS sim
+                FROM cand
+                JOIN q USING (query_id)
+                JOIN sigs s ON s.vec_id = neighbor_id)
+       SELECT query_id, rank, neighbor_id, sim FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         FROM sims) t
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_near_dup", simNearDup, Some(simNearDupSql)),
-    Q("sim_lsh_topk", simLshTopk, None))
+    Q("sim_lsh_topk", simLshTopk, Some(simLshSql)))
 }

@@ -125,6 +125,11 @@ object Similarity {
     * driver-side per (plane, dim) — an earlier per-row-per-element md5
     * formulation dominated the whole LSH pipeline. No RNG state →
     * reproducible on any engine/partitioning. */
+  /** Public view of the hyperplane constants so oracle SQL can embed the
+    * same ±1 arrays (the LSH pipeline is deterministic end-to-end). */
+  def planeSigns(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes)(p => Array.tabulate(dims)(d => planeSign(p, d)))
+
   private def planeSign(p: Int, d: Int): Double =
     if (Integer.parseInt(
       graft.plans.TextKernels.md5Hex(s"${p}_$d").substring(0, 1), 16) % 2 == 0)
