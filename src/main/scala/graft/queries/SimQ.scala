@@ -107,8 +107,18 @@ object SimQ extends QueryPack {
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Same semantics as sim_topk through the custom TopKAggregator
+    * (map-side partial top-k, no window shuffle) — same oracle. */
+  private def simTopkAgg(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.bruteForceTopKAgg(
+        emb.filter(col("vec_id") % 25 === 0), emb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
+    Q("sim_topk_agg", simTopkAgg, Some(simTopkSql)),
     Q("sim_near_dup", simNearDup, Some(simNearDupSql)),
     Q("sim_lsh_topk", simLshTopk, Some(simLshSql)))
 }

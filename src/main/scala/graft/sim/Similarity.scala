@@ -120,6 +120,32 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** [[bruteForceTopK]] with the per-group top-k computed by the custom
+    * typed [[graft.plans.TopKAggregator]] instead of a window: partial
+    * aggregation prunes each map task's candidates to k BEFORE the
+    * shuffle, so only k·partitions rows per query move — the scale-correct
+    * formulation when |corpus| is large. Output is identical to the
+    * window version (same total order and tie-breaks). */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nv").as("qv"))
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("nv").as("cv"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")), 4).as("sim"))
+    sims.groupBy("query_id")
+      .agg(graft.plans.TopKAggregator.topK(k)(
+        col("sim"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"))
+  }
+
   /** Deterministic pseudo-random ±1 hyperplane component for (plane p,
     * dim d): parity of the first md5 hex nibble of "p_d". Computed ONCE
     * driver-side per (plane, dim) — an earlier per-row-per-element md5

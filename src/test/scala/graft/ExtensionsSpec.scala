@@ -107,6 +107,16 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sims.forall(_ == 1.0))
   }
 
+  test("TopKAggregator result equals the window top-k exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val window = Similarity.bruteForceTopK(queries, emb, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val agg = Similarity.bruteForceTopKAgg(queries, emb, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(window == agg)
+  }
+
   test("lshTopK: no false results and sane recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 10 === 0)
