@@ -3,8 +3,8 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,11 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * functions are interpreted per element — building 3-gram shingles and a
   * k=16 MinHash signature through transform/slice/concat_ws/array_min
   * costs ~8 s at sf0.1 in lambda-interpretation overhead. Each expression
-  * below does the whole document in one `eval` of tight JVM code
-  * (~10× less per-row overhead). They are single-call-per-row, so
-  * CodegenFallback costs one virtual call per DOCUMENT — negligible
-  * against the O(tokens × k) work inside — while keeping the surrounding
-  * projection in whole-stage codegen.
+  * below does the whole document in one call of tight JVM code (~10× less
+  * per-row overhead), and implements `doGenCode` via the StaticInvoke
+  * pattern (the generated Java calls the static kernel), so projections
+  * containing them stay inside whole-stage codegen.
   *
   * Semantics are BIT-IDENTICAL to the Column-expression formulations in
   * [[graft.dedup.Dedup]] (asserted in ExtensionsSpec), so the DuckDB
@@ -80,6 +79,44 @@ object TextKernels {
     false
   }
 
+  /** Codegen entry points: static calls emitted by doGenCode (the
+    * StaticInvoke pattern) so the expressions stay INSIDE whole-stage
+    * codegen instead of falling back to interpreted eval dispatch. */
+  def shinglesArrayData(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(
+      shingles(text.toString, n).map(UTF8String.fromString): Array[Any])
+
+  def minhashArrayData(shingleArr: ArrayData, k: Int): ArrayData = {
+    val arr = new Array[String](shingleArr.numElements())
+    var i = 0
+    while (i < arr.length) { arr(i) = shingleArr.getUTF8String(i).toString; i += 1 }
+    new GenericArrayData(
+      minhash(arr, k).map(s => if (s == null) null else UTF8String.fromString(s))
+        : Array[Any])
+  }
+
+  def simhash32(text: UTF8String): Long = {
+    val toks = tokens(text.toString)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = java.lang.Long.parseLong(md5Hex(toks(i)).substring(0, 8), 16)
+        var j = 0
+        while (j < 32) {
+          votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   /** k-hash MinHash signature over a shingle set: sig(i) = min md5 hex of
     * s"$i|$shingle"; null entries when the set is empty (mirrors
     * array_min of an empty transform). Hot path: thread-local digest,
@@ -120,30 +157,13 @@ object TextKernels {
   * formulation in Dedup.simhashTable but one eval per document instead of
   * |tokens|×32 vote rows through two shuffles. */
 case class SimHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val toks = TextKernels.tokens(input.asInstanceOf[UTF8String].toString)
-    val seen = new java.util.HashSet[String]()
-    val votes = new Array[Int](32)
-    var i = 0
-    while (i < toks.length) {
-      if (seen.add(toks(i))) {
-        // token hash = first 8 md5 hex chars as unsigned 32-bit value
-        val h = java.lang.Long.parseLong(TextKernels.md5Hex(toks(i)).substring(0, 8), 16)
-        var j = 0
-        while (j < 32) {
-          votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
-          j += 1
-        }
-      }
-      i += 1
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 32) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
-    sig
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash32(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.simhash32($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
   override def prettyName: String = "simhash32"
@@ -151,13 +171,14 @@ case class SimHashExpr(child: Expression)
 
 /** shingles(text, n) → array<string>: distinct word n-grams. */
 case class ShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      TextKernels.shingles(input.asInstanceOf[UTF8String].toString, n)
-        .map(UTF8String.fromString): Array[Any])
+    TextKernels.shinglesArrayData(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.shinglesArrayData($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
   override def prettyName: String = "shingles"
@@ -165,20 +186,15 @@ case class ShinglesExpr(child: Expression, n: Int)
 
 /** minhash_sig(shingleArray, k) → array<string>: k md5-minima hex. */
 case class MinHashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1, "signature size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val shingleArr = new Array[String](arr.numElements())
-    var i = 0
-    while (i < shingleArr.length) {
-      shingleArr(i) = arr.getUTF8String(i).toString; i += 1
-    }
-    new GenericArrayData(
-      TextKernels.minhash(shingleArr, k)
-        .map(s => if (s == null) null else UTF8String.fromString(s)): Array[Any])
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashArrayData(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.minhashArrayData($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
