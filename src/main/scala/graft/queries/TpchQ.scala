@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Exact._
+
+/** TPC-H-shaped multi-join analytics — beyond the reference's 2-3-table
+  * joins, these exercise 3-to-6-way join planning: mixed broadcast +
+  * shuffle joins, AQE join-order/strategy selection, selective filters
+  * pushed below the joins. Decimal-exact revenue math throughout.
+  */
+object TpchQ extends QueryPack {
+
+  /** Q3 shape — shipping priority: 3-way join, pre-join filters on both
+    * fact sides, revenue top-10. */
+  private def q3ShippingPriority(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < "1998-01-01")
+      .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > "1998-01-01")
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  private val q3Sql =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY 1, 2
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** Q5 shape — local supplier volume: 6-way join through customer →
+    * orders → lineitem → supplier → nation → region with the
+    * same-nation constraint, revenue per nation. */
+  private def q5LocalSupplier(spark: SparkSession, d: String): DataFrame =
+    Tables.region(spark, d)
+      .filter(col("r_name") === "ASIA")
+      .join(Tables.nation(spark, d), col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.supplier(spark, d), col("n_nationkey") === col("s_nationkey"))
+      .join(Tables.lineitem(spark, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  private val q5Sql =
+    """SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+       FROM region
+       JOIN nation ON r_regionkey = n_regionkey
+       JOIN supplier ON n_nationkey = s_nationkey
+       JOIN lineitem ON s_suppkey = l_suppkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       WHERE r_name = 'ASIA'
+       GROUP BY 1 ORDER BY revenue DESC, n_name"""
+
+  /** Q10 shape — returned-item reporting: 4-way join, return-flag filter,
+    * per-customer revenue, top 20. */
+  private def q10ReturnedItems(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .join(Tables.orders(spark, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(spark, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_returned_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_returned_lines
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+       GROUP BY 1, 2, 3
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
+    Q("q5_local_supplier", q5LocalSupplier, Some(q5Sql)),
+    Q("q10_returned_items", q10ReturnedItems, Some(q10Sql)))
+}
