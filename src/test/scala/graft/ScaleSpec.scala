@@ -55,6 +55,28 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() > 0)
   }
 
+  test("salted join equals the plain join on skewed data") {
+    import spark.implicits._
+    // hot key: 90% of big-side rows share key 1
+    val big = spark.range(10000)
+      .select(when(col("id") % 10 === 0, col("id")).otherwise(lit(1L)).as("k"),
+        col("id").as("payload"))
+    val small = Seq((1L, "hot"), (10L, "a"), (20L, "b"))
+      .toDF("k", "v")
+    val plain = big.join(small, Seq("k"), "inner")
+    val salted = etl.Skew.saltedJoin(big, small, Seq("k"),
+      salts = 8, saltSource = Seq("payload"))
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    val diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+    assert(diff == 0, "salted join must be row-identical to the plain join")
+    // the salt actually fans the hot key out across sub-keys
+    val saltSpread = big.filter(col("k") === 1)
+      .select(etl.Skew.saltFrom(8, col("payload")).as("s"))
+      .distinct().count()
+    assert(saltSpread == 8)
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val row = li.agg(
