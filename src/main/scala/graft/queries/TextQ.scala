@@ -116,9 +116,59 @@ object TextQ extends QueryPack {
            string_split(text, ' '))), 'string_agg', ' '))) AS group_size
        FROM documents ORDER BY doc_id"""
 
+  /** The composed training-data filter pipeline: quality gate → exact
+    * dedup (min-id survivor per bag fingerprint) → language tag — the
+    * standard pretraining corpus-prep chain, as ONE declarative plan
+    * (filters push into the scan; dedup is one hash shuffle). */
+  private def tFilterPipeline(spark: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(spark, d)
+      .withColumn("quality", Text.qualityScore(col("text"), enStop))
+      .withColumn("fingerprint", Text.bagOfWordsFingerprint(col("text")))
+      .filter(col("quality") >= 0.5)
+    graft.dedup.Dedup.exactDedup(scored, col("fingerprint"), "doc_id")
+      .select(col("doc_id"),
+        Text.langId(col("text")).as("lang_guess"),
+        col("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val tFilterSql = {
+    val stopList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    val lists = Text.langStopwords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+    val hitCols = lists.map { case (l, arr) =>
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS h_$l"
+    }.mkString(", ")
+    val langs = lists.map(_._1)
+    val g = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN h_$l = g AND g > 0 THEN '$l'").mkString(" ")
+    s"""WITH t AS (
+         SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       scored AS (
+         SELECT doc_id, text, toks,
+           (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+             + (CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+                / len(toks)) * 0.25
+             + (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.25
+             AS quality,
+           md5(list_aggregate(list_sort(list_distinct(toks)), 'string_agg', ' '))
+             AS fingerprint
+         FROM t),
+       gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+       surv AS (SELECT * FROM (
+           SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS m FROM gated) s
+         WHERE doc_id = m),
+       h AS (SELECT doc_id, quality, $hitCols FROM surv),
+       mx AS (SELECT *, $g AS g FROM h)
+       SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess, quality
+       FROM mx ORDER BY doc_id"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("t_tokens", tTokens, Some(tTokensSql)),
     Q("t_quality", tQuality, Some(tQualitySql)),
     Q("t_langid", tLangid, Some(tLangidSql)),
-    Q("t_fingerprint", tFingerprint, Some(tFingerprintSql)))
+    Q("t_fingerprint", tFingerprint, Some(tFingerprintSql)),
+    Q("t_filter_pipeline", tFilterPipeline, Some(tFilterSql)))
 }
