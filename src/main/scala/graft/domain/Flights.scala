@@ -204,6 +204,51 @@ object Flights {
       .limit(topK)
   }
 
+  /** Gold: airport analytics (`03_gold_unikargo_04_airport_analytics
+    * .ipynb:73-105`): per-airport departure volume, delay averages, and
+    * distinct airlines/destinations served — the union of the origin and
+    * destination role views. */
+  def goldAirportAnalytics(fact: DataFrame, dimAirportDf: DataFrame): DataFrame = {
+    val departures = fact.groupBy(col("origin_airport_sk").as("airport_sk"))
+      .agg(count(lit(1)).as("departures"),
+        avgExact(col("departure_delay")).as("avg_departure_delay"),
+        countDistinct(col("airline_sk")).as("airlines_serving"),
+        countDistinct(col("destination_airport_sk")).as("destinations_served"))
+    val arrivals = fact.groupBy(col("destination_airport_sk").as("airport_sk"))
+      .agg(count(lit(1)).as("arrivals"),
+        avgExact(col("arrival_delay")).as("avg_arrival_delay"))
+    departures
+      .join(arrivals, Seq("airport_sk"), "full_outer")
+      .join(broadcast(dimAirportDf.select("airport_sk", "iata_code", "airport",
+        "city", "state")), Seq("airport_sk"))
+      .na.fill(0L, Seq("departures", "arrivals"))
+      .orderBy(col("departures").desc, col("iata_code"))
+  }
+
+  /** Gold: operational efficiency (`03_gold_unikargo_07_operational_
+    * efficiency_analytics.ipynb:70-76`): the two-level aggregation —
+    * flights per (airline, aircraft, day), then per-airline fleet stats.
+    */
+  def goldOperationalEfficiency(fact: DataFrame, dimAirlineDf: DataFrame): DataFrame = {
+    val perAircraftDay = fact
+      .filter(col("tail_number").isNotNull)
+      .groupBy("airline_sk", "tail_number", "flight_date")
+      .agg(count(lit(1)).as("flights_per_day"))
+    perAircraftDay
+      .groupBy("airline_sk")
+      .agg(
+        (sum(col("flights_per_day")).cast("double") /
+          countDistinct(col("tail_number"), col("flight_date")))
+          .as("avg_flights_per_aircraft_day"),
+        max(col("flights_per_day")).as("max_flights_per_aircraft_day"),
+        countDistinct(col("tail_number")).as("fleet_size"))
+      .join(broadcast(dimAirlineDf), Seq("airline_sk"))
+      .select("airline_sk", "iata_code", "airline",
+        "avg_flights_per_aircraft_day", "max_flights_per_aircraft_day",
+        "fleet_size")
+      .orderBy("iata_code")
+  }
+
   /** Gold: delay-distribution buckets (`03_gold_unikargo_06_delay_analytics
     * .ipynb:68-80`): the reference's 5-way delay classification with
     * share-of-total. */

@@ -120,6 +120,17 @@ class FlightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.map(_.getAs[Double]("pct_of_flights")).sum == 100.0)
     assert(buckets.map(_.getAs[String]("delay_bucket")).toSet ==
       Set("early_or_ontime", "moderate_15_60"))
+
+    val airportStats = Flights.goldAirportAnalytics(fact, airports).collect()
+    val jfk = airportStats.find(_.getAs[String]("iata_code") == "JFK").get
+    assert(jfk.getAs[Long]("departures") == 1L && jfk.getAs[Long]("arrivals") == 0L)
+    val lax = airportStats.find(_.getAs[String]("iata_code") == "LAX").get
+    assert(lax.getAs[Long]("departures") == 1L && lax.getAs[Long]("arrivals") == 1L)
+
+    val eff = Flights.goldOperationalEfficiency(fact, airlines).collect()
+    assert(eff.length == 2)
+    assert(eff.forall(_.getAs[Long]("fleet_size") == 1L))
+    assert(eff.forall(_.getAs[Double]("avg_flights_per_aircraft_day") == 1.0))
   }
 
   test("dim_date spans the reference's 2015–2030 range with 5844 rows") {
