@@ -55,6 +55,25 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() > 0)
   }
 
+  test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
+    import spark.implicits._
+    val dir = tmp() + "/dpp_fact"
+    silver.Star.factLineitem(spark, sf)
+      .withColumn("ship_month", date_format(col("ship_date"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim of months with an attribute; the filter is on the DIM, so static
+    // pruning can't see it — only DPP can push the surviving month keys
+    // into the fact scan at runtime
+    val monthDim = fact.select("ship_month").distinct()
+      .withColumn("is_peak", col("ship_month").endsWith("-12"))
+    val joined = fact.join(monthDim.filter(col("is_peak")), Seq("ship_month"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan:\n${plan.take(2000)}")
+    assert(joined.count() > 0)
+  }
+
   test("salted join equals the plain join on skewed data") {
     import spark.implicits._
     // hot key: 90% of big-side rows share key 1
