@@ -61,41 +61,50 @@ object Similarity {
 
   /** All-pairs cosine near-dup join at a threshold.
     *
-    * Kernel: normalize once, broadcast the (small) normalized corpus,
-    * mapPartitions with a primitive while-loop dot product — the MLlib-
-    * style block-similarity shape. A Column-expression nested-loop join
-    * materializes |pairs| rows of boxed arrays and runs interpreted folds
-    * (measured 30s+ at sf0.1); the JVM kernel does the same 128M flops in
-    * well under a second and emits only surviving pairs. The in-order
-    * summation is bit-identical to the SQL fold, so oracle hashes agree.
+    * Kernel: normalize once, broadcast the normalized corpus, mapPartitions
+    * with a primitive while-loop dot product — the MLlib-style block-
+    * similarity shape. A Column-expression nested-loop join materializes
+    * |pairs| rows of boxed arrays and runs interpreted folds (measured
+    * 30s+ at sf0.1); the JVM kernel does the same 128M flops in well under
+    * a second and emits only surviving pairs. The in-order summation is
+    * bit-identical to the SQL fold, so oracle hashes agree.
     *
-    * 100 TB path: a full corpus no longer fits one broadcast — chunk the
-    * broadcast side into B blocks and union B block-passes (corpus scans
-    * stream; only the broadcast block is resident), or pre-bucket with
-    * [[lshTopK]]'s banding and run this kernel per bucket. */
+    * `blocks` is the 100 TB control: when the corpus no longer fits one
+    * broadcast, the reference side is split into `blocks` chunks and the
+    * corpus streams once per chunk with only that chunk resident (results
+    * are block-count-independent — spec-asserted). Pre-bucketing with
+    * [[lshTopK]]'s banding is the further step when even one streaming
+    * pass per block is too much. */
   def allPairsAboveThreshold(df: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blocks: Int = 1): DataFrame = {
+    require(blocks >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    // persisted: the normalized vectors feed BOTH the driver collect (for
-    // the broadcast reference side) and the distributed scan side
+    // persisted: the normalized vectors feed the driver collect (broadcast
+    // reference side) and `blocks` distributed scan passes
     val nv = normalized(df, idCol, vecCol)
       .as[(Long, Array[Double])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ref = spark.sparkContext.broadcast(nv.collect().sortBy(_._1))
-    nv.mapPartitions { it =>
-      val all = ref.value
-      it.flatMap { case (ida, va) =>
-        all.iterator
-          .filter(_._1 > ida)
-          .map { case (idb, vb) =>
-            var s = 0.0; var i = 0
-            while (i < va.length) { s += va(i) * vb(i); i += 1 }
-            (ida, idb, round4(s))
-          }
-          .filter(_._3 >= threshold)
-      }
-    }.toDF("id_a", "id_b", "sim")
+    val all = nv.collect().sortBy(_._1)
+    val chunkSize = math.max(1, math.ceil(all.length.toDouble / blocks).toInt)
+    val passes = all.grouped(chunkSize).map { chunk =>
+      val ref = spark.sparkContext.broadcast(chunk)
+      nv.mapPartitions { it =>
+        val block = ref.value
+        it.flatMap { case (ida, va) =>
+          block.iterator
+            .filter(_._1 > ida)
+            .map { case (idb, vb) =>
+              var s = 0.0; var i = 0
+              while (i < va.length) { s += va(i) * vb(i); i += 1 }
+              (ida, idb, round4(s))
+            }
+            .filter(_._3 >= threshold)
+        }
+      }.toDF("id_a", "id_b", "sim")
+    }.toSeq
+    passes.reduce(_.unionAll(_))
   }
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest

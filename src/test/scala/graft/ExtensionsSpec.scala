@@ -107,6 +107,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sims.forall(_ == 1.0))
   }
 
+  test("allPairsAboveThreshold is block-count independent") {
+    val emb = Tables.embeddings(spark, sf)
+    val one = Similarity.allPairsAboveThreshold(emb, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val three = Similarity.allPairsAboveThreshold(emb, 0.3, blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(one == three && one.nonEmpty)
+  }
+
   test("TopKAggregator result equals the window top-k exactly") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 10 === 0)
