@@ -269,6 +269,42 @@ object Flights {
       .orderBy("delay_bucket")
   }
 
+  /** Gold: time-based analytics (`03_gold_unikargo_05_time_based_analytics
+    * .ipynb:69-117`): season buckets + weekend flag from the date dim,
+    * ordered by the reference's custom season key. */
+  def goldTimeBased(fact: DataFrame, dimDateDf: DataFrame): DataFrame = {
+    val withDate = fact.join(broadcast(dimDateDf.select(
+      col("date_sk"), col("month"), col("is_weekend"))), Seq("date_sk"))
+      .withColumn("season",
+        when(col("month").isin(12, 1, 2), "Winter")
+          .when(col("month").isin(3, 4, 5), "Spring")
+          .when(col("month").isin(6, 7, 8), "Summer")
+          .otherwise("Fall"))
+    withDate.groupBy("season", "is_weekend")
+      .agg(count(lit(1)).as("total_flights"),
+        avgExact(col("departure_delay")).as("avg_departure_delay"),
+        avgExact(col("arrival_delay")).as("avg_arrival_delay"),
+        (sum(when(col("cancelled") === 1, 1).otherwise(0)) * lit(100.0) /
+          count(lit(1))).as("cancellation_rate"))
+      .withColumn("season_rank",
+        when(col("season") === "Winter", 1).when(col("season") === "Spring", 2)
+          .when(col("season") === "Summer", 3).otherwise(4))
+      .orderBy("season_rank", "is_weekend")
+  }
+
+  /** Gold: 7-day rolling on-time performance per airline
+    * (`03_gold_unikargo_07_…ipynb:98-108`): daily OTP then a
+    * rowsBetween(-6, 0) window partitioned by airline. */
+  def goldRollingOtp(fact: DataFrame): DataFrame = {
+    val daily = fact.groupBy("airline_sk", "flight_date")
+      .agg((sum(when(col("arrival_delay") <= 15, 1).otherwise(0)) * lit(100.0) /
+        count(lit(1))).as("daily_otp"))
+    val w = Window.partitionBy("airline_sk").orderBy("flight_date")
+      .rowsBetween(-6, 0)
+    daily.withColumn("rolling_7d_otp", avg(col("daily_otp")).over(w))
+      .orderBy("airline_sk", "flight_date")
+  }
+
   /** End-to-end medallion run over flight CSVs into a warehouse dir
     * (EP1+EP3): bronze ingest ×3 → dims → fact → gold, each layer
     * persisted via the partitioned/managed sinks. Returns the gold

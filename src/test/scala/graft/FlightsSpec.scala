@@ -131,6 +131,17 @@ class FlightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eff.length == 2)
     assert(eff.forall(_.getAs[Long]("fleet_size") == 1L))
     assert(eff.forall(_.getAs[Double]("avg_flights_per_aircraft_day") == 1.0))
+
+    val tb = Flights.goldTimeBased(fact, Flights.dimDate(spark)).collect()
+    assert(tb.forall(_.getAs[String]("season") == "Winter"),
+      "January fixtures are all Winter")
+    assert(tb.map(_.getAs[Long]("total_flights")).sum == 2L)
+
+    val otp = Flights.goldRollingOtp(fact).collect()
+    assert(otp.length == 2)
+    assert(otp.forall(r =>
+      r.getAs[Double]("rolling_7d_otp") == r.getAs[Double]("daily_otp")),
+      "single-day-per-airline fixtures: rolling equals daily")
   }
 
   test("dim_date spans the reference's 2015–2030 range with 5844 rows") {
