@@ -26,7 +26,7 @@ object Medallion {
     * flattened for a two-level catalog: `unikargo_dev_01_bronze.tbl`. */
   final case class TableConfig(entity: String, layer: String, env: String,
       table: String, rawPath: Option[String] = None) {
-    def database: String = s"unikargo_${env}_${layerSchema(layer).replace("0", "l")}"
+    def database: String = s"unikargo_${env}_${layerSchema(layer)}"
     def fullName: String = s"$database.$table"
   }
 

@@ -70,14 +70,24 @@ object Sinks {
       }
     val staging = targetPath + ".staging"
     merged.write.mode("overwrite").parquet(staging)
-    // atomic-ish swap (single-FS rename; object stores would need a
-    // manifest commit — that's what Delta's transaction log provides)
-    val target = new java.io.File(targetPath)
-    if (target.exists()) {
-      val old = new java.io.File(targetPath + ".old")
-      if (old.exists()) old.listFiles().foreach(_.delete())
-      target.renameTo(old)
+    // atomic-ish swap (single-FS move; object stores would need a
+    // manifest commit — that's what Delta's transaction log provides).
+    // Files.move throws on failure, unlike File.renameTo, so a failed
+    // swap can never silently leave the target missing or stale.
+    import java.nio.file.{Files, Path, Paths}
+    def deleteRecursively(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(c => deleteRecursively(c)) finally children.close()
+      }
+      Files.deleteIfExists(p)
     }
-    new java.io.File(staging).renameTo(target)
+    val target = Paths.get(targetPath)
+    if (Files.exists(target)) {
+      val old = Paths.get(targetPath + ".old")
+      deleteRecursively(old)
+      Files.move(target, old)
+    }
+    Files.move(Paths.get(staging), target)
   }
 }

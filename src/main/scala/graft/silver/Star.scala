@@ -86,10 +86,27 @@ object Star {
   private val factCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def factLineitem(spark: SparkSession, d: String): DataFrame =
+  /** Unpersist and drop every cached fact for `spark` — call when a
+    * session's work is done (test suites, notebook teardown). */
+  def clearFactCache(spark: SparkSession): Unit =
+    factCache.keys.filter(_._1 eq spark).foreach { k =>
+      factCache.remove(k).foreach { df =>
+        if (!spark.sparkContext.isStopped) df.unpersist(blocking = false)
+      }
+    }
+
+  /** Entries for stopped sessions are dead weight (their persisted blocks
+    * are already gone with the context) — drop them so the map doesn't
+    * grow for the JVM lifetime across test-suite sessions. */
+  private def pruneStopped(): Unit =
+    factCache.keys.filter(_._1.sparkContext.isStopped).foreach(factCache.remove)
+
+  def factLineitem(spark: SparkSession, d: String): DataFrame = {
+    pruneStopped()
     factCache.getOrElseUpdate((spark, d),
       buildFactLineitem(spark, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def buildFactLineitem(spark: SparkSession, d: String): DataFrame = {
     // Dedup must be DETERMINISTIC: the synthetic lineitem has duplicate

@@ -59,6 +59,34 @@ object Similarity {
     new java.math.BigDecimal(x)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Managed normalized-corpus cache, keyed (session, caller key). One
+    * normalize pass feeds every similarity query over the same corpus:
+    * Spark's CacheManager substitutes the persisted relation into any
+    * later plan containing the identical [[normalized]] subtree, so
+    * [[bruteForceTopK]]/[[lshTopK]]/[[allPairsAboveThreshold]] all share
+    * it without plumbing. Same lifecycle discipline as
+    * [[graft.silver.Star]]'s fact cache: stopped sessions pruned on
+    * access, explicit clear hook for suite teardown. */
+  private val corpusCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  def cacheNormalizedCorpus(df: DataFrame, key: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    corpusCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(corpusCache.remove)
+    corpusCache.getOrElseUpdate((df.sparkSession, key),
+      normalized(df, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Unpersist and drop every cached corpus for `spark`. */
+  def clearCorpusCache(spark: org.apache.spark.sql.SparkSession): Unit =
+    corpusCache.keys.filter(_._1 eq spark).foreach { k =>
+      corpusCache.remove(k).foreach { df =>
+        if (!spark.sparkContext.isStopped) df.unpersist(blocking = false)
+      }
+    }
+
   /** All-pairs cosine near-dup join at a threshold.
     *
     * Kernel: normalize once, broadcast the normalized corpus, mapPartitions
@@ -72,23 +100,35 @@ object Similarity {
     * `blocks` is the 100 TB control: when the corpus no longer fits one
     * broadcast, the reference side is split into `blocks` chunks and the
     * corpus streams once per chunk with only that chunk resident (results
-    * are block-count-independent — spec-asserted). Pre-bucketing with
-    * [[lshTopK]]'s banding is the further step when even one streaming
-    * pass per block is too much. */
+    * are block-count-independent — spec-asserted). Driver heap is bounded
+    * by ONE chunk: boundaries come from an ids-only collect (8 bytes/row),
+    * and each chunk's vectors are collected separately by id range, so the
+    * full corpus is never resident as a single driver array (broadcast
+    * blocks live in the block manager and can spill; a raw collect can't).
+    * Pre-bucketing with [[lshTopK]]'s banding is the further step when
+    * even one streaming pass per block is too much. */
   def allPairsAboveThreshold(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      blocks: Int = 1): DataFrame = {
+      blocks: Int = 1, cacheKey: Option[String] = None): DataFrame = {
     require(blocks >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    // persisted: the normalized vectors feed the driver collect (broadcast
-    // reference side) and `blocks` distributed scan passes
-    val nv = normalized(df, idCol, vecCol)
-      .as[(Long, Array[Double])]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val all = nv.collect().sortBy(_._1)
-    val chunkSize = math.max(1, math.ceil(all.length.toDouble / blocks).toInt)
-    val passes = all.grouped(chunkSize).map { chunk =>
+    // persisted: the normalized vectors feed the per-chunk collects below
+    // (eager) and `blocks` distributed scan passes (materialized eagerly
+    // via localCheckpoint). With a cacheKey the shared managed corpus
+    // cache is used and left alone; otherwise a private persist is taken
+    // and dropped before returning.
+    val shared = cacheKey.isDefined
+    val nv =
+      (if (shared) cacheNormalizedCorpus(df, cacheKey.get, idCol, vecCol)
+       else normalized(df, idCol, vecCol)
+         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .as[(Long, Array[Double])]
+    val ids = nv.map(_._1).collect().sorted
+    val chunkSize = math.max(1, math.ceil(ids.length.toDouble / blocks).toInt)
+    val passes = ids.grouped(chunkSize).filter(_.nonEmpty).map { chunkIds =>
+      val chunk = nv.filter(col("id").between(chunkIds.head, chunkIds.last))
+        .collect().sortBy(_._1)
       val ref = spark.sparkContext.broadcast(chunk)
       nv.mapPartitions { it =>
         val block = ref.value
@@ -104,7 +144,13 @@ object Similarity {
         }
       }.toDF("id_a", "id_b", "sim")
     }.toSeq
-    passes.reduce(_.unionAll(_))
+    // Materialize now (surviving pairs only — tiny relative to the corpus),
+    // sever lineage, then release a private persist: without this the
+    // persisted nv leaks across queries in a shared session. A shared
+    // cache entry stays — its lifecycle belongs to clearCorpusCache.
+    val out = passes.reduce(_.unionAll(_)).localCheckpoint(true)
+    if (!shared) nv.unpersist()
+    out
   }
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest
