@@ -16,7 +16,8 @@ object SparkEntry {
   /** All registered query packs. Order matters only for readability. */
   private val packs: Seq[QueryPack] = Seq(
     Relational, Functions, CleaningQ, EventsQ,
-    TextQ, DedupQ, SimQ, MultimodalQ, StarQ, GoldQ, WindowQ, TpchQ)
+    TextQ, DedupQ, SimQ, MultimodalQ, StarQ, GoldQ, WindowQ, TpchQ,
+    AsofQ, OlapQ)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)
