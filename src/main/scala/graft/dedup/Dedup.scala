@@ -153,21 +153,21 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 32-bit md5-derived token hash (first 8 hex chars → long). Seedless and
-    * engine-portable, unlike JVM/xxhash hashes. */
-  def tokenHash32(t: Column): Column =
-    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+  /** 64-bit md5-derived token hash (first 16 hex chars → long, bit 63 in
+    * the sign bit). Seedless and engine-portable, unlike JVM/xxhash
+    * hashes. Built from two 32-bit `conv` halves because conv's unsigned
+    * decimal string for values ≥ 2^63 doesn't survive a signed-long cast;
+    * `shiftleft` wraps into the sign bit exactly like the JVM kernel. */
+  def tokenHash64(t: Column): Column =
+    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
 
-  /** 32-bit SimHash table: (id, simhash).
+  /** 64-bit SimHash table: (id, simhash).
     *
     * Classic SimHash: for each bit j, sum +1/−1 votes of every distinct
     * token's hash bit j; simhash bit j is set where the vote is positive.
-    * Implemented as explode(tokens) × explode(bits) → two key-partitioned
-    * aggregations — shuffles only (id, j) vote rows, never materializes an
-    * n² pair set, and parallelizes across the corpus at any scale.
-    * (A nested higher-order-function version would avoid the explode, but
-    * Spark's Scala lambda DSL shadows nested lambda variables — and the
-    * exploded form keeps each aggregate in whole-stage codegen anyway.)
+    * 64 bits so pigeonhole banding gets 16-bit bands (65k buckets/band) —
+    * the 100 TB requirement; see [[graft.plans.TextKernels.simhash64]].
     * Near-dup = [[hamming]] distance ≤ k between simhashes. */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
@@ -177,44 +177,49 @@ object Dedup {
         .as("simhash"))
 
   /** Reference DataFrame formulation of [[simhashTable]] (explode tokens ×
-    * bits → two key-partitioned vote aggregations). Kept as the
-    * equivalence baseline for the custom expression — see ExtensionsSpec.
-    */
+    * bits → two key-partitioned vote aggregations — shuffles only (id, j)
+    * vote rows, never an n² pair set). Kept as the equivalence baseline
+    * for the custom expression — see ExtensionsSpec. Bit ops go through
+    * SQL `shiftrightunsigned`/`shiftleft` (column shift amounts aren't in
+    * the Scala Column API, and a pow(2.0, j)-based formulation would lose
+    * bits ≥ 53 to double precision). */
   def simhashTableHof(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokenHashes = docs.select(col(idCol).as("id"),
         explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
-      .select(col("id"), tokenHash32(col("tok")).as("h"))
+      .select(col("id"), tokenHash64(col("tok")).as("h"))
     val votes = tokenHashes
-      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
-      // bit j of h without shift-by-column: floor(h / 2^j) % 2 (exact in
-      // double for h < 2^32, j ≤ 31)
-      .withColumn("bit",
-        pmod(floor(col("h") / pow(lit(2.0), col("j"))).cast("long"), lit(2L)))
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(63))).as("j"))
+      .withColumn("bit", expr("shiftrightunsigned(h, j) & CAST(1 AS BIGINT)"))
       .groupBy("id", "j")
       .agg(sum(col("bit") * lit(2L) - lit(1L)).as("vote"))
     votes.groupBy("id")
       .agg(sum(when(col("vote") > 0,
-        pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L))).as("simhash"))
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L))).as("simhash"))
   }
 
   /** SimHash near-dup pairs at `maxHamming` via pigeonhole banding: split
-    * the 32-bit signature into maxHamming+1 bands — any pair within the
+    * the 64-bit signature into maxHamming+1 bands — any pair within the
     * Hamming budget must agree EXACTLY on at least one band — then
     * equi-join per (band, bandValue) and verify the true distance.
     * Identical output to the all-pairs formulation, but candidate
     * generation is a hash join on band values instead of an n² nested
-    * loop, so it scales with true-duplicate density. */
+    * loop. With the default maxHamming=3 each band is 16 bits → 65,536
+    * buckets per band, so collisions track true-duplicate density rather
+    * than the ~n²/256 a 32-bit/8-bit-band scheme degrades to at corpus
+    * scale. Band values are extracted with unsigned shifts (exact for all
+    * 64 bits; the double-arithmetic alternative is not). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
-    val bandBits = 32 / bands
+    val bandBits = 64 / bands
     val mask = (1L << bandBits) - 1
     val sh = simhashTable(docs, idCol, textCol).repartition(col("id"))
     val banded = sh.select(col("id"), col("simhash"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("band_val",
-        pmod(floor(col("simhash") / pow(lit(2.0), col("band") * lit(bandBits)))
-          .cast("long"), lit(mask + 1)))
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * bandBits)
+            .bitwiseAND(lit(mask)).as("band_val"))): _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.band_val").as("band_val"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&

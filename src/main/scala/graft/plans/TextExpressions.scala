@@ -95,17 +95,25 @@ object TextKernels {
         : Array[Any])
   }
 
-  def simhash32(text: UTF8String): Long = {
+  /** 64-bit SimHash over distinct tokens. 64 bits (vs the round-2 32) is
+    * the scale requirement: pigeonhole banding at maxHamming=3 gives 4
+    * bands of 16 bits = 65,536 buckets per band, so candidate generation
+    * stays proportional to true-duplicate density instead of degrading to
+    * ~n²/256 as a 32-bit/8-bit-band scheme does at corpus scale. Token
+    * hash = first 16 md5 hex chars parsed as an unsigned 64-bit int (bit
+    * 63 lands in the long's sign bit — harmless, all downstream ops are
+    * bitwise). */
+  def simhash64(text: UTF8String): Long = {
     val toks = tokens(text.toString)
     val seen = new java.util.HashSet[String]()
-    val votes = new Array[Int](32)
+    val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
       if (seen.add(toks(i))) {
-        val h = java.lang.Long.parseLong(md5Hex(toks(i)).substring(0, 8), 16)
+        val h = java.lang.Long.parseUnsignedLong(md5Hex(toks(i)).substring(0, 16), 16)
         var j = 0
-        while (j < 32) {
-          votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
           j += 1
         }
       }
@@ -113,7 +121,7 @@ object TextKernels {
     }
     var sig = 0L
     var j = 0
-    while (j < 32) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
     sig
   }
 
@@ -152,21 +160,21 @@ object TextKernels {
   }
 }
 
-/** simhash32(text) → long: 32-bit SimHash over distinct tokens (md5-derived
+/** simhash64(text) → long: 64-bit SimHash over distinct tokens (md5-derived
   * token hashes, ±1 bit votes) — bit-identical to the exploded DataFrame
-  * formulation in Dedup.simhashTable but one eval per document instead of
-  * |tokens|×32 vote rows through two shuffles. */
+  * formulation in Dedup.simhashTableHof but one eval per document instead
+  * of |tokens|×64 vote rows through two shuffles. */
 case class SimHashExpr(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    TextKernels.simhash32(input.asInstanceOf[UTF8String])
+    TextKernels.simhash64(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.TextKernels.simhash32($c)")
+      c => s"graft.plans.TextKernels.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
-  override def prettyName: String = "simhash32"
+  override def prettyName: String = "simhash64"
 }
 
 /** shingles(text, n) → array<string>: distinct word n-grams. */

@@ -96,10 +96,11 @@ object DedupQ extends QueryPack {
        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
        ORDER BY id_a, id_b"""
 
-  /** SimHash near-dup: 32-bit md5-vote simhash per doc, pairs at Hamming
-    * distance ≤ 3. Demonstrates the shuffle-light fingerprint family
-    * (signature is one long per doc; the pair join is on the tiny
-    * signature table). */
+  /** SimHash near-dup: 64-bit md5-vote simhash per doc, pairs at Hamming
+    * distance ≤ 3 via 4×16-bit pigeonhole bands (65k buckets/band — the
+    * scale-safe width). The oracle carries the signature as two 32-bit
+    * halves because DuckDB's signed BIGINT can't shift into bit 63; the
+    * output (hamming = popcount of the XOR) is representation-agnostic. */
   private def dSimhash(spark: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, d), "doc_id", "text",
         maxHamming = 3)
@@ -109,19 +110,22 @@ object DedupQ extends QueryPack {
     """WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
                      FROM documents),
        th AS (SELECT doc_id,
-                     CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                     CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
               FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
        votes AS (SELECT doc_id, j,
-                        SUM(((h >> j) & 1) * 2 - 1) AS vote
-                 FROM th CROSS JOIN range(32) r(j) GROUP BY 1, 2),
+                        SUM(CAST((h >> j) & 1 AS BIGINT) * 2 - 1) AS vote
+                 FROM th CROSS JOIN range(64) r(j) GROUP BY 1, 2),
        sims AS (SELECT doc_id,
-                       CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT)
-                                ELSE 0 END) AS BIGINT) AS simhash
+                       SUM(CASE WHEN vote > 0 AND j < 32
+                                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo,
+                       SUM(CASE WHEN vote > 0 AND j >= 32
+                                THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS hi
                 FROM votes GROUP BY 1)
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+                AS hamming
        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
        ORDER BY id_a, id_b"""
 
   override def queries: Seq[Q] = Seq(
