@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the embedding-similarity hot path.
+  *
+  * Rationale (same as [[TextKernels]]): Spark's higher-order array
+  * functions (`aggregate`, `zip_with`, `transform`) are interpreted per
+  * element, so a 64-dim dot product costs ~130 boxed lambda dispatches.
+  * Each kernel below does the whole vector in one tight JVM loop and
+  * implements `doGenCode` via the StaticInvoke pattern, so projections and
+  * join conditions containing them stay inside whole-stage codegen — which
+  * is what lets the all-pairs cosine join run as a fully distributed
+  * CartesianProduct instead of a driver-collected broadcast kernel.
+  *
+  * Semantics are BIT-IDENTICAL to the Column-expression formulations in
+  * [[graft.sim.Similarity]] (asserted in SimilaritySpec): summation is
+  * in array order, exactly like the SQL `aggregate` fold, so DuckDB
+  * oracles built on `list_dot_product` + in-order normalization agree to
+  * the last bit.
+  */
+object VectorKernels {
+
+  /** In-order dot product of two equal-length double arrays. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** L2-normalize a double array: out(i) = a(i) / sqrt(a·a), with the
+    * norm accumulated in array order (identical to the HOF fold). */
+  def l2Normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    // Divide (not multiply-by-reciprocal): x/sqrt(s) and x*(1/sqrt(s))
+    // differ in the last ulp, and the oracle computes the former.
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / nrm; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** vec_dot(a, b) → double: in-order dot product of two array<double>. */
+case class DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.VectorKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
+/** vec_l2_normalize(a) → array<double>: a / ||a||₂. */
+case class L2NormalizeExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.l2Normalize(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.l2Normalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "vec_l2_normalize"
+}

@@ -25,9 +25,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product of two equal-length double arrays via
-    * zip_with + aggregate — deterministic evaluation order (array order). */
+    * zip_with + aggregate — deterministic evaluation order (array order).
+    * Reference formulation; the hot path uses [[dotFast]] (bit-identical,
+    * codegen'd — asserted in ExtensionsSpec). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd in-order dot product ([[graft.plans.DotExpr]]) — one JVM
+    * loop instead of ~2·dims interpreted lambda dispatches per pair. */
+  def dotFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.DotExpr(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -42,8 +52,21 @@ object Similarity {
     * exchange so downstream pair math reuses the computed arrays instead
     * of re-deriving them per consumer (Catalyst would otherwise inline the
     * normalize tree into every fold). One shuffle of |corpus| small rows.
-    */
+    * Normalization runs through the codegen'd [[graft.plans.L2NormalizeExpr]]
+    * kernel (bit-identical to [[normalizedHof]] — asserted in
+    * ExtensionsSpec). */
   def normalized(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.L2NormalizeExpr(
+            org.apache.spark.sql.GraftBridge.expression(asDouble(col(vecCol)))))
+          .as("nv"))
+      .repartition(col("id"))
+
+  /** Reference HOF formulation of [[normalized]] (interpreted fold), kept
+    * as the kernel's equivalence baseline. */
+  def normalizedHof(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val e = asDouble(col(vecCol))
     df.select(col(idCol).as("id"),
@@ -52,12 +75,6 @@ object Similarity {
           .as("nv"))
       .repartition(col("id"))
   }
-
-  /** Round half-away-from-zero to 4dp — matches both Spark's ROUND
-    * (HALF_UP) and DuckDB's round(). */
-  private def round4(x: Double): Double =
-    new java.math.BigDecimal(x)
-      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Managed normalized-corpus cache, keyed (session, caller key). One
     * normalize pass feeds every similarity query over the same corpus:
@@ -87,70 +104,38 @@ object Similarity {
       }
     }
 
-  /** All-pairs cosine near-dup join at a threshold.
+  /** All-pairs cosine near-dup join at a threshold — fully distributed.
     *
-    * Kernel: normalize once, broadcast the normalized corpus, mapPartitions
-    * with a primitive while-loop dot product — the MLlib-style block-
-    * similarity shape. A Column-expression nested-loop join materializes
-    * |pairs| rows of boxed arrays and runs interpreted folds (measured
-    * 30s+ at sf0.1); the JVM kernel does the same 128M flops in well under
-    * a second and emits only surviving pairs. The in-order summation is
-    * bit-identical to the SQL fold, so oracle hashes agree.
+    * Plan: normalize once (cached when `cacheKey` is set), repartition each
+    * side to `blocks` partitions, then a SHUFFLE_REPLICATE_NL self-join
+    * (CartesianProduct: blocks² tasks, each pairing one partition from
+    * each side) with `id_a < id_b` and the codegen'd [[dotFast]] kernel in
+    * the join projection. NOTHING is collected to the driver — earlier
+    * rounds broadcast driver-collected chunks, which capped the corpus at
+    * driver heap; here every task holds two partitions' worth of vectors
+    * and the 100 TB knob is just `blocks` (size it so a partition fits an
+    * executor: replication factor per side is `blocks`, the standard
+    * exact all-pairs cost). Pre-bucketing with [[lshTopK]]'s banding is
+    * the further step when exact n²/2 flops are themselves too much.
     *
-    * `blocks` is the 100 TB control: when the corpus no longer fits one
-    * broadcast, the reference side is split into `blocks` chunks and the
-    * corpus streams once per chunk with only that chunk resident (results
-    * are block-count-independent — spec-asserted). Driver heap is bounded
-    * by ONE chunk: boundaries come from an ids-only collect (8 bytes/row),
-    * and each chunk's vectors are collected separately by id range, so the
-    * full corpus is never resident as a single driver array (broadcast
-    * blocks live in the block manager and can spill; a raw collect can't).
-    * Pre-bucketing with [[lshTopK]]'s banding is the further step when
-    * even one streaming pass per block is too much. */
+    * The kernel's in-order summation is bit-identical to the SQL fold and
+    * results are block-count independent (both spec-asserted), so the
+    * DuckDB oracle is exact. */
   def allPairsAboveThreshold(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      blocks: Int = 1, cacheKey: Option[String] = None): DataFrame = {
+      blocks: Int = 8, cacheKey: Option[String] = None): DataFrame = {
     require(blocks >= 1)
-    val spark = df.sparkSession
-    import spark.implicits._
-    // persisted: the normalized vectors feed the per-chunk collects below
-    // (eager) and `blocks` distributed scan passes (materialized eagerly
-    // via localCheckpoint). With a cacheKey the shared managed corpus
-    // cache is used and left alone; otherwise a private persist is taken
-    // and dropped before returning.
     val shared = cacheKey.isDefined
     val nv =
-      (if (shared) cacheNormalizedCorpus(df, cacheKey.get, idCol, vecCol)
-       else normalized(df, idCol, vecCol)
-         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        .as[(Long, Array[Double])]
-    val ids = nv.map(_._1).collect().sorted
-    val chunkSize = math.max(1, math.ceil(ids.length.toDouble / blocks).toInt)
-    val passes = ids.grouped(chunkSize).filter(_.nonEmpty).map { chunkIds =>
-      val chunk = nv.filter(col("id").between(chunkIds.head, chunkIds.last))
-        .collect().sortBy(_._1)
-      val ref = spark.sparkContext.broadcast(chunk)
-      nv.mapPartitions { it =>
-        val block = ref.value
-        it.flatMap { case (ida, va) =>
-          block.iterator
-            .filter(_._1 > ida)
-            .map { case (idb, vb) =>
-              var s = 0.0; var i = 0
-              while (i < va.length) { s += va(i) * vb(i); i += 1 }
-              (ida, idb, round4(s))
-            }
-            .filter(_._3 >= threshold)
-        }
-      }.toDF("id_a", "id_b", "sim")
-    }.toSeq
-    // Materialize now (surviving pairs only — tiny relative to the corpus),
-    // sever lineage, then release a private persist: without this the
-    // persisted nv leaks across queries in a shared session. A shared
-    // cache entry stays — its lifecycle belongs to clearCorpusCache.
-    val out = passes.reduce(_.unionAll(_)).localCheckpoint(true)
-    if (!shared) nv.unpersist()
-    out
+      if (shared) cacheNormalizedCorpus(df, cacheKey.get, idCol, vecCol)
+      else normalized(df, idCol, vecCol)
+    val a = nv.select(col("id").as("id_a"), col("nv").as("va")).repartition(blocks)
+    val b = nv.select(col("id").as("id_b"), col("nv").as("vb")).repartition(blocks)
+    a.hint("shuffle_replicate_nl")
+      .join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotFast(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest
@@ -167,7 +152,7 @@ object Similarity {
     val sims = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")), 4).as("sim"))
+        round(dotFast(col("qv"), col("cv")), 4).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     sims.withColumn("rank", row_number().over(w))
@@ -190,7 +175,7 @@ object Similarity {
     val sims = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")), 4).as("sim"))
+        round(dotFast(col("qv"), col("cv")), 4).as("sim"))
     sims.groupBy("query_id")
       .agg(graft.plans.TopKAggregator.topK(k)(
         col("sim"), col("neighbor_id")).as("tk"))
@@ -274,7 +259,7 @@ object Similarity {
       .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
       .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")), 4).as("sim"))
+        round(dotFast(col("qv"), col("cv")), 4).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")

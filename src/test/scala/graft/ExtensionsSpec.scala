@@ -68,6 +68,14 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .join(Dedup.simhashTableHof(docs, "doc_id", "text").as("h"),
         col("f.id") === col("h.id"))
     assert(simhashes.filter(col("f.simhash") =!= col("h.simhash")).count() == 0)
+    val emb = Tables.embeddings(spark, sf)
+    val nrm = Similarity.normalized(emb).as("f")
+      .join(Similarity.normalizedHof(emb).as("h"), col("f.id") === col("h.id"))
+    assert(nrm.filter(col("f.nv") =!= col("h.nv")).count() == 0)
+    val dots = Similarity.normalized(emb)
+      .select(Similarity.dot(col("nv"), col("nv")).as("slow"),
+        Similarity.dotFast(col("nv"), col("nv")).as("fast"))
+    assert(dots.filter(col("slow") =!= col("fast")).count() == 0)
   }
 
   test("extension-registered SQL functions work") {
