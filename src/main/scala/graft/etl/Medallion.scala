@@ -35,10 +35,11 @@ object Medallion {
   final case class Task(entity: String, name: String, kind: String,
       run: (SparkSession, Option[DataFrame]) => Option[DataFrame])
 
-  /** Structured task-log row (subset of the reference's 23-column schema,
-    * `task_logger_utils.py:102-139`). */
-  final case class TaskLog(entity: String, task: String, status: String,
-      rowCount: Long, durationMs: Long, error: String)
+  /** Structured task-log row — the runner's compact record. [[taskLogTable]]
+    * expands these to the reference's full 23-column schema. */
+  final case class TaskLog(entity: String, task: String, kind: String,
+      status: String, rowCount: Long, durationMs: Long,
+      errorType: String, error: String)
 
   /** Reference task factory: per entity, [read, transform, write]. */
   def entityTasks(entity: String,
@@ -71,13 +72,14 @@ object Medallion {
           val out = t.run(spark, current.getOrElse(t.entity, None))
           current(t.entity) = out
           val rows = if (t.kind == "write") out.map(_.count()).getOrElse(0L) else -1L
-          logs += TaskLog(t.entity, t.name, "success", rows,
-            (System.nanoTime() - t0) / 1000000, "")
+          logs += TaskLog(t.entity, t.name, t.kind, "success", rows,
+            (System.nanoTime() - t0) / 1000000, "", "")
         } catch {
           case e: Throwable =>
             failed += t.entity
-            logs += TaskLog(t.entity, t.name, "failed", -1L,
-              (System.nanoTime() - t0) / 1000000, String.valueOf(e.getMessage))
+            logs += TaskLog(t.entity, t.name, t.kind, "failed", -1L,
+              (System.nanoTime() - t0) / 1000000,
+              e.getClass.getSimpleName, String.valueOf(e.getMessage))
         }
       }
     }
@@ -93,6 +95,64 @@ object Medallion {
       .withColumn("environment", lit(env))
       .withColumn("log_date", current_date())
   }
+
+  /** Pipeline/run identity for the full task-log schema (the reference
+    * resolves these from widgets/job context, `task_logger_utils.py:60-95`). */
+  final case class RunContext(pipelineId: String, pipelineName: String,
+      env: String, runId: String, runName: String,
+      tags: Map[String, String] = Map.empty)
+
+  /** The reference's FULL 23-column task-log schema
+    * (`task_logger_utils.py:102-139`): identifiers, execution metrics,
+    * I/O paths, error tracking, cluster info, timestamps + the log_date
+    * partition key, and the `tags` / `etl_metrics` map columns. Column
+    * names match the reference exactly so downstream log consumers port
+    * 1:1. Cluster info reflects the driver (local mode); the paths come
+    * from per-entity maps when the caller tracks them. */
+  def taskLogTable(spark: SparkSession, ctx: RunContext, logs: Seq[TaskLog],
+      sourcePaths: Map[String, String] = Map.empty,
+      targetPaths: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 23 fields > Scala's Tuple22 limit → explicit Row + schema.
+    val schema = StructType(Seq(
+      StructField("pipeline_id", StringType), StructField("pipeline_name", StringType),
+      StructField("environment", StringType), StructField("run_id", StringType),
+      StructField("run_name", StringType), StructField("task_id", StringType),
+      StructField("step_index", IntegerType), StructField("step_type", StringType),
+      StructField("parent_task_id", StringType), StructField("attempt_number", IntegerType),
+      StructField("status", StringType), StructField("rows_processed", LongType),
+      StructField("execution_time_ms", LongType), StructField("source_path", StringType),
+      StructField("target_path", StringType), StructField("error_type", StringType),
+      StructField("error_message", StringType), StructField("worker_node", StringType),
+      StructField("executor_id", StringType), StructField("timestamp", TimestampType),
+      StructField("log_date", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("etl_metrics", MapType(StringType, StringType))))
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val today = java.time.LocalDate.now().toString
+    val rows = logs.zipWithIndex.map { case (l, i) =>
+      Row(ctx.pipelineId, ctx.pipelineName, ctx.env, ctx.runId, ctx.runName,
+        l.task, i, l.kind, l.entity, 1,
+        l.status.toUpperCase, l.rowCount, l.durationMs,
+        sourcePaths.get(l.entity).orNull, targetPaths.get(l.entity).orNull,
+        if (l.errorType.isEmpty) null else l.errorType,
+        if (l.error.isEmpty) null else l.error,
+        host, "driver", now, today,
+        ctx.tags, Map("rows_processed" -> l.rowCount.toString,
+          "execution_time_ms" -> l.durationMs.toString))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Write a task-log table to its partitioned path (environment/log_date,
+    * `task_logger_utils.py:175-176`) through the S6 partitioned sink. */
+  def writeTaskLogs(logDf: DataFrame, path: String): Unit =
+    graft.io.Sinks.savePartitioned(logDf, path,
+      Seq("environment", "log_date"), mode = "append")
 
   /** Pipeline-level event log (reference `PipelineLogger` +
     * `log_pipeline_event`, `src/logging_utils/pipeline_logger_utils

@@ -68,6 +68,49 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("S11: partition-scoped upsert rewrites only touched partitions") {
+    import spark.implicits._
+    val dir = tmp() + "/upsert_part"
+    // keys = (dt, k): dt is the partition column AND part of the merge key,
+    // so a key's row can only live in one partition (the contract).
+    Sinks.upsertByKeyPartitioned(spark,
+      Seq(("2024-01-01", 1L, "a"), ("2024-01-01", 2L, "b"),
+          ("2024-01-02", 3L, "c")).toDF("dt", "k", "v"),
+      dir, Seq("dt", "k"), "dt")
+    def partFiles(p: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/dt=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = partFiles("2024-01-01")
+    val beforeBytes = before.keys.map(f =>
+      f -> Files.readAllBytes(java.nio.file.Paths.get(s"$dir/dt=2024-01-01/$f")).toSeq).toMap
+    // update touches only 2024-01-02 (+ inserts 2024-01-03)
+    Sinks.upsertByKeyPartitioned(spark,
+      Seq(("2024-01-02", 3L, "C2"), ("2024-01-03", 4L, "d")).toDF("dt", "k", "v"),
+      dir, Seq("dt", "k"), "dt")
+    val after = partFiles("2024-01-01")
+    assert(after == before, "untouched partition files must not be rewritten")
+    after.keys.foreach { f =>
+      assert(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/dt=2024-01-01/$f")).toSeq == beforeBytes(f),
+        s"untouched partition file $f must stay byte-identical")
+    }
+    // partition-dir values are type-inferred (dt comes back as DATE) —
+    // compare via toString
+    val out = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (String.valueOf(r.getAs[Any]("dt")),
+        r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(out == Seq(("2024-01-01", 1L, "a"), ("2024-01-01", 2L, "b"),
+      ("2024-01-02", 3L, "C2"), ("2024-01-03", 4L, "d")))
+    // partition col not in keys → rejected (a matched key could live
+    // outside the rewritten partitions)
+    intercept[IllegalArgumentException] {
+      Sinks.upsertByKeyPartitioned(spark,
+        Seq(("2024-01-02", 3L, "x")).toDF("dt", "k", "v"), dir, Seq("k"), "dt")
+    }
+  }
+
   test("task runner threads DataFrames, logs, and isolates failures") {
     val outDir = tmp() + "/bronze_li"
     val tasks =
@@ -91,6 +134,97 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
       written.count() == Tables.lineitem(spark, sf).count())
     val logDf = Medallion.logsToDf(spark, "dev", logs)
     assert(logDf.filter(col("environment") === "dev").count() == logs.size)
+  }
+
+  test("declarative pipeline config builds and runs the 3-entity bronze DAG") {
+    import graft.etl.PipelineConfig
+    val out = tmp()
+    val config =
+      """pipelines:
+        |  lineitem:
+        |    tasks:
+        |      - operation: read_lineitem_raw
+        |        input_from: null
+        |      - operation: transform_lineitem
+        |        input_from: read_lineitem_raw
+        |      - operation: write_lineitem_bronze
+        |        input_from: transform_lineitem
+        |  orders:
+        |    tasks:
+        |      # dependency declared before its producer: topo sort must fix it
+        |      - operation: write_orders_bronze
+        |        input_from: read_orders_raw
+        |      - operation: read_orders_raw
+        |        input_from: null
+        |  nation:
+        |    tasks:
+        |      - operation: read_nation_raw
+        |        input_from: null
+        |      - operation: write_nation_bronze
+        |        input_from: read_nation_raw
+        |""".stripMargin
+    val parsed = PipelineConfig.parse(config)
+    assert(parsed.map(_.name) == Seq("lineitem", "orders", "nation"))
+    assert(parsed.head.tasks.map(_.inputFrom) ==
+      Seq(None, Some("read_lineitem_raw"), Some("transform_lineitem")))
+    val ops = Map[String, (SparkSession, Option[org.apache.spark.sql.DataFrame]) => Option[org.apache.spark.sql.DataFrame]](
+      "read_lineitem_raw" -> ((s, _) => Some(Tables.lineitem(s, sf))),
+      "transform_lineitem" -> ((_, in) =>
+        in.map(etl.Cleaning.addPipelineMetadata("p1", "r1", "t1"))),
+      "write_lineitem_bronze" -> ((_, in) =>
+        { in.foreach(_.write.mode("overwrite").parquet(s"$out/lineitem")); in }),
+      "read_orders_raw" -> ((s, _) => Some(Tables.orders(s, sf))),
+      "write_orders_bronze" -> ((_, in) =>
+        { in.foreach(_.write.mode("overwrite").parquet(s"$out/orders")); in }),
+      "read_nation_raw" -> ((s, _) => Some(Tables.nation(s, sf))),
+      "write_nation_bronze" -> ((_, in) =>
+        { in.foreach(_.write.mode("overwrite").parquet(s"$out/nation")); in }))
+    val logs = PipelineConfig.runPipelines(spark, config, ops)
+    assert(logs.size == 7 && logs.forall(_.status == "success"))
+    // topo order put read before write despite declaration order
+    val orderTasks = logs.filter(_.entity == "orders").map(_.task)
+    assert(orderTasks == Seq("read_orders_raw", "write_orders_bronze"))
+    assert(spark.read.parquet(s"$out/lineitem").columns.contains("metadata"))
+    assert(spark.read.parquet(s"$out/orders").count() ==
+      Tables.orders(spark, sf).count())
+    // cycle → loud failure
+    intercept[IllegalArgumentException] {
+      PipelineConfig.ordered(PipelineConfig.PipelineDef("bad", Seq(
+        PipelineConfig.PipelineTask("a", Some("b")),
+        PipelineConfig.PipelineTask("b", Some("a")))))
+    }
+  }
+
+  test("full 23-column task-log schema round-trips through the S6 sink") {
+    import graft.etl.{Medallion, PipelineConfig}
+    val logs = Seq(
+      Medallion.TaskLog("flights", "tsk_flights_read", "read", "success", -1L, 12L, "", ""),
+      Medallion.TaskLog("flights", "tsk_flights_write", "write", "success", 42L, 34L, "", ""),
+      Medallion.TaskLog("airports", "tsk_airports_read", "read", "failed", -1L, 5L,
+        "AnalysisException", "path missing"))
+    val ctx = Medallion.RunContext("pl1", "unikargo_etl", "dev", "run42", "nightly",
+      tags = Map("team" -> "data"))
+    val df = Medallion.taskLogTable(spark, ctx, logs,
+      sourcePaths = Map("flights" -> "/raw/flights"),
+      targetPaths = Map("flights" -> "/bronze/flights"))
+    val expected = Seq("pipeline_id", "pipeline_name", "environment", "run_id",
+      "run_name", "task_id", "step_index", "step_type", "parent_task_id",
+      "attempt_number", "status", "rows_processed", "execution_time_ms",
+      "source_path", "target_path", "error_type", "error_message",
+      "worker_node", "executor_id", "timestamp", "log_date", "tags", "etl_metrics")
+    assert(df.columns.toSeq == expected, "23 columns, reference names, in order")
+    val dir = tmp() + "/task_logs"
+    Medallion.writeTaskLogs(df, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    // partitioned by environment/log_date (S6 end-to-end)
+    assert(new java.io.File(dir).listFiles().exists(_.getName == "environment=dev"))
+    val failedRow = back.filter(col("status") === "FAILED").collect()(0)
+    assert(failedRow.getAs[String]("error_type") == "AnalysisException")
+    assert(failedRow.getAs[Map[String, String]]("tags") == Map("team" -> "data"))
+    val w = back.filter(col("task_id") === "tsk_flights_write").collect()(0)
+    assert(w.getAs[Map[String, String]]("etl_metrics")("rows_processed") == "42")
+    assert(w.getAs[String]("source_path") == "/raw/flights")
   }
 
   test("S2/S5/S7/S12: catalog DDL, managed-table write/read, table stream") {
