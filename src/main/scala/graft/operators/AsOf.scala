@@ -64,12 +64,14 @@ object AsOf {
       .withColumn("__ts", col(tsCol)).withColumn("__side", lit(0))
       .drop(tsCol)
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // For forward joins ts is ordered desc, so "max tieBreak wins" needs
-    // the same desc direction to keep last() = the winner.
-    def dir(c: Column) = if (descTs) c.desc else c.asc
+    // Only __ts flips direction for forward joins. Tie-break columns are
+    // ALWAYS ascending: last() picks the final row of the frame, so asc
+    // order makes the max tieBreak win at equal (key, ts) in both
+    // directions — the documented contract.
+    val tsDir = if (descTs) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((Seq(dir(col("__ts")), col("__side").asc) ++
-        tbNames.map(n => dir(col(n)))): _*)
+      .orderBy((Seq(tsDir, col("__side").asc) ++
+        tbNames.map(n => col(n).asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

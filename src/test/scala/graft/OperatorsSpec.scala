@@ -74,6 +74,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getLong(0) == 9L, "max tie-break column wins")
   }
 
+  test("forward as-of tie-break on duplicate right ts is deterministic") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("user_id", "ts", "lid")
+    val r = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 7L),
+      (1L, ts("2024-01-01 11:00:00"), 9L),
+      (1L, ts("2024-01-01 11:00:00"), 8L)
+    ).toDF("user_id", "ts", "rid")
+    val out = AsOf.forward(l, r, Seq("user_id"), "ts",
+      payload = Seq("rid"), tieBreak = Seq("rid")).select("rid").collect()
+    assert(out.head.getLong(0) == 9L,
+      "max tie-break column wins in the forward direction too")
+  }
+
   test("as-of join shuffles once on the key (no nested loop, no broadcast of big side)") {
     val plan = AsOf.backward(leftDf, rightDf, Seq("user_id"), "ts",
       payload = Seq("rid")).queryExecution.executedPlan.toString
