@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.domain.Flights
+
+/** Oracle-backed coverage for the 1:1 flight-domain port
+  * (`graft.domain.Flights`): flight-shaped bronze rows are derived
+  * DETERMINISTICALLY from the driver's `orders` testdata (pure integer /
+  * date arithmetic — no RNG, engine-portable), then run through the REAL
+  * pipeline (dim builders → factFlight → gold builders), so the gold
+  * notebooks' logic gets a DuckDB-green row, not only FlightsSpec's
+  * hand-computed values. The oracle mirrors the derivation and the gold
+  * aggregation directly over `orders`.
+  */
+object FlightsQ extends QueryPack {
+
+  private val airlineCodes = Seq("AA", "BB", "CC", "DD", "EE")
+  private val airportCodes =
+    Seq("ATL", "ORD", "DFW", "DEN", "JFK", "LAX", "SEA")
+
+  private def pick(codes: Seq[String], idx: Column): Column =
+    codes.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (c, i)) => when(idx === i, lit(c)).otherwise(acc)
+    }
+
+  private def sqlPick(codes: Seq[String], idx: String): String =
+    codes.zipWithIndex.map { case (c, i) => s"WHEN $idx = $i THEN '$c'" }
+      .mkString("CASE ", " ", " END")
+
+  /** Flight-shaped bronze derived from orders:
+    * flight_date folds o_orderdate onto 2015-01-01 + (days % 730) — inside
+    * the reference's dim_date span; flight_number = o_orderkey (unique, so
+    * the fact's natural-key dedup is a provable no-op and the pipeline
+    * stays deterministic); delays/flags are modular arithmetic over the
+    * keys. */
+  private def flightsBronze(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val days = datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+    o.select(
+        date_add(lit("2015-01-01").cast("date"), pmod(days, lit(730)).cast("int"))
+          .as("flight_date"),
+        col("o_orderkey"), col("o_custkey"))
+      .select(
+        year(col("flight_date")).as("year"),
+        month(col("flight_date")).as("month"),
+        dayofmonth(col("flight_date")).as("day"),
+        pick(airlineCodes, pmod(col("o_orderkey"), lit(5))).as("airline"),
+        col("o_orderkey").cast("int").as("flight_number"),
+        concat(lit("N"), pmod(col("o_custkey"), lit(97))).as("tail_number"),
+        pick(airportCodes, pmod(col("o_custkey"), lit(7))).as("origin_airport"),
+        pick(airportCodes, pmod(col("o_custkey") + col("o_orderkey"), lit(7)))
+          .as("destination_airport"),
+        (pmod(col("o_orderkey"), lit(120)) - lit(20)).cast("int").as("departure_delay"),
+        (pmod(col("o_orderkey") * lit(7) + col("o_custkey"), lit(200)) - lit(30))
+          .cast("int").as("arrival_delay"),
+        pmod(col("o_custkey"), lit(30)).cast("int").as("taxi_out"),
+        pmod(col("o_orderkey"), lit(20)).cast("int").as("taxi_in"),
+        (lit(60) + pmod(col("o_orderkey"), lit(300))).cast("int").as("air_time"),
+        (lit(80) + pmod(col("o_orderkey"), lit(320))).cast("int").as("elapsed_time"),
+        (lit(90) + pmod(col("o_orderkey"), lit(310))).cast("int").as("scheduled_time"),
+        (lit(200) + pmod(col("o_orderkey"), lit(2400))).cast("int").as("distance"),
+        when(pmod(col("o_orderkey"), lit(97)) === 0, 1).otherwise(0).as("diverted"),
+        when(pmod(col("o_orderkey"), lit(40)) === 0, 1).otherwise(0).as("cancelled"),
+        lit(null).cast("string").as("cancellation_reason"))
+  }
+
+  /** The same derivation as [[flightsBronze]] in DuckDB SQL (kept adjacent
+    * so the two cannot drift), post-filtered like factFlight's cleanse. */
+  private val bronzeSql =
+    s"""SELECT DATE '2015-01-01'
+              + CAST((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 730 AS INTEGER)
+              AS flight_date,
+            ${sqlPick(airlineCodes, "(o_orderkey % 5)")} AS airline,
+            o_orderkey AS flight_number,
+            'N' || CAST(o_custkey % 97 AS VARCHAR) AS tail_number,
+            ${sqlPick(airportCodes, "(o_custkey % 7)")} AS origin_airport,
+            ${sqlPick(airportCodes, "((o_custkey + o_orderkey) % 7)")} AS destination_airport,
+            (o_orderkey % 120) - 20 AS departure_delay,
+            ((o_orderkey * 7 + o_custkey) % 200) - 30 AS arrival_delay,
+            200 + (o_orderkey % 2400) AS distance,
+            CASE WHEN o_orderkey % 40 = 0 THEN 1 ELSE 0 END AS cancelled,
+            CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS diverted
+       FROM orders"""
+
+  private def dimAirlines(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Seq(
+      ("AA", "Alpha Air"), ("BB", "Bravo Blue"), ("CC", "Cirrus Central"),
+      ("DD", "Dawn Danube"), ("EE", "Echo Express")))
+      .toDF("iata_code", "airline")
+
+  private def dimAirports(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Seq(
+      ("ATL", "Hartsfield", "Atlanta", "GA", "USA", 33.64, -84.43),
+      ("ORD", "O'Hare", "Chicago", "IL", "USA", 41.97, -87.91),
+      ("DFW", "Dallas Fort Worth", "Dallas", "TX", "USA", 32.90, -97.04),
+      ("DEN", "Denver Intl", "Denver", "CO", "USA", 39.86, -104.67),
+      ("JFK", "John F Kennedy", "New York", "NY", "USA", 40.64, -73.78),
+      ("LAX", "Los Angeles Intl", "Los Angeles", "CA", "USA", 33.94, -118.41),
+      ("SEA", "Seattle Tacoma", "Seattle", "WA", "USA", 47.45, -122.31)))
+      .toDF("iata_code", "airport", "city", "state", "country",
+        "latitude", "longitude")
+
+  private def fact(spark: SparkSession, d: String): DataFrame =
+    Flights.factFlight(flightsBronze(spark, d), Flights.dimDate(spark),
+      Flights.dimAirline(dimAirlines(spark)),
+      Flights.dimAirport(dimAirports(spark)))
+
+  /** Gold daily flight summary over the derived fact — the reference's
+    * first gold notebook, oracle-checked end-to-end through cleanse, dim
+    * joins, and the conditional-counter aggregation. */
+  private def fdDaily(spark: SparkSession, d: String): DataFrame =
+    Flights.goldDailyFlightSummary(fact(spark, d), Flights.dimDate(spark))
+
+  private val fdDailySql =
+    s"""WITH fl AS ($bronzeSql)
+       SELECT flight_date AS full_date,
+              COUNT(*) AS total_flights,
+              CAST(SUM(CAST(departure_delay AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                AS avg_departure_delay,
+              CAST(SUM(CAST(arrival_delay AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                AS avg_arrival_delay,
+              CAST(SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cancelled_flights,
+              CAST(SUM(CASE WHEN diverted = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS diverted_flights,
+              CAST(SUM(CASE WHEN arrival_delay > 15 THEN 1 ELSE 0 END) AS BIGINT)
+                AS delayed_flights,
+              CAST(SUM(CASE WHEN arrival_delay > 15 THEN 1 ELSE 0 END) AS BIGINT)
+                * 100.0 / COUNT(*) AS delay_rate,
+              CAST(SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                * 100.0 / COUNT(*) AS cancellation_rate
+       FROM fl
+       WHERE origin_airport <> destination_airport
+       GROUP BY flight_date
+       ORDER BY full_date"""
+
+  /** Gold airline performance over the derived fact (notebook 02). */
+  private def fdAirline(spark: SparkSession, d: String): DataFrame =
+    Flights.goldAirlinePerformance(fact(spark, d),
+      Flights.dimAirline(dimAirlines(spark)))
+
+  private val fdAirlineSql = {
+    val skCase = airlineCodes.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN ${i + 1}" }
+      .mkString("CASE airline_code ", " ", " END")
+    val nameCase = airlineCodes.zip(Seq("Alpha Air", "Bravo Blue",
+        "Cirrus Central", "Dawn Danube", "Echo Express"))
+      .map { case (c, n) => s"WHEN '$c' THEN '$n'" }
+      .mkString("CASE airline_code ", " ", " END")
+    s"""WITH fl AS ($bronzeSql)
+       SELECT CAST($skCase AS BIGINT) AS airline_sk,
+              airline_code AS iata_code,
+              $nameCase AS airline,
+              total_flights, avg_departure_delay, avg_arrival_delay,
+              total_distance, on_time_rate, cancellation_rate
+       FROM (
+         SELECT airline AS airline_code,
+                COUNT(*) AS total_flights,
+                CAST(SUM(CAST(departure_delay AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                  AS avg_departure_delay,
+                CAST(SUM(CAST(arrival_delay AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                  AS avg_arrival_delay,
+                CAST(SUM(CAST(distance AS DECIMAL(18,2))) AS DOUBLE) AS total_distance,
+                CAST(SUM(CASE WHEN arrival_delay <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+                  * 100.0 / COUNT(*) AS on_time_rate,
+                CAST(SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  * 100.0 / COUNT(*) AS cancellation_rate
+         FROM fl
+         WHERE origin_airport <> destination_airport
+         GROUP BY airline) t
+       ORDER BY total_flights DESC, iata_code"""
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("fd_daily_summary", fdDaily, Some(fdDailySql)),
+    Q("fd_airline_perf", fdAirline, Some(fdAirlineSql)))
+}
