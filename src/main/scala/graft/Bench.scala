@@ -41,8 +41,7 @@ object Bench {
         else (q.name, Double.NaN, attempts.head._2)
       }
       // Group teardown: drop every persisted block this group created.
-      graft.sim.Similarity.clearCorpusCache(spark)
-      graft.silver.Star.clearFactCache(spark)
+      graft.util.ManagedCaches.clearAll(spark)
       spark.catalog.clearCache()
       timed
     }

@@ -33,6 +33,42 @@ object VectorKernels {
     s
   }
 
+  /** md5-derived ±1 hyperplane sign for (plane p, dim d) — the SAME rule
+    * as graft.sim.Similarity.planeSign (parity of the first md5 hex nibble
+    * of "p_d"), so signatures agree with the HOF formulation and with
+    * oracle SQL generated from Similarity.planeSigns. */
+  private def planeSign(p: Int, d: Int): Double =
+    if (Integer.parseInt(TextKernels.md5Hex(s"${p}_$d").substring(0, 1), 16) % 2 == 0)
+      1.0 else -1.0
+
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def signs(planes: Int, dims: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent((planes, dims), { case (p, d) =>
+      Array.tabulate(p)(i => Array.tabulate(d)(j => planeSign(i, j)))
+    })
+
+  /** Sign-random-projection signature: bit p = (v · plane_p) > 0, packed
+    * into a long. Each projection accumulates in array order — identical
+    * to the per-plane HOF fold. One JVM call instead of `planes`
+    * interpreted folds per row. */
+  def srpSignature(v: ArrayData, planes: Int, dims: Int): Long = {
+    val ss = signs(planes, dims)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val plane = ss(p)
+      var s = 0.0
+      var i = 0
+      val n = v.numElements()
+      while (i < n) { s += v.getDouble(i) * plane(i); i += 1 }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** L2-normalize a double array: out(i) = a(i) / sqrt(a·a), with the
     * norm accumulated in array order (identical to the HOF fold). */
   def l2Normalize(a: ArrayData): ArrayData = {
@@ -63,6 +99,22 @@ case class DotExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "vec_dot"
+}
+
+/** srp_signature(v, planes, dims) → long: packed sign-random-projection
+  * LSH signature over md5-derived ±1 hyperplanes. */
+case class LshSignatureExpr(child: Expression, planes: Int, dims: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 64, "planes must fit a long")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.srpSignature(input.asInstanceOf[ArrayData], planes, dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.VectorKernels.srpSignature($c, $planes, $dims)")
+  override protected def withNewChildInternal(newChild: Expression): LshSignatureExpr =
+    copy(child = newChild)
+  override def prettyName: String = "srp_signature"
 }
 
 /** vec_l2_normalize(a) → array<double>: a / ||a||₂. */

@@ -103,10 +103,15 @@ object FlightsQ extends QueryPack {
       .toDF("iata_code", "airport", "city", "state", "country",
         "latitude", "longitude")
 
+  private val factCache = graft.util.ManagedCaches.register()
+
+  /** Derived fact, cached per (session, dir) so the fd_* queries share one
+    * build (released by Bench group teardown / ManagedCaches.clearAll). */
   private def fact(spark: SparkSession, d: String): DataFrame =
-    Flights.factFlight(flightsBronze(spark, d), Flights.dimDate(spark),
-      Flights.dimAirline(dimAirlines(spark)),
-      Flights.dimAirport(dimAirports(spark)))
+    graft.util.ManagedCaches.cache(factCache, spark, d)(
+      Flights.factFlight(flightsBronze(spark, d), Flights.dimDate(spark),
+        Flights.dimAirline(dimAirlines(spark)),
+        Flights.dimAirport(dimAirports(spark))))
 
   /** Gold daily flight summary over the derived fact — the reference's
     * first gold notebook, oracle-checked end-to-end through cleanse, dim

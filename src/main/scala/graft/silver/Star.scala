@@ -83,30 +83,16 @@ object Star {
     * one fact build instead of five — the build-once-fan-out pattern the
     * reference's notebook DAG gets by persisting silver. MEMORY_AND_DISK:
     * the fact is ~10% of lineitem bytes after projection. */
-  private val factCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val factCache = graft.util.ManagedCaches.register()
 
   /** Unpersist and drop every cached fact for `spark` — call when a
     * session's work is done (test suites, notebook teardown). */
   def clearFactCache(spark: SparkSession): Unit =
-    factCache.keys.filter(_._1 eq spark).foreach { k =>
-      factCache.remove(k).foreach { df =>
-        if (!spark.sparkContext.isStopped) df.unpersist(blocking = false)
-      }
-    }
+    graft.util.ManagedCaches.clear(factCache, spark)
 
-  /** Entries for stopped sessions are dead weight (their persisted blocks
-    * are already gone with the context) — drop them so the map doesn't
-    * grow for the JVM lifetime across test-suite sessions. */
-  private def pruneStopped(): Unit =
-    factCache.keys.filter(_._1.sparkContext.isStopped).foreach(factCache.remove)
-
-  def factLineitem(spark: SparkSession, d: String): DataFrame = {
-    pruneStopped()
-    factCache.getOrElseUpdate((spark, d),
-      buildFactLineitem(spark, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+  def factLineitem(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.cache(factCache, spark, d)(
+      buildFactLineitem(spark, d))
 
   private def buildFactLineitem(spark: SparkSession, d: String): DataFrame = {
     // Dedup must be DETERMINISTIC: the synthetic lineitem has duplicate

@@ -84,25 +84,16 @@ object Similarity {
     * it without plumbing. Same lifecycle discipline as
     * [[graft.silver.Star]]'s fact cache: stopped sessions pruned on
     * access, explicit clear hook for suite teardown. */
-  private val corpusCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val corpusCache = graft.util.ManagedCaches.register()
 
   def cacheNormalizedCorpus(df: DataFrame, key: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    corpusCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(corpusCache.remove)
-    corpusCache.getOrElseUpdate((df.sparkSession, key),
-      normalized(df, idCol, vecCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.util.ManagedCaches.cache(corpusCache, df.sparkSession, key)(
+      normalized(df, idCol, vecCol))
 
   /** Unpersist and drop every cached corpus for `spark`. */
   def clearCorpusCache(spark: org.apache.spark.sql.SparkSession): Unit =
-    corpusCache.keys.filter(_._1 eq spark).foreach { k =>
-      corpusCache.remove(k).foreach { df =>
-        if (!spark.sparkContext.isStopped) df.unpersist(blocking = false)
-      }
-    }
+    graft.util.ManagedCaches.clear(corpusCache, spark)
 
   /** All-pairs cosine near-dup join at a threshold — fully distributed.
     *
@@ -202,11 +193,20 @@ object Similarity {
       1.0 else -1.0
 
   /** Sign-random-projection LSH signature: bit p = (v · plane_p) > 0, for
-    * `planes` md5-derived ±1 hyperplanes (embedded as literal arrays),
-    * packed into a long. Sign is scale-invariant, so raw and normalized
-    * vectors give the same bits. `dims` is the embedding dimensionality
-    * (plane vectors are driver-side constants of that length). */
-  def lshSignature(vec: Column, planes: Int, dims: Int): Column = {
+    * `planes` md5-derived ±1 hyperplanes, packed into a long. Sign is
+    * scale-invariant, so raw and normalized vectors give the same bits.
+    * `dims` is the embedding dimensionality. Computed by the codegen'd
+    * [[graft.plans.LshSignatureExpr]] kernel — one JVM call per row
+    * instead of `planes` interpreted folds (bit-identical to
+    * [[lshSignatureHof]], asserted in ExtensionsSpec). */
+  def lshSignature(vec: Column, planes: Int, dims: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.LshSignatureExpr(
+        org.apache.spark.sql.GraftBridge.expression(vec), planes, dims))
+
+  /** Reference HOF formulation of [[lshSignature]] (plane vectors embedded
+    * as literal arrays, one interpreted fold per plane). */
+  def lshSignatureHof(vec: Column, planes: Int, dims: Int): Column = {
     val sig = (0 until planes).map { p =>
       val plane = Array.tabulate(dims)(d => planeSign(p, d))
       val proj = aggregate(

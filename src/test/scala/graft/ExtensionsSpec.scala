@@ -76,6 +76,10 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(Similarity.dot(col("nv"), col("nv")).as("slow"),
         Similarity.dotFast(col("nv"), col("nv")).as("fast"))
     assert(dots.filter(col("slow") =!= col("fast")).count() == 0)
+    val sigs2 = Similarity.normalized(emb)
+      .select(Similarity.lshSignatureHof(col("nv"), 16, 64).as("slow"),
+        Similarity.lshSignature(col("nv"), 16, 64).as("fast"))
+    assert(sigs2.filter(col("slow") =!= col("fast")).count() == 0)
   }
 
   test("extension-registered SQL functions work") {
