@@ -167,4 +167,24 @@ object Relay {
         Sinks.upsertByKey(batch.sparkSession, batch, targetPath, keys)
       }
       .start()
+
+  /** [[writeStreamUpsert]] with the partition-scoped merge
+    * ([[Sinks.upsertByKeyPartitioned]]): each micro-batch rewrites only
+    * the partitions it touches — the streaming cost model users of a
+    * Delta MERGE sink expect. `partitionCol` must be one of `keys`
+    * (enforced by the sink). */
+  def writeStreamUpsertPartitioned(df: DataFrame, targetPath: String,
+      checkpoint: String, keys: Seq[String], partitionCol: String,
+      queryName: String = "upsert_part",
+      trig: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sinks.upsertByKeyPartitioned(batch.sparkSession, batch, targetPath,
+          keys, partitionCol)
+      }
+      .start()
 }

@@ -107,6 +107,20 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"approx $approx vs exact $exact")
   }
 
+  test("all-pairs cosine runs as a distributed CartesianProduct, not a broadcast") {
+    // The scale contract of allPairsAboveThreshold: every task pairs one
+    // partition from each side (SHUFFLE_REPLICATE_NL); no driver collect,
+    // no BroadcastNestedLoopJoin (which would cap the corpus at one
+    // broadcast), and the pair math is the codegen'd vec_dot kernel.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = sim.Similarity.allPairsAboveThreshold(emb, 0.3, blocks = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct"), s"expected CartesianProduct:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "all-pairs must not depend on a broadcastable corpus")
+    assert(plan.contains("vec_dot"), "pair math must be the codegen'd kernel")
+  }
+
   test("BPE-ish tokenizer splits on whitespace and letter/digit boundaries") {
     val df = spark.createDataFrame(Seq((1L, "abc123 def x9y"))).toDF("id", "text")
     val toks = df.select(text.Text.tokensBpeish(col("text")).as("t"))

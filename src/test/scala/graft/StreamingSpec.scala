@@ -61,6 +61,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
   }
 
+  test("S10/S11: partition-scoped streaming upsert leaves untouched partitions alone") {
+    import spark.implicits._
+    val src = tmp() + "/pusrc"
+    val target = tmp() + "/putarget"
+    val ckp = tmp() + "/puckp"
+    Seq(("2024-01-01", 1L, "old"), ("2024-01-02", 2L, "keep"))
+      .toDF("dt", "k", "v").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q1 = Relay.writeStreamUpsertPartitioned(
+      Relay.readStreamPath(spark, src, schema), target, ckp,
+      Seq("dt", "k"), "dt", queryName = "pup1")
+    q1.awaitTermination()
+    val untouched = new java.io.File(s"$target/dt=2024-01-02")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    Seq(("2024-01-01", 1L, "new")).toDF("dt", "k", "v")
+      .write.mode("append").parquet(src)
+    val q2 = Relay.writeStreamUpsertPartitioned(
+      Relay.readStreamPath(spark, src, schema), target, ckp,
+      Seq("dt", "k"), "dt", queryName = "pup2")
+    q2.awaitTermination()
+    assert(new java.io.File(s"$target/dt=2024-01-02")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap == untouched,
+      "micro-batch must not rewrite partitions it does not touch")
+    val out = spark.read.parquet(target).orderBy("k")
+      .collect().map(r => (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSeq
+    assert(out == Seq((1L, "new"), (2L, "keep")))
+  }
+
   test("streaming execution of the hourly agg equals its batch twin") {
     // The EventsQ batch queries pin semantics for the streaming relay;
     // here the SAME column logic runs through readStream + complete-mode
