@@ -106,5 +106,62 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: 64-bit simhash banding never misses a pair within the Hamming budget") {
+    // pigeonhole soundness of simhashPairs' candidate generation: flip at
+    // most maxHamming=3 of 64 bits and at least one 16-bit band must
+    // still match exactly — for ANY base signature, including ones with
+    // the sign bit set.
+    val caseGen = for {
+      base <- Gen.choose(Long.MinValue, Long.MaxValue)
+      k <- Gen.choose(0, 3)
+      bits <- Gen.listOfN(k, Gen.choose(0, 63))
+    } yield (base, bits.foldLeft(base)((b, j) => b ^ (1L << j)))
+    forAll(caseGen, n = 50) { case (a, b) =>
+      val bandsMatch = (0 until 4).exists(i =>
+        ((a >>> (i * 16)) & 0xffffL) == ((b >>> (i * 16)) & 0xffffL))
+      assert(bandsMatch, s"banding missed pair $a / $b")
+    }
+  }
+
+  test("property: simhash is invariant to token order and multiplicity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "e"))
+    forAll(tokGen) { toks =>
+      val base = TextKernels.simhash64(UTF8String.fromString(toks.mkString(" ")))
+      val shuffled = TextKernels.simhash64(
+        UTF8String.fromString(toks.reverse.mkString(" ")))
+      val duped = TextKernels.simhash64(
+        UTF8String.fromString((toks ++ toks.headOption).mkString(" ")))
+      assert(base == shuffled, "signature must not depend on token order")
+      assert(base == duped, "signature votes over DISTINCT tokens")
+    }
+  }
+
+  test("property: vector kernels match the interpreted HOF folds on random vectors") {
+    import graft.sim.Similarity
+    // random float embeddings incl. negatives/zeros — the kernel contract
+    // is bit-identity with the interpreted fold, not approximate equality
+    val vecGen = Gen.listOfN(4,
+      Gen.listOfN(8, Gen.oneOf(Gen.choose(-3.0f, 3.0f), Gen.const(0.0f))))
+    forAll(vecGen, n = 5) { vecs =>
+      whenever(vecs.forall(v => v.exists(_ != 0.0f))) {
+        import spark.implicits._
+        val df = vecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.toArray) }
+          .toDF("vec_id", "embedding")
+        val nrm = Similarity.normalized(df).as("f")
+          .join(Similarity.normalizedHof(df).as("h"), col("f.id") === col("h.id"))
+        assert(nrm.filter(col("f.nv") =!= col("h.nv")).count() == 0)
+        val dots = Similarity.normalized(df)
+          .select(Similarity.dot(col("nv"), col("nv")).as("slow"),
+            Similarity.dotFast(col("nv"), col("nv")).as("fast"),
+            Similarity.lshSignatureHof(col("nv"), 16, 8).as("sslow"),
+            Similarity.lshSignature(col("nv"), 16, 8).as("sfast"))
+        assert(dots.filter(col("slow") =!= col("fast") ||
+          col("sslow") =!= col("sfast")).count() == 0)
+      }
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
