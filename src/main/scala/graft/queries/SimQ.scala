@@ -117,6 +117,50 @@ object SimQ extends QueryPack {
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** IVF ANN top-k (the second scale path beside LSH): deterministic
+    * centroid codebook (vec_id % 50), nearest-cell assignment, nprobe=4
+    * probed cells, exact rerank on candidates. Fully deterministic →
+    * full DuckDB oracle reproducing cells, probes, and rerank. */
+  private def simIvfTopk(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    Similarity.ivfTopK(
+        e.filter(col("vec_id") % 25 === 0), e, k = 5,
+        centroidStride = 50, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private val simIvfSql =
+    """WITH v AS (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                  AS nv
+              FROM embeddings),
+       cent AS (SELECT vec_id AS cent_id, nv AS cv FROM v WHERE vec_id % 50 = 0),
+       assigned AS (SELECT id, cent_id FROM (
+         SELECT v.vec_id AS id, cent_id,
+                ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_dot_product(v.nv, cv), 4) DESC, cent_id) AS r
+         FROM v CROSS JOIN cent) t WHERE r = 1),
+       q AS (SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id % 25 = 0),
+       probes AS (SELECT query_id, cent_id FROM (
+         SELECT query_id, cent_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY round(list_dot_product(qv, cv), 4) DESC, cent_id) AS r
+         FROM q CROSS JOIN cent) t WHERE r <= 4),
+       cand AS (SELECT query_id, id AS neighbor_id
+                FROM probes JOIN assigned USING (cent_id)
+                WHERE id != query_id),
+       sims AS (SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, v.nv), 4) AS sim
+                FROM cand
+                JOIN q USING (query_id)
+                JOIN v ON v.vec_id = neighbor_id)
+       SELECT query_id, rank, neighbor_id, sim FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         FROM sims) t
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Same semantics as sim_topk through the custom TopKAggregator
     * (map-side partial top-k, no window shuffle) — same oracle. */
   private def simTopkAgg(spark: SparkSession, d: String): DataFrame = {
@@ -130,5 +174,6 @@ object SimQ extends QueryPack {
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_agg", simTopkAgg, Some(simTopkSql)),
     Q("sim_near_dup", simNearDup, Some(simNearDupSql)),
-    Q("sim_lsh_topk", simLshTopk, Some(simLshSql)))
+    Q("sim_lsh_topk", simLshTopk, Some(simLshSql)),
+    Q("sim_ivf_topk", simIvfTopk, Some(simIvfSql)))
 }

@@ -217,6 +217,62 @@ object Similarity {
     sig.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k — the second classic ANN scale
+    * path beside [[lshTopK]]: a small centroid codebook partitions the
+    * corpus into cells (each vector assigned to its nearest centroid);
+    * a query probes only its `nprobe` nearest cells and reranks exactly
+    * within them.
+    *
+    * The coarse quantizer here is DETERMINISTIC — centroids are the
+    * corpus rows with `id % centroidStride == 0` — standing in for a
+    * trained k-means codebook so results are engine-reproducible and the
+    * DuckDB oracle can regenerate every cell assignment (swap `cent` for
+    * trained centroids in production; the plan shape is unchanged).
+    *
+    * 100 TB shape: the codebook is broadcast (small by definition);
+    * assignment is ONE corpus scan against the broadcast codebook (the
+    * same cost as writing the data once — amortized by persisting the
+    * assignment as an index table); candidate generation is an equi join
+    * on cell id, so pairwise rerank work is |probed cells|, not |corpus|.
+    * All dots are the codegen'd kernel, rounded to 4dp before ranking,
+    * ties on id → fully deterministic. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidStride: Long = 50, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol)
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nv").as("qv"))
+    val cent = c.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cent_id"), col("nv").as("cv"))
+    val wA = Window.partitionBy("id")
+      .orderBy(col("cd").desc, col("cent_id").asc)
+    val assigned = c.crossJoin(broadcast(cent))
+      .select(col("id"), col("cent_id"),
+        round(dotFast(col("nv"), col("cv")), 4).as("cd"))
+      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+      .select("id", "cent_id")
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("cd").desc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cent_id"),
+        round(dotFast(col("qv"), col("cv")), 4).as("cd"))
+      .withColumn("r", row_number().over(wQ)).filter(col("r") <= nprobe)
+      .select("query_id", "cent_id")
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cent_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .join(c.select(col("id").as("neighbor_id"), col("nv").as("nv2")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotFast(col("qv"), col("nv2")), 4).as("sim"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing the
     * query's signature bucket on ANY of the `bands` signature bands;
     * exact cosine rerank (single dot fold) only on candidates. Fewer than

@@ -138,6 +138,25 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(window == agg)
   }
 
+  test("ivfTopK: exact sims, bounded ranks, sane recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val bf = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivf = Similarity.ivfTopK(queries, emb, 5, centroidStride = 50, nprobe = 4)
+      .collect()
+    assert(ivf.forall(_.getInt(1) <= 5))
+    // rerank is exact: any (query, neighbor) IVF returns that brute force
+    // also ranked must carry the identical similarity
+    ivf.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(2)))
+        .foreach(s => assert(s == r.getDouble(3), "IVF rerank must be exact"))
+    }
+    val recall = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+      .intersect(bf.keySet).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF nprobe=4 recall $recall unexpectedly low")
+  }
+
   test("lshTopK: no false results and sane recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 10 === 0)
