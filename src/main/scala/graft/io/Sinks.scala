@@ -88,6 +88,63 @@ object Sinks {
     }
   }
 
+  /** Small-files compaction — the operational companion of streaming
+    * sinks and partition-scoped upserts at scale: micro-batches and
+    * per-batch merges accrete many small parquet files, and at 100 TB
+    * scan cost is dominated by file-open overhead once files fall below
+    * ~100 MB. Unpartitioned targets are rewritten into
+    * ceil(bytes/targetFileBytes) files; partitioned targets are rewritten
+    * one task per partition value (one output file per partition dir —
+    * the right shape for date-partitioned silver) via dynamic partition
+    * overwrite, so the swap is per-partition-atomic.
+    *
+    * Data-identical by construction (same rows, new layout); spec asserts
+    * row equality and the file-count drop. */
+  def compact(spark: SparkSession, path: String,
+      partitionCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(path)
+    if (partitionCols.isEmpty) {
+      val bytes = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) f.length() else 0L
+        walk(new java.io.File(path))
+      }
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val staging = path + ".compacting"
+      df.repartition(nFiles).write.mode("overwrite").parquet(staging)
+      swapInto(staging, path)
+    } else {
+      df.repartition(partitionCols.map(col): _*)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    }
+  }
+
+  /** Replace `targetPath` with `stagingPath` (single-FS move; loud on
+    * failure). Object stores need a manifest commit — that is what a
+    * table format's transaction log provides. */
+  private def swapInto(stagingPath: String, targetPath: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    def deleteRecursively(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(c => deleteRecursively(c)) finally children.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    val target = Paths.get(targetPath)
+    if (Files.exists(target)) {
+      val old = Paths.get(targetPath + ".old")
+      deleteRecursively(old)
+      Files.move(target, old)
+    }
+    Files.move(Paths.get(stagingPath), target)
+  }
+
   /** S11 (generic fallback) — keyed upsert for UNPARTITIONED targets:
     * union existing+updates, keep the update row per key (latest wins via
     * the `isUpdate` flag), rewrite atomically via a staging path + swap.
@@ -110,24 +167,8 @@ object Sinks {
       }
     val staging = targetPath + ".staging"
     merged.write.mode("overwrite").parquet(staging)
-    // atomic-ish swap (single-FS move; object stores would need a
-    // manifest commit — that's what Delta's transaction log provides).
     // Files.move throws on failure, unlike File.renameTo, so a failed
     // swap can never silently leave the target missing or stale.
-    import java.nio.file.{Files, Path, Paths}
-    def deleteRecursively(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val children = Files.list(p)
-        try children.forEach(c => deleteRecursively(c)) finally children.close()
-      }
-      Files.deleteIfExists(p)
-    }
-    val target = Paths.get(targetPath)
-    if (Files.exists(target)) {
-      val old = Paths.get(targetPath + ".old")
-      deleteRecursively(old)
-      Files.move(target, old)
-    }
-    Files.move(Paths.get(staging), target)
+    swapInto(staging, targetPath)
   }
 }

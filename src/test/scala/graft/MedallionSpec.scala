@@ -111,6 +111,36 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compaction shrinks file counts and preserves rows") {
+    import spark.implicits._
+    val flat = tmp() + "/compact_flat"
+    val part = tmp() + "/compact_part"
+    // many small appends — the streaming-sink accretion shape
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v").write.mode("append").parquet(flat)
+      Seq((s"2024-01-0${i % 2 + 1}", i.toLong, s"v$i")).toDF("dt", "k", "v")
+        .write.mode("append").partitionBy("dt").parquet(part)
+    }
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    val beforeFlat = spark.read.parquet(flat).orderBy("k").collect().toSeq
+    assert(parquetFiles(flat) >= 5)
+    Sinks.compact(spark, flat)
+    assert(parquetFiles(flat) == 1, "small files must merge into one")
+    assert(spark.read.parquet(flat).orderBy("k").collect().toSeq == beforeFlat)
+    val beforePart = spark.read.parquet(part).orderBy("k")
+      .collect().map(r => (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSeq
+    Sinks.compact(spark, part, partitionCols = Seq("dt"))
+    assert(parquetFiles(part) == 2, "one file per partition dir after compaction")
+    assert(spark.read.parquet(part).orderBy("k")
+      .collect().map(r => (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSeq
+      == beforePart)
+  }
+
   test("task runner threads DataFrames, logs, and isolates failures") {
     val outDir = tmp() + "/bronze_li"
     val tasks =
