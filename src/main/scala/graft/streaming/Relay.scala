@@ -42,6 +42,17 @@ object Relay {
     options.foldLeft(spark.readStream.schema(schema).format(format))((r, kv) =>
       r.option(kv._1, kv._2)).load(path)
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.dedup.Dedup.exactDedup]]: duplicates of a key arriving
+    * within the event-time watermark are dropped across micro-batches,
+    * and per-key state is EVICTED once the watermark passes — the
+    * unbounded-state guard that makes streaming dedup viable at 100 TB
+    * (plain dropDuplicates would hold every key forever). */
+  def streamingDedup(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Trigger names → Spark triggers (reference `writers.py:53-59`:
     * availableNow default, processingTime, once). */
   def trigger(name: String, interval: String = "10 seconds"): Trigger =

@@ -89,6 +89,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, "new"), (2L, "keep")))
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    val src = tmp() + "/ddsrc"
+    val dst = tmp() + "/dddst"
+    val ckp = tmp() + "/ddckp"
+    // two files → (typically) two micro-batches; key 1 duplicated across them
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), "b"))
+      .toDF("k", "ts", "v").write.mode("append").parquet(src)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), "a2"),
+        (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:03"), "c"))
+      .toDF("k", "ts", "v").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val deduped = Relay.streamingDedup(
+      Relay.readStreamPath(spark, src, schema,
+        options = Map("maxFilesPerTrigger" -> "1")),
+      Seq("k"), "ts", "10 minutes")
+    val q = Relay.writeStreamPath(deduped, dst, ckp, queryName = "dedup_stream")
+    q.awaitTermination()
+    val out = spark.read.parquet(dst).select("k").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L), s"expected one row per key, got $out")
+  }
+
   test("streaming execution of the hourly agg equals its batch twin") {
     // The EventsQ batch queries pin semantics for the streaming relay;
     // here the SAME column logic runs through readStream + complete-mode
