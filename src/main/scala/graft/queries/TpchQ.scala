@@ -104,8 +104,46 @@ object TpchQ extends QueryPack {
        GROUP BY 1, 2, 3
        ORDER BY revenue DESC, c_custkey LIMIT 20"""
 
+  /** Q18 shape — large-volume orders: a high-cardinality aggregate
+    * (per-order quantity) feeds a SEMI-join filter on itself, then the
+    * surviving orders re-join lineitem/customer for reporting. Exercises
+    * the agg→semi-join→re-join planning pattern: the HAVING aggregate is
+    * computed once and only qualifying orderkeys flow into the wide join
+    * (at 100 TB the qualifying set is tiny, so AQE turns the re-join's
+    * build side into a broadcast at runtime). */
+  private def q18LargeOrders(spark: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, d)
+      .groupBy("l_orderkey")
+      .agg(sumExact(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    Tables.orders(spark, d)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        dec2(col("o_totalprice")).cast("double").as("total_price"),
+        col("total_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       total_qty
+       FROM orders
+       JOIN (SELECT l_orderkey,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             FROM lineitem GROUP BY 1
+             HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150) big
+         ON o_orderkey = l_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       ORDER BY total_price DESC, o_orderkey LIMIT 100"""
+
   override def queries: Seq[Q] = Seq(
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
     Q("q5_local_supplier", q5LocalSupplier, Some(q5Sql)),
-    Q("q10_returned_items", q10ReturnedItems, Some(q10Sql)))
+    Q("q10_returned_items", q10ReturnedItems, Some(q10Sql)),
+    Q("q18_large_orders", q18LargeOrders, Some(q18Sql)))
 }
