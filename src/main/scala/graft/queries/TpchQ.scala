@@ -141,8 +141,40 @@ object TpchQ extends QueryPack {
        JOIN customer ON o_custkey = c_custkey
        ORDER BY total_price DESC, o_orderkey LIMIT 100"""
 
+  /** Q6 shape — revenue forecast, run through the spark.sql() API over a
+    * temp view (every other query uses the DataFrame DSL; this pins the
+    * SQL entry point end-to-end: parsing, view resolution, and the same
+    * decimal-exact discipline). Double literals are cast explicitly on
+    * the oracle side too — DuckDB parses bare 0.05 as DECIMAL and a
+    * DOUBLE-vs-DECIMAL comparison can flip boundary rows. */
+  private def q6Forecast(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_lines
+         FROM lineitem_v
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount >= CAST(0.05 AS DOUBLE)
+           AND l_discount <= CAST(0.07 AS DOUBLE)
+           AND l_quantity < 24""")
+  }
+
+  private val q6Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount >= CAST(0.05 AS DOUBLE)
+         AND l_discount <= CAST(0.07 AS DOUBLE)
+         AND l_quantity < 24"""
+
   override def queries: Seq[Q] = Seq(
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
+    Q("q6_revenue_forecast", q6Forecast, Some(q6Sql)),
     Q("q5_local_supplier", q5LocalSupplier, Some(q5Sql)),
     Q("q10_returned_items", q10ReturnedItems, Some(q10Sql)),
     Q("q18_large_orders", q18LargeOrders, Some(q18Sql)))
