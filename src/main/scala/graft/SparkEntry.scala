@@ -21,7 +21,7 @@ object SparkEntry {
     * round-2 bench regression). */
   private val packGroups: Seq[Seq[QueryPack]] = Seq(
     Seq(Relational), Seq(Functions), Seq(CleaningQ), Seq(EventsQ),
-    Seq(TextQ), Seq(DedupQ), Seq(SimQ), Seq(MultimodalQ),
+    Seq(TextQ), Seq(CorpusQ), Seq(DedupQ), Seq(SimQ), Seq(MultimodalQ),
     Seq(StarQ, GoldQ), Seq(WindowQ), Seq(TpchQ), Seq(AsofQ), Seq(OlapQ),
     Seq(FlightsQ))
 

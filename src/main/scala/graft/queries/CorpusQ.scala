@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{Corpus, Text}
+
+/** Corpus-management coverage over `documents` (LLM-data-pipeline
+  * extension): deterministic train/val/test split, stratified per-source
+  * capping, token-budget chunking. All md5/window-deterministic → exact
+  * DuckDB oracles.
+  */
+object CorpusQ extends QueryPack {
+
+  /** 80/10/10 split by doc_id hash: per-(lang, split) counts — the shape
+    * a split audit dashboard reads. Split membership is a pure function
+    * of the key, reproducible on any engine or partitioning. */
+  private def cSplit(spark: SparkSession, d: String): DataFrame =
+    Corpus.splitByHash(Tables.documents(spark, d), "doc_id")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+
+  private val cSplitSql =
+    """WITH s AS (
+         SELECT lang,
+                CASE WHEN b < 80 THEN 'train'
+                     WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT lang,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 100 AS b
+               FROM documents) t)
+       SELECT lang, split, COUNT(*) AS n_docs
+       FROM s GROUP BY 1, 2 ORDER BY lang, split"""
+
+  /** Stratified cap: at most 15 docs per source, chosen by md5-rank of
+    * doc_id (deterministic source balancing). */
+  private def cStratified(spark: SparkSession, d: String): DataFrame =
+    Corpus.stratifiedCap(Tables.documents(spark, d), "source", "doc_id", 15)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  private val cStratifiedSql =
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+         FROM documents) t
+       WHERE r <= 15 ORDER BY doc_id"""
+
+  /** Token-budget chunking: space-split token counts (the t_tokens
+    * convention), contiguous by doc_id within each source, ~2000-token
+    * chunks; per-chunk doc/token totals. */
+  private def cChunks(spark: SparkSession, d: String): DataFrame =
+    Corpus.chunkByTokenBudget(
+        Tables.documents(spark, d)
+          .select(col("doc_id"), col("source"),
+            size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", budget = 2000)
+      .groupBy("source", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"))
+      .orderBy("source", "chunk_id")
+
+  private val cChunksSql =
+    """WITH toks AS (
+         SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+       cums AS (
+         SELECT doc_id, source, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+         FROM toks)
+       SELECT source,
+              CAST(FLOOR((cum - n_tokens) / 2000) AS BIGINT) AS chunk_id,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+       FROM cums GROUP BY 1, 2 ORDER BY source, chunk_id"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("c_split_hash", cSplit, Some(cSplitSql)),
+    Q("c_stratified_cap", cStratified, Some(cStratifiedSql)),
+    Q("c_chunk_budget", cChunks, Some(cChunksSql)))
+}

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators a large-scale training-data pipeline needs
+  * beyond cleaning/dedup: deterministic splits, stratified sampling, and
+  * token-budget chunking. (Extension surface — BASELINE.json north star.)
+  *
+  * Everything here is hash- or window-deterministic (md5, no RNG state),
+  * so splits are REPRODUCIBLE across engines, partitionings, reruns, and
+  * cluster sizes — the property that makes a train/test split defensible
+  * at 100 TB, where "sample(seed)" output depends on partitioning.
+  */
+object Corpus {
+
+  /** Deterministic hash bucket in [0, buckets) from a key column: first 8
+    * md5 hex chars → int. The same key lands in the same bucket on any
+    * engine (DuckDB: ('0x' || substr(md5(k), 1, 8))::BIGINT % buckets). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Train/val/test split by key hash: percentages over 100 hash buckets.
+    * Scale shape: one projection, no shuffle, no RNG — the split is a
+    * pure function of the key, so late-arriving rows of a known document
+    * always land in the same split (no leakage on reruns). */
+  def splitByHash(df: DataFrame, keyCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "need a non-empty test slice")
+    val b = hashBucket(col(keyCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic stratified cap: at most `n` rows per stratum, chosen
+    * by md5-rank of the key (not arrival order) — the standard
+    * source-balancing step. One hash shuffle on the stratum key; the
+    * rank's window sort is per-stratum, never global. */
+  def stratifiedCap(df: DataFrame, strataCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n)
+      .drop("__r")
+  }
+
+  /** Token-budget chunking for batch building: contiguous (by `orderCol`,
+    * per `partCol`) documents are grouped into chunks of ~`budget` tokens
+    * via chunk = floor(exclusive-prefix-sum / budget). A document that
+    * straddles a budget boundary joins the chunk where it starts, so a
+    * chunk can overflow by at most that one document — the standard
+    * single-pass streaming formulation (exact greedy packing needs
+    * sequential state; this is one window, deterministic, and
+    * distributed). One shuffle on partCol + per-partition sort. */
+  def chunkByTokenBudget(df: DataFrame, partCol: String, orderCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("chunk_id",
+        floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
+      .drop("__cum")
+  }
+}

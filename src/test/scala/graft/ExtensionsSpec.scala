@@ -171,6 +171,36 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.10, s"LSH recall $recall unexpectedly low")
   }
 
+  test("corpus ops: split is total+stable, cap binds, chunks respect contiguity") {
+    import graft.text.Corpus
+    val docs = Tables.documents(spark, sf)
+    val split = Corpus.splitByHash(docs, "doc_id")
+    assert(split.count() == docs.count(), "split must assign every row")
+    assert(split.select("split").distinct().count() == 3)
+    // stability: the same key always lands in the same split
+    val again = Corpus.splitByHash(docs, "doc_id")
+      .select(col("doc_id"), col("split").as("split2"))
+    assert(split.join(again, "doc_id")
+      .filter(col("split") =!= col("split2")).count() == 0)
+    val capped = Corpus.stratifiedCap(docs, "source", "doc_id", 5)
+    val maxPerSource = capped.groupBy("source").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerSource <= 5)
+    // chunking: within a (source, chunk) the doc_ids are contiguous in
+    // the per-source order, and chunk ids start at 0
+    val chunked = Corpus.chunkByTokenBudget(
+      docs.select(col("doc_id"), col("source"),
+        size(graft.text.Text.tokens(col("text"))).cast("long").as("n_tokens")),
+      "source", "doc_id", "n_tokens", budget = 500)
+    assert(chunked.agg(min("chunk_id")).collect()(0).getLong(0) == 0L)
+    val nonMonotonic = chunked
+      .withColumn("prev", lag("chunk_id", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")))
+      .filter(col("prev").isNotNull && col("chunk_id") < col("prev"))
+    assert(nonMonotonic.count() == 0, "chunk ids must be monotone per source")
+  }
+
   test("multimodal: stub decode is deterministic byte math") {
     val docs = spark.createDataFrame(Seq((7L, "abcd"))).toDF("doc_id", "text")
     val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
