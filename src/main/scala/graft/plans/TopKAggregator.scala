@@ -29,10 +29,15 @@ class TopKAggregator(k: Int)
   private def better(a: ScoredId, b: ScoredId): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
-  private def insert(buf: List[ScoredId], v: ScoredId): List[ScoredId] = {
-    val (above, below) = buf.span(better(_, v))
-    (above ::: v :: below).take(k)
-  }
+  private def insert(buf: List[ScoredId], v: ScoredId): List[ScoredId] =
+    // Fast path: a full buffer whose k-th entry beats v is unchanged —
+    // the overwhelmingly common case once a group's top-k stabilizes,
+    // and it skips the span/concat allocation entirely.
+    if (buf.lengthCompare(k) >= 0 && better(buf.last, v)) buf
+    else {
+      val (above, below) = buf.span(better(_, v))
+      (above ::: v :: below).take(k)
+    }
 
   override def zero: TopKBuf = TopKBuf(Nil)
   override def reduce(buf: TopKBuf, v: (Double, Long)): TopKBuf =
