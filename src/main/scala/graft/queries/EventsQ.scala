@@ -84,9 +84,51 @@ object EventsQ extends QueryPack {
     Tables.supplier(spark, d)
       .withColumn("supplier_sk", monotonically_increasing_id())
 
+  /** Ordered funnel (view → click → purchase): per stage, the users whose
+    * FIRST qualifying event follows their previous stage's timestamp.
+    * Classic event analytics the reference's event tables feed. Scale
+    * shape: each stage is one hash join on user_id against the previous
+    * stage's (user, ts) aggregate — |users| rows, map-side-combinable
+    * mins, no window over the full event stream. */
+  private def eFunnel(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
+    stage(v, "1_view")
+      .unionByName(stage(c, "2_click"))
+      .unionByName(stage(p, "3_purchase"))
+      .select("stage", "n_users")
+      .orderBy("stage")
+  }
+
+  private val eFunnelSql =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT e.user_id, MIN(ts) AS t_click
+             FROM events e JOIN v ON e.user_id = v.user_id
+             WHERE event_type = 'click' AND ts >= t_view GROUP BY 1),
+       p AS (SELECT e.user_id, MIN(ts) AS t_purchase
+             FROM events e JOIN c ON e.user_id = c.user_id
+             WHERE event_type = 'purchase' AND ts >= t_click GROUP BY 1)
+       SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+       UNION ALL SELECT '2_click', COUNT(*) FROM c
+       UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+       ORDER BY stage"""
+
   override def queries: Seq[Q] = Seq(
     Q("s9_hourly_agg", s9HourlyAgg, Some(s9Sql)),
     Q("s10_upsert_latest", s10UpsertLatest, Some(s10Sql)),
     Q("f_json_extract", fJsonExtract, Some(fJsonSql)),
+    Q("e_funnel", eFunnel, Some(eFunnelSql)),
     Q("w4_monotonic_sk", w4MonotonicSk, None))
 }

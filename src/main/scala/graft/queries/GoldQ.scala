@@ -117,9 +117,36 @@ object GoldQ extends QueryPack {
     """SELECT c_nationkey AS nationkey FROM customer
        EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"""
 
+  /** J-extension — the SALTED join under the correctness gate: the skew
+    * mitigation ([[graft.etl.Skew.saltedJoin]]: hot keys split over
+    * `salts` reducers, small side replicated ×salts) must produce results
+    * identical to the plain join, so its oracle IS the plain SQL join.
+    * The salt never reaches the output; the aggregate collapses the
+    * per-salt partials. */
+  private def j10SaltedJoin(spark: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(spark, d).select(
+      col("l_suppkey").as("suppkey"), col("l_extendedprice"),
+      col("l_orderkey"), col("l_linenumber"))
+    val small = Tables.supplier(spark, d).select(
+      col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.etl.Skew.saltedJoin(big, small, Seq("suppkey"), salts = 8,
+        saltSource = Seq("l_orderkey", "l_linenumber"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sumExact(col("l_extendedprice")).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  private val j10Sql =
+    """SELECT s_nationkey, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("j6_aliased_dim_join", j6AliasedDimJoin, Some(j6Sql)),
     Q("j7_route_enrich", j7RouteEnrich, Some(j7Sql)),
+    Q("j10_salted_join", j10SaltedJoin, Some(j10Sql)),
     Q("a12_scalar_minmax", a12ScalarMinmax, Some(a12Sql)),
     Q("u1_union", u1Union, Some(u1Sql)),
     Q("u2_intersect", u2Intersect, Some(u2Sql)),
