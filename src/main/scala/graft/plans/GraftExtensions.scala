@@ -28,5 +28,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
       (args: Seq[Expression]) =>
         MinHashSigExpr(args.head, intArg(args(1), "signature size k"))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHashExpr(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "vec_dot"),
+      (args: Seq[Expression]) => DotExpr(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_l2_normalize"),
+      new ExpressionInfo(classOf[L2NormalizeExpr].getName, "vec_l2_normalize"),
+      (args: Seq[Expression]) => L2NormalizeExpr(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("srp_signature"),
+      new ExpressionInfo(classOf[LshSignatureExpr].getName, "srp_signature"),
+      (args: Seq[Expression]) => LshSignatureExpr(args.head,
+        intArg(args(1), "planes"), intArg(args(2), "dims"))))
   }
 }

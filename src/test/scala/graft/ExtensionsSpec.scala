@@ -87,6 +87,14 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT shingles('a b c d', 3) AS sh, minhash_sig(shingles('a b c d', 3), 4) AS sig")
       .selectExpr("size(sh) AS ns", "size(sig) AS nk").collect()(0)
     assert(n.getInt(0) == 2 && n.getInt(1) == 4)
+    val v = spark.sql(
+      """SELECT simhash64('a b c') AS sh,
+                vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                vec_l2_normalize(array(3.0D, 4.0D)) AS nv,
+                srp_signature(array(1.0D, 2.0D), 8, 2) AS sig""").collect()(0)
+    assert(v.getDouble(1) == 11.0)
+    assert(v.getSeq[Double](2) == Seq(0.6, 0.8))
+    assert(v.getLong(0) != 0L)
   }
 
   test("minhashLshPairs recall vs exact jaccardPairs on testdata") {
