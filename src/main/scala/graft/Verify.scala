@@ -6,7 +6,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional extra args: restrict to the named queries (local iteration).
+    // Unknown names fail LOUDLY — a typo'd filter would otherwise run
+    // nothing and leave stale output dirs that compare as if current.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val spark = Sessions.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

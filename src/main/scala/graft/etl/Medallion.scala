@@ -132,7 +132,12 @@ object Medallion {
     val host = java.net.InetAddress.getLocalHost.getHostName
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val today = java.time.LocalDate.now().toString
-    val rows = logs.zipWithIndex.map { case (l, i) =>
+    // step_index is the position WITHIN the entity's chain (the
+    // reference's per-chain step order), not a global row number.
+    val stepCounters = scala.collection.mutable.Map.empty[String, Int]
+    val rows = logs.map { l =>
+      val i = stepCounters.getOrElse(l.entity, 0)
+      stepCounters(l.entity) = i + 1
       Row(ctx.pipelineId, ctx.pipelineName, ctx.env, ctx.runId, ctx.runName,
         l.task, i, l.kind, l.entity, 1,
         l.status.toUpperCase, l.rowCount, l.durationMs,

@@ -56,6 +56,8 @@ object PipelineConfig {
         case (2, name) if name.endsWith(":") =>
           flushPending()
           current = Some(name.dropRight(1))
+          require(!pipelines.contains(current.get),
+            s"duplicate pipeline section '${current.get}' — the second would silently replace the first")
           pipelines(current.get) = scala.collection.mutable.ListBuffer.empty
         case (4, "tasks:") => // structural
         case (6, op) if op.startsWith("- operation:") =>

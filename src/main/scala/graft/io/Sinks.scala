@@ -94,15 +94,20 @@ object Sinks {
     * scan cost is dominated by file-open overhead once files fall below
     * ~100 MB. Unpartitioned targets are rewritten into
     * ceil(bytes/targetFileBytes) files; partitioned targets are rewritten
-    * one task per partition value (one output file per partition dir —
-    * the right shape for date-partitioned silver) via dynamic partition
-    * overwrite, so the swap is per-partition-atomic.
+    * into `filesPerPartition` files per partition dir (default 1 — the
+    * right shape for date-partitioned silver; raise it for skewed
+    * partitions so one hot date doesn't become a single straggler task
+    * writing one oversized file) via dynamic partition overwrite, so the
+    * swap is per-partition-atomic. `targetFileBytes` applies only to the
+    * unpartitioned path — per-partition byte sizing would need a listing
+    * pass per partition, which a table format's OPTIMIZE does.
     *
     * Data-identical by construction (same rows, new layout); spec asserts
     * row equality and the file-count drop. */
   def compact(spark: SparkSession, path: String,
       partitionCols: Seq[String] = Nil,
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      filesPerPartition: Int = 1): Unit = {
     val df = spark.read.parquet(path)
     if (partitionCols.isEmpty) {
       val bytes = {
@@ -116,7 +121,14 @@ object Sinks {
       df.repartition(nFiles).write.mode("overwrite").parquet(staging)
       swapInto(staging, path)
     } else {
-      df.repartition(partitionCols.map(col): _*)
+      // one task per (partition value, salt): filesPerPartition=1 → one
+      // file per partition dir; >1 spreads a hot partition over that many
+      // tasks/files (salt derived from the row hash, never written out)
+      val parts = partitionCols.map(col) ++
+        (if (filesPerPartition > 1)
+          Seq(pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition.toLong)))
+        else Nil)
+      df.repartition(parts: _*)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCols: _*)

@@ -33,11 +33,12 @@ object VectorKernels {
     s
   }
 
-  /** md5-derived ±1 hyperplane sign for (plane p, dim d) — the SAME rule
-    * as graft.sim.Similarity.planeSign (parity of the first md5 hex nibble
-    * of "p_d"), so signatures agree with the HOF formulation and with
-    * oracle SQL generated from Similarity.planeSigns. */
-  private def planeSign(p: Int, d: Int): Double =
+  /** md5-derived ±1 hyperplane sign for (plane p, dim d): parity of the
+    * first md5 hex nibble of "p_d". SINGLE definition — the kernel
+    * signature path, the HOF formulation, and the oracle-SQL generator
+    * (graft.sim.Similarity.planeSigns) all call this, so the rule cannot
+    * fork. */
+  def planeSign(p: Int, d: Int): Double =
     if (Integer.parseInt(TextKernels.md5Hex(s"${p}_$d").substring(0, 1), 16) % 2 == 0)
       1.0 else -1.0
 
@@ -52,8 +53,13 @@ object VectorKernels {
   /** Sign-random-projection signature: bit p = (v · plane_p) > 0, packed
     * into a long. Each projection accumulates in array order — identical
     * to the per-plane HOF fold. One JVM call instead of `planes`
-    * interpreted folds per row. */
+    * interpreted folds per row. A vector/dims mismatch fails LOUDLY:
+    * the HOF formulation would null-pad and silently zero every bit,
+    * which is never what the caller meant. */
   def srpSignature(v: ArrayData, planes: Int, dims: Int): Long = {
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"srp_signature: vector has ${v.numElements()} dims, expected $dims")
     val ss = signs(planes, dims)
     var sig = 0L
     var p = 0

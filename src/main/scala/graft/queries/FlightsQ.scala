@@ -68,10 +68,15 @@ object FlightsQ extends QueryPack {
   }
 
   /** The same derivation as [[flightsBronze]] in DuckDB SQL (kept adjacent
-    * so the two cannot drift), post-filtered like factFlight's cleanse. */
+    * so the two cannot drift), post-filtered like factFlight's cleanse.
+    * The day fold uses ((x % 730) + 730) % 730 because DuckDB's % keeps
+    * the dividend's sign while Spark's pmod is always non-negative —
+    * without it the two sides diverge for any order date before the
+    * 1995-01-01 epoch (e.g. regenerated testdata with 1992-era dates). */
   private val bronzeSql =
     s"""SELECT DATE '2015-01-01'
-              + CAST((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 730 AS INTEGER)
+              + CAST((((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 730) + 730) % 730
+                     AS INTEGER)
               AS flight_date,
             ${sqlPick(airlineCodes, "(o_orderkey % 5)")} AS airline,
             o_orderkey AS flight_number,

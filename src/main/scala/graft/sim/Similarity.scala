@@ -120,13 +120,23 @@ object Similarity {
     val nv =
       if (shared) cacheNormalizedCorpus(df, cacheKey.get, idCol, vecCol)
       else normalized(df, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = nv.select(col("id").as("id_a"), col("nv").as("va")).repartition(blocks)
     val b = nv.select(col("id").as("id_b"), col("nv").as("vb")).repartition(blocks)
-    a.hint("shuffle_replicate_nl")
+    val pairs = a.hint("shuffle_replicate_nl")
       .join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dotFast(col("va"), col("vb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
+    if (shared) pairs
+    else {
+      // Build-once for the private persist too: materialize the (tiny)
+      // surviving pairs eagerly, sever lineage, release the blocks —
+      // without this both join sides re-run the normalize scan.
+      val out = pairs.localCheckpoint(true)
+      nv.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest
@@ -188,9 +198,7 @@ object Similarity {
     Array.tabulate(planes)(p => Array.tabulate(dims)(d => planeSign(p, d)))
 
   private def planeSign(p: Int, d: Int): Double =
-    if (Integer.parseInt(
-      graft.plans.TextKernels.md5Hex(s"${p}_$d").substring(0, 1), 16) % 2 == 0)
-      1.0 else -1.0
+    graft.plans.VectorKernels.planeSign(p, d)
 
   /** Sign-random-projection LSH signature: bit p = (v · plane_p) > 0, for
     * `planes` md5-derived ±1 hyperplanes, packed into a long. Sign is

@@ -251,6 +251,11 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(dir).listFiles().exists(_.getName == "environment=dev"))
     val failedRow = back.filter(col("status") === "FAILED").collect()(0)
     assert(failedRow.getAs[String]("error_type") == "AnalysisException")
+    // step_index is per-chain position: airports' first task is 0 even
+    // though it is the third log row overall
+    assert(failedRow.getAs[Int]("step_index") == 0)
+    assert(back.filter(col("task_id") === "tsk_flights_write").collect()(0)
+      .getAs[Int]("step_index") == 1)
     assert(failedRow.getAs[Map[String, String]]("tags") == Map("team" -> "data"))
     val w = back.filter(col("task_id") === "tsk_flights_write").collect()(0)
     assert(w.getAs[Map[String, String]]("etl_metrics")("rows_processed") == "42")

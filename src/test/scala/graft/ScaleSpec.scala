@@ -113,8 +113,13 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no BroadcastNestedLoopJoin (which would cap the corpus at one
     // broadcast), and the pair math is the codegen'd vec_dot kernel.
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val plan = sim.Similarity.allPairsAboveThreshold(emb, 0.3, blocks = 4)
+    // cacheKey path returns the LAZY plan (the private-persist path
+    // materializes through localCheckpoint, which hides the join behind
+    // a Scan ExistingRDD)
+    val plan = sim.Similarity.allPairsAboveThreshold(emb, 0.3, blocks = 4,
+        cacheKey = Some("scale-spec-plan"))
       .queryExecution.executedPlan.toString
+    graft.util.ManagedCaches.clearAll(spark)
     assert(plan.contains("CartesianProduct"), s"expected CartesianProduct:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "all-pairs must not depend on a broadcastable corpus")
