@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-hygiene audit over EVERY registered query: builds each plan (no
+  * execution) and rejects join strategies that would be scale accidents —
+  * a cartesian or broadcast-nested-loop join that is not on the explicit
+  * allowlist of intentional ones. This codifies the README's plan-hygiene
+  * claim so a future query can't silently regress into an O(n²) plan.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = Sessions.local("4", "graft-plan-audit")
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose nested-loop/cartesian joins are the POINT: the ANN
+    * cross joins broadcast the (small) query side; the all-pairs kernel
+    * is the shuffle-replicated exact join. */
+  private val intentional = Set(
+    "sim_topk", "sim_topk_agg", "sim_lsh_topk", "sim_ivf_topk",
+    "sim_near_dup")
+
+  test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !intentional(name) =>
+        val plan =
+          try fn(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected cartesian/nested-loop joins in: ${offenders.mkString(", ")}")
+  }
+
+  override def afterAll(): Unit = {
+    graft.util.ManagedCaches.clearAll(spark)
+    spark.stop()
+  }
+}
