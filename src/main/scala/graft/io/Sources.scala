@@ -28,6 +28,13 @@ object Sources {
   def readPath(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S-extension — schema-enforced JSON-lines read (the other raw-landing
+    * format a bronze layer meets; explicit schema for the same reason as
+    * [[readCsv]] — schema inference is a full extra pass over the data
+    * and non-deterministic under sampling at scale). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S4 — generated date dimension, replacing the reference's driver-side
     * Python row loop (`02_silver_unicargo_create_dim_date.ipynb:85-108`,
     * 5,844 rows built in pandas) with a distributed `spark.range` — no

@@ -33,6 +33,21 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 2 && rows(1).isNullAt(2), "empty cell → null")
   }
 
+  test("S-ext: schema-enforced JSON-lines read round-trips with nulls") {
+    val dir = tmp()
+    import org.apache.spark.sql.types._
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data.jsonl"),
+      """{"id":1,"name":"a","score":1.5}
+        |{"id":2,"name":"b"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val df = Sources.readJson(spark, s"$dir/data.jsonl", schema)
+    assert(df.schema == schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2 && rows(1).isNullAt(2), "missing field → null")
+  }
+
   test("S4: dateDim generates correct span with ISO day-of-week") {
     val dd = Sources.dateDim(spark, "2024-02-27", "2024-03-02")
     assert(dd.count() == 5)
