@@ -117,4 +117,26 @@ object RangeJoin {
         col("__rts") < col("__lts"))
       .drop("__b", "__lts", "__rts")
   }
+
+  /** Mirror of [[precedingWithin]]: all right rows with the same `keys`
+    * and `right.ts ∈ (left.ts, left.ts + window]` (strictly after the
+    * left row, within `windowSec` seconds). Same bucketed-equi-join cost
+    * shape — the left row probes its own bucket and the NEXT one. */
+  def followingWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payload: Seq[String], windowSec: Long): DataFrame = {
+    require(payload.intersect(left.columns).isEmpty,
+      "payload columns collide with left side")
+    val bucket = (c: Column) => floor(unix_timestamp(c) / windowSec)
+    val l = left
+      .withColumn("__b",
+        explode(array(bucket(col(tsCol)), bucket(col(tsCol)) + 1)))
+      .withColumn("__lts", col(tsCol))
+    val r = right.select((keys :+ tsCol).map(col) ++ payload.map(col): _*)
+      .withColumn("__b", bucket(col(tsCol)))
+      .withColumnRenamed(tsCol, "__rts")
+    l.join(r, keys :+ "__b")
+      .filter(col("__rts") <= col("__lts") + expr(s"INTERVAL $windowSec SECONDS") &&
+        col("__rts") > col("__lts"))
+      .drop("__b", "__lts", "__rts")
+  }
 }

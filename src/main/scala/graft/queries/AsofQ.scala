@@ -88,8 +88,32 @@ object AsofQ extends QueryPack {
         AND r.ts >= l.ts - INTERVAL 3600 SECONDS AND r.ts < l.ts
        GROUP BY 1 ORDER BY 1"""
 
+  /** Forward mirror: clicks in the hour strictly AFTER each signup —
+    * post-conversion activity, the other direction of the bucketed range
+    * join (probes own + next bucket instead of own + previous). */
+  private def rjFollowingClicks(spark: SparkSession, d: String): DataFrame = {
+    val signups = typed(spark, d, "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+    val clicks = typed(spark, d, "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    RangeJoin.followingWithin(signups, clicks, Seq("user_id"), "ts",
+        payload = Seq("click_id"), windowSec = 3600)
+      .groupBy("signup_id")
+      .agg(count(col("click_id")).as("n_clicks"))
+      .orderBy("signup_id")
+  }
+
+  private val rjFollowingClicksSql =
+    """SELECT l.event_id AS signup_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+       FROM events l JOIN events r
+         ON l.event_type = 'signup' AND r.event_type = 'click'
+        AND l.user_id = r.user_id
+        AND r.ts <= l.ts + INTERVAL 3600 SECONDS AND r.ts > l.ts
+       GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("aj_asof_backward", ajBackward, Some(ajBackwardSql)),
     Q("aj_asof_forward", ajForward, Some(ajForwardSql)),
-    Q("rj_preceding_views", rjPrecedingViews, Some(rjPrecedingViewsSql)))
+    Q("rj_preceding_views", rjPrecedingViews, Some(rjPrecedingViewsSql)),
+    Q("rj_following_clicks", rjFollowingClicks, Some(rjFollowingClicksSql)))
 }

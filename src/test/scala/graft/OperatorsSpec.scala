@@ -114,6 +114,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bucketed range join must emit exactly the naive join's pairs")
   }
 
+  test("forward bucketed range join equals the naive range predicate") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val l = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val bucketed = RangeJoin.followingWithin(l, r, Seq("user_id"), "ts",
+        payload = Seq("click_id"), windowSec = 3600)
+      .select("signup_id", "click_id")
+    val naive = l.join(r.withColumnRenamed("ts", "rts"), Seq("user_id"))
+      .filter(col("rts") <= col("ts") + expr("INTERVAL 3600 SECONDS") &&
+        col("rts") > col("ts"))
+      .select("signup_id", "click_id")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
+      "forward bucketed range join must emit exactly the naive join's pairs")
+  }
+
   test("rollup/cube run as one Expand + one aggregate exchange") {
     val plan = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .rollup(col("l_returnflag"), col("l_linestatus"))
