@@ -294,14 +294,23 @@ object Flights {
 
   /** Gold: 7-day rolling on-time performance per airline
     * (`03_gold_unikargo_07_…ipynb:98-108`): daily OTP then a
-    * rowsBetween(-6, 0) window partitioned by airline. */
+    * rowsBetween(-6, 0) window partitioned by airline.
+    *
+    * The rolling mean goes through a DECIMAL(18,6) sum of the
+    * 6dp-rounded daily values rather than a raw double window AVG:
+    * sliding-window float summation is engine-order-dependent (Spark
+    * recomputes the frame linearly, DuckDB combines via segment trees),
+    * while decimal sums are order-independent — the same `util.Exact`
+    * discipline every other aggregate follows, applied to windows. */
   def goldRollingOtp(fact: DataFrame): DataFrame = {
     val daily = fact.groupBy("airline_sk", "flight_date")
       .agg((sum(when(col("arrival_delay") <= 15, 1).otherwise(0)) * lit(100.0) /
         count(lit(1))).as("daily_otp"))
     val w = Window.partitionBy("airline_sk").orderBy("flight_date")
       .rowsBetween(-6, 0)
-    daily.withColumn("rolling_7d_otp", avg(col("daily_otp")).over(w))
+    daily.withColumn("rolling_7d_otp",
+        sum(round(col("daily_otp"), 6).cast(DecimalType(18, 6))).over(w)
+          .cast("double") / count(lit(1)).over(w))
       .orderBy("airline_sk", "flight_date")
   }
 

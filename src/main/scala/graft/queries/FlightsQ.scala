@@ -184,7 +184,199 @@ object FlightsQ extends QueryPack {
        ORDER BY total_flights DESC, iata_code"""
   }
 
+  // ---- shared oracle scaffolding for the remaining gold notebooks ----
+
+  private val airportNames = Seq(
+    ("ATL", "Hartsfield", "Atlanta"), ("DEN", "Denver Intl", "Denver"),
+    ("DFW", "Dallas Fort Worth", "Dallas"), ("JFK", "John F Kennedy", "New York"),
+    ("LAX", "Los Angeles Intl", "Los Angeles"), ("ORD", "O'Hare", "Chicago"),
+    ("SEA", "Seattle Tacoma", "Seattle"))
+
+  /** windowSk ranks by iata_code, so SKs are the alphabetical position. */
+  private def airportSkCase(codeExpr: String): String =
+    airportCodes.sorted.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN ${i + 1}" }
+      .mkString(s"CASE $codeExpr ", " ", " END")
+
+  private def airportAttrCase(skExpr: String, attr: ((String, String, String)) => String): String =
+    airportNames.zipWithIndex
+      .map { case (t, i) => s"WHEN ${i + 1} THEN '${attr(t).replace("'", "''")}'" }
+      .mkString(s"CASE $skExpr ", " ", " END")
+
+  private val airlineSkCase =
+    airlineCodes.zipWithIndex.map { case (c, i) => s"WHEN '$c' THEN ${i + 1}" }
+      .mkString("CASE airline ", " ", " END")
+
+  /** Derived fact as a SQL CTE chain: bronze derivation → cleanse filter →
+    * SK mapping. Every remaining fd_* oracle builds on this. */
+  private val factSql =
+    s"""fl AS ($bronzeSql),
+       fact AS (
+         SELECT CAST(${airportSkCase("origin_airport")} AS BIGINT) AS origin_airport_sk,
+                CAST(${airportSkCase("destination_airport")} AS BIGINT) AS destination_airport_sk,
+                CAST($airlineSkCase AS BIGINT) AS airline_sk,
+                flight_date, tail_number,
+                departure_delay, arrival_delay, distance, cancelled, diverted
+         FROM fl WHERE origin_airport <> destination_airport)"""
+
+  private def avgExactSql(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+
+  /** Gold 03+08 — route analytics: aggregate by route, HAVING floor,
+    * enrich with both airport dims AFTER the aggregate, top-k busiest. */
+  private def fdRoute(spark: SparkSession, d: String): DataFrame =
+    Flights.goldRouteAnalytics(fact(spark, d),
+      Flights.dimAirport(dimAirports(spark)), minFlights = 2, topK = 50)
+
+  private val fdRouteSql =
+    s"""WITH $factSql,
+       agg AS (
+         SELECT origin_airport_sk, destination_airport_sk,
+                COUNT(*) AS total_flights,
+                ${avgExactSql("arrival_delay")} AS avg_arrival_delay,
+                COUNT(DISTINCT airline_sk) AS airlines_serving
+         FROM fact GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       SELECT origin_airport_sk, destination_airport_sk, total_flights,
+              avg_arrival_delay, airlines_serving,
+              ${airportAttrCase("origin_airport_sk", _._2)} AS origin_airport,
+              ${airportAttrCase("origin_airport_sk", _._3)} AS origin_city,
+              ${airportAttrCase("destination_airport_sk", _._2)} AS destination_airport,
+              ${airportAttrCase("destination_airport_sk", _._3)} AS destination_city
+       FROM agg
+       ORDER BY total_flights DESC, origin_airport, destination_airport
+       LIMIT 50"""
+
+  /** Gold 04 — airport analytics: dual-role full-outer union of the
+    * origin and destination views + dim attributes. */
+  private def fdAirport(spark: SparkSession, d: String): DataFrame =
+    Flights.goldAirportAnalytics(fact(spark, d),
+      Flights.dimAirport(dimAirports(spark)))
+
+  private val fdAirportSql =
+    s"""WITH $factSql,
+       dep AS (
+         SELECT origin_airport_sk AS airport_sk, COUNT(*) AS departures,
+                ${avgExactSql("departure_delay")} AS avg_departure_delay,
+                COUNT(DISTINCT airline_sk) AS airlines_serving,
+                COUNT(DISTINCT destination_airport_sk) AS destinations_served
+         FROM fact GROUP BY 1),
+       arr AS (
+         SELECT destination_airport_sk AS airport_sk, COUNT(*) AS arrivals,
+                ${avgExactSql("arrival_delay")} AS avg_arrival_delay
+         FROM fact GROUP BY 1)
+       SELECT airport_sk, COALESCE(departures, 0) AS departures,
+              avg_departure_delay, airlines_serving, destinations_served,
+              COALESCE(arrivals, 0) AS arrivals, avg_arrival_delay,
+              ${airportAttrCase("airport_sk", _._1)} AS iata_code,
+              ${airportAttrCase("airport_sk", _._2)} AS airport,
+              ${airportAttrCase("airport_sk", _._3)} AS city,
+              CASE airport_sk WHEN 1 THEN 'GA' WHEN 2 THEN 'CO' WHEN 3 THEN 'TX'
+                WHEN 4 THEN 'NY' WHEN 5 THEN 'CA' WHEN 6 THEN 'IL'
+                WHEN 7 THEN 'WA' END AS state
+       FROM dep FULL OUTER JOIN arr USING (airport_sk)
+       ORDER BY departures DESC, iata_code"""
+
+  /** Gold 06 — delay-distribution buckets with share-of-total. */
+  private def fdDelayBuckets(spark: SparkSession, d: String): DataFrame =
+    Flights.goldDelayBuckets(fact(spark, d))
+
+  private val fdDelaySql =
+    s"""WITH $factSql,
+       b AS (SELECT CASE WHEN arrival_delay <= 0 THEN 'early_or_ontime'
+                         WHEN arrival_delay <= 15 THEN 'minor_0_15'
+                         WHEN arrival_delay <= 60 THEN 'moderate_15_60'
+                         WHEN arrival_delay <= 180 THEN 'severe_60_180'
+                         ELSE 'extreme_180_plus' END AS delay_bucket,
+                    arrival_delay
+             FROM fact),
+       g AS (SELECT delay_bucket, COUNT(*) AS n_flights,
+                    ${avgExactSql("arrival_delay")} AS avg_delay
+             FROM b GROUP BY 1)
+       SELECT delay_bucket, n_flights, avg_delay,
+              n_flights * 100.0 / SUM(n_flights) OVER () AS pct_of_flights
+       FROM g ORDER BY delay_bucket"""
+
+  /** Gold 05 — time-based season/weekend analytics (weekend = ISO
+    * day-of-week ≥ 6, the dim_date convention). */
+  private def fdTimeBased(spark: SparkSession, d: String): DataFrame =
+    Flights.goldTimeBased(fact(spark, d), Flights.dimDate(spark))
+
+  private val fdTimeSql =
+    s"""WITH $factSql,
+       t AS (SELECT CASE WHEN month(flight_date) IN (12, 1, 2) THEN 'Winter'
+                         WHEN month(flight_date) IN (3, 4, 5) THEN 'Spring'
+                         WHEN month(flight_date) IN (6, 7, 8) THEN 'Summer'
+                         ELSE 'Fall' END AS season,
+                    (isodow(flight_date) >= 6) AS is_weekend,
+                    departure_delay, arrival_delay, cancelled
+             FROM fact)
+       SELECT season, is_weekend, COUNT(*) AS total_flights,
+              ${avgExactSql("departure_delay")} AS avg_departure_delay,
+              ${avgExactSql("arrival_delay")} AS avg_arrival_delay,
+              CAST(SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                * 100.0 / COUNT(*) AS cancellation_rate,
+              CASE season WHEN 'Winter' THEN 1 WHEN 'Spring' THEN 2
+                WHEN 'Summer' THEN 3 ELSE 4 END AS season_rank
+       FROM t GROUP BY 1, 2 ORDER BY season_rank, is_weekend"""
+
+  /** Gold 07a — operational efficiency: flights per (airline, aircraft,
+    * day), then per-airline fleet stats. */
+  private def fdOperEff(spark: SparkSession, d: String): DataFrame =
+    Flights.goldOperationalEfficiency(fact(spark, d),
+      Flights.dimAirline(dimAirlines(spark)))
+
+  private val fdOperSql = {
+    val nameCase = airlineCodes.zip(Seq("Alpha Air", "Bravo Blue",
+        "Cirrus Central", "Dawn Danube", "Echo Express"))
+      .map { case (c, n) => s"WHEN ${airlineCodes.indexOf(c) + 1} THEN '$n'" }
+      .mkString("CASE airline_sk ", " ", " END")
+    val codeCase = airlineCodes.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN '$c'" }
+      .mkString("CASE airline_sk ", " ", " END")
+    s"""WITH $factSql,
+       pad AS (SELECT airline_sk, tail_number, flight_date, COUNT(*) AS fpd
+               FROM fact WHERE tail_number IS NOT NULL GROUP BY 1, 2, 3),
+       per AS (SELECT airline_sk,
+                      CAST(SUM(fpd) AS DOUBLE)
+                        / COUNT(DISTINCT (tail_number, flight_date))
+                        AS avg_flights_per_aircraft_day,
+                      MAX(fpd) AS max_flights_per_aircraft_day,
+                      COUNT(DISTINCT tail_number) AS fleet_size
+               FROM pad GROUP BY 1)
+       SELECT airline_sk, $codeCase AS iata_code, $nameCase AS airline,
+              avg_flights_per_aircraft_day, max_flights_per_aircraft_day,
+              fleet_size
+       FROM per ORDER BY iata_code"""
+  }
+
+  /** Gold 07b — 7-day rolling OTP per airline (rolling mean through a
+    * DECIMAL(18,6) window sum — order-independent, see goldRollingOtp). */
+  private def fdRollingOtp(spark: SparkSession, d: String): DataFrame =
+    Flights.goldRollingOtp(fact(spark, d))
+
+  private val fdOtpSql =
+    s"""WITH $factSql,
+       daily AS (
+         SELECT airline_sk, flight_date,
+                CAST(SUM(CASE WHEN arrival_delay <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+                  * 100.0 / COUNT(*) AS daily_otp
+         FROM fact GROUP BY 1, 2)
+       SELECT airline_sk, flight_date, daily_otp,
+              CAST(SUM(CAST(ROUND(daily_otp, 6) AS DECIMAL(18,6)))
+                     OVER (PARTITION BY airline_sk ORDER BY flight_date
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / COUNT(*) OVER (PARTITION BY airline_sk ORDER BY flight_date
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS rolling_7d_otp
+       FROM daily ORDER BY airline_sk, flight_date"""
+
   override def queries: Seq[Q] = Seq(
     Q("fd_daily_summary", fdDaily, Some(fdDailySql)),
-    Q("fd_airline_perf", fdAirline, Some(fdAirlineSql)))
+    Q("fd_airline_perf", fdAirline, Some(fdAirlineSql)),
+    Q("fd_route_analytics", fdRoute, Some(fdRouteSql)),
+    Q("fd_airport_analytics", fdAirport, Some(fdAirportSql)),
+    Q("fd_delay_buckets", fdDelayBuckets, Some(fdDelaySql)),
+    Q("fd_time_based", fdTimeBased, Some(fdTimeSql)),
+    Q("fd_oper_efficiency", fdOperEff, Some(fdOperSql)),
+    Q("fd_rolling_otp", fdRollingOtp, Some(fdOtpSql)))
 }

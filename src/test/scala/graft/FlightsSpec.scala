@@ -140,8 +140,10 @@ class FlightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val otp = Flights.goldRollingOtp(fact).collect()
     assert(otp.length == 2)
     assert(otp.forall(r =>
-      r.getAs[Double]("rolling_7d_otp") == r.getAs[Double]("daily_otp")),
-      "single-day-per-airline fixtures: rolling equals daily")
+      math.abs(r.getAs[Double]("rolling_7d_otp") -
+        r.getAs[Double]("daily_otp")) < 1e-6),
+      "single-day-per-airline fixtures: rolling equals daily (to 6dp — " +
+        "the rolling mean routes through a DECIMAL(18,6) sum)")
   }
 
   test("dim_date spans the reference's 2015–2030 range with 5844 rows") {
