@@ -49,19 +49,36 @@ object Bench {
     val failed = runs.filter(_._3 != null)
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c if c < ' ' => " "; case c => c.toString }
-    def line(fmt: Double => String): String = {
+    def line(fmt: Double => String, compact: Boolean): String = {
       val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val errs = failed.map { case (k, _, e) => "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
       val total = ok.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"queries":$qs,"errors":$errs,"n_failed":${failed.size},"sf":"$sfDir"}"""
+      // compact mode drops constant-valued fields ("runs", empty
+      // "errors") and shortens the sf dir to its basename — every byte
+      // counts against the tail budget below
+      val errPart = if (compact && failed.isEmpty) "" else s""","errors":$errs"""
+      val runsPart = if (compact) "" else s""","runs":$RUNS"""
+      val nFailedPart =
+        if (compact && failed.isEmpty) "" else s""","n_failed":${failed.size}"""
+      val sfVal = if (compact) new java.io.File(sfDir).getName else sfDir
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$runsPart,"queries":$qs$errPart$nFailedPart,"sf":"$sfVal"}"""
+    }
+    // 2dp with trailing zeros stripped ("0.50"→"0.5"): valid JSON, and
+    // the savings keep ~100 queries inside the budget.
+    def fmt2(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), line(_.toString))
+      java.nio.file.Paths.get("bench_full.json"),
+      line(_.toString, compact = false))
     spark.stop()
-    // Printed last + compact (2dp): the driver keeps a bounded (2000-char)
-    // tail of the log, and this line must fit in it whole after sbt's
-    // trailing status line — at ~90 queries 3dp would no longer fit.
-    // Full precision lives in bench_full.json.
-    println(line(v => f"$v%.2f"))
+    // Printed last + compact: the driver keeps a bounded (2000-char) tail
+    // of the log, and this line must fit in it WHOLE after sbt's trailing
+    // "[success] ..." line (~85 bytes). Full precision lives in
+    // bench_full.json.
+    println(line(fmt2, compact = true))
   }
 }
