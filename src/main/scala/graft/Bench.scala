@@ -61,7 +61,8 @@ object Bench {
       val nFailedPart =
         if (compact && failed.isEmpty) "" else s""","n_failed":${failed.size}"""
       val sfVal = if (compact) new java.io.File(sfDir).getName else sfDir
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$runsPart,"queries":$qs$errPart$nFailedPart,"sf":"$sfVal"}"""
+      val unitPart = if (compact) "" else s""","unit":"sec""""
+      s"""{"metric":"total","value":${fmt(total)}$unitPart$runsPart,"queries":$qs$errPart$nFailedPart,"sf":"$sfVal"}"""
     }
     // 2dp with trailing zeros stripped ("0.50"→"0.5"): valid JSON, and
     // the savings keep ~100 queries inside the budget.

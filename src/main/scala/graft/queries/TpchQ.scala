@@ -172,8 +172,35 @@ object TpchQ extends QueryPack {
          AND l_discount <= CAST(0.07 AS DOUBLE)
          AND l_quantity < 24"""
 
+  /** Q4 shape — order-priority checking via LEFT SEMI join (the EXISTS
+    * pattern): orders in a half-year with at least one RETURNED lineitem
+    * (the testdata's late-ness signal — it has no commit/receipt dates),
+    * counted per priority. Completes the join-type inventory under the
+    * oracle gate (inner/left/anti are covered elsewhere; this is the
+    * semi). Semi joins at scale shuffle only the probe side's keys and
+    * short-circuit on first match — cheaper than a join+distinct. */
+  private def q4OrderPriority(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+      .join(Tables.lineitem(spark, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders o
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-07-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o.o_orderkey
+                       AND l_returnflag = 'R')
+       GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
+    Q("q4_order_priority", q4OrderPriority, Some(q4Sql)),
     Q("q6_revenue_forecast", q6Forecast, Some(q6Sql)),
     Q("q5_local_supplier", q5LocalSupplier, Some(q5Sql)),
     Q("q10_returned_items", q10ReturnedItems, Some(q10Sql)),
