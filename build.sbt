@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout (no "[info] " prefix) and the
+// trailing "[success] Total time: ..." line is suppressed, so Bench's
+// final compact JSON line is the LAST raw line of the process output —
+// the driver's bounded log tail captures it whole and can json-parse it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -61,7 +61,9 @@ object Bench {
       val nFailedPart =
         if (compact && failed.isEmpty) "" else s""","n_failed":${failed.size}"""
       val sfVal = if (compact) new java.io.File(sfDir).getName else sfDir
-      val unitPart = if (compact) "" else s""","unit":"sec""""
+      // "unit" stays even in compact mode: the driver's parser expects the
+      // documented {"metric","value","unit","queries","sf"} shape.
+      val unitPart = s""","unit":"sec""""
       s"""{"metric":"total","value":${fmt(total)}$unitPart$runsPart,"queries":$qs$errPart$nFailedPart,"sf":"$sfVal"}"""
     }
     // 2dp with trailing zeros stripped ("0.50"→"0.5"): valid JSON, and
