@@ -198,7 +198,150 @@ object TpchQ extends QueryPack {
                        AND l_returnflag = 'R')
        GROUP BY 1 ORDER BY 1"""
 
+  /** Q14 shape — promo revenue share: lineitem⋈part with the small dim
+    * broadcast, one ship-month window, conditional (CASE) aggregation.
+    * The ratio is computed double÷double FROM the two exact decimal sums,
+    * so both engines produce the identical IEEE result. At scale the part
+    * dim broadcasts (no shuffle of lineitem) and the month filter is
+    * pushed to the parquet scan. */
+  private def q14Promo(spark: SparkSession, d: String): DataFrame = {
+    val rev = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= "1997-09-01" && col("l_shipdate") < "1997-10-01")
+      .join(broadcast(Tables.part(spark, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  private val q14Sql =
+    """SELECT promo_revenue, total_revenue,
+              100.0 * promo_revenue / total_revenue AS promo_pct
+       FROM (SELECT
+               CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             ELSE 0 END) AS DOUBLE) AS promo_revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+               AND l_shipdate < TIMESTAMP '1997-10-01')"""
+
+  /** Q17 shape — small-quantity revenue: the correlated-aggregate-subquery
+    * pattern (lines with quantity below 20% of their part's average),
+    * planned Spark-first as agg-then-rejoin: the per-part average is ONE
+    * aggregate over the filtered fact, re-joined on partkey — at 100 TB
+    * both sides shuffle-partition on l_partkey and AQE broadcasts the
+    * per-part averages (|parts| rows) when they fit. The average is
+    * derived from an exact decimal sum so the 0.2×avg threshold is
+    * bit-identical across engines. */
+  private def q17SmallQty(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .join(broadcast(
+        Tables.part(spark, d).filter(col("p_brand") === "Brand#23")
+          .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sumExact(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q17Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                AS avg_yearly,
+              COUNT(*) AS n_lines
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN (SELECT l_partkey AS a_partkey,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*) AS avg_qty
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_brand = 'Brand#23'
+             GROUP BY 1) a ON l_partkey = a_partkey
+       WHERE p_brand = 'Brand#23'
+         AND l_quantity < 0.2 * avg_qty"""
+
+  /** Q19 shape — disjunctive multi-attribute predicates spanning both
+    * join sides: three (brand, size-range, quantity-range) arms OR'd
+    * together. Catalyst extracts the common join key (partkey equi join,
+    * part broadcast) and evaluates the residual disjunction post-join;
+    * the per-side conjuncts that appear in every arm would be pushed to
+    * the scans. */
+  private def q19Disjunct(spark: SparkSession, d: String): DataFrame = {
+    val arm1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d)), col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q19Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30)"""
+
+  /** Q22 shape — idle rich customers: a global scalar aggregate (average
+    * positive balance) gates the detail rows, plus a LEFT ANTI join
+    * against recent orders (customers with no order since 2000 — every
+    * testdata customer has SOME order, so the classic "never ordered"
+    * arm would be vacuously empty). The scalar is a one-row DataFrame
+    * cross-joined in (broadcast — no driver collect); the anti join
+    * shuffles only the filtered custkeys. */
+  private def q22IdleCust(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, d)
+          .filter(col("o_orderdate") >= "2000-01-01").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sumExact(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q22Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       FROM customer c
+       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                 / COUNT(*)
+                          FROM customer WHERE c_acctbal > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c.c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q14_promo", q14Promo, Some(q14Sql)),
+    Q("q17_avgqty", q17SmallQty, Some(q17Sql)),
+    Q("q19_or", q19Disjunct, Some(q19Sql)),
+    Q("q22_anti", q22IdleCust, Some(q22Sql)),
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
     Q("q4_order_priority", q4OrderPriority, Some(q4Sql)),
     Q("q6_revenue_forecast", q6Forecast, Some(q6Sql)),

@@ -17,10 +17,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Queries whose nested-loop/cartesian joins are the POINT: the ANN
     * cross joins broadcast the (small) query side; the all-pairs kernel
-    * is the shuffle-replicated exact join. */
+    * is the shuffle-replicated exact join; q22's scalar-subquery gate is
+    * a ONE-row aggregate broadcast against customer. */
   private val intentional = Set(
     "sim_topk", "sim_topk_agg", "sim_lsh_topk", "sim_ivf_topk",
-    "sim_near_dup")
+    "sim_near_dup", "q22_anti")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
