@@ -22,8 +22,8 @@ object SparkEntry {
   private val packGroups: Seq[Seq[QueryPack]] = Seq(
     Seq(Relational), Seq(Functions), Seq(CleaningQ), Seq(EventsQ),
     Seq(TextQ), Seq(CorpusQ), Seq(DedupQ), Seq(SimQ), Seq(MultimodalQ),
-    Seq(StarQ, GoldQ), Seq(WindowQ), Seq(TpchQ), Seq(AsofQ), Seq(OlapQ),
-    Seq(FlightsQ))
+    Seq(StarQ, GoldQ), Seq(WindowQ), Seq(ReshapeQ), Seq(TpchQ), Seq(AsofQ),
+    Seq(OlapQ), Seq(FlightsQ))
 
   /** Bench iteration order: group by group, queries name-sorted within
     * their group — fixed across rounds so per-query deltas are meaningful. */

@@ -96,7 +96,67 @@ object WindowQ extends QueryPack {
               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
        FROM seq GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Forward fill (gap repair): error events carry no usable reading, so
+    * their value is nulled and repaired with the last non-null value per
+    * user — `last(_, ignoreNulls)` over a partitioned running frame. The
+    * standard sensor-dropout / sparse-attribute densification idiom: one
+    * hash shuffle on user_id, per-key sort, no global ordering. */
+  private def w8ForwardFill(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+          .as("reading"))
+      .withColumn("reading_filled",
+        last(col("reading"), ignoreNulls = true).over(w))
+  }
+
+  private val w8Sql =
+    """SELECT user_id, event_id, ts,
+              CASE WHEN event_type = 'error' THEN NULL ELSE value END AS reading,
+              LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS reading_filled
+       FROM events"""
+
+  /** SCD Type-2 dimension build from a change feed: per user, consecutive
+    * duplicate attribute values collapse, each surviving change opens a
+    * versioned row with [effective_from, effective_to) and an is_current
+    * flag (lead() closes the interval). This is the medallion silver-dim
+    * versioning pattern; both windows share one hash shuffle on user_id. */
+  private def scd2Dim(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("effective_from"),
+        lead(col("ts"), 1).over(w).as("effective_to"))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
+  private val scd2Sql =
+    """WITH c AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       ch AS (SELECT user_id, ts, event_id, event_type FROM c
+              WHERE prev_type IS NULL OR prev_type <> event_type)
+       SELECT user_id, event_type, ts AS effective_from,
+              lead(ts, 1) OVER w AS effective_to,
+              lead(ts, 1) OVER w IS NULL AS is_current
+       FROM ch
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
   override def queries: Seq[Q] = Seq(
     Q("w6_lag_lead_rank", w6LagLeadRank, Some(w6Sql)),
-    Q("w7_sessionize", w7Sessionize, Some(w7Sql)))
+    Q("w7_sessionize", w7Sessionize, Some(w7Sql)),
+    Q("w8_ffill", w8ForwardFill, Some(w8Sql)),
+    Q("scd2_dim", scd2Dim, Some(scd2Sql)))
 }
