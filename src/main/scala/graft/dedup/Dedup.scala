@@ -235,4 +235,58 @@ object Dedup {
 
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into duplicate CLUSTERS (pairs alone can't
+    * drive keep-one-per-group dedup: a≈b and b≈c must collapse into one
+    * {a,b,c} group even when a≉c directly).
+    *
+    * Min-label propagation: every node starts labeled with its own id;
+    * each round replaces a node's label with the minimum over itself and
+    * its neighbors; at fixpoint each component carries its minimum id.
+    * Rounds are pure DataFrame join+agg (one shuffle each), so the work
+    * is |edges| per round with no driver-side graph state; convergence
+    * is detected by the label-sum aggregate (labels only ever decrease,
+    * so an unchanged sum IS the fixpoint). Each round ends in an eager
+    * `localCheckpoint`, which truncates the growing lineage — the
+    * standard Spark idiom for iterative algorithms.
+    *
+    * Round count is the component diameter. Near-dup clusters are
+    * shallow (a handful of variants of one document), so this converges
+    * in 2–4 rounds at any corpus size; for adversarially long chains the
+    * published fix is alternating large-star/small-star contraction
+    * (O(log n) rounds) — same per-round shuffle shape, so it would slot
+    * in here without changing callers.
+    *
+    * Returns (id, cluster_id) for every node that appears in a pair. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("label"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var cur = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "u"), Seq("u"))
+        .groupBy(col("v").as("id")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == cur
+      cur = s
+      labels = next
+      it += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint within $maxIter rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 }

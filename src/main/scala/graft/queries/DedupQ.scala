@@ -128,9 +128,59 @@ object DedupQ extends QueryPack {
        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
        ORDER BY id_a, id_b"""
 
+  /** Duplicate-cluster assignment: MinHash-LSH pairs → connected
+    * components → (doc_id, cluster_id = min id in the component). This is
+    * the step that makes pairwise near-dup output actionable (keep one
+    * doc per cluster); the oracle recomputes the SAME md5-exact pair set
+    * and closes it transitively with a recursive CTE. */
+  private def dCc(spark: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashLshPairs(Tables.documents(spark, d), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.8))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+
+  private val dCcSql =
+    """WITH RECURSIVE
+       toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM toks WHERE len(t) >= 3),
+       mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || sh)) AS m
+              FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+       bands AS (SELECT doc_id, i // 4 AS band,
+                        md5(string_agg(m, '|' ORDER BY i)) AS bucket
+                 FROM mh GROUP BY 1, 2),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter
+                 FROM cand
+                 JOIN sh a ON a.doc_id = id_a
+                 JOIN sh b ON b.doc_id = id_b AND a.sh = b.sh
+                 GROUP BY 1, 2),
+       pairs AS (SELECT id_a, id_b
+                 FROM inter
+                 JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+                 WHERE CAST(n_inter AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+       edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION ALL
+                 SELECT id_b, id_a FROM pairs),
+       reach AS (SELECT u, v FROM edges
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+       FROM reach GROUP BY u ORDER BY doc_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("d_exact", dExact, Some(dExactSql)),
     Q("d_jaccard_pairs", dJaccard, Some(dJaccardSql)),
     Q("d_minhash_lsh", dMinhashLsh, Some(dMinhashSql)),
-    Q("d_simhash_pairs", dSimhash, Some(dSimhashSql)))
+    Q("d_simhash_pairs", dSimhash, Some(dSimhashSql)),
+    Q("d_cc", dCc, Some(dCcSql)))
 }

@@ -165,10 +165,42 @@ object TextQ extends QueryPack {
        FROM mx ORDER BY doc_id"""
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing ANY word 3-gram
+    * with a held-out benchmark slice (here every 25th doc id), reporting
+    * the distinct-overlap count per flagged doc. At 100 TB the benchmark
+    * n-gram set is tiny relative to the corpus, so it BROADCASTS — the
+    * corpus side streams through a map-side semi-join with no shuffle of
+    * corpus shingles. */
+  private def tDecontam(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val benchSh = docs.filter(col("doc_id") % 25 === 0)
+      .select(explode(graft.dedup.Dedup.shinglesFast(col("text"), 3)).as("sh"))
+      .distinct()
+    docs.filter(col("doc_id") % 25 =!= 0)
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.shinglesFast(col("text"), 3)).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  private val tDecontamSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM toks WHERE len(t) >= 3),
+       bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 = 0)
+       SELECT doc_id, COUNT(*) AS n_overlap
+       FROM sh JOIN bench USING (sh)
+       WHERE doc_id % 25 <> 0
+       GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_tokens", tTokens, Some(tTokensSql)),
     Q("t_quality", tQuality, Some(tQualitySql)),
     Q("t_langid", tLangid, Some(tLangidSql)),
     Q("t_fingerprint", tFingerprint, Some(tFingerprintSql)),
-    Q("t_filter_pipeline", tFilterPipeline, Some(tFilterSql)))
+    Q("t_filter_pipeline", tFilterPipeline, Some(tFilterSql)),
+    Q("t_decontam", tDecontam, Some(tDecontamSql)))
 }

@@ -154,5 +154,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"approx median $approx drifted >5% from exact $exact")
   }
 
+  test("connectedComponents closes chains transitively and labels with the min id") {
+    import spark.implicits._
+    // 1-2-3 is a chain (1 and 3 never paired directly); 10-11 separate.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents on an empty pair list returns no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.dedup.Dedup.connectedComponents(empty).count() == 0)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
