@@ -338,10 +338,10 @@ object TpchQ extends QueryPack {
        GROUP BY 1 ORDER BY 1"""
 
   override def queries: Seq[Q] = Seq(
-    Q("q14_promo", q14Promo, Some(q14Sql)),
-    Q("q17_avgqty", q17SmallQty, Some(q17Sql)),
-    Q("q19_or", q19Disjunct, Some(q19Sql)),
-    Q("q22_anti", q22IdleCust, Some(q22Sql)),
+    Q("q14", q14Promo, Some(q14Sql)),
+    Q("q17", q17SmallQty, Some(q17Sql)),
+    Q("q19", q19Disjunct, Some(q19Sql)),
+    Q("q22", q22IdleCust, Some(q22Sql)),
     Q("q3_shipping_priority", q3ShippingPriority, Some(q3Sql)),
     Q("q4_order_priority", q4OrderPriority, Some(q4Sql)),
     Q("q6_revenue_forecast", q6Forecast, Some(q6Sql)),

@@ -158,5 +158,5 @@ object WindowQ extends QueryPack {
     Q("w6_lag_lead_rank", w6LagLeadRank, Some(w6Sql)),
     Q("w7_sessionize", w7Sessionize, Some(w7Sql)),
     Q("w8_ffill", w8ForwardFill, Some(w8Sql)),
-    Q("scd2_dim", scd2Dim, Some(scd2Sql)))
+    Q("scd2", scd2Dim, Some(scd2Sql)))
 }
