@@ -13,6 +13,17 @@ import graft.text.Text
   */
 object DedupQ extends QueryPack {
 
+  /** The MinHash-LSH pair set feeds two queries (the pair report and the
+    * cluster assignment), so it's built once per (session, sfDir) as a
+    * managed cache — same intra-group reuse discipline as the silver
+    * fact cache; Bench clears it at the dedup group boundary. */
+  private val pairCache = graft.util.ManagedCaches.register()
+
+  private def lshPairs(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.cache(pairCache, spark, d)(
+      Dedup.minhashLshPairs(Tables.documents(spark, d), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.8))
+
   /** Exact dedup by bag-of-words fingerprint: deterministic min-id survivor
     * per content group (446 survivors of 500 docs at sf0.01). */
   private def dExact(spark: SparkSession, d: String): DataFrame =
@@ -63,9 +74,7 @@ object DedupQ extends QueryPack {
     * collisions, so the pairwise work is proportional to true duplicates,
     * not n². md5-minima signatures make the oracle exact. */
   private def dMinhashLsh(spark: SparkSession, d: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(spark, d), "doc_id", "text",
-        n = 3, k = 16, bands = 4, threshold = 0.8)
-      .orderBy("id_a", "id_b")
+    lshPairs(spark, d).orderBy("id_a", "id_b")
 
   private val dMinhashSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -134,9 +143,7 @@ object DedupQ extends QueryPack {
     * doc per cluster); the oracle recomputes the SAME md5-exact pair set
     * and closes it transitively with a recursive CTE. */
   private def dCc(spark: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(
-        Dedup.minhashLshPairs(Tables.documents(spark, d), "doc_id", "text",
-          n = 3, k = 16, bands = 4, threshold = 0.8))
+    Dedup.connectedComponents(lshPairs(spark, d))
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
 
