@@ -143,12 +143,65 @@ object GoldQ extends QueryPack {
        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        GROUP BY 1 ORDER BY 1"""
 
+  /** Schema-evolution union: two event projections with DIFFERENT columns
+    * combined via unionByName(allowMissingColumns) — absent columns fill
+    * with null, alignment is by NAME (positional union would silently
+    * mis-pair). The aggregate then separates the two branches with
+    * non-null counts. */
+  private def u4ByName(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value").as("purchase_value"))
+    clicks.unionByName(purchases, allowMissingColumns = true)
+      .groupBy("user_id")
+      .agg(count(col("click_value")).as("n_clicks"),
+        sumExact(col("click_value")).as("click_total"),
+        count(col("purchase_value")).as("n_purchases"),
+        sumExact(col("purchase_value")).as("purchase_total"))
+      .orderBy("user_id")
+  }
+
+  private val u4Sql =
+    """SELECT user_id,
+              COUNT(click_value) AS n_clicks,
+              CAST(SUM(CAST(click_value AS DECIMAL(18,2))) AS DOUBLE) AS click_total,
+              COUNT(purchase_value) AS n_purchases,
+              CAST(SUM(CAST(purchase_value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_total
+       FROM (SELECT user_id, value AS click_value FROM events
+             WHERE event_type = 'click'
+             UNION ALL BY NAME
+             SELECT user_id, value AS purchase_value FROM events
+             WHERE event_type = 'purchase')
+       GROUP BY 1 ORDER BY 1"""
+
+  /** Array aggregation made deterministic: collect_list's order is
+    * partition-dependent, so the contract is sort_array BEFORE any
+    * downstream use — here rendered to a CSV string so the oracle
+    * compares a scalar. */
+  private def a13ArrayAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
+          .as("order_keys"))
+      .orderBy("o_custkey")
+
+  private val a13Sql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+              string_agg(CAST(o_orderkey AS VARCHAR), ','
+                         ORDER BY o_orderkey) AS order_keys
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("j6_aliased_dim_join", j6AliasedDimJoin, Some(j6Sql)),
     Q("j7_route_enrich", j7RouteEnrich, Some(j7Sql)),
     Q("j10_salted_join", j10SaltedJoin, Some(j10Sql)),
     Q("a12_scalar_minmax", a12ScalarMinmax, Some(a12Sql)),
+    Q("a13_arrayagg", a13ArrayAgg, Some(a13Sql)),
     Q("u1_union", u1Union, Some(u1Sql)),
     Q("u2_intersect", u2Intersect, Some(u2Sql)),
-    Q("u3_except", u3Except, Some(u3Sql)))
+    Q("u3_except", u3Except, Some(u3Sql)),
+    Q("u4_byname", u4ByName, Some(u4Sql)))
 }

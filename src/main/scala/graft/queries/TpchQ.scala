@@ -337,7 +337,51 @@ object TpchQ extends QueryPack {
                            AND o_orderdate >= TIMESTAMP '2000-01-01')
        GROUP BY 1 ORDER BY 1"""
 
+  /** Q7 shape — two-nation trade volume: the nation dim plays TWO roles
+    * (supplier side and customer side) under different aliases, with a
+    * symmetric pair predicate and per-year revenue. Both nation copies
+    * broadcast; lineitem flows through supplier/orders/customer equi
+    * joins without ever being globally sorted. */
+  private def q7Volume(spark: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(spark, d)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, d)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, d)
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS INT) AS l_year,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_lines
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q7", q7Volume, Some(q7Sql)),
     Q("q14", q14Promo, Some(q14Sql)),
     Q("q17", q17SmallQty, Some(q17Sql)),
     Q("q19", q19Disjunct, Some(q19Sql)),

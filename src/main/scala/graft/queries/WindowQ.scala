@@ -154,9 +154,39 @@ object WindowQ extends QueryPack {
        FROM ch
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
+  /** Interval RANGE frame: per-customer trailing-30-day spend. Unlike a
+    * ROWS frame, the frame is bounded by the ORDER-BY VALUE (all orders
+    * within 30 days, however many), and same-day peers are always in
+    * frame together — so the result is deterministic under ties without
+    * a tie-break column. Ordering is on epoch seconds; the oracle
+    * mirrors the identical numeric frame. */
+  private def w9RangeFrame(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val w9Sql =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+              COUNT(*) OVER w AS n_30d,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                AS spend_30d
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, o_orderkey"""
+
   override def queries: Seq[Q] = Seq(
     Q("w6_lag_lead_rank", w6LagLeadRank, Some(w6Sql)),
     Q("w7_sessionize", w7Sessionize, Some(w7Sql)),
     Q("w8_ffill", w8ForwardFill, Some(w8Sql)),
+    Q("w9_range", w9RangeFrame, Some(w9Sql)),
     Q("scd2", scd2Dim, Some(scd2Sql)))
 }
