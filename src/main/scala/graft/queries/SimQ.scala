@@ -170,10 +170,53 @@ object SimQ extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** Trained-codebook IVF: deterministic fixed-point Lloyd k-means
+    * ([[graft.sim.KMeans]] — integer distances, floor-division centroid
+    * means), one training round from the id<k seed, then the final
+    * nearest-centroid assignment. The oracle re-runs the identical
+    * integer algorithm, so this is a FULL value check on a trained
+    * clustering, not a rows-only smoke. */
+  private def simKmeans(spark: SparkSession, d: String): DataFrame =
+    graft.sim.KMeans.fit(Tables.embeddings(spark, d), "vec_id", "embedding",
+        k = 4, iters = 1)
+      .select(col("id").as("vec_id"), col("cid").as("cluster"), col("d2"))
+      .orderBy("vec_id")
+
+  private val simKmeansSql =
+    """WITH v AS (SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+           FROM embeddings),
+       c0 AS (SELECT id AS cid, v AS c FROM v WHERE id < 4),
+       d0 AS (SELECT v.id, c0.cid,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (v.v[i] - c0.c[i]) * (v.v[i] - c0.c[i]))) AS BIGINT) AS d2
+              FROM v CROSS JOIN c0),
+       a0 AS (SELECT id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                          ORDER BY d2, cid) AS rn FROM d0) WHERE rn = 1),
+       e0 AS (SELECT a0.cid, u.dim, u.comp
+              FROM a0 JOIN v USING (id),
+                   UNNEST(list_transform(v.v,
+                     (x, i) -> {'dim': i, 'comp': x})) AS r(u)),
+       c1 AS (SELECT cid,
+                array_agg((s + n * 2000000) // n - 2000000 ORDER BY dim) AS c
+              FROM (SELECT cid, dim, SUM(comp) AS s, COUNT(*) AS n
+                    FROM e0 GROUP BY 1, 2) GROUP BY 1),
+       d1 AS (SELECT v.id, c1.cid,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (v.v[i] - c1.c[i]) * (v.v[i] - c1.c[i]))) AS BIGINT) AS d2
+              FROM v CROSS JOIN c1)
+       SELECT id AS vec_id, cid AS cluster, d2 FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                   ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1
+       ORDER BY vec_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_agg", simTopkAgg, Some(simTopkSql)),
     Q("sim_near_dup", simNearDup, Some(simNearDupSql)),
     Q("sim_lsh_topk", simLshTopk, Some(simLshSql)),
-    Q("sim_ivf_topk", simIvfTopk, Some(simIvfSql)))
+    Q("sim_ivf_topk", simIvfTopk, Some(simIvfSql)),
+    Q("sim_kmeans", simKmeans, Some(simKmeansSql)))
 }

@@ -183,8 +183,33 @@ object WindowQ extends QueryPack {
                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
        ORDER BY o_custkey, o_orderkey"""
 
+  /** Distribution windows — ntile/percent_rank/cume_dist per market
+    * segment. The unique (acctbal, custkey) tie-break makes every rank
+    * function deterministic; the rank arithmetic is exact small-integer
+    * division so the doubles match bit-for-bit across engines. */
+  private def w10Ntile(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  private val w10Sql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+              CAST(NTILE(4) OVER w AS INT) AS quartile,
+              PERCENT_RANK() OVER w AS pct_rank,
+              CUME_DIST() OVER w AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       ORDER BY c_custkey"""
+
   override def queries: Seq[Q] = Seq(
     Q("w6_lag_lead_rank", w6LagLeadRank, Some(w6Sql)),
+    Q("w10_ntile", w10Ntile, Some(w10Sql)),
     Q("w7_sessionize", w7Sessionize, Some(w7Sql)),
     Q("w8_ffill", w8ForwardFill, Some(w8Sql)),
     Q("w9_range", w9RangeFrame, Some(w9Sql)),
