@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Expression-optimization rule: declarative squared-distance HOF →
+    // codegen'd kernel (see RewriteSqDist).
+    ext.injectOptimizerRule(_ => RewriteSqDist)
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sqdist_long"),
+      new ExpressionInfo(classOf[SqDistExpr].getName, "vec_sqdist_long"),
+      (args: Seq[Expression]) => SqDistExpr(args.head, args(1))))
     ext.injectFunction((
       new FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),

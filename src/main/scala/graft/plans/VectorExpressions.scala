@@ -75,6 +75,22 @@ object VectorKernels {
     sig
   }
 
+  /** In-order squared L2 distance of two equal-length long arrays (the
+    * fixed-point k-means geometry — see [[graft.sim.KMeans]]). Exact
+    * integer arithmetic, so kernel and HOF fold agree bit-for-bit. A
+    * length mismatch fails LOUDLY (zip_with would null-pad and return
+    * null, silently dropping the row downstream). */
+  def sqDistLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_sqdist_long: ${n} vs ${b.numElements()} dims")
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+    s
+  }
+
   /** L2-normalize a double array: out(i) = a(i) / sqrt(a·a), with the
     * norm accumulated in array order (identical to the HOF fold). */
   def l2Normalize(a: ArrayData): ArrayData = {
@@ -121,6 +137,23 @@ case class LshSignatureExpr(child: Expression, planes: Int, dims: Int)
   override protected def withNewChildInternal(newChild: Expression): LshSignatureExpr =
     copy(child = newChild)
   override def prettyName: String = "srp_signature"
+}
+
+/** vec_sqdist_long(a, b) → long: in-order squared L2 distance of two
+  * array<bigint>. Usually introduced by [[RewriteSqDist]] rather than
+  * written directly. */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sqDistLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.VectorKernels.sqDistLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_sqdist_long"
 }
 
 /** vec_l2_normalize(a) → array<double>: a / ||a||₂. */

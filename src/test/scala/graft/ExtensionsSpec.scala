@@ -218,5 +218,39 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(3) == ('a' + 'b' + 'c' + 'd').toDouble / 4)
   }
 
+  test("RewriteSqDist replaces the squared-distance HOF with the kernel, bit-identically") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 5L, -3L), Array(2L, 2L, 4L)),
+        (Array(0L, 0L, 0L), Array(0L, 0L, 0L)))
+      .toDF("a", "b")
+    val hof = df.select(org.apache.spark.sql.functions.expr(
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t)")
+      .as("d2"))
+    // The rule rewrites the analyzed fold into the kernel (checked on the
+    // analyzed plan — a LocalRelation toy plan constant-folds away before
+    // optimizedPlan can be inspected; the parquet-backed plan is asserted
+    // in the sim_kmeans test below)...
+    val rewritten = graft.plans.RewriteSqDist(hof.queryExecution.analyzed)
+    assert(rewritten.toString.contains("vec_sqdist_long"),
+      s"rule did not fire:\n$rewritten")
+    // ...and fold, kernel function, and hand math agree ((1)²+(3)²+(7)² = 59).
+    assert(hof.as[Long].collect().toSeq == Seq(59L, 0L))
+    val kernel = df.selectExpr("vec_sqdist_long(a, b) AS d2")
+    assert(kernel.as[Long].collect().toSeq == Seq(59L, 0L))
+    // A non-matching fold (different combiner) is left untouched.
+    val other = df.select(org.apache.spark.sql.functions.expr(
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + 2 * t)"))
+    assert(!graft.plans.RewriteSqDist(other.queryExecution.analyzed)
+      .toString.contains("vec_sqdist_long"))
+  }
+
+  test("sim_kmeans assignment runs on the kernel, not the interpreted fold") {
+    val plan = graft.sim.KMeans
+      .fit(Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        "vec_id", "embedding", k = 2, iters = 1)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("vec_sqdist_long"), s"kernel missing from plan:\n$plan")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
