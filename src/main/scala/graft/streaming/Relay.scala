@@ -160,6 +160,62 @@ object Relay {
       .toDF()
   }
 
+  /** One attribute-change event for the streaming SCD2 builder. */
+  final case class Scd2Event(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+
+  /** The OPEN dimension version per key, carried across micro-batches.
+    * Carries the Timestamp itself — a millis epoch long would silently
+    * truncate the event feed's microsecond precision. */
+  final case class Scd2State(curType: String, from: java.sql.Timestamp)
+
+  /** A CLOSED dimension version (the open one lives in state until its
+    * successor arrives). */
+  final case class Scd2Out(user_id: Long, event_type: String,
+      effective_from: java.sql.Timestamp, effective_to: java.sql.Timestamp)
+
+  /** Streaming SCD Type-2 dimension build — the incremental twin of the
+    * batch `scd2` query: per key, consecutive duplicate attribute values
+    * collapse; each change CLOSES the open version (emitted downstream in
+    * append mode) and opens a new one held in state. State is one small
+    * record per key. Contract: the change feed is in key-local event
+    * order across batches (the standard CDC-feed ordering guarantee);
+    * within a batch, events are sorted by (ts, event_id) before folding.
+    * Streaming output ≡ batch scd2 rows with is_current = false — the
+    * open versions are exactly the batch is_current rows (asserted in
+    * StreamingSpec). */
+  def scd2Stream(events: org.apache.spark.sql.Dataset[Scd2Event]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId, batch, state: GroupState[Scd2State]) =>
+          // Full-precision ordering: (seconds, nanos, id) — getTime alone
+          // is millis and would mis-order same-millisecond events that
+          // the batch twin orders by their microsecond timestamps.
+          val ordered = batch.toSeq
+            .sortBy(e => (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))
+          var closed = List.empty[Scd2Out]
+          var cur = state.getOption
+          ordered.foreach { e =>
+            cur match {
+              case Some(s) if s.curType != e.event_type =>
+                closed ::= Scd2Out(userId, s.curType, s.from, e.ts)
+                cur = Some(Scd2State(e.event_type, e.ts))
+              case None =>
+                cur = Some(Scd2State(e.event_type, e.ts))
+              case _ => () // same attribute value: collapse
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+      .toDF()
+  }
+
   /** S10 — streaming upsert sink via foreachBatch (reference
     * `write_stream_upsert`, `writers.py:78-132`: MERGE INTO per batch).
     * Each micro-batch is upserted into the target keyed on `keys` with

@@ -207,6 +207,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"user1: 2-event session value 3.0; user2: 1-event session 5.0; got ${out.toSeq}")
   }
 
+  test("streaming SCD2 closed versions equal the batch scd2 non-current rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val srcDir = tmp() + "/scd2_src"
+    new java.io.File(srcDir).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = Relay.readStreamPath(spark, srcDir, schema)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[Relay.Scd2Event]
+    val q = Relay.scd2Stream(stream)
+      .writeStream.format("memory").queryName("scd2_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("scd2_mem")
+      .orderBy("user_id", "effective_from").collect()
+    val batch = SparkEntry.queries("scd2")(spark, sf)
+      .filter(!col("is_current"))
+      .select("user_id", "event_type", "effective_from", "effective_to")
+      .orderBy("user_id", "effective_from").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"streaming closed versions (${streamed.length}) != batch (${batch.length})")
+  }
+
   test("param fallback chain: explicit > system property > env > default") {
     import graft.etl.Params
     assert(Params.resolve("env_name", Map("env_name" -> "prod")) == Some("prod"))
