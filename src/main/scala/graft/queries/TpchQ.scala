@@ -380,8 +380,46 @@ object TpchQ extends QueryPack {
           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+  /** Q21 shape — sole-problem suppliers: a SEMI and an ANTI correlated
+    * exists over the same self-joined fact in one query (the testdata has
+    * no receipt/commit dates, so "problem" = returned lines). A supplier
+    * qualifies per order when the order has OTHER suppliers (EXISTS) but
+    * none of them returned (NOT EXISTS). Both probes run on pre-distinct
+    * (orderkey, suppkey) pairs — the semi/anti joins shuffle only those
+    * keys, and the 'R' side is filtered before its distinct. */
+  private def q21SoleProblem(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    val suspect = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    val allPairs = li
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")).distinct()
+    val suspectR = suspect.select(col("o").as("o3"), col("s").as("s3"))
+    suspect
+      .join(allPairs, col("o") === col("o2") && col("s") =!= col("s2"), "left_semi")
+      .join(suspectR, col("o") === col("o3") && col("s") =!= col("s3"), "left_anti")
+      .groupBy(col("s").as("suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("suppkey"))
+      .limit(20)
+  }
+
+  private val q21Sql =
+    """WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                  WHERE l_returnflag = 'R'),
+       a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+       SELECT r.l_suppkey AS suppkey, COUNT(*) AS n_orders
+       FROM r
+       WHERE EXISTS (SELECT 1 FROM a
+                     WHERE a.l_orderkey = r.l_orderkey
+                       AND a.l_suppkey <> r.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM r r2
+                         WHERE r2.l_orderkey = r.l_orderkey
+                           AND r2.l_suppkey <> r.l_suppkey)
+       GROUP BY 1 ORDER BY n_orders DESC, suppkey LIMIT 20"""
+
   override def queries: Seq[Q] = Seq(
     Q("q7", q7Volume, Some(q7Sql)),
+    Q("q21", q21SoleProblem, Some(q21Sql)),
     Q("q14", q14Promo, Some(q14Sql)),
     Q("q17", q17SmallQty, Some(q17Sql)),
     Q("q19", q19Disjunct, Some(q19Sql)),
