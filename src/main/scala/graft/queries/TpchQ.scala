@@ -389,8 +389,10 @@ object TpchQ extends QueryPack {
     * pairs once with a has-return flag, then per-order window counts —
     * EXISTS ⟺ n_supp > 1, NOT EXISTS ⟺ n_returning = 1 (only self).
     * One hash shuffle on orderkey serves the aggregate AND both windows,
-    * vs three shuffles for the literal semi/anti-join formulation (the
-    * measured difference at sf0.1 is ~2×). */
+    * vs three for the literal semi/anti-join formulation. At sf0.1 the
+    * shared pair-aggregate dominates, so the measured gain is ~12%
+    * (1.24s vs 1.41s isolated); the eliminated shuffles are the part
+    * that grows with data, which is what matters at 100 TB. */
   private def q21SoleProblem(spark: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
     Tables.lineitem(spark, d)
