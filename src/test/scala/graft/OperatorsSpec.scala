@@ -154,17 +154,6 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"approx median $approx drifted >5% from exact $exact")
   }
 
-  test("approx_count_distinct tracks exact distinct within 5% at sf0.001") {
-    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
-    val row = li.agg(
-      expr("count(DISTINCT l_partkey)").as("exact"),
-      expr("approx_count_distinct(l_partkey)").as("approx"))
-      .collect().head
-    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
-    assert(math.abs(approx - exact) / exact < 0.05,
-      s"HLL estimate $approx drifted >5% from exact $exact")
-  }
-
   test("connectedComponents closes chains transitively and labels with the min id") {
     import spark.implicits._
     // 1-2-3 is a chain (1 and 3 never paired directly); 10-11 separate.
