@@ -19,6 +19,30 @@ object Sources {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** S1-extension — CSV read with corrupt-row quarantine: PERMISSIVE
+    * parsing rescues rows that fail the schema (wrong arity, bad casts)
+    * into a `_corrupt_record` column instead of silently nulling fields
+    * or aborting the job — the bronze-ingest DQ pattern (bad rows land
+    * in a quarantine table for triage; clean rows flow on). */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** Split a quarantine read into (clean, quarantined). Materializes
+    * first: Spark disallows filtering a CSV relation on only the
+    * internal corrupt-record column, and the cache also makes this one
+    * parse pass instead of two. */
+  def splitQuarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val m = df.cache()
+    (m.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      m.filter(col("_corrupt_record").isNotNull))
+  }
+
   /** S2 — managed-table read (reference `spark.read.table`). */
   def readTable(spark: SparkSession, name: String): DataFrame =
     spark.read.table(name)

@@ -421,8 +421,65 @@ object TpchQ extends QueryPack {
                            AND r2.l_suppkey <> r.l_suppkey)
        GROUP BY 1 ORDER BY n_orders DESC, suppkey LIMIT 20"""
 
+  /** Q8 shape — national market share: the deepest join in the suite
+    * (lineitem through part, supplier, orders, customer, nation ×2,
+    * region — 7 relations), with a conditional-share aggregate: NATION_5
+    * suppliers' fraction of PROMO-part revenue sold into EUROPE, per
+    * order year. Every dimension side broadcasts; the share divides two
+    * exact decimal sums in double. */
+  private def q8MarketShare(spark: SparkSession, d: String): DataFrame = {
+    val rev = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d).filter(col("p_type") === "PROMO")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+        col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(spark, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.nation(spark, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0)))
+          .cast("double").as("nation_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("mkt_share", col("nation_revenue") / col("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  private val q8Sql =
+    """SELECT o_year, nation_revenue, total_revenue,
+              nation_revenue / total_revenue AS mkt_share
+       FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             ELSE 0 END) AS DOUBLE) AS nation_revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS total_revenue
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+             GROUP BY 1)
+       ORDER BY o_year"""
+
   override def queries: Seq[Q] = Seq(
     Q("q7", q7Volume, Some(q7Sql)),
+    Q("q8", q8MarketShare, Some(q8Sql)),
     Q("q21", q21SoleProblem, Some(q21Sql)),
     Q("q14", q14Promo, Some(q14Sql)),
     Q("q17", q17SmallQty, Some(q17Sql)),

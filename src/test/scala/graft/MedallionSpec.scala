@@ -33,6 +33,25 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 2 && rows(1).isNullAt(2), "empty cell → null")
   }
 
+  test("S-ext: corrupt CSV rows quarantine; clean rows flow on") {
+    val dir = tmp()
+    import org.apache.spark.sql.types._
+    // row 2: non-numeric id (cast failure); row 3: clean; row 4: extra field
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id,name,score\n1,a,1.5\nnope,b,2.0\n3,c,3.5\n4,d,4.0,EXTRA\n")
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val (clean, bad) =
+      Sources.splitQuarantine(Sources.readCsvQuarantine(spark, s"$dir/data.csv", schema))
+    assert(clean.schema == schema)
+    assert(clean.orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    val quarantined = bad.collect().map(_.getAs[String]("_corrupt_record"))
+    assert(quarantined.length == 2 &&
+      quarantined.exists(_.startsWith("nope")) &&
+      quarantined.exists(_.endsWith("EXTRA")),
+      s"expected the two malformed raw lines, got ${quarantined.toSeq}")
+  }
+
   test("S-ext: schema-enforced JSON-lines read round-trips with nulls") {
     val dir = tmp()
     import org.apache.spark.sql.types._
