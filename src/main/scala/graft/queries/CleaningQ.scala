@@ -108,10 +108,57 @@ object CleaningQ extends QueryPack {
     """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
        ORDER BY o_orderstatus, o_orderpriority"""
 
+  /** Single-pass numeric data profile: per column, null count, exact
+    * distinct count, min/max — ONE aggregate job over the table (Spark
+    * plans the multi-distinct via Expand), then an inline unpivot to the
+    * narrow (column, stats) shape. At 100 TB the same shape swaps the
+    * exact distincts for approx_count_distinct; the oracle pins the
+    * exact variant. */
+  private def p12Profile(spark: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def m(c: String) =
+      struct(
+        sum(col(c).isNull.cast("long")).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v")).as(s"__$c")
+    graft.Tables.lineitem(spark, d)
+      .agg(count(lit(1)).as("n_rows"), m(cols.head), m(cols(1)), m(cols(2)))
+      .select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"__$c.n_null"), col(s"__$c.n_distinct"),
+          col(s"__$c.min_v"), col(s"__$c.max_v"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"), col("p.n_null"),
+        col("p.n_distinct"), col("p.min_v"), col("p.max_v"))
+      .orderBy("col_name")
+  }
+
+  private val p12Sql =
+    """SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
+              COUNT(*) - COUNT(l_discount) AS n_null,
+              COUNT(DISTINCT l_discount) AS n_distinct,
+              CAST(MIN(l_discount) AS DOUBLE) AS min_v,
+              CAST(MAX(l_discount) AS DOUBLE) AS max_v
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+              COUNT(DISTINCT l_extendedprice),
+              CAST(MIN(l_extendedprice) AS DOUBLE),
+              CAST(MAX(l_extendedprice) AS DOUBLE)
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+              COUNT(DISTINCT l_quantity),
+              CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE)
+       FROM lineitem
+       ORDER BY col_name"""
+
   override def queries: Seq[Q] = Seq(
     Q("p3_drop_columns", p3DropColumns, Some(p3Sql)),
     Q("p7_dedup_all", p7DedupAll, Some(p7AllSql)),
     Q("p8_fillna", p8Fillna, Some(p8Sql)),
     Q("p10_metadata", p10Metadata, Some(p10Sql)),
-    Q("p11_null_audit", p11NullAudit, Some(p11Sql)))
+    Q("p11_null_audit", p11NullAudit, Some(p11Sql)),
+    Q("p12_profile", p12Profile, Some(p12Sql)))
 }

@@ -196,8 +196,41 @@ object TextQ extends QueryPack {
        WHERE doc_id % 25 <> 0
        GROUP BY 1 ORDER BY 1"""
 
+  /** Intra-document repetition signal (the Gopher/C4-style quality rule):
+    * fraction of word 3-grams that are repeats of an earlier 3-gram in
+    * the SAME document. Pure per-row expressions (total vs distinct
+    * shingle counts) — fuses into the scan, no shuffle. */
+  private def tRepetition(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        greatest(Text.tokenCount(col("text")) - 2, lit(0)).as("n_grams"),
+        size(graft.dedup.Dedup.shinglesFast(col("text"), 3)).as("n_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+
+  private val tRepetitionSql =
+    """WITH g AS (
+         SELECT doc_id,
+                GREATEST(len(string_split(text, ' ')) - 2, 0) AS n_grams,
+                len(list_distinct(list_transform(
+                  range(1, GREATEST(len(string_split(text, ' ')) - 1, 1)),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2]))) AS n_distinct
+         FROM documents)
+       SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+              CAST(n_distinct AS INT) AS n_distinct,
+              CASE WHEN n_grams > 0
+                   THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams
+                   ELSE 0.0 END AS dup_frac
+       FROM g ORDER BY doc_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_tokens", tTokens, Some(tTokensSql)),
+    Q("t_repetition", tRepetition, Some(tRepetitionSql)),
     Q("t_quality", tQuality, Some(tQualitySql)),
     Q("t_langid", tLangid, Some(tLangidSql)),
     Q("t_fingerprint", tFingerprint, Some(tFingerprintSql)),
