@@ -160,5 +160,5 @@ object CleaningQ extends QueryPack {
     Q("p8_fillna", p8Fillna, Some(p8Sql)),
     Q("p10_metadata", p10Metadata, Some(p10Sql)),
     Q("p11_null_audit", p11NullAudit, Some(p11Sql)),
-    Q("p12_profile", p12Profile, Some(p12Sql)))
+    Q("p12", p12Profile, Some(p12Sql)))
 }

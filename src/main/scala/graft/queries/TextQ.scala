@@ -230,7 +230,7 @@ object TextQ extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
     Q("t_tokens", tTokens, Some(tTokensSql)),
-    Q("t_repetition", tRepetition, Some(tRepetitionSql)),
+    Q("t_rep", tRepetition, Some(tRepetitionSql)),
     Q("t_quality", tQuality, Some(tQualitySql)),
     Q("t_langid", tLangid, Some(tLangidSql)),
     Q("t_fingerprint", tFingerprint, Some(tFingerprintSql)),
