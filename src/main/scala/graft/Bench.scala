@@ -13,12 +13,18 @@ package graft
   *  - managed caches (silver fact, normalized corpus, anything persisted)
   *    are cleared at group boundaries, so a group's persisted blocks
   *    never linger as GC/memory pressure over later groups;
-  *  - full-precision results go to bench_full.json; stdout gets ONE
-  *    compact JSON line (3-decimal times) printed after spark.stop(), so
-  *    it survives intact in the driver's bounded log tail.
+  *  - full-precision results go to the tracked BENCHFULL.json; stdout
+  *    gets ONE compact JSON line printed after spark.stop() as the LAST
+  *    raw output line (build.sbt routes forked stdout unprefixed and
+  *    suppresses sbt's [success] trailer), so it survives whole in the
+  *    driver's bounded log tail.
   */
 object Bench {
   private val RUNS = 3
+
+  /** The driver keeps a 2000-char log tail; the compact line must stay
+    * comfortably under it even when timings jitter or queries fail. */
+  private val MaxLine = 1960
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,24 +55,44 @@ object Bench {
     val failed = runs.filter(_._3 != null)
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c if c < ' ' => " "; case c => c.toString }
-    def line(fmt: Double => String, compact: Boolean): String = {
-      // The compact line must fit a bounded 2000-char log tail. Two
-      // space-savers, lossless because BENCHFULL.json carries every query
-      // at full precision: the 8 fd_* flight-domain queries fold into one
-      // "fd_all" sum, and times ≥ 1s print with 1 decimal.
+    // 2dp (1dp from 1s up) with trailing zeros stripped ("0.50"→"0.5"):
+    // valid JSON, and the savings keep ~110 queries inside the budget.
+    def fmt2(v: Double): String = {
+      val s = if (v >= 1) f"$v%.1f" else f"$v%.2f"
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+    // `extraFold` = how many of the cheapest queries to additionally fold
+    // into a "rest" sum; the compact line grows it until the line fits.
+    def line(fmt: Double => String, compact: Boolean, extraFold: Int): String = {
+      // Compact space-savers, lossless because BENCHFULL.json carries
+      // every query at full precision: the fd_* flight-domain queries
+      // fold into one "fd_all" sum; when the line still would not fit
+      // (e.g. long error messages in a failing round), the cheapest
+      // queries fold into a "rest" sum.
       val entries =
         if (!compact) ok.map { case (k, v, _) => (k, v) }
         else {
-          val (fd, rest) = ok.partition(_._1.startsWith("fd_"))
-          rest.map { case (k, v, _) => (k, v) } ++
+          val (fd, named) = ok.partition(_._1.startsWith("fd_"))
+          val (folded, kept) =
+            named.sortBy(_._2).splitAt(math.min(extraFold, math.max(named.size - 1, 0)))
+          kept.sortBy(r => named.indexOf(r)).map { case (k, v, _) => (k, v) } ++
+            (if (folded.isEmpty) Nil
+             else Seq((s"rest${folded.size}", folded.map(_._2).sum))) ++
             (if (fd.isEmpty) Nil else Seq(("fd_all", fd.map(_._2).sum)))
         }
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val errs = failed.map { case (k, _, e) => "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+      // Compact error values are the exception class only — messages can
+      // be 200 chars each and belong in the driver's stderr, not here.
+      val errs = failed.map { case (k, _, e) =>
+        val msg = if (compact) e.takeWhile(_ != ':') else e
+        "\"" + k + "\":\"" + esc(msg) + "\""
+      }.mkString("{", ",", "}")
       val total = ok.map(_._2).sum
       // compact mode drops constant-valued fields ("runs", empty
       // "errors") and shortens the sf dir to its basename — every byte
-      // counts against the tail budget below
+      // counts against the tail budget.
       val errPart = if (compact && failed.isEmpty) "" else s""","errors":$errs"""
       val runsPart = if (compact) "" else s""","runs":$RUNS"""
       val nFailedPart =
@@ -77,24 +103,19 @@ object Bench {
       val unitPart = s""","unit":"sec""""
       s"""{"metric":"total","value":${fmt(total)}$unitPart$runsPart,"queries":$qs$errPart$nFailedPart,"sf":"$sfVal"}"""
     }
-    // 2dp (1dp from 1s up) with trailing zeros stripped ("0.50"→"0.5"):
-    // valid JSON, and the savings keep ~110 queries inside the budget.
-    def fmt2(v: Double): String = {
-      val s = if (v >= 1) f"$v%.1f" else f"$v%.2f"
-      if (s.contains('.'))
-        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      else s
-    }
     // Tracked full-precision twin of the compact line (every query, no
     // folding) — the durable record the judge can read from the repo.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCHFULL.json"),
-      line(_.toString, compact = false))
+      line(_.toString, compact = false, extraFold = 0))
+    val compactLine = Iterator.from(0)
+      .map(n => line(fmt2, compact = true, extraFold = n))
+      .zipWithIndex
+      .collectFirst { case (l, n) if l.length <= MaxLine || n >= ok.size => l }
+      .get
     spark.stop()
-    // Printed last + compact: the driver keeps a bounded (2000-char) tail
-    // of the log, and this line must fit in it WHOLE after sbt's trailing
-    // "[success] ..." line (~85 bytes). Full precision lives in
-    // bench_full.json.
-    println(line(fmt2, compact = true))
+    // Printed last + compact: with the build.sbt output settings this is
+    // the final raw line of process output, inside the 2000-char tail.
+    println(compactLine)
   }
 }

@@ -33,12 +33,18 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
 
+  private val quarantineCache = graft.util.ManagedCaches.register()
+
   /** Split a quarantine read into (clean, quarantined). Materializes
     * first: Spark disallows filtering a CSV relation on only the
     * internal corrupt-record column, and the cache also makes this one
-    * parse pass instead of two. */
+    * parse pass instead of two. The cache is REGISTERED (keyed on the
+    * input plan identity) so ManagedCaches.clearAll releases it — an
+    * anonymous .cache() here would leak a persisted block per ingest in
+    * a long-lived session. */
   def splitQuarantine(df: DataFrame): (DataFrame, DataFrame) = {
-    val m = df.cache()
+    val m = graft.util.ManagedCaches.cache(quarantineCache, df.sparkSession,
+      System.identityHashCode(df.queryExecution.logical).toString)(df)
     (m.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       m.filter(col("_corrupt_record").isNotNull))
   }

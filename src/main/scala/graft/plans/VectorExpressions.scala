@@ -75,20 +75,25 @@ object VectorKernels {
     sig
   }
 
-  /** In-order squared L2 distance of two equal-length long arrays (the
-    * fixed-point k-means geometry — see [[graft.sim.KMeans]]). Exact
-    * integer arithmetic, so kernel and HOF fold agree bit-for-bit. A
-    * length mismatch fails LOUDLY (zip_with would null-pad and return
-    * null, silently dropping the row downstream). */
-  def sqDistLong(a: ArrayData, b: ArrayData): Long = {
+  /** In-order squared L2 distance of two long arrays (the fixed-point
+    * k-means geometry — see [[graft.sim.KMeans]]). Exact integer
+    * arithmetic, so kernel and HOF fold agree bit-for-bit — INCLUDING
+    * the null cases, which matters because [[RewriteSqDist]] substitutes
+    * this for the fold inside arbitrary user plans: a null element makes
+    * the fold's accumulator null, and zip_with null-pads mismatched
+    * lengths, so both must yield NULL here too (boxed return). */
+  def sqDistLong(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
-    if (b.numElements() != n)
-      throw new IllegalArgumentException(
-        s"vec_sqdist_long: ${n} vs ${b.numElements()} dims")
+    if (b.numElements() != n) return null
     var s = 0L
     var i = 0
-    while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
   }
 
   /** L2-normalize a double array: out(i) = a(i) / sqrt(a·a), with the
@@ -145,11 +150,14 @@ case class LshSignatureExpr(child: Expression, planes: Int, dims: Int)
 case class SqDistExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.sqDistLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.plans.VectorKernels.sqDistLong($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.plans.VectorKernels.sqDistLong($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }""")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SqDistExpr =
     copy(left = newLeft, right = newRight)

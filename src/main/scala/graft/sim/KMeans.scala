@@ -60,11 +60,7 @@ object KMeans {
       .agg(expr("transform(sort_array(collect_list(struct(dim, cent))), t -> t.cent)")
         .as("c"))
 
-  /** Train a k-centroid codebook: init = vectors with id < k (the
-    * deterministic seed), then `iters` assign→update rounds. */
-  def train(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
-    val vecs = scaledVecs(emb, idCol, vecCol).localCheckpoint()
+  private def trainLoop(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = vecs.filter(col("id") < k)
       .select(col("id").as("cid"), col("v").as("c"))
     for (_ <- 1 to iters)
@@ -72,8 +68,18 @@ object KMeans {
     cents
   }
 
-  /** Final assignment table (id, cid, d2) for a trained codebook. */
-  def fit(emb: DataFrame, idCol: String, vecCol: String,
+  /** Train a k-centroid codebook: init = vectors with id < k (the
+    * deterministic seed), then `iters` assign→update rounds. */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame =
-    assign(scaledVecs(emb, idCol, vecCol), train(emb, idCol, vecCol, k, iters))
+    trainLoop(scaledVecs(emb, idCol, vecCol).localCheckpoint(), k, iters)
+
+  /** Final assignment table (id, cid, d2) for a trained codebook. The
+    * checkpointed scaled vectors feed BOTH training and the final
+    * assignment — scaling the embeddings is one pass, not two. */
+  def fit(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val vecs = scaledVecs(emb, idCol, vecCol).localCheckpoint()
+    assign(vecs, trainLoop(vecs, k, iters))
+  }
 }

@@ -244,6 +244,24 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toString.contains("vec_sqdist_long"))
   }
 
+  test("SqDist kernel preserves HOF null semantics (null element, length mismatch)") {
+    import spark.implicits._
+    val df = Seq(
+      ("nulls", Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](1L, 2L, 3L)),
+      ("short", Array[java.lang.Long](1L, 2L), Array[java.lang.Long](1L, 2L, 3L)),
+      ("clean", Array[java.lang.Long](1L, 2L, 3L), Array[java.lang.Long](1L, 2L, 4L)))
+      .toDF("label", "a", "b")
+    val out = df.selectExpr("label",
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t) AS hof",
+      "vec_sqdist_long(a, b) AS kernel")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    assert(out("nulls") == ((null, null)), s"null element: ${out("nulls")}")
+    assert(out("short") == ((null, null)), s"length mismatch: ${out("short")}")
+    assert(out("clean") == ((1L, 1L)), s"clean: ${out("clean")}")
+  }
+
   test("sim_kmeans assignment runs on the kernel, not the interpreted fold") {
     val plan = graft.sim.KMeans
       .fit(Tables.embeddings(spark, "/root/testdata/sf0.001"),
