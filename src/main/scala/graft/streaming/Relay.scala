@@ -216,6 +216,43 @@ object Relay {
       .toDF()
   }
 
+  /** One reading for the streaming forward-filler (None = gap). */
+  final case class FfillEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, reading: Option[Double])
+
+  /** Last non-null reading per key, carried across micro-batches. */
+  final case class FfillState(last: Double)
+
+  final case class FfillOut(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, reading: Option[Double],
+      reading_filled: Option[Double])
+
+  /** Streaming forward fill — the incremental twin of the batch
+    * `w8_ffill` query: gaps (None readings) repair with the key's last
+    * non-null value, which persists across micro-batches in one small
+    * state record per key. Same in-order contract as [[scd2Stream]]. */
+  def ffillStream(events: org.apache.spark.sql.Dataset[FfillEvent]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FfillState, FfillOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId, batch, state: GroupState[FfillState]) =>
+          val ordered = batch.toSeq
+            .sortBy(e => (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))
+          var last = state.getOption
+          val out = ordered.map { e =>
+            if (e.reading.isDefined) last = Some(FfillState(e.reading.get))
+            FfillOut(userId, e.event_id, e.ts, e.reading, last.map(_.last))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** S10 — streaming upsert sink via foreachBatch (reference
     * `write_stream_upsert`, `writers.py:78-132`: MERGE INTO per batch).
     * Each micro-batch is upserted into the target keyed on `keys` with

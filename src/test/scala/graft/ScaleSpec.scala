@@ -18,6 +18,41 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
   private def tmp(): String = Files.createTempDirectory("graft_scale_").toString
 
+  test("z-ordered layout narrows per-file ranges on BOTH columns; single-sort does not") {
+    import graft.io.Layout
+    val zDir = tmp() + "/z"
+    val sDir = tmp() + "/s"
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    Layout.writeZOrdered(li, zDir, "l_partkey", "l_suppkey", numFiles = 8)
+    // baseline: classic single-column sort into the same file count
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sDir)
+    def avgSpanFraction(dir: String, c: String): Double = {
+      val whole = li.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      val domain = whole.getDouble(1) - whole.getDouble(0)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+        (r.getDouble(1) - r.getDouble(0)) / domain
+      }
+      spans.sum / spans.length
+    }
+    // data skipping prunes files whose min/max miss the predicate: the
+    // z-layout must shrink BOTH columns' per-file ranges…
+    assert(avgSpanFraction(zDir, "l_partkey") < 0.6,
+      "z-order should narrow l_partkey file ranges")
+    assert(avgSpanFraction(zDir, "l_suppkey") < 0.6,
+      "z-order should narrow l_suppkey file ranges")
+    // …while a partkey-only sort leaves suppkey unskippable (full span).
+    assert(avgSpanFraction(sDir, "l_partkey") < 0.3,
+      "single sort narrows its own column best")
+    assert(avgSpanFraction(sDir, "l_suppkey") > 0.9,
+      "single sort leaves the second column full-span per file")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = tmp()
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$wh/graft_bkt'")

@@ -236,6 +236,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming closed versions (${streamed.length}) != batch (${batch.length})")
   }
 
+  test("streaming forward fill equals the batch w8_ffill query") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val srcDir = tmp() + "/ffill_src"
+    new java.io.File(srcDir).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = Relay.readStreamPath(spark, srcDir, schema)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+          .as("reading"))
+      .as[Relay.FfillEvent]
+    val q = Relay.ffillStream(stream)
+      .writeStream.format("memory").queryName("ffill_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cols = Seq("user_id", "event_id", "ts", "reading", "reading_filled")
+    val streamed = spark.table("ffill_mem")
+      .select(cols.map(col): _*).orderBy("user_id", "event_id").collect()
+    val batch = SparkEntry.queries("w8_ffill")(spark, sf)
+      .select(cols.map(col): _*).orderBy("user_id", "event_id").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"streaming fill (${streamed.length}) != batch (${batch.length})")
+  }
+
   test("param fallback chain: explicit > system property > env > default") {
     import graft.etl.Params
     assert(Params.resolve("env_name", Map("env_name" -> "prod")) == Some("prod"))
