@@ -154,6 +154,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"approx median $approx drifted >5% from exact $exact")
   }
 
+  test("k-means training monotonically decreases total distortion") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def distortion(iters: Int): Long =
+      graft.sim.KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = iters)
+        .agg(org.apache.spark.sql.functions.sum("d2")).head().getLong(0)
+    val d0 = distortion(0) // seed codebook (vectors 0..3)
+    val d1 = distortion(1)
+    val d2 = distortion(2)
+    assert(d1 <= d0 && d2 <= d1,
+      s"Lloyd iterations must not increase total distortion: $d0 -> $d1 -> $d2")
+    assert(d1 < d0, "one training round should actually improve the seed codebook")
+  }
+
   test("connectedComponents closes chains transitively and labels with the min id") {
     import spark.implicits._
     // 1-2-3 is a chain (1 and 3 never paired directly); 10-11 separate.
