@@ -477,9 +477,49 @@ object TpchQ extends QueryPack {
              GROUP BY 1)
        ORDER BY o_year"""
 
+  /** Q9 shape — product-line profit by nation and year (the testdata has
+    * no partsupp, so unit cost is the part's retail price — same join
+    * topology and arithmetic shape as the official query). Profit =
+    * Σ(revenue − cost·qty) in exact decimals; the p_name filter prunes
+    * the broadcast part side before the fact join. */
+  private def q9Profit(spark: SparkSession, d: String): DataFrame = {
+    val profit = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))) -
+      dec2(col("p_retailprice")) * dec2(col("l_quantity"))
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d).filter(col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(profit).cast("double").as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9Sql =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       - CAST(p_retailprice AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+              COUNT(*) AS n_lines
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE p_name LIKE '%red%'
+       GROUP BY 1, 2 ORDER BY nation, o_year DESC"""
+
   override def queries: Seq[Q] = Seq(
     Q("q7", q7Volume, Some(q7Sql)),
     Q("q8", q8MarketShare, Some(q8Sql)),
+    Q("q9", q9Profit, Some(q9Sql)),
     Q("q21", q21SoleProblem, Some(q21Sql)),
     Q("q14", q14Promo, Some(q14Sql)),
     Q("q17", q17SmallQty, Some(q17Sql)),
