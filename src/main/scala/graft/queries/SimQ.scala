@@ -212,8 +212,84 @@ object SimQ extends QueryPack {
                    ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1
        ORDER BY vec_id"""
 
+  /** IVF search over the TRAINED codebook: [[graft.sim.KMeans]] trains 4
+    * centroids (one Lloyd round, exact fixed-point arithmetic), which
+    * are rescaled to doubles, L2-normalized, and plugged into the same
+    * probe/rerank plan as `sim_ivf_topk` — the production composition
+    * (train once, search many). The oracle replays the full chain:
+    * integer k-means, centroid rescale, cosine probes, rerank. */
+  private def simIvfTrained(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    val cent = graft.sim.KMeans.train(e, "vec_id", "embedding", k = 4, iters = 1)
+      .select(col("cid").as("cent_id"),
+        Similarity.l2NormalizeCol(expr("transform(c, x -> x / 1048576.0D)"))
+          .as("cv"))
+    Similarity.ivfTopKWithCentroids(
+        e.filter(col("vec_id") % 25 === 0), e, cent, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  private val simIvfTrainedSql =
+    """WITH kv AS (SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+           FROM embeddings),
+       c0k AS (SELECT id AS cid, v AS c FROM kv WHERE id < 4),
+       d0k AS (SELECT kv.id, c0k.cid,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (kv.v[i] - c0k.c[i]) * (kv.v[i] - c0k.c[i]))) AS BIGINT) AS d2
+              FROM kv CROSS JOIN c0k),
+       a0k AS (SELECT id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                          ORDER BY d2, cid) AS rn FROM d0k) WHERE rn = 1),
+       e0k AS (SELECT a0k.cid, u.dim, u.comp
+              FROM a0k JOIN kv USING (id),
+                   UNNEST(list_transform(kv.v,
+                     (x, i) -> {'dim': i, 'comp': x})) AS r(u)),
+       c1k AS (SELECT cid,
+                array_agg((s + n * 2000000) // n - 2000000 ORDER BY dim) AS c
+              FROM (SELECT cid, dim, SUM(comp) AS s, COUNT(*) AS n
+                    FROM e0k GROUP BY 1, 2) GROUP BY 1),
+       centv AS (SELECT cid AS cent_id,
+                   list_transform(c, x -> CAST(x AS DOUBLE) / 1048576.0) AS c0
+                 FROM c1k),
+       cent AS (SELECT cent_id,
+                  list_transform(c0,
+                    x -> x / sqrt(list_dot_product(c0, c0))) AS cv
+                FROM centv),
+       v AS (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                  AS nv
+              FROM embeddings),
+       assigned AS (SELECT id, cent_id FROM (
+         SELECT v.vec_id AS id, cent_id,
+                ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_dot_product(v.nv, cv), 4) DESC, cent_id) AS r
+         FROM v CROSS JOIN cent) t WHERE r = 1),
+       q AS (SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id % 25 = 0),
+       probes AS (SELECT query_id, cent_id FROM (
+         SELECT query_id, cent_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY round(list_dot_product(qv, cv), 4) DESC, cent_id) AS r
+         FROM q CROSS JOIN cent) t WHERE r <= 2),
+       cand AS (SELECT query_id, id AS neighbor_id
+                FROM probes JOIN assigned USING (cent_id)
+                WHERE id != query_id),
+       sims AS (SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, v.nv), 4) AS sim
+                FROM cand
+                JOIN q USING (query_id)
+                JOIN v ON v.vec_id = neighbor_id)
+       SELECT query_id, rank, neighbor_id, sim FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         FROM sims) t
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
   override def queries: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
+    Q("sim_ivft", simIvfTrained, Some(simIvfTrainedSql)),
     Q("sim_topk_agg", simTopkAgg, Some(simTopkSql)),
     Q("sim_near_dup", simNearDup, Some(simNearDupSql)),
     Q("sim_lsh_topk", simLshTopk, Some(simLshSql)),

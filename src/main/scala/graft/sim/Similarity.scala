@@ -55,6 +55,14 @@ object Similarity {
     * Normalization runs through the codegen'd [[graft.plans.L2NormalizeExpr]]
     * kernel (bit-identical to [[normalizedHof]] — asserted in
     * ExtensionsSpec). */
+  /** L2-normalize an array<double> COLUMN through the codegen'd kernel
+    * (same math as [[normalized]], for values that aren't a table's
+    * embedding column — e.g. trained centroid arrays). */
+  def l2NormalizeCol(v: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.L2NormalizeExpr(
+        org.apache.spark.sql.GraftBridge.expression(v)))
+
   def normalized(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol).as("id"),
@@ -247,11 +255,22 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidStride: Long = 50, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = normalized(corpus, idCol, vecCol)
+      .filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cent_id"), col("nv").as("cv"))
+    ivfTopKWithCentroids(queries, corpus, cent, k, nprobe, idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] with an EXTERNAL codebook — `cent` is (cent_id, cv)
+    * with cv already L2-normalized. This is the production seam: pass
+    * [[KMeans]]-trained centroids (or any codebook) without changing
+    * the search plan. */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+      cent: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = normalized(corpus, idCol, vecCol)
     val q = normalized(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("nv").as("qv"))
-    val cent = c.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("cent_id"), col("nv").as("cv"))
     val wA = Window.partitionBy("id")
       .orderBy(col("cd").desc, col("cent_id").asc)
     val assigned = c.crossJoin(broadcast(cent))

@@ -21,7 +21,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * a ONE-row aggregate broadcast against customer. */
   private val intentional = Set(
     "sim_topk", "sim_topk_agg", "sim_lsh_topk", "sim_ivf_topk",
-    "sim_near_dup", "sim_kmeans", "q22")
+    "sim_near_dup", "sim_kmeans", "sim_ivft", "q22")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
