@@ -39,7 +39,16 @@ object Bench {
         catch { case e: Throwable => s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}" }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val runs = SparkEntry.benchGroups.flatMap { group =>
+    // Dev knob: SPARK_GRAFT_ONLY=q7,q6_revenue_forecast times just those
+    // queries under the exact suite protocol — for isolating regressions.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selectedGroups = only match {
+      case None => SparkEntry.benchGroups
+      case Some(names) =>
+        SparkEntry.benchGroups.map(_.filter(q => names(q.name))).filter(_.nonEmpty)
+    }
+    val runs = selectedGroups.flatMap { group =>
       val timed = group.map { q =>
         val attempts = Seq.fill(RUNS)(timeOnce(q.fn))
         val ok = attempts.collect { case (t, null) => t }
@@ -65,7 +74,8 @@ object Bench {
     }
     // `extraFold` = how many of the cheapest queries to additionally fold
     // into a "rest" sum; the compact line grows it until the line fits.
-    def line(fmt: Double => String, compact: Boolean, extraFold: Int): String = {
+    def line(fmt: Double => String, compact: Boolean, extraFold: Int,
+             foldErrors: Boolean = false): String = {
       // Compact space-savers, lossless because BENCHFULL.json carries
       // every query at full precision: the fd_* flight-domain queries
       // fold into one "fd_all" sum; when the line still would not fit
@@ -85,10 +95,15 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       // Compact error values are the exception class only — messages can
       // be 200 chars each and belong in the driver's stderr, not here.
-      val errs = failed.map { case (k, _, e) =>
-        val msg = if (compact) e.takeWhile(_ != ':') else e
-        "\"" + k + "\":\"" + esc(msg) + "\""
-      }.mkString("{", ",", "}")
+      // Last-resort bound: even exception CLASS names over many failed
+      // queries can blow the tail budget once query folding is exhausted,
+      // so the final fallback collapses errors to a bare count.
+      val errs =
+        if (foldErrors) s"""{"failed_count":${failed.size}}"""
+        else failed.map { case (k, _, e) =>
+          val msg = if (compact) e.takeWhile(_ != ':') else e
+          "\"" + k + "\":\"" + esc(msg) + "\""
+        }.mkString("{", ",", "}")
       val total = ok.map(_._2).sum
       // compact mode drops constant-valued fields ("runs", empty
       // "errors") and shortens the sf dir to its basename — every byte
@@ -105,14 +120,22 @@ object Bench {
     }
     // Tracked full-precision twin of the compact line (every query, no
     // folding) — the durable record the judge can read from the repo.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCHFULL.json"),
-      line(_.toString, compact = false, extraFold = 0))
-    val compactLine = Iterator.from(0)
-      .map(n => line(fmt2, compact = true, extraFold = n))
-      .zipWithIndex
-      .collectFirst { case (l, n) if l.length <= MaxLine || n >= ok.size => l }
-      .get
+    if (only.isEmpty)  // a filtered dev run must not clobber the tracked record
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCHFULL.json"),
+        line(_.toString, compact = false, extraFold = 0))
+    val compactLine = {
+      val folded = Iterator.from(0)
+        .map(n => line(fmt2, compact = true, extraFold = n))
+        .zipWithIndex
+        .collectFirst { case (l, n) if l.length <= MaxLine || n >= ok.size => l }
+        .get
+      // Query folding alone cannot bound the line when many queries fail
+      // (error entries are never folded) — collapse errors to a count so
+      // the compact line is unconditionally inside the driver's tail.
+      if (folded.length <= MaxLine) folded
+      else line(fmt2, compact = true, extraFold = ok.size, foldErrors = true)
+    }
     spark.stop()
     // Printed last + compact: with the build.sbt output settings this is
     // the final raw line of process output, inside the 2000-char tail.

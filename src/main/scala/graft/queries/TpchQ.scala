@@ -339,20 +339,39 @@ object TpchQ extends QueryPack {
 
   /** Q7 shape — two-nation trade volume: the nation dim plays TWO roles
     * (supplier side and customer side) under different aliases, with a
-    * symmetric pair predicate and per-year revenue. Both nation copies
-    * broadcast; lineitem flows through supplier/orders/customer equi
-    * joins without ever being globally sorted. */
+    * symmetric pair predicate and per-year revenue.
+    *
+    * The pair disjunction spans both join branches, so Catalyst cannot
+    * push it below the fact joins on its own; written naively, lineitem
+    * shuffles through supplier, orders, and customer in full before a
+    * ~99%-selective filter. Here the single-side implication of the
+    * disjunction (each side's nation ∈ {N1,N2}) is derived by hand and
+    * applied to the broadcast nation dims BEFORE they touch a fact:
+    * lineitem ⋈ broadcast(two-nation suppliers) prunes the fact with no
+    * shuffle, orders ⋈ two-nation customers prunes the other branch, and
+    * only the residual pair disjunction (drops the (N1,N1)/(N2,N2)
+    * combos) remains above the one surviving fact⋈fact shuffle. */
   private def q7Volume(spark: SparkSession, d: String): DataFrame = {
-    val n1 = Tables.nation(spark, d)
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(spark, d).filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
-    val n2 = Tables.nation(spark, d)
+    val n2 = Tables.nation(spark, d).filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
-    Tables.lineitem(spark, d)
-      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
-      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+    val supp = Tables.supplier(spark, d)
       .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(spark, d)
       .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    // orders is pruned by the customer branch before meeting lineitem;
+    // AQE may turn this into a broadcast at small SF, while at scale it
+    // stays a shuffle join over the ~2/|nation| surviving fraction.
+    val ord = Tables.orders(spark, d)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, d)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter(
         (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))

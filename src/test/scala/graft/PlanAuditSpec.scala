@@ -39,6 +39,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected cartesian/nested-loop joins in: ${offenders.mkString(", ")}")
   }
 
+  test("q7: two-nation filters sit below the fact joins (pushed to the nation scans)") {
+    val plan = SparkEntry.queries("q7")(spark, sf).queryExecution.executedPlan.toString
+    // The hand-derived single-side conjuncts must reach the parquet scans of
+    // BOTH nation roles as pushed In-filters — i.e. below every fact join —
+    // rather than surviving only as the residual pair disjunction on top.
+    val pushed = "In\\(n_name".r.findAllIn(plan).size
+    assert(pushed >= 2,
+      s"expected the two-nation In(n_name,…) filter pushed to both nation scans, found $pushed:\n$plan")
+  }
+
   override def afterAll(): Unit = {
     graft.util.ManagedCaches.clearAll(spark)
     spark.stop()
