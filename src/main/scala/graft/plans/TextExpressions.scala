@@ -2,7 +2,8 @@ package graft.plans
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -125,6 +126,89 @@ object TextKernels {
     sig
   }
 
+  /** Single-pass token statistics — one tokenize + one distinct-set build
+    * per document, replacing FOUR independent Column trees that each
+    * re-split the text (`t_tokens` split the document ~6× per row through
+    * the HOF forms). Field semantics mirror the Column formulations in
+    * [[graft.text.Text]] exactly: n_tokens = size(split(text," ",-1)),
+    * n_distinct over exact string equality, ttr = n_distinct/n_tokens as
+    * double division, avg_tok_len = (numChars − (n_tokens−1))/n_tokens —
+    * Spark's `length` counts characters, hence numChars not byte length. */
+  def textStatsRow(text: UTF8String): InternalRow = {
+    val toks = tokens(text.toString)
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) { distinct.add(toks(i)); i += 1 }
+    val n = toks.length
+    new GenericInternalRow(Array[Any](
+      n,
+      distinct.size,
+      distinct.size.toDouble / n,
+      (text.numChars() - (n - 1)).toDouble / n))
+  }
+
+  /** Single-pass quality statistics against a stopword vocab: hit count,
+    * stopword ratio, type-token ratio, and the composite quality score
+    * (ttr·0.5 + swRatio·0.25 + lenGate·0.25) — the HOF formulation
+    * re-evaluated the interpreted filter/array_contains tree once per
+    * OUTPUT column. Hits count every token occurrence (duplicates
+    * included), matching filter+array_contains; the 7-word vocab is a
+    * linear scan, same order of compares as array_contains. */
+  def qualityStatsRow(text: UTF8String, vocab: Array[String]): InternalRow = {
+    val toks = tokens(text.toString)
+    val distinct = new java.util.HashSet[String]()
+    var hits = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      distinct.add(t)
+      var v = 0
+      var found = false
+      while (v < vocab.length && !found) { found = vocab(v) == t; v += 1 }
+      if (found) hits += 1
+      i += 1
+    }
+    val n = toks.length
+    val ttr = distinct.size.toDouble / n
+    val swRatio = hits.toDouble / n
+    val lenOk = if (n >= 10 && n <= 1000) 1.0 else 0.5
+    new GenericInternalRow(Array[Any](
+      hits, swRatio, ttr, ttr * 0.5 + swRatio * 0.25 + lenOk * 0.25))
+  }
+
+  /** Language-ID argmax in one pass: counts each language's stopword hits
+    * ONCE (the Column form built the interpreted `stopwordHits` tree into
+    * both `greatest(...)` and every `when(h === max)` arm — ~2× per
+    * language per row). Ties break to the earliest language in `langs`;
+    * "und" when no list matches at all. */
+  def langId(text: UTF8String, langs: Array[UTF8String],
+             sets: Array[Array[String]]): UTF8String = {
+    val toks = tokens(text.toString)
+    val hits = new Array[Int](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var l = 0
+      while (l < sets.length) {
+        val set = sets(l)
+        var v = 0
+        var found = false
+        while (v < set.length && !found) { found = set(v) == t; v += 1 }
+        if (found) hits(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    var best = -1
+    var max = 0
+    var l = sets.length - 1
+    while (l >= 0) { // backwards so earlier languages win ties
+      if (hits(l) >= max && hits(l) > 0) { max = hits(l); best = l }
+      l -= 1
+    }
+    if (best < 0) UTF8String.fromString("und") else langs(best)
+  }
+
   /** k-hash MinHash signature over a shingle set: sig(i) = min md5 hex of
     * s"$i|$shingle"; null entries when the set is empty (mirrors
     * array_min of an empty transform). Hot path: thread-local digest,
@@ -206,4 +290,68 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
+}
+
+/** text_stats(text) → struct<n_tokens,n_distinct,ttr,avg_tok_len>: all four
+  * token statistics from ONE tokenize pass (see TextKernels.textStatsRow). */
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("ttr", DoubleType, nullable = false),
+    StructField("avg_tok_len", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.textStatsRow(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.textStatsRow($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "text_stats"
+}
+
+/** quality_stats(text, vocab) → struct<stop_hits,stop_ratio,ttr,quality>:
+  * the pretraining-filter quality signals from one tokenize pass. The
+  * vocab ships with the generated code via addReferenceObj, so the kernel
+  * works on executors (a static registry would only exist on the driver). */
+case class QualityStatsExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val vocabArr: Array[String] = vocab.toArray
+  override def dataType: DataType = StructType(Seq(
+    StructField("stop_hits", IntegerType, nullable = false),
+    StructField("stop_ratio", DoubleType, nullable = false),
+    StructField("ttr", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.qualityStatsRow(input.asInstanceOf[UTF8String], vocabArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qsVocab", vocabArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.qualityStatsRow($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): QualityStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "quality_stats"
+}
+
+/** lang_id(text) → string: stopword-hit argmax over the configured language
+  * lists, earliest list wins ties, "und" on zero hits — one pass per
+  * document instead of ~2 interpreted HOF trees per language. */
+case class LangIdExpr(child: Expression, langWords: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  @transient private lazy val langsArr: Array[UTF8String] =
+    langWords.map { case (l, _) => UTF8String.fromString(l) }.toArray
+  @transient private lazy val setsArr: Array[Array[String]] =
+    langWords.map(_._2.toArray).toArray
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.langId(input.asInstanceOf[UTF8String], langsArr, setsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val langsRef = ctx.addReferenceObj("lidLangs", langsArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val setsRef = ctx.addReferenceObj("lidSets", setsArr, "java.lang.String[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.langId($c, $langsRef, $setsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id"
 }

@@ -14,18 +14,22 @@ import graft.text.Text
 object TextQ extends QueryPack {
 
   /** Token counting: whitespace tokens, distinct tokens, type-token ratio,
-    * mean token length. Pure projection — fuses into the scan. */
-  private def tTokens(spark: SparkSession, d: String): DataFrame =
+    * mean token length. Pure projection — fuses into the scan; all four
+    * stats come off ONE kernel struct (one tokenize per document) and the
+    * shared subtree is eliminated inside whole-stage codegen. */
+  private def tTokens(spark: SparkSession, d: String): DataFrame = {
+    val st = Text.textStatsFast(col("text"))
     Tables.documents(spark, d)
       .select(
         col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens"),
-        Text.distinctTokenCount(col("text")).as("n_distinct"),
-        Text.typeTokenRatio(col("text")).as("ttr"),
-        Text.avgTokenLen(col("text")).as("avg_tok_len"),
+        st.getField("n_tokens").as("n_tokens"),
+        st.getField("n_distinct").as("n_distinct"),
+        st.getField("ttr").as("ttr"),
+        st.getField("avg_tok_len").as("avg_tok_len"),
         length(col("text")).as("n_chars_computed"),
         col("n_chars"))
       .orderBy("doc_id")
+  }
 
   private val tTokensSql =
     """SELECT doc_id,
@@ -43,15 +47,17 @@ object TextQ extends QueryPack {
 
   /** Quality scoring: stopword ratio + lexical diversity + length gate →
     * composite score (the stack every pretraining filter runs). */
-  private def tQuality(spark: SparkSession, d: String): DataFrame =
+  private def tQuality(spark: SparkSession, d: String): DataFrame = {
+    val qs = Text.qualityStatsFast(col("text"), enStop)
     Tables.documents(spark, d)
       .select(
         col("doc_id"),
-        Text.stopwordHits(col("text"), enStop).as("stop_hits"),
-        Text.stopwordRatio(col("text"), enStop).as("stop_ratio"),
-        Text.typeTokenRatio(col("text")).as("ttr"),
-        Text.qualityScore(col("text"), enStop).as("quality"))
+        qs.getField("stop_hits").as("stop_hits"),
+        qs.getField("stop_ratio").as("stop_ratio"),
+        qs.getField("ttr").as("ttr"),
+        qs.getField("quality").as("quality"))
       .orderBy("doc_id")
+  }
 
   private val tQualitySql = {
     val stopList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -75,7 +81,7 @@ object TextQ extends QueryPack {
   private def tLangid(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"),
-        Text.langId(col("text")).as("lang_guess"))
+        Text.langIdFast(col("text")).as("lang_guess"))
       .orderBy("doc_id")
 
   private val tLangidSql = {
@@ -122,12 +128,13 @@ object TextQ extends QueryPack {
     * (filters push into the scan; dedup is one hash shuffle). */
   private def tFilterPipeline(spark: SparkSession, d: String): DataFrame = {
     val scored = Tables.documents(spark, d)
-      .withColumn("quality", Text.qualityScore(col("text"), enStop))
+      .withColumn("quality",
+        Text.qualityStatsFast(col("text"), enStop).getField("quality"))
       .withColumn("fingerprint", Text.bagOfWordsFingerprint(col("text")))
       .filter(col("quality") >= 0.5)
     graft.dedup.Dedup.exactDedup(scored, col("fingerprint"), "doc_id")
       .select(col("doc_id"),
-        Text.langId(col("text")).as("lang_guess"),
+        Text.langIdFast(col("text")).as("lang_guess"),
         col("quality"))
       .orderBy("doc_id")
   }

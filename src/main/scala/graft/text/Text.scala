@@ -80,6 +80,30 @@ object Text {
     first
   }
 
+  /** Single-pass kernel twin of the four token statistics — a codegen'd
+    * struct<n_tokens,n_distinct,ttr,avg_tok_len> ([[graft.plans.TextStatsExpr]]),
+    * bit-identical to the HOF forms above (ExtensionsSpec-asserted) but one
+    * tokenize per document instead of one per output column. */
+  def textStatsFast(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.TextStatsExpr(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** Single-pass kernel twin of (stopwordHits, stopwordRatio,
+    * typeTokenRatio, qualityScore) — struct<stop_hits,stop_ratio,ttr,quality>
+    * ([[graft.plans.QualityStatsExpr]]). */
+  def qualityStatsFast(text: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.QualityStatsExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), stopwords))
+
+  /** Kernel twin of [[langId]]: each language's hits counted ONCE per
+    * document ([[graft.plans.LangIdExpr]]). */
+  def langIdFast(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.LangIdExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), langStopwords))
+
   /** Order-insensitive bag-of-words fingerprint: md5 of the sorted distinct
     * token set. Near-free to compute, catches reordered/duplicated-content
     * docs exactly, and is the exact-dedup key at 100 TB (hash-groupBy).

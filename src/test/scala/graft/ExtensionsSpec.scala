@@ -82,6 +82,35 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sigs2.filter(col("slow") =!= col("fast")).count() == 0)
   }
 
+  test("text-stats/quality/langId kernels are bit-identical to the HOF formulations") {
+    val docs = Tables.documents(spark, sf)
+    val en = Text.langStopwords.toMap.apply("en")
+    val st = Text.textStatsFast(col("text"))
+    val qs = Text.qualityStatsFast(col("text"), en)
+    val both = docs.select(
+      Text.tokenCount(col("text")).as("h_nt"),
+      Text.distinctTokenCount(col("text")).as("h_nd"),
+      Text.typeTokenRatio(col("text")).as("h_ttr"),
+      Text.avgTokenLen(col("text")).as("h_avg"),
+      Text.stopwordHits(col("text"), en).as("h_hits"),
+      Text.stopwordRatio(col("text"), en).as("h_sr"),
+      Text.qualityScore(col("text"), en).as("h_q"),
+      Text.langId(col("text")).as("h_lang"),
+      st.getField("n_tokens").as("f_nt"),
+      st.getField("n_distinct").as("f_nd"),
+      st.getField("ttr").as("f_ttr"),
+      st.getField("avg_tok_len").as("f_avg"),
+      qs.getField("stop_hits").as("f_hits"),
+      qs.getField("stop_ratio").as("f_sr"),
+      qs.getField("quality").as("f_q"),
+      Text.langIdFast(col("text")).as("f_lang"))
+    // =!= (not a double-tolerance compare): the kernels must reproduce the
+    // HOF doubles BIT-identically or the DuckDB oracle hashes diverge.
+    for (c <- Seq("nt", "nd", "ttr", "avg", "hits", "sr", "q", "lang"))
+      assert(both.filter(col(s"h_$c") =!= col(s"f_$c")).count() == 0,
+        s"kernel field $c diverges from the HOF form")
+  }
+
   test("extension-registered SQL functions work") {
     val n = spark.sql(
       "SELECT shingles('a b c d', 3) AS sh, minhash_sig(shingles('a b c d', 3), 4) AS sig")
