@@ -39,12 +39,16 @@ object Sources {
     * first: Spark disallows filtering a CSV relation on only the
     * internal corrupt-record column, and the cache also makes this one
     * parse pass instead of two. The cache is REGISTERED (keyed on the
-    * input plan identity) so ManagedCaches.clearAll releases it — an
-    * anonymous .cache() here would leak a persisted block per ingest in
-    * a long-lived session. */
+    * input's canonicalized plan — exprId-normalized, so the key is
+    * collision-free AND two reads of the same source share one entry;
+    * an identity hash here could collide across GC'd plans and hand a
+    * second ingest the first one's rows) so ManagedCaches.clearAll
+    * releases it — an anonymous .cache() here would leak a persisted
+    * block per ingest in a long-lived session. */
   def splitQuarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val canon = df.queryExecution.logical.canonicalized
     val m = graft.util.ManagedCaches.cache(quarantineCache, df.sparkSession,
-      System.identityHashCode(df.queryExecution.logical).toString)(df)
+      s"${canon.semanticHash()}:${canon.toString}")(df)
     (m.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       m.filter(col("_corrupt_record").isNotNull))
   }

@@ -35,21 +35,28 @@ object RewriteSqDist extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** (x, y) -> (x - y) * (x - y), both factors over the same pair. */
-  private def isSqDiffLambda(f: Expression): Boolean = f match {
+  /** (x, y) -> (x - y) * (x - y), both factors over the same pair.
+    * Returns the lambda's uniform arithmetic evalMode, or None if the
+    * shape doesn't match or the three ops disagree. */
+  private def sqDiffMode(f: Expression): Option[EvalMode.Value] = f match {
     case LambdaFunction(
-        Multiply(Subtract(x1, y1, _), Subtract(x2, y2, _), _),
-        Seq(px: NamedLambdaVariable, py: NamedLambdaVariable), _) =>
-      sameVar(x1, px) && sameVar(x2, px) && sameVar(y1, py) && sameVar(y2, py)
-    case _ => false
+        Multiply(Subtract(x1, y1, m1), Subtract(x2, y2, m2), m3),
+        Seq(px: NamedLambdaVariable, py: NamedLambdaVariable), _)
+        if sameVar(x1, px) && sameVar(x2, px) &&
+          sameVar(y1, py) && sameVar(y2, py) &&
+          m1.evalMode == m2.evalMode && m2.evalMode == m3.evalMode =>
+      Some(m1.evalMode)
+    case _ => None
   }
 
-  /** (acc, t) -> acc + t (either operand order). */
-  private def isSumLambda(f: Expression): Boolean = f match {
-    case LambdaFunction(Add(m1, m2, _),
-        Seq(pa: NamedLambdaVariable, pt: NamedLambdaVariable), _) =>
-      (sameVar(m1, pa) && sameVar(m2, pt)) || (sameVar(m1, pt) && sameVar(m2, pa))
-    case _ => false
+  /** (acc, t) -> acc + t (either operand order) → the Add's evalMode. */
+  private def sumMode(f: Expression): Option[EvalMode.Value] = f match {
+    case LambdaFunction(Add(m1, m2, mode),
+        Seq(pa: NamedLambdaVariable, pt: NamedLambdaVariable), _)
+        if (sameVar(m1, pa) && sameVar(m2, pt)) ||
+          (sameVar(m1, pt) && sameVar(m2, pa)) =>
+      Some(mode.evalMode)
+    case _ => None
   }
 
   /** acc -> acc (the implicit identity finish of 3-arg aggregate). */
@@ -59,11 +66,18 @@ object RewriteSqDist extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The rewrite only fires when all four arithmetic ops share one mode
+    * and that mode has a kernel twin: LEGACY → wrapping [[VectorKernels
+    * .sqDistLong]], ANSI → [[VectorKernels.sqDistLongExact]] (overflow
+    * raises, as the fold would). TRY (overflow → NULL mid-expression)
+    * has no kernel twin and is left untouched — an optimizer rule must
+    * be invisible to results, including the error/overflow regime. */
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(ZipWith(a, b, mapF), Literal(0L, LongType), mergeF, finishF)
-          if isLongArray(a) && isLongArray(b) &&
-            isSqDiffLambda(mapF) && isSumLambda(mergeF) && isIdentity(finishF) =>
-        SqDistExpr(a, b)
+          if isLongArray(a) && isLongArray(b) && isIdentity(finishF) &&
+            sqDiffMode(mapF).exists(m =>
+              sumMode(mergeF).contains(m) && m != EvalMode.TRY) =>
+        SqDistExpr(a, b, failOnError = sqDiffMode(mapF).contains(EvalMode.ANSI))
     }
 }

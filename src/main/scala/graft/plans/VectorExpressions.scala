@@ -96,6 +96,24 @@ object VectorKernels {
     java.lang.Long.valueOf(s)
   }
 
+  /** ANSI twin of [[sqDistLong]]: same null semantics, but overflow
+    * raises ArithmeticException exactly where the ANSI-mode HOF fold
+    * would raise ARITHMETIC_OVERFLOW — [[RewriteSqDist]] must not turn
+    * a failing query into one that silently returns wrapped values. */
+  def sqDistLongExact(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      s = Math.addExact(s, Math.multiplyExact(d, d))
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
   /** L2-normalize a double array: out(i) = a(i) / sqrt(a·a), with the
     * norm accumulated in array order (identical to the HOF fold). */
   def l2Normalize(a: ArrayData): ArrayData = {
@@ -146,16 +164,23 @@ case class LshSignatureExpr(child: Expression, planes: Int, dims: Int)
 
 /** vec_sqdist_long(a, b) → long: in-order squared L2 distance of two
   * array<bigint>. Usually introduced by [[RewriteSqDist]] rather than
-  * written directly. */
-case class SqDistExpr(left: Expression, right: Expression)
+  * written directly. `failOnError` mirrors the evalMode of the arithmetic
+  * it replaced: true → ANSI (overflow raises), false → legacy (wraps). */
+case class SqDistExpr(left: Expression, right: Expression,
+    failOnError: Boolean = false)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  private def kernel: String =
+    if (failOnError) "sqDistLongExact" else "sqDistLong"
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.sqDistLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (failOnError)
+      VectorKernels.sqDistLongExact(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VectorKernels.sqDistLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long ${ev.value}_r = graft.plans.VectorKernels.sqDistLong($a, $b);
+      java.lang.Long ${ev.value}_r = graft.plans.VectorKernels.$kernel($a, $b);
       if (${ev.value}_r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_r.longValue(); }""")
   override protected def withNewChildrenInternal(

@@ -196,8 +196,10 @@ object Relay {
           // Full-precision ordering: (seconds, nanos, id) — getTime alone
           // is millis and would mis-order same-millisecond events that
           // the batch twin orders by their microsecond timestamps.
+          // floorDiv, not /: pre-epoch getTime is negative and truncating
+          // toward zero would order -0.5s after -1s's nanos component.
           val ordered = batch.toSeq
-            .sortBy(e => (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))
+            .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000), e.ts.getNanos, e.event_id))
           var closed = List.empty[Scd2Out]
           var cur = state.getOption
           ordered.foreach { e =>
@@ -241,7 +243,7 @@ object Relay {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId, batch, state: GroupState[FfillState]) =>
           val ordered = batch.toSeq
-            .sortBy(e => (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))
+            .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000), e.ts.getNanos, e.event_id))
           var last = state.getOption
           val out = ordered.map { e =>
             if (e.reading.isDefined) last = Some(FfillState(e.reading.get))

@@ -291,6 +291,38 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("clean") == ((1L, 1L)), s"clean: ${out("clean")}")
   }
 
+  test("RewriteSqDist is ANSI-faithful: overflow raises, TRY folds are untouched") {
+    import spark.implicits._
+    val df = Seq((Array(Long.MaxValue, 1L), Array(0L, 1L))).toDF("a", "b")
+    val hofSql =
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t) AS d2"
+    // Under the session's ANSI default the fold overflows loudly…
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    val hofErr = intercept[Exception] { df.selectExpr(hofSql).collect() }
+    assert(causes(hofErr).exists(_.toLowerCase.contains("overflow")),
+      s"expected ANSI overflow from the fold, got: ${causes(hofErr).mkString(" <- ")}")
+    // …so the kernel the rule substitutes must raise too, not wrap.
+    val rewritten = graft.plans.RewriteSqDist(
+      df.selectExpr(hofSql).queryExecution.analyzed)
+    val kernels = rewritten.expressions.flatMap(_.collect {
+      case k: graft.plans.SqDistExpr => k })
+    assert(kernels.nonEmpty && kernels.forall(_.failOnError),
+      s"ANSI fold must map to the exact kernel:\n$rewritten")
+    intercept[ArithmeticException] {
+      graft.plans.VectorKernels.sqDistLongExact(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(Long.MaxValue, 1L)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L, 1L)))
+    }
+    // A TRY-mode fold (overflow → NULL mid-expression) has no kernel twin
+    // and must be left untouched.
+    val tryDf = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> try_multiply(try_subtract(x, y), " +
+        "try_subtract(x, y))), 0L, (acc, t) -> try_add(acc, t)) AS d2")
+    assert(!graft.plans.RewriteSqDist(tryDf.queryExecution.analyzed)
+      .toString.contains("vec_sqdist_long"))
+  }
+
   test("sim_kmeans assignment runs on the kernel, not the interpreted fold") {
     val plan = graft.sim.KMeans
       .fit(Tables.embeddings(spark, "/root/testdata/sf0.001"),
