@@ -535,7 +535,228 @@ object TpchQ extends QueryPack {
        WHERE p_name LIKE '%red%'
        GROUP BY 1, 2 ORDER BY nation, o_year DESC"""
 
+  // ───── partsupp family (q2 / q11 / q15 / q16 / q20 shapes) ─────
+  //
+  // The testdata ships no partsupp table, so the engine derives one
+  // deterministically from part × {0..3} — TPC-H's four-suppliers-per-part
+  // shape — with modular-arithmetic availqty and integer-cent supply cost.
+  // The DuckDB oracles replay the identical derivation (psCte), so both
+  // engines query the same relation; all comparisons stay in exact
+  // integer/decimal arithmetic. The supplier count enters as a broadcast
+  // one-row aggregate (no driver collect), exactly like q22's scalar.
+  // The four per-part suppkeys (i·13 mod |S|) are distinct for every
+  // supplier count whose gcd with 13 is 1 — true at both test scales.
+
+  private def partsupp(spark: SparkSession, d: String): DataFrame = {
+    val nSupp = broadcast(Tables.supplier(spark, d).agg(count(lit(1)).as("n_supp")))
+    val quads = broadcast(spark.range(4).toDF("i"))
+    Tables.part(spark, d).select("p_partkey")
+      .crossJoin(quads).crossJoin(nSupp)
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("i") * 13) % col("n_supp")).as("ps_suppkey"),
+        ((col("p_partkey") * 17 + col("i") * 31) % 9999 + 1).as("ps_availqty"),
+        ((col("p_partkey") * 29 + col("i") * 37) % 100000).as("ps_cost_cents"))
+  }
+
+  private val psCte =
+    """ps AS (SELECT p_partkey AS ps_partkey,
+              (p_partkey * 7 + i * 13) % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+              (p_partkey * 17 + i * 31) % 9999 + 1 AS ps_availqty,
+              (p_partkey * 29 + i * 37) % 100000 AS ps_cost_cents
+         FROM part CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i))"""
+
+  /** Q2 shape — min-cost supplier: for each qualifying part, the EUROPE
+    * supplier(s) achieving the minimum supply cost. The correlated
+    * min-subquery becomes a per-part aggregate joined back on
+    * (partkey, cost) — two shuffles on the same key that AQE co-locates —
+    * and the part filter semi-prunes partsupp BEFORE the min, which is
+    * sound because the minimum is per-part. */
+  private def q2MinCost(spark: SparkSession, d: String): DataFrame = {
+    val euroSupp = broadcast(Tables.supplier(spark, d)
+      .join(Tables.nation(spark, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, d).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    val parts = broadcast(Tables.part(spark, d)
+      .filter(col("p_type") === "ECONOMY" && col("p_size") % 5 === 0)
+      .select("p_partkey"))
+    val cand = partsupp(spark, d)
+      .join(parts, col("ps_partkey") === col("p_partkey"))
+      .join(euroSupp, col("ps_suppkey") === col("s_suppkey"))
+    val minCost = cand.groupBy(col("ps_partkey").as("mk"))
+      .agg(min("ps_cost_cents").as("min_cents"))
+    cand.join(minCost,
+        col("ps_partkey") === col("mk") && col("ps_cost_cents") === col("min_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("ps_partkey").as("p_partkey"),
+        (col("ps_cost_cents").cast("double") / lit(100.0)).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+  }
+
+  private val q2Sql =
+    s"""WITH $psCte,
+        eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'EUROPE'),
+        cand AS (SELECT * FROM ps
+                 JOIN part ON ps_partkey = part.p_partkey
+                 JOIN eu ON ps_suppkey = s_suppkey
+                 WHERE p_type = 'ECONOMY' AND p_size % 5 = 0)
+        SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+               CAST(ps_cost_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS supply_cost
+        FROM cand c
+        WHERE ps_cost_cents = (SELECT MIN(ps_cost_cents) FROM cand m
+                               WHERE m.ps_partkey = c.ps_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""
+
+  /** Q11 shape — important stock: per-part inventory value held by one
+    * region's suppliers, kept when a part's value exceeds 1/200 of the
+    * regional total. The global total is a broadcast one-row aggregate;
+    * the threshold compare is pure int64 (value·200 > total), exact in
+    * both engines. */
+  private def q11Stock(spark: SparkSession, d: String): DataFrame = {
+    val euroSupp = broadcast(Tables.supplier(spark, d)
+      .join(Tables.nation(spark, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, d).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")))
+    val held = partsupp(spark, d)
+      .join(euroSupp, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("ps_partkey"),
+        (col("ps_cost_cents") * col("ps_availqty")).as("v"))
+    val total = held.agg(sum("v").as("total_v"))
+    held.groupBy("ps_partkey").agg(sum("v").as("value_cents"))
+      .crossJoin(broadcast(total))
+      .filter(col("value_cents") * 200 > col("total_v"))
+      .select(col("ps_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("ps_partkey"))
+  }
+
+  private val q11Sql =
+    s"""WITH $psCte,
+        held AS (SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
+                 FROM ps
+                 WHERE ps_suppkey IN
+                   (SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'EUROPE'))
+        SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+        FROM held GROUP BY 1
+        HAVING SUM(v) * 200 > (SELECT SUM(v) FROM held)
+        ORDER BY value_cents DESC, ps_partkey"""
+
+  /** Q15 shape — top supplier: quarterly revenue per supplier, keep the
+    * max. The classic scalar-subquery-vs-max: the max enters as a
+    * broadcast one-row aggregate and the tie-safe compare happens on the
+    * EXACT decimal revenue (double only at the output edge). */
+  private def q15TopSupplier(spark: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .as("rev_exact"))
+    rev.crossJoin(broadcast(rev.agg(max("rev_exact").as("max_rev"))))
+      .filter(col("rev_exact") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_exact").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Sql =
+    """WITH rev AS (SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_exact
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1)
+       SELECT s_suppkey, s_name, CAST(rev_exact AS DOUBLE) AS total_revenue
+       FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       WHERE rev_exact = (SELECT MAX(rev_exact) FROM rev)
+       ORDER BY s_suppkey"""
+
+  /** Q16 shape — parts/supplier relationship: distinct suppliers able to
+    * supply each (brand, type, size), excluding negative-balance
+    * suppliers (the testdata's stand-in for the comment-flagged ones).
+    * Both exclusion filters prune broadcast sides before the count. */
+  private def q16SupplierCnt(spark: SparkSession, d: String): DataFrame = {
+    val okSupp = broadcast(Tables.supplier(spark, d)
+      .filter(col("s_acctbal") >= 0).select(col("s_suppkey")))
+    partsupp(spark, d)
+      .join(okSupp, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .join(broadcast(Tables.part(spark, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("ps_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val q16Sql =
+    s"""WITH $psCte
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM ps JOIN part ON ps_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND ps_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Q20 shape — potential part promotion: suppliers holding more than
+    * half a year's shipped quantity of any red part. The nested
+    * aggregate-vs-stock compare is pure integers (2·availqty > qty);
+    * red parts semi-prune BOTH the fact scan and partsupp. */
+  private def q20PromoSupp(spark: SparkSession, d: String): DataFrame = {
+    val redParts = broadcast(Tables.part(spark, d)
+      .filter(col("p_name").startsWith("red")).select("p_partkey"))
+    val shipped = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    partsupp(spark, d)
+      .join(redParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") * 2 > col("qty"))
+      .select("ps_suppkey").distinct()
+      .join(broadcast(Tables.supplier(spark, d)
+          .join(Tables.nation(spark, d), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name", "n_name")),
+        col("ps_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q20Sql =
+    s"""WITH $psCte,
+        shipped AS (SELECT l_partkey, l_suppkey,
+                           CAST(SUM(l_quantity) AS BIGINT) AS qty
+                    FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l_shipdate < TIMESTAMP '1997-01-01'
+                      AND l_partkey IN (SELECT p_partkey FROM part
+                                        WHERE p_name LIKE 'red%')
+                    GROUP BY 1, 2)
+        SELECT DISTINCT s_suppkey, s_name, n_name
+        FROM ps
+        JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE ps_availqty * 2 > qty
+        ORDER BY s_suppkey"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q2", q2MinCost, Some(q2Sql)),
+    Q("q11", q11Stock, Some(q11Sql)),
+    Q("q15", q15TopSupplier, Some(q15Sql)),
+    Q("q16", q16SupplierCnt, Some(q16Sql)),
+    Q("q20", q20PromoSupp, Some(q20Sql)),
     Q("q7", q7Volume, Some(q7Sql)),
     Q("q8", q8MarketShare, Some(q8Sql)),
     Q("q9", q9Profit, Some(q9Sql)),
