@@ -109,12 +109,23 @@ object FlightsQ extends QueryPack {
         "latitude", "longitude")
 
   private val factCache = graft.util.ManagedCaches.register()
+  private val dateCache = graft.util.ManagedCaches.register()
 
-  /** Derived fact, cached per (session, dir) so the fd_* queries share one
-    * build (released by Bench group teardown / ManagedCaches.clearAll). */
+  /** dim_date, checkpoint-cached: the 2015–2030 generation is only ~6k
+    * rows but its plan re-optimizes per consuming query otherwise. */
+  private def dimDate(spark: SparkSession): DataFrame =
+    graft.util.ManagedCaches.checkpointCache(dateCache, spark, "dim_date")(
+      Flights.dimDate(spark))
+
+  /** Derived fact, checkpoint-cached per (session, dir) so the fd_*
+    * queries share one MATERIALIZED build (released by Bench group
+    * teardown / ManagedCaches.clearAll). Checkpoint rather than persist:
+    * the fact's build subtree (bronze derivation + window dedup + 4 dim
+    * joins) is large enough that re-optimizing it per gold query cost
+    * ~0.1 s each; the truncated plan is a bare scan. */
   private def fact(spark: SparkSession, d: String): DataFrame =
-    graft.util.ManagedCaches.cache(factCache, spark, d)(
-      Flights.factFlight(flightsBronze(spark, d), Flights.dimDate(spark),
+    graft.util.ManagedCaches.checkpointCache(factCache, spark, d)(
+      Flights.factFlight(flightsBronze(spark, d), dimDate(spark),
         Flights.dimAirline(dimAirlines(spark)),
         Flights.dimAirport(dimAirports(spark))))
 
@@ -122,7 +133,7 @@ object FlightsQ extends QueryPack {
     * first gold notebook, oracle-checked end-to-end through cleanse, dim
     * joins, and the conditional-counter aggregation. */
   private def fdDaily(spark: SparkSession, d: String): DataFrame =
-    Flights.goldDailyFlightSummary(fact(spark, d), Flights.dimDate(spark))
+    Flights.goldDailyFlightSummary(fact(spark, d), dimDate(spark))
 
   private val fdDailySql =
     s"""WITH fl AS ($bronzeSql)
@@ -299,7 +310,7 @@ object FlightsQ extends QueryPack {
   /** Gold 05 — time-based season/weekend analytics (weekend = ISO
     * day-of-week ≥ 6, the dim_date convention). */
   private def fdTimeBased(spark: SparkSession, d: String): DataFrame =
-    Flights.goldTimeBased(fact(spark, d), Flights.dimDate(spark))
+    Flights.goldTimeBased(fact(spark, d), dimDate(spark))
 
   private val fdTimeSql =
     s"""WITH $factSql,

@@ -35,6 +35,25 @@ object ManagedCaches {
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Get-or-build a lineage-TRUNCATED entry in `m` for (spark, key).
+    *
+    * Like [[cache]], but via `localCheckpoint`: the data materializes to
+    * executor-local blocks AND the plan collapses to a bare RDD scan.
+    * Use it for a derived fact shared by many downstream queries — a
+    * persist-based entry still carries the full build subtree in every
+    * consumer plan, and Catalyst re-optimizes that subtree on each query
+    * (measured ~0.1 s per fd_* gold query against the flight fact);
+    * the checkpointed plan is a few nodes. This mirrors the medallion
+    * discipline at scale: a silver fact is MATERIALIZED once, and gold
+    * reads the materialization, not the recipe. [[clear]]'s unpersist is
+    * a no-op for these; dropping the map reference lets the
+    * ContextCleaner release the checkpoint blocks. */
+  def checkpointCache(m: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove)
+    m.getOrElseUpdate((spark, key), build.localCheckpoint())
+  }
+
   /** Unpersist and drop one cache's entries for `spark`. */
   def clear(m: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
       spark: SparkSession): Unit =
