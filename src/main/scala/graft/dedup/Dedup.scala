@@ -58,9 +58,14 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard similarity join: explode distinct shingles,
     * self-join on shingle, count intersections, filter by threshold.
-    * Exact but quadratic in cluster size — use as verification on LSH
-    * candidates (or small corpora); this is also the DuckDB-oracle shape.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * Exact but quadratic in shingle-bucket size — the right form when
+    * buckets are small (near-unique shingles, as in the testdata corpus:
+    * measured 1.5 s vs the prefix variant's 3+ s at sf0.1, because the
+    * prefix pipeline's extra ranking/verify stages cost more than the
+    * small self-join they avoid). For duplicate-heavy corpora whose
+    * buckets grow, use [[jaccardPairsPrefix]] (identical output,
+    * spec-asserted) or the [[minhashLshPairs]] scale path. This is also
+    * the DuckDB-oracle shape. Returns (id_a, id_b, jaccard), id_a < id_b. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // Exchange boundary: `sh` feeds three consumers (both join sides +
@@ -75,6 +80,59 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact all-pairs n-gram Jaccard with PPJoin-style PREFIX FILTERING —
+    * identical output to [[jaccardPairs]] (spec-asserted), but the
+    * candidate self-join runs on each document's prefix only: the scale
+    * path for DUPLICATE-HEAVY corpora where shingle buckets (and so the
+    * naive join's quadratic blowup) grow with corpus size.
+    *
+    * Lemma (prefix filter): order every document's shingles by one global
+    * total order — ascending corpus frequency, ties by value, so the
+    * rarest (most selective) shingles land in the prefix — and keep the
+    * first |d| − ⌈τ·|d|⌉ + 1. Any pair with J ≥ τ has overlap ≥
+    * ⌈τ·max(|a|,|b|)⌉, and two sets with overlap ≥ t sorted by the same
+    * order must share an element inside their (|·|−t+1)-prefixes, so
+    * every qualifying pair survives candidate generation; the exact
+    * verification then discards false positives. At τ=0.8 the prefix is
+    * ~20% of each document, and frequency-ascending order means the
+    * surviving join keys are precisely the RARE shingles with small
+    * buckets. The extra cost is linear (frequency aggregation + one
+    * per-document ranking window over the id-partitioned exchange), which
+    * is why the naive form stays faster on corpora whose buckets are
+    * already tiny — measured at sf0.1, see [[jaccardPairs]]. */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(shinglesFast(col(textCol), n)).as("sh"))
+      .repartition(col("id"))
+      .select("id", "sh")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+    val prefix = sh.join(freq, Seq("sh"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("freq", "sh")))
+      .join(sizes, Seq("id"))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("id", "sh")
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))

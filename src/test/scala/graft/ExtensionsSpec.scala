@@ -138,6 +138,19 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"LSH recall ${lsh.size}/${exact.size} below 0.8")
   }
 
+  test("prefix-filtered jaccardPairs equals the naive all-pairs join exactly") {
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // same pairs AND same jaccard values — the prefix filter must be a
+    // pure candidate-generation optimization, invisible in the output
+    assert(rows(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)) ==
+      rows(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)))
+    // and at a second threshold, where prefix lengths differ
+    assert(rows(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)) ==
+      rows(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)))
+  }
+
   test("simhash: identical docs get identical signatures; hamming 0") {
     val df = spark.createDataFrame(Seq(
       (1L, "spark query engine test"), (2L, "spark query engine test"),
