@@ -255,6 +255,30 @@ object Relay {
       .toDF()
   }
 
+  /** Streaming pivot — the incremental twin of the batch `pv_daily`
+    * query: wide per-group counts over a PINNED value set.
+    *
+    * Spark disallows `pivot` on a streaming Dataset, but a pinned-value
+    * pivot IS conditional aggregation — one `count(value = v)` per
+    * pinned v — which streams natively on the engine's incremental
+    * aggregate state: no hand-rolled flatMapGroupsWithState value-list
+    * state to schema-version, and map-side partial aggregation keeps the
+    * shuffle at |groups| rows exactly like the batch plan. Pinning is
+    * also the scale requirement the batch side already documents: a
+    * dynamic pivot needs an extra full pass to discover columns and
+    * yields a nondeterministic schema — on a stream it is impossible,
+    * since new columns cannot be added to past results. Run with
+    * complete/update output (or add a watermark on the group column for
+    * append). */
+  def pivotStream(events: DataFrame, groupCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column, pinned: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = pinned.map(v =>
+      count(when(valueCol === v, 1)).as(v))
+    events.groupBy(groupCol.as("day"))
+      .agg(counts.head, counts.tail: _*)
+  }
+
   /** S10 — streaming upsert sink via foreachBatch (reference
     * `write_stream_upsert`, `writers.py:78-132`: MERGE INTO per batch).
     * Each micro-batch is upserted into the target keyed on `keys` with

@@ -266,6 +266,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming fill (${streamed.length}) != batch (${batch.length})")
   }
 
+  test("streaming pivot equals the batch pv_daily query") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val srcDir = tmp() + "/pivot_src"
+    new java.io.File(srcDir).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val stream = Relay.pivotStream(
+      Relay.readStreamPath(spark, srcDir, schema)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+      date_trunc("day", col("ts")), col("event_type"), types)
+    val q = stream.writeStream.format("memory").queryName("pivot_mem")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("pivot_mem").orderBy("day").collect()
+    val batch = SparkEntry.queries("pv_daily")(spark, sf)
+      .orderBy("day").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"streaming pivot (${streamed.length} rows) != batch (${batch.length})")
+  }
+
   test("param fallback chain: explicit > system property > env > default") {
     import graft.etl.Params
     assert(Params.resolve("env_name", Map("env_name" -> "prod")) == Some("prod"))
