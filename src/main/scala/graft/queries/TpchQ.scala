@@ -751,8 +751,101 @@ object TpchQ extends QueryPack {
         WHERE ps_availqty * 2 > qty
         ORDER BY s_suppkey"""
 
+  /** Q12 shape — shipping-mode priority audit. The testdata lineitem has
+    * no shipmode/commitdate/receiptdate, so all three derive
+    * deterministically from (l_orderkey, l_linenumber) — same replayed-
+    * derivation contract as the partsupp family: mode = key-mod pick of
+    * the seven TPC-H modes; commit = shipdate ±30 days; receipt =
+    * shipdate + 1..30 days. The late-commit/receipt predicates then
+    * select exactly like the official query, and the priority buckets
+    * are conditional sums pushed into one scan-side aggregation. */
+  private def q12ShipMode(spark: SparkSession, d: String): DataFrame = {
+    val modes = Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+    val mode = modes.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (m, i)) =>
+        when((col("l_orderkey") + col("l_linenumber")) % 7 === i, lit(m))
+          .otherwise(acc)
+    }
+    val ship = col("l_shipdate").cast("date")
+    val commit = date_add(ship,
+      ((col("l_orderkey") * 3 + col("l_linenumber")) % 61 - 30).cast("int"))
+    val receipt = date_add(ship,
+      ((col("l_orderkey") * 5 + col("l_linenumber") * 7) % 30 + 1).cast("int"))
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), mode.as("l_shipmode"),
+        ship.as("ship"), commit.as("commit"), receipt.as("receipt"))
+      .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+        col("commit") < col("receipt") && col("ship") < col("commit") &&
+        col("receipt") >= "1996-01-01" && col("receipt") < "1997-01-01")
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_shipmode")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+          .otherwise(1)).as("low_line_count"))
+      .orderBy("l_shipmode")
+  }
+
+  private val q12Sql = {
+    val modes = Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+    val modeCase = modes.zipWithIndex
+      .map { case (m, i) => s"WHEN (l_orderkey + l_linenumber) % 7 = $i THEN '$m'" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH li AS (
+          SELECT l_orderkey, $modeCase AS l_shipmode,
+                 CAST(l_shipdate AS DATE) AS ship,
+                 CAST(l_shipdate AS DATE)
+                   + CAST((l_orderkey * 3 + l_linenumber) % 61 - 30 AS INTEGER)
+                   AS commit,
+                 CAST(l_shipdate AS DATE)
+                   + CAST((l_orderkey * 5 + l_linenumber * 7) % 30 + 1 AS INTEGER)
+                   AS receipt
+          FROM lineitem)
+        SELECT l_shipmode,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM li JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipmode IN ('MAIL', 'SHIP')
+          AND commit < receipt AND ship < commit
+          AND receipt >= DATE '1996-01-01' AND receipt < DATE '1997-01-01'
+        GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Q13 shape — customer order-count distribution: LEFT join with the
+    * filter INSIDE the join condition (so no-recent-order customers
+    * survive with count 0), then a second aggregation over the counts.
+    * Both shuffles hash on their natural keys; the histogram is tiny. */
+  private def q13CustDist(spark: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.customer(spark, d).select("c_custkey")
+      .join(Tables.orders(spark, d)
+          .filter(col("o_orderdate") >= "2000-01-01")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             FROM customer
+             LEFT JOIN orders ON c_custkey = o_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01'
+             GROUP BY c_custkey)
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+
   override def queries: Seq[Q] = Seq(
     Q("q2", q2MinCost, Some(q2Sql)),
+    Q("q12", q12ShipMode, Some(q12Sql)),
+    Q("q13", q13CustDist, Some(q13Sql)),
     Q("q11", q11Stock, Some(q11Sql)),
     Q("q15", q15TopSupplier, Some(q15Sql)),
     Q("q16", q16SupplierCnt, Some(q16Sql)),
