@@ -18,10 +18,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Queries whose nested-loop/cartesian joins are the POINT: the ANN
     * cross joins broadcast the (small) query side; the all-pairs kernel
     * is the shuffle-replicated exact join; q22's scalar-subquery gate is
-    * a ONE-row aggregate broadcast against customer. */
+    * a ONE-row aggregate broadcast against customer, and the partsupp
+    * family (q2/q11/q15/q16/q20) derives its relation via broadcast
+    * cross joins of a 4-row index and one-row scalar aggregates —
+    * constant-size sides by construction. */
   private val intentional = Set(
     "sim_topk", "sim_topk_agg", "sim_lsh_topk", "sim_ivf_topk",
-    "sim_near_dup", "sim_kmeans", "sim_ivft", "q22")
+    "sim_near_dup", "sim_kmeans", "sim_ivft", "q22",
+    "q2", "q11", "q15", "q16", "q20")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -47,6 +51,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pushed = "In\\(n_name".r.findAllIn(plan).size
     assert(pushed >= 2,
       s"expected the two-nation In(n_name,…) filter pushed to both nation scans, found $pushed:\n$plan")
+  }
+
+  test("q12: the shipmode/date predicates run before the orders join") {
+    // The derived-column filters are ~24× selective and must gate the
+    // lineitem side below the join, not filter the joined result.
+    val exec = SparkEntry.queries("q12")(spark, sf).queryExecution.executedPlan
+    val tree = exec.toString
+    val joinAt = tree.indexOf("Join")
+    val filterAt = tree.lastIndexOf("Filter")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      s"expected the selective lineitem filter BELOW the join:\n$tree")
+  }
+
+  test("q13: zero-order customers survive the left join into the histogram") {
+    val rows = SparkEntry.queries("q13")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.contains(0L), s"expected a c_count=0 bucket, got $rows")
   }
 
   override def afterAll(): Unit = {
