@@ -235,8 +235,112 @@ object TextQ extends QueryPack {
                    ELSE 0.0 END AS dup_frac
        FROM g ORDER BY doc_id"""
 
+  /** Corpus vocabulary: global term frequency + document frequency,
+    * top-100 by tf with a total-order tiebreak. One explode + one
+    * hash-aggregate shuffle on the token (df via count-distinct over
+    * doc_id), then TakeOrderedAndProject — the plan shape survives any
+    * corpus size because only |vocab| rows reach the top-k. */
+  private def tVocab(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(100)
+
+  private val tVocabSql =
+    """SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+             FROM documents)
+       GROUP BY tok ORDER BY tf DESC, tok LIMIT 100"""
+
+  /** PII scrubbing: mask emails and URLs with typed placeholder tokens.
+    * The synthetic corpus carries no PII, so a contact line derives
+    * deterministically from doc_id first (same replayed-derivation
+    * contract as the TPC-H partsupp family) and the scrub must erase
+    * exactly it. The patterns stay inside the RE2 ∩ java.util.regex
+    * common subset (character classes only — no lookaround/backrefs), so
+    * both engines compile them identically; scan-fused projection, no
+    * shuffle. */
+  private def tScrub(spark: SparkSession, d: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or http://host/p/"),
+      col("doc_id"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(withPii,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "https?://[^ ]+", "<URL>").as("clean"))
+      .withColumn("still_has_pii",
+        col("clean").rlike("@example|http://").cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val tScrubSql =
+    """SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or http://host/p/' || CAST(doc_id AS VARCHAR),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                'https?://[^ ]+', '<URL>', 'g') AS clean,
+              CASE WHEN regexp_matches(
+                     regexp_replace(
+                       regexp_replace(
+                         text || ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@example.com or http://host/p/' || CAST(doc_id AS VARCHAR),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g'), '@example|http://')
+                   THEN 1 ELSE 0 END AS still_has_pii
+       FROM documents ORDER BY doc_id"""
+
+  /** Per-document salient term — the TF-IDF shape with a RATIONAL
+    * inverse-document-frequency (tf · N/df instead of tf · ln(N/df)):
+    * libm log differs in the last ulp across engines, while N/df is one
+    * IEEE divide both sides compute identically, and the ARGMAX per
+    * document is what the operator is for. Two shuffles (corpus df on
+    * token, per-doc tf on doc) + a broadcast of the |vocab| df table. */
+  private def tTfidf(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val nDocs = Tables.documents(spark, d).agg(count(lit(1)).as("n_docs"))
+    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  private val tTfidfSql =
+    """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                    FROM documents),
+        df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        scored AS (SELECT tf.doc_id, tf.tok,
+                          tf.tf * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                                   / CAST(df.df AS DOUBLE)) AS score
+                   FROM tf JOIN df ON tf.tok = df.tok)
+       SELECT doc_id, tok AS top_term, score
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, tok) AS rk
+             FROM scored)
+       WHERE rk = 1 ORDER BY doc_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_tokens", tTokens, Some(tTokensSql)),
+    Q("t_vocab", tVocab, Some(tVocabSql)),
+    Q("t_scrub", tScrub, Some(tScrubSql)),
+    Q("t_tfidf", tTfidf, Some(tTfidfSql)),
     Q("t_rep", tRepetition, Some(tRepetitionSql)),
     Q("t_quality", tQuality, Some(tQualitySql)),
     Q("t_langid", tLangid, Some(tLangidSql)),

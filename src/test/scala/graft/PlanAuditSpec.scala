@@ -19,13 +19,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * cross joins broadcast the (small) query side; the all-pairs kernel
     * is the shuffle-replicated exact join; q22's scalar-subquery gate is
     * a ONE-row aggregate broadcast against customer, and the partsupp
-    * family (q2/q11/q15/q16/q20) derives its relation via broadcast
+    * family (q2/q11/q15/q16/q20) and t_tfidf derive its relation via broadcast
     * cross joins of a 4-row index and one-row scalar aggregates —
     * constant-size sides by construction. */
   private val intentional = Set(
     "sim_topk", "sim_topk_agg", "sim_lsh_topk", "sim_ivf_topk",
     "sim_near_dup", "sim_kmeans", "sim_ivft", "q22",
-    "q2", "q11", "q15", "q16", "q20")
+    "q2", "q11", "q15", "q16", "q20", "t_tfidf")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
