@@ -287,7 +287,43 @@ object SimQ extends QueryPack {
          FROM sims) t
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Int8 symmetric embedding quantization — the 100 TB storage-path op
+    * (4 bytes/dim float → 1 byte/dim + one scale per vector). Per-vector
+    * scale = max|x|; q_i = floor(x_i · 127 / scale), all in doubles with
+    * the identical expression order on the oracle side so every quantized
+    * cell hash-matches. Output is posexploded to (vec_id, dim, q) scalar
+    * rows (arrays don't hash portably in the driver compare). Zero
+    * vectors quantize to 0 on both sides. Pure scan-fused projection +
+    * generate — no shuffle at any scale; ExtensionsSpec bounds the
+    * reconstruction error at one quantization step. */
+  private def simQuant(spark: SparkSession, d: String): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val q = transform(embD, x =>
+      when(col("maxabs") === 0.0, lit(0))
+        .otherwise(floor(x * lit(127.0) / col("maxabs")).cast("int")))
+    Tables.embeddings(spark, d)
+      .withColumn("maxabs", array_max(transform(embD, x => abs(x))))
+      .select(col("vec_id"), col("maxabs"), posexplode(q).as(Seq("dim", "q")))
+      .orderBy("vec_id", "dim")
+  }
+
+  private val simQuantSql =
+    """WITH e AS (
+         SELECT vec_id,
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                  AS maxabs,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         FROM embeddings)
+       SELECT vec_id, maxabs, CAST(r.u.dim AS INTEGER) AS dim, r.u.q AS q
+       FROM e, UNNEST(list_transform(emb, (x, i) ->
+         {'dim': i - 1,
+          'q': CASE WHEN maxabs = 0 THEN 0
+                    ELSE CAST(FLOOR(x * CAST(127 AS DOUBLE) / maxabs) AS INTEGER)
+               END})) AS r(u)
+       ORDER BY vec_id, dim"""
+
   override def queries: Seq[Q] = Seq(
+    Q("sim_quant", simQuant, Some(simQuantSql)),
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_ivft", simIvfTrained, Some(simIvfTrainedSql)),
     Q("sim_topk_agg", simTopkAgg, Some(simTopkSql)),

@@ -151,6 +151,22 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)))
   }
 
+  test("int8 quantization reconstructs within one step per dimension") {
+    import org.apache.spark.sql.functions._
+    // |x - q*scale/127| < scale/127 for floor quantization — the bound a
+    // storage-path consumer relies on when reranking over dequantized
+    // vectors.
+    val worst = SparkEntry.queries("sim_quant")(spark, sf)
+      .join(Tables.embeddings(spark, sf), "vec_id")
+      .filter(col("maxabs") > 0)
+      .withColumn("x", element_at(col("embedding"), col("dim") + 1).cast("double"))
+      .withColumn("err",
+        abs(col("x") - col("q") * col("maxabs") / lit(127.0)) * lit(127.0)
+          / col("maxabs"))
+      .agg(max("err")).collect()(0).getDouble(0)
+    assert(worst <= 1.0 + 1e-9, s"reconstruction error $worst steps")
+  }
+
   test("simhash: identical docs get identical signatures; hamming 0") {
     val df = spark.createDataFrame(Seq(
       (1L, "spark query engine test"), (2L, "spark query engine test"),
