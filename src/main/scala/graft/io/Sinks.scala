@@ -157,6 +157,96 @@ object Sinks {
     Files.move(Paths.get(stagingPath), target)
   }
 
+  // ───── file-granular MERGE on a non-partition key (min/max manifest) ─────
+
+  private def manifestPath(targetPath: String): String = targetPath + "/_manifest"
+
+  /** Per-file key-range manifest of `dataPath`'s parquet files, computed
+    * by scanning ONLY those files: (file leaf name, kmin, kmax, rows).
+    * Leading-underscore paths are invisible to Spark's parquet reads, so
+    * the manifest can live INSIDE the table dir with native key types. */
+  private def manifestEntries(spark: SparkSession, dataPath: String,
+      keyCol: String): DataFrame =
+    spark.read.parquet(dataPath)
+      .select(col(keyCol).as("k"), col("_metadata.file_path").as("fp"))
+      .groupBy(element_at(split(col("fp"), "/"), -1).as("file"))
+      .agg(min("k").as("kmin"), max("k").as("kmax"), count(lit(1)).as("rows"))
+
+  /** Write `df` as a manifest-tracked table: range-partitioned on
+    * `keyCol` into `nFiles` files — disjoint per-file key ranges are what
+    * make the min/max manifest selective — plus the `_manifest` sidecar.
+    * This is the layout [[upsertByKeyManifest]] merges into. */
+  def writeWithManifest(spark: SparkSession, df: DataFrame, targetPath: String,
+      keyCol: String, nFiles: Int = 8): Unit = {
+    df.repartitionByRange(nFiles, col(keyCol))
+      .write.mode("overwrite").parquet(targetPath)
+    manifestEntries(spark, targetPath, keyCol)
+      .coalesce(1).write.mode("overwrite").parquet(manifestPath(targetPath))
+  }
+
+  /** S11 (file-granular, NON-partition key) — keyed MERGE whose work
+    * scales with the files that actually contain matched keys, not the
+    * table: the Delta data-skipping cost model without a table format.
+    *
+    * The `_manifest` sidecar holds each file's key min/max; incoming
+    * keys range-join the broadcast manifest to select the touched files,
+    * which alone are read, merged (latest wins) with ALL the updates
+    * (unmatched keys insert into the rewritten files), and replaced.
+    * Untouched files are never read, written, or renamed — byte-identical
+    * after the merge, spec-asserted — and the manifest is spliced
+    * incrementally (old untouched entries + entries scanned from the new
+    * files only), so no step is O(table).
+    *
+    * Like [[upsertByKey]]'s staging swap, the final file moves + manifest
+    * rewrite are not transactional against concurrent readers — the
+    * commit-log piece is exactly what a table format provides on an
+    * object store (README scope note). */
+  def upsertByKeyManifest(spark: SparkSession, updates: DataFrame,
+      targetPath: String, keyCol: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (!new java.io.File(targetPath).exists()) {
+      writeWithManifest(spark, updates, targetPath, keyCol)
+      return
+    }
+    val manifest = spark.read.parquet(manifestPath(targetPath))
+    val touched = updates.select(col(keyCol).as("k")).distinct()
+      .join(broadcast(manifest),
+        col("k") >= col("kmin") && col("k") <= col("kmax"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val existingTouched =
+      if (touched.isEmpty) updates.filter(lit(false))
+      else spark.read.parquet(touched.map(f => s"$targetPath/$f").toSeq: _*)
+        .drop("_metadata")
+    val all = existingTouched.withColumn("__upd", lit(0))
+      .unionByName(updates.withColumn("__upd", lit(1)))
+    val merged = Cleaning.latestByKey(Seq(keyCol), Seq(col("__upd")))(all)
+      .drop("__upd")
+    val staging = targetPath + ".merge-staging"
+    merged.repartitionByRange(math.max(1, touched.size), col(keyCol))
+      .write.mode("overwrite").parquet(staging)
+    // splice the manifest BEFORE moving files (the scan is lazy; collect
+    // forces it while the staging dir still exists)
+    val newEntries = manifestEntries(spark, staging, keyCol).collect().toSeq
+    val keptEntries = manifest.filter(!col("file").isin(touched.toSeq: _*)).collect().toSeq
+    val stagingDir = new java.io.File(staging)
+    val dataFiles = stagingDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    // staged part names carry fresh UUIDs — no collision with live files
+    dataFiles.foreach(f =>
+      Files.move(f.toPath, Paths.get(s"$targetPath/${f.getName}")))
+    touched.foreach { f =>
+      Files.deleteIfExists(Paths.get(s"$targetPath/$f"))
+      // local-FS hidden checksum sibling; stale ones are harmless but messy
+      Files.deleteIfExists(Paths.get(s"$targetPath/.$f.crc"))
+    }
+    stagingDir.listFiles().foreach(f => Files.deleteIfExists(f.toPath))
+    Files.deleteIfExists(stagingDir.toPath)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(keptEntries ++ newEntries, 1),
+        manifest.schema)
+      .write.mode("overwrite").parquet(manifestPath(targetPath))
+  }
+
   /** S11 (generic fallback) — keyed upsert for UNPARTITIONED targets:
     * union existing+updates, keep the update row per key (latest wins via
     * the `isUpdate` flag), rewrite atomically via a staging path + swap.
