@@ -157,14 +157,36 @@ object Sinks {
     Files.move(Paths.get(stagingPath), target)
   }
 
-  // ───── file-granular MERGE on a non-partition key (min/max manifest) ─────
+  // ── file-granular MERGE + time travel (versioned min/max manifest) ──
+  //
+  // A minimal immutable-files + commit-manifest table: data files are
+  // never mutated; each version is a manifest listing (file, key min/max,
+  // rows); MERGE commits a new version that reuses every file whose key
+  // range the updates missed. This is the Delta cost model — data-skipping
+  // MERGE, snapshot reads, VACUUM — without a table format; what it does
+  // NOT provide is the atomic multi-writer commit protocol an object
+  // store needs (reference scope note in README). Reads of a versioned
+  // table go through [[readVersioned]]; after [[vacuum]](keep=1) the dir
+  // is also plain-parquet-readable again (only live files remain).
 
-  private def manifestPath(targetPath: String): String = targetPath + "/_manifest"
+  private def manifestRoot(targetPath: String): String = targetPath + "/_manifest"
+  private def versionDir(targetPath: String, v: Long): String =
+    s"${manifestRoot(targetPath)}/v=$v"
 
-  /** Per-file key-range manifest of `dataPath`'s parquet files, computed
-    * by scanning ONLY those files: (file leaf name, kmin, kmax, rows).
+  /** Latest committed version of a manifest-tracked table (0 = none). */
+  def currentVersion(targetPath: String): Long = {
+    val root = new java.io.File(manifestRoot(targetPath))
+    if (!root.exists()) 0L
+    else root.listFiles().filter(_.isDirectory).map(_.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Per-file key-range manifest entries of `dataPath`'s parquet files,
+    * computed by scanning ONLY those files: (file leaf, kmin, kmax, rows).
     * Leading-underscore paths are invisible to Spark's parquet reads, so
-    * the manifest can live INSIDE the table dir with native key types. */
+    * the manifest tree can live INSIDE the table dir with native key
+    * types. */
   private def manifestEntries(spark: SparkSession, dataPath: String,
       keyCol: String): DataFrame =
     spark.read.parquet(dataPath)
@@ -172,43 +194,48 @@ object Sinks {
       .groupBy(element_at(split(col("fp"), "/"), -1).as("file"))
       .agg(min("k").as("kmin"), max("k").as("kmax"), count(lit(1)).as("rows"))
 
-  /** Write `df` as a manifest-tracked table: range-partitioned on
-    * `keyCol` into `nFiles` files — disjoint per-file key ranges are what
-    * make the min/max manifest selective — plus the `_manifest` sidecar.
-    * This is the layout [[upsertByKeyManifest]] merges into. */
+  /** Write `df` as version 1 of a manifest-tracked table:
+    * range-partitioned on `keyCol` into `nFiles` files — disjoint
+    * per-file key ranges are what make the min/max manifest selective. */
   def writeWithManifest(spark: SparkSession, df: DataFrame, targetPath: String,
       keyCol: String, nFiles: Int = 8): Unit = {
     df.repartitionByRange(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(targetPath)
     manifestEntries(spark, targetPath, keyCol)
-      .coalesce(1).write.mode("overwrite").parquet(manifestPath(targetPath))
+      .coalesce(1).write.mode("overwrite").parquet(versionDir(targetPath, 1L))
+  }
+
+  /** Snapshot read: the table exactly as committed at `version`
+    * (default: latest) — the reference README's "restore guidance"
+    * becomes a query-time choice. Resolves the version's manifest to its
+    * file list and reads only those files. */
+  def readVersioned(spark: SparkSession, targetPath: String,
+      version: Long = -1L): DataFrame = {
+    val v = if (version > 0) version else currentVersion(targetPath)
+    require(v > 0, s"$targetPath has no committed manifest versions")
+    val files = spark.read.parquet(versionDir(targetPath, v))
+      .select("file").collect().map(r => s"$targetPath/${r.getString(0)}")
+    spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** S11 (file-granular, NON-partition key) — keyed MERGE whose work
     * scales with the files that actually contain matched keys, not the
-    * table: the Delta data-skipping cost model without a table format.
-    *
-    * The `_manifest` sidecar holds each file's key min/max; incoming
-    * keys range-join the broadcast manifest to select the touched files,
-    * which alone are read, merged (latest wins) with ALL the updates
-    * (unmatched keys insert into the rewritten files), and replaced.
-    * Untouched files are never read, written, or renamed — byte-identical
-    * after the merge, spec-asserted — and the manifest is spliced
-    * incrementally (old untouched entries + entries scanned from the new
-    * files only), so no step is O(table).
-    *
-    * Like [[upsertByKey]]'s staging swap, the final file moves + manifest
-    * rewrite are not transactional against concurrent readers — the
-    * commit-log piece is exactly what a table format provides on an
-    * object store (README scope note). */
+    * table. Incoming keys range-join the broadcast manifest of the
+    * current version; only the hit files are read and merged (latest
+    * wins) with ALL the updates (unmatched keys insert); version N+1's
+    * manifest reuses every other file entry untouched. Data files are
+    * immutable — prior versions stay readable via [[readVersioned]]
+    * until [[vacuum]] drops them — and the manifest splice scans only
+    * the newly written files, so no step is O(table). */
   def upsertByKeyManifest(spark: SparkSession, updates: DataFrame,
       targetPath: String, keyCol: String): Unit = {
     import java.nio.file.{Files, Paths}
-    if (!new java.io.File(targetPath).exists()) {
+    val cur = currentVersion(targetPath)
+    if (cur == 0L) {
       writeWithManifest(spark, updates, targetPath, keyCol)
       return
     }
-    val manifest = spark.read.parquet(manifestPath(targetPath))
+    val manifest = spark.read.parquet(versionDir(targetPath, cur))
     val touched = updates.select(col(keyCol).as("k")).distinct()
       .join(broadcast(manifest),
         col("k") >= col("kmin") && col("k") <= col("kmax"))
@@ -217,7 +244,6 @@ object Sinks {
     val existingTouched =
       if (touched.isEmpty) updates.filter(lit(false))
       else spark.read.parquet(touched.map(f => s"$targetPath/$f").toSeq: _*)
-        .drop("_metadata")
     val all = existingTouched.withColumn("__upd", lit(0))
       .unionByName(updates.withColumn("__upd", lit(1)))
     val merged = Cleaning.latestByKey(Seq(keyCol), Seq(col("__upd")))(all)
@@ -230,21 +256,43 @@ object Sinks {
     val newEntries = manifestEntries(spark, staging, keyCol).collect().toSeq
     val keptEntries = manifest.filter(!col("file").isin(touched.toSeq: _*)).collect().toSeq
     val stagingDir = new java.io.File(staging)
-    val dataFiles = stagingDir.listFiles().filter(_.getName.endsWith(".parquet"))
     // staged part names carry fresh UUIDs — no collision with live files
-    dataFiles.foreach(f =>
+    stagingDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f =>
       Files.move(f.toPath, Paths.get(s"$targetPath/${f.getName}")))
-    touched.foreach { f =>
-      Files.deleteIfExists(Paths.get(s"$targetPath/$f"))
-      // local-FS hidden checksum sibling; stale ones are harmless but messy
-      Files.deleteIfExists(Paths.get(s"$targetPath/.$f.crc"))
-    }
     stagingDir.listFiles().foreach(f => Files.deleteIfExists(f.toPath))
     Files.deleteIfExists(stagingDir.toPath)
     spark.createDataFrame(
         spark.sparkContext.parallelize(keptEntries ++ newEntries, 1),
         manifest.schema)
-      .write.mode("overwrite").parquet(manifestPath(targetPath))
+      .write.mode("overwrite").parquet(versionDir(targetPath, cur + 1))
+  }
+
+  /** Drop all but the newest `keepVersions` manifests and delete every
+    * data file no surviving version references — Delta's VACUUM. With
+    * keepVersions=1 the table dir becomes plain-parquet-readable again
+    * (live files only). */
+  def vacuum(spark: SparkSession, targetPath: String,
+      keepVersions: Int = 1): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = new java.io.File(manifestRoot(targetPath))
+    require(root.exists(), s"$targetPath is not manifest-tracked")
+    val versions = root.listFiles().filter(_.isDirectory).map(_.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }.sorted
+    val (dropped, kept) = versions.splitAt(math.max(versions.length - keepVersions, 0))
+    val live = kept.flatMap(v =>
+      spark.read.parquet(versionDir(targetPath, v))
+        .select("file").collect().map(_.getString(0))).toSet
+    new java.io.File(targetPath).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !live(f.getName))
+      .foreach { f =>
+        Files.deleteIfExists(f.toPath)
+        Files.deleteIfExists(Paths.get(s"$targetPath/.${f.getName}.crc"))
+      }
+    dropped.foreach { v =>
+      val d = new java.io.File(versionDir(targetPath, v))
+      d.listFiles().foreach(f => Files.deleteIfExists(f.toPath))
+      Files.deleteIfExists(d.toPath)
+    }
   }
 
   /** S11 (generic fallback) — keyed upsert for UNPARTITIONED targets:

@@ -145,55 +145,67 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("S11: manifest merge rewrites only files whose key range is hit") {
+  test("S11: manifest merge rewrites only hit files; versions time-travel; vacuum GCs") {
     import spark.implicits._
     val dir = tmp() + "/upsert_manifest"
     // 1000 keys range-partitioned into 8 files with disjoint key ranges;
     // the merge key is NOT a partition column — this is the non-partition-
     // aligned MERGE the partition-scoped path cannot serve.
-    Sinks.writeWithManifest(spark,
-      (0L until 1000L).map(k => (k, s"v$k")).toDF("k", "v"), dir, "k", nFiles = 8)
+    val v1Rows = (0L until 1000L).map(k => (k, s"v$k"))
+    Sinks.writeWithManifest(spark, v1Rows.toDF("k", "v"), dir, "k", nFiles = 8)
     def files(): Map[String, Seq[Byte]] =
       new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
         .map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+    def manifestFiles(v: Long): Set[String] =
+      spark.read.parquet(s"$dir/_manifest/v=$v")
+        .select("file").collect().map(_.getString(0)).toSet
     val before = files()
     assert(before.size == 8, s"expected 8 data files, got ${before.size}")
+    assert(Sinks.currentVersion(dir) == 1L)
     // updates hit a narrow key range (+ one brand-new key well outside)
-    val updates = Seq((100L, "U100"), (101L, "U101"), (5000L, "NEW"))
-      .toDF("k", "v")
-    Sinks.upsertByKeyManifest(spark, updates, dir, "k")
+    Sinks.upsertByKeyManifest(spark,
+      Seq((100L, "U100"), (101L, "U101"), (5000L, "NEW")).toDF("k", "v"), dir, "k")
+    assert(Sinks.currentVersion(dir) == 2L)
+    // v2 must REUSE at least 6 of v1's files (data skipping), and every
+    // v1 file is still on disk byte-identical (immutability = time travel)
+    val reused = manifestFiles(1L).intersect(manifestFiles(2L))
+    assert(reused.size >= 6, s"merge must reuse unhit files; reused only $reused")
     val after = files()
-    val untouched = before.keySet.intersect(after.keySet)
-    assert(untouched.size >= 6,
-      s"merge must skip files outside the key range; kept only $untouched")
-    untouched.foreach(f => assert(after(f) == before(f),
-      s"untouched file $f must stay byte-identical"))
-    // merged content equals the full-merge oracle
-    val out = spark.read.parquet(dir).orderBy("k")
+    before.foreach { case (f, bytes) =>
+      assert(after(f) == bytes, s"immutable file $f changed") }
+    // current read equals the full-merge oracle…
+    val out = Sinks.readVersioned(spark, dir).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    val oracle = ((0L until 1000L).filterNot(Set(100L, 101L))
-      .map(k => (k, s"v$k")) ++
+    val oracle = (v1Rows.filterNot(r => Set(100L, 101L)(r._1)) ++
       Seq((100L, "U100"), (101L, "U101"), (5000L, "NEW"))).sortBy(_._1)
     assert(out == oracle)
-    // the spliced manifest still matches the files on disk exactly
-    val manifest = spark.read.parquet(s"$dir/_manifest")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(manifest.map(_._1).toSet == after.keySet,
-      "manifest file set must equal the data files on disk")
-    manifest.foreach { case (f, kmin, kmax) =>
-      val actual = spark.read.parquet(s"$dir/$f").agg(
-        org.apache.spark.sql.functions.min("k"),
-        org.apache.spark.sql.functions.max("k")).collect()(0)
-      assert(actual.getLong(0) == kmin && actual.getLong(1) == kmax,
-        s"manifest range for $f is stale")
-    }
-    // a second merge with only out-of-range keys touches nothing
-    val before2 = files()
+    // …while version 1 still reads as the ORIGINAL table (time travel)
+    val v1Read = Sinks.readVersioned(spark, dir, version = 1L).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v1Read == v1Rows.sortBy(_._1))
+    // the spliced manifest's ranges match the live files exactly
+    spark.read.parquet(s"$dir/_manifest/v=2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .foreach { case (f, kmin, kmax) =>
+        val actual = spark.read.parquet(s"$dir/$f").agg(
+          org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).collect()(0)
+        assert(actual.getLong(0) == kmin && actual.getLong(1) == kmax,
+          s"manifest range for $f is stale")
+      }
+    // a merge with only out-of-range keys reuses EVERY current file
     Sinks.upsertByKeyManifest(spark, Seq((9000L, "N2")).toDF("k", "v"), dir, "k")
-    val after2 = files()
-    assert(before2.keySet.subsetOf(after2.keySet) &&
-      before2.keys.forall(f => after2(f) == before2(f)),
-      "a merge with no matched ranges must leave every existing file alone")
+    assert(manifestFiles(2L).subsetOf(manifestFiles(3L)),
+      "a no-match merge must reuse every current file")
+    // vacuum(keep=1): only v3's files survive, and the dir is plain-
+    // parquet-readable again with the same content
+    Sinks.vacuum(spark, dir, keepVersions = 1)
+    assert(files().keySet == manifestFiles(3L),
+      "vacuum must delete exactly the unreferenced files")
+    assert(!new java.io.File(s"$dir/_manifest/v=1").exists())
+    val plain = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(plain == (oracle :+ (9000L, "N2")).sortBy(_._1))
   }
 
   test("compaction shrinks file counts and preserves rows") {
