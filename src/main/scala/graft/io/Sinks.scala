@@ -215,7 +215,10 @@ object Sinks {
     require(v > 0, s"$targetPath has no committed manifest versions")
     val files = spark.read.parquet(versionDir(targetPath, v))
       .select("file").collect().map(r => s"$targetPath/${r.getString(0)}")
-    spark.read.parquet(files.toIndexedSeq: _*)
+    // mergeSchema: after a schema-evolving merge, a version can span
+    // files written before and after the widening; old files surface the
+    // new columns as null, exactly like Delta's evolved reads.
+    spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
   }
 
   /** S11 (file-granular, NON-partition key) — keyed MERGE whose work
@@ -228,7 +231,8 @@ object Sinks {
     * until [[vacuum]] drops them — and the manifest splice scans only
     * the newly written files, so no step is O(table). */
   def upsertByKeyManifest(spark: SparkSession, updates: DataFrame,
-      targetPath: String, keyCol: String): Unit = {
+      targetPath: String, keyCol: String,
+      allowSchemaEvolution: Boolean = false): Unit = {
     import java.nio.file.{Files, Paths}
     val cur = currentVersion(targetPath)
     if (cur == 0L) {
@@ -244,8 +248,14 @@ object Sinks {
     val existingTouched =
       if (touched.isEmpty) updates.filter(lit(false))
       else spark.read.parquet(touched.map(f => s"$targetPath/$f").toSeq: _*)
+    // Schema evolution (Delta mergeSchema semantics, opt-in like Delta's):
+    // columns new in `updates` are added (old rows null), columns absent
+    // from `updates` are kept (update rows null). Untouched files are NOT
+    // rewritten — [[readVersioned]]'s mergeSchema read surfaces the new
+    // columns as null for them.
     val all = existingTouched.withColumn("__upd", lit(0))
-      .unionByName(updates.withColumn("__upd", lit(1)))
+      .unionByName(updates.withColumn("__upd", lit(1)),
+        allowMissingColumns = allowSchemaEvolution)
     val merged = Cleaning.latestByKey(Seq(keyCol), Seq(col("__upd")))(all)
       .drop("__upd")
     val staging = targetPath + ".merge-staging"

@@ -197,15 +197,33 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     Sinks.upsertByKeyManifest(spark, Seq((9000L, "N2")).toDF("k", "v"), dir, "k")
     assert(manifestFiles(2L).subsetOf(manifestFiles(3L)),
       "a no-match merge must reuse every current file")
-    // vacuum(keep=1): only v3's files survive, and the dir is plain-
-    // parquet-readable again with the same content
+    // schema-evolving merge (v4): a new column arrives with the updates;
+    // untouched files are NOT rewritten and read back with w = null
+    Sinks.upsertByKeyManifest(spark,
+      Seq((100L, "U100e", 7L)).toDF("k", "v", "w"), dir, "k",
+      allowSchemaEvolution = true)
+    val evolved = Sinks.readVersioned(spark, dir)
+    assert(evolved.columns.toSet == Set("k", "v", "w"))
+    val byK = evolved.filter(col("k").isin(100L, 5000L)).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+    assert(byK == Seq((100L, "U100e", 7L), (5000L, "NEW", null)),
+      s"evolved read wrong: $byK")
+    // …while the strict default still rejects a schema mismatch
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Sinks.upsertByKeyManifest(spark,
+        Seq((1L, "x", 1L)).toDF("k", "v", "w2"), dir, "k")
+    }
+    // vacuum(keep=1): only v4's files survive; the evolved table stays
+    // readable (mergeSchema) with the same content
     Sinks.vacuum(spark, dir, keepVersions = 1)
-    assert(files().keySet == manifestFiles(3L),
+    assert(files().keySet == manifestFiles(4L),
       "vacuum must delete exactly the unreferenced files")
     assert(!new java.io.File(s"$dir/_manifest/v=1").exists())
-    val plain = spark.read.parquet(dir).orderBy("k")
+    val plain = Sinks.readVersioned(spark, dir).select("k", "v").orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(plain == (oracle :+ (9000L, "N2")).sortBy(_._1))
+    assert(plain == ((oracle.filterNot(_._1 == 100L) :+
+      (100L, "U100e") :+ (9000L, "N2")).sortBy(_._1)))
   }
 
   test("compaction shrinks file counts and preserves rows") {
