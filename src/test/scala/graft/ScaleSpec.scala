@@ -131,6 +131,36 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(saltSpread == 8)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The row-level companion of dynamic partition pruning: when a shuffle
+    // join's build side carries a selective filter, Spark injects a bloom
+    // filter that discards probe rows BEFORE the exchange. The size
+    // thresholds are tuned for clusters, so pin them down to testdata
+    // scale; the technique is what matters at 100 TB (probe-side scan
+    // shrinks by the build's selectivity before any shuffle bytes move).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // force the shuffle-join regime the filter targets
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val row = li.agg(
