@@ -317,4 +317,24 @@ object Relay {
           keys, partitionCol)
       }
       .start()
+
+  /** [[writeStreamUpsert]] into a VERSIONED manifest table
+    * ([[Sinks.upsertByKeyManifest]]): each micro-batch rewrites only the
+    * files whose key range it hits and commits one manifest version, so
+    * the stream leaves behind a time-travelable history — version N is
+    * the table as of micro-batch N — and a [[Sinks.vacuum]] retention
+    * pass bounds it, mirroring a Delta streaming MERGE sink end to end. */
+  def writeStreamUpsertManifest(df: DataFrame, targetPath: String,
+      checkpoint: String, keyCol: String,
+      queryName: String = "upsert_manifest",
+      trig: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sinks.upsertByKeyManifest(batch.sparkSession, batch, targetPath, keyCol)
+      }
+      .start()
 }

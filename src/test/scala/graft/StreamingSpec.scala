@@ -266,6 +266,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming fill (${streamed.length}) != batch (${batch.length})")
   }
 
+  test("streaming manifest upsert merges per micro-batch and leaves a version history") {
+    import spark.implicits._
+    import graft.io.Sinks
+    val src = tmp() + "/mupsert_src"
+    val dst = tmp() + "/mupsert_dst"
+    val ckp = tmp() + "/mupsert_ckp"
+    new java.io.File(src).mkdirs()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("append").parquet(src)
+    // age the first append so the file source orders the batches
+    // deterministically (it sorts by modification time)
+    new java.io.File(src).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    Seq((2L, "B2"), (3L, "c")).toDF("k", "v").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = Relay.writeStreamUpsertManifest(
+      Relay.readStreamPath(spark, src, schema,
+        options = Map("maxFilesPerTrigger" -> "1")),
+      dst, ckp, "k")
+    q.awaitTermination()
+    val out = Sinks.readVersioned(spark, dst).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c")), s"merged stream: $out")
+    // one committed manifest version per micro-batch = a queryable history
+    assert(Sinks.currentVersion(dst) >= 2L,
+      s"expected a version per micro-batch, got ${Sinks.currentVersion(dst)}")
+  }
+
   test("streaming pivot equals the batch pv_daily query") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
