@@ -142,12 +142,23 @@ object DedupQ extends QueryPack {
     * the step that makes pairwise near-dup output actionable (keep one
     * doc per cluster); the oracle recomputes the SAME md5-exact pair set
     * and closes it transitively with a recursive CTE. */
-  private def dCc(spark: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(lshPairs(spark, d))
-      .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy("doc_id")
+  private val ccCache = graft.util.ManagedCaches.register()
 
-  private val dCcSql =
+  /** Cluster assignment, shared by the assignment report and the survivor
+    * selection. checkpointCache: the fixpoint loop already truncates
+    * lineage internally, and the cache keeps the SECOND consumer from
+    * re-running the whole iteration. */
+  private def ccLabels(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.checkpointCache(ccCache, spark, d)(
+      Dedup.connectedComponents(lshPairs(spark, d))
+        .select(col("id").as("doc_id"), col("cluster_id")))
+
+  private def dCc(spark: SparkSession, d: String): DataFrame =
+    ccLabels(spark, d).orderBy("doc_id")
+
+  /** The recursive pair-set + transitive-closure CTE chain, shared by the
+    * cluster-assignment oracle and the survivor-selection oracle. */
+  private val dCcCtes =
     """WITH RECURSIVE
        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT DISTINCT doc_id,
@@ -180,11 +191,63 @@ object DedupQ extends QueryPack {
                  SELECT id_b, id_a FROM pairs),
        reach AS (SELECT u, v FROM edges
                  UNION
-                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)"""
+
+  private val dCcSql =
+    s"""$dCcCtes
        SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
        FROM reach GROUP BY u ORDER BY doc_id"""
 
+  /** Survivor selection — the dedup ACTION the cluster assignment exists
+    * for: per duplicate cluster, keep the highest-quality member
+    * (doc_id as the deterministic tiebreak) and report the cluster size.
+    * Quality joins in AFTER clustering on |clustered docs| rows; the
+    * per-cluster argmax is one row_number window over tiny groups. */
+  private def dCcKeep(spark: SparkSession, d: String): DataFrame = {
+    val enStop = Text.langStopwords.toMap.apply("en")
+    val cc = ccLabels(spark, d)
+    val scored = cc.join(
+      Tables.documents(spark, d).select(col("doc_id"),
+        Text.qualityStatsFast(col("text"), enStop).getField("quality")
+          .as("quality")),
+      Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+        col("n_members"), col("quality").as("best_quality"))
+      .orderBy("cluster_id")
+  }
+
+  private val dCcKeepSql = {
+    val stopList = Text.langStopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""$dCcCtes,
+       cc AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+              FROM reach GROUP BY u),
+       q AS (SELECT doc_id,
+               (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.5
+                 + (CAST(len(list_filter(t, x -> list_contains($stopList, x)))
+                         AS DOUBLE) / len(t)) * 0.25
+                 + (CASE WHEN len(t) BETWEEN 10 AND 1000
+                         THEN 1.0 ELSE 0.5 END) * 0.25 AS quality
+             FROM toks),
+       scored AS (SELECT cc.doc_id, cluster_id, quality,
+                         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+                  FROM cc JOIN q USING (doc_id))
+       SELECT cluster_id, doc_id AS survivor_id, n_members,
+              quality AS best_quality
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id) AS rk FROM scored)
+       WHERE rk = 1 ORDER BY cluster_id"""
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("d_cc_keep", dCcKeep, Some(dCcKeepSql)),
     Q("d_exact", dExact, Some(dExactSql)),
     Q("d_jaccard_pairs", dJaccard, Some(dJaccardSql)),
     Q("d_minhash_lsh", dMinhashLsh, Some(dMinhashSql)),
