@@ -97,6 +97,25 @@ object Cleaning {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Zero-extra-pass twin of [[nullAudit]]: attaches the same metrics as
+    * an `Observation`, so they are collected DURING whatever action the
+    * caller already runs (typically the layer's write) instead of a
+    * second full scan — at 100 TB the difference between auditing and
+    * re-reading the table. Usage:
+    * {{{
+    *   val (observed, obs) = Cleaning.observedNullAudit(df)
+    *   observed.write.parquet(out)          // the caller's own action
+    *   val metrics = obs.get                // rows + nulls_<col> counts
+    * }}} */
+  def observedNullAudit(df: DataFrame, cols: Seq[String] = Nil)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val audited = if (cols.nonEmpty) cols else df.columns.toSeq
+    val obs = org.apache.spark.sql.Observation("dq_null_audit")
+    val aggs = count(lit(1)).as("row_count") +:
+      audited.map(c => sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** DQ gate (reference threshold semantics, `validate_data_quality.py:17`):
     * fail if empty or any required column exceeds `maxNullPct` percent
     * nulls. One job total. */

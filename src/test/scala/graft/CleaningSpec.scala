@@ -52,6 +52,16 @@ class CleaningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nulls == Map("id" -> 0L, "name" -> 2L, "score" -> 3L))
   }
 
+  test("observedNullAudit collects the audit during the caller's action") {
+    val (observed, obs) = Cleaning.observedNullAudit(df)
+    // the caller's OWN action — no separate audit job runs
+    observed.write.mode("overwrite")
+      .parquet(java.nio.file.Files.createTempDirectory("graft_obs_").toString + "/t")
+    val m = obs.get
+    assert(m("row_count") == 4L)
+    assert(m("nulls_id") == 0L && m("nulls_name") == 2L && m("nulls_score") == 3L)
+  }
+
   test("validateDataQuality fails over threshold, passes under") {
     Cleaning.validateDataQuality(df, Seq("id"), maxNullPct = 5.0)
     intercept[IllegalArgumentException] {
