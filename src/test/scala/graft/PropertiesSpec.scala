@@ -123,6 +123,29 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: prefix-filtered jaccard equals the naive join on random corpora") {
+    // The prefix-filter lemma must hold for ANY corpus and threshold —
+    // duplicate-heavy, near-identical, and disjoint docs alike — not
+    // just the testdata fixtures (ExtensionsSpec covers those).
+    import spark.implicits._
+    val docGen = Gen.listOfN(10,
+      Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    val caseGen = for {
+      docs <- docGen
+      tau <- Gen.oneOf(0.5, 0.7, 0.8, 0.9)
+    } yield (docs, tau)
+    forAll(caseGen, n = 5) { case (docs, tau) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def rows(r: DataFrame) = r.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      assert(
+        rows(graft.dedup.Dedup.jaccardPairsPrefix(df, "doc_id", "text", 3, tau)) ==
+          rows(graft.dedup.Dedup.jaccardPairs(df, "doc_id", "text", 3, tau)),
+        s"prefix/naive divergence at tau=$tau on $docs")
+    }
+  }
+
   test("property: simhash is invariant to token order and multiplicity") {
     import org.apache.spark.unsafe.types.UTF8String
     val tokGen = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "e"))
