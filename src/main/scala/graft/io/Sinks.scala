@@ -221,6 +221,24 @@ object Sinks {
     spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
   }
 
+  /** Key-range snapshot read with manifest data skipping — the SELECT
+    * side of the same manifest the MERGE uses: files whose [kmin, kmax]
+    * cannot intersect [lo, hi] are never opened (assert with
+    * `df.inputFiles`), and the residual filter re-applies the bounds
+    * row-level. At scale this is Delta's file pruning for key lookups
+    * and range scans over a non-partition column. */
+  def readVersionedKeyRange(spark: SparkSession, targetPath: String,
+      keyCol: String, lo: Any, hi: Any, version: Long = -1L): DataFrame = {
+    val v = if (version > 0) version else currentVersion(targetPath)
+    require(v > 0, s"$targetPath has no committed manifest versions")
+    val files = spark.read.parquet(versionDir(targetPath, v))
+      .filter(!(col("kmax") < lit(lo) || col("kmin") > lit(hi)))
+      .select("file").collect().map(r => s"$targetPath/${r.getString(0)}")
+    if (files.isEmpty) readVersioned(spark, targetPath, v).filter(lit(false))
+    else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+      .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
   /** S11 (file-granular, NON-partition key) — keyed MERGE whose work
     * scales with the files that actually contain matched keys, not the
     * table. Incoming keys range-join the broadcast manifest of the

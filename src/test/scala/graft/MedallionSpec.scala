@@ -197,6 +197,15 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     Sinks.upsertByKeyManifest(spark, Seq((9000L, "N2")).toDF("k", "v"), dir, "k")
     assert(manifestFiles(2L).subsetOf(manifestFiles(3L)),
       "a no-match merge must reuse every current file")
+    // key-range read: the manifest prunes files BEFORE the scan (the
+    // SELECT-side benefit of the same min/max stats the merge uses)
+    val ranged = Sinks.readVersionedKeyRange(spark, dir, "k", 100L, 120L)
+    assert(ranged.inputFiles.length < files().size,
+      s"range read must open fewer files (${ranged.inputFiles.length} of ${files().size})")
+    val rangedRows = ranged.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rangedRows == ((102L to 120L).map(k => (k, s"v$k")) ++
+      Seq((100L, "U100"), (101L, "U101"))).sortBy(_._1))
     // schema-evolving merge (v4): a new column arrives with the updates;
     // untouched files are NOT rewritten and read back with w = null
     Sinks.upsertByKeyManifest(spark,
