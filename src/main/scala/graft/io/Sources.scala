@@ -69,6 +69,13 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** S-extension — ORC read (the other mainstream columnar format;
+    * Spark's ORC source carries the same predicate-pushdown and
+    * column-pruning machinery as parquet, so everything in the engine
+    * that relies on scan pruning works unchanged over ORC lakes). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S4 — generated date dimension, replacing the reference's driver-side
     * Python row loop (`02_silver_unicargo_create_dim_date.ipynb:85-108`,
     * 5,844 rows built in pandas) with a distributed `spark.range` — no

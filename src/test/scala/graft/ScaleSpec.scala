@@ -131,6 +131,22 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(saltSpread == 8)
   }
 
+  test("ORC round-trips via the same sinks and keeps predicate pushdown") {
+    val dir = tmp() + "/orc_rt"
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    graft.io.Sinks.savePartitioned(li, dir, Seq("l_returnflag"),
+      mode = "overwrite", format = "orc")
+    val back = graft.io.Sources.readOrc(spark, dir)
+    assert(back.count() == li.count())
+    // the scan-pruning machinery the engine relies on is format-agnostic:
+    // the quantity predicate must reach the ORC scan as a pushed filter
+    val plan = back.filter(col("l_quantity") > 45)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("l_quantity"),
+      s"expected the predicate pushed into the ORC scan:\n$plan")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // The row-level companion of dynamic partition pruning: when a shuffle
     // join's build side carries a selective filter, Spark injects a bloom
