@@ -247,7 +247,16 @@ object Sinks {
     * manifest reuses every other file entry untouched. Data files are
     * immutable — prior versions stay readable via [[readVersioned]]
     * until [[vacuum]] drops them — and the manifest splice scans only
-    * the newly written files, so no step is O(table). */
+    * the newly written files, so no step is O(table).
+    *
+    * Crash window: staged data files are moved into the live dir BEFORE
+    * the new manifest version is written. A crash in between leaves
+    * orphaned .parquet files that are invisible to every versioned read
+    * (no manifest references them) but make the dir not plain-parquet-
+    * readable until [[vacuum]] runs — vacuum deletes any data file no
+    * surviving version references, which is exactly the orphan set. This
+    * is consistent with the documented single-writer, no-atomic-commit
+    * scope (an object store needs a table format's commit protocol). */
   def upsertByKeyManifest(spark: SparkSession, updates: DataFrame,
       targetPath: String, keyCol: String,
       allowSchemaEvolution: Boolean = false): Unit = {
@@ -263,17 +272,28 @@ object Sinks {
         col("k") >= col("kmin") && col("k") <= col("kmax"))
       .select("file").distinct()
       .collect().map(_.getString(0)).toSet
+    // Committed table schema = merged footer schema of the version's live
+    // files (schema-only, no data scan). Columns ALREADY committed may be
+    // absent from `updates` or from individual touched files (written
+    // before an earlier evolution) — those are always reconciled with
+    // nulls; only columns NEWLY introduced by `updates` are gated behind
+    // allowSchemaEvolution. Without the mergeSchema read here, a merge
+    // touching an old+evolved file mix could infer the pre-evolution
+    // footer and silently drop the evolved column from rewritten rows.
+    val tableCols = readVersioned(spark, targetPath, cur).schema.fieldNames.toSet
+    val newCols = updates.columns.toSet -- tableCols
+    require(newCols.isEmpty || allowSchemaEvolution,
+      s"updates introduce new column(s) ${newCols.mkString(", ")} not in the " +
+        "committed table schema; pass allowSchemaEvolution=true to evolve")
     val existingTouched =
       if (touched.isEmpty) updates.filter(lit(false))
-      else spark.read.parquet(touched.map(f => s"$targetPath/$f").toSeq: _*)
-    // Schema evolution (Delta mergeSchema semantics, opt-in like Delta's):
-    // columns new in `updates` are added (old rows null), columns absent
-    // from `updates` are kept (update rows null). Untouched files are NOT
-    // rewritten — [[readVersioned]]'s mergeSchema read surfaces the new
-    // columns as null for them.
+      else spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(f => s"$targetPath/$f").toSeq: _*)
+    // Untouched files are NOT rewritten — [[readVersioned]]'s mergeSchema
+    // read surfaces any missing columns as null for them.
     val all = existingTouched.withColumn("__upd", lit(0))
       .unionByName(updates.withColumn("__upd", lit(1)),
-        allowMissingColumns = allowSchemaEvolution)
+        allowMissingColumns = true)
     val merged = Cleaning.latestByKey(Seq(keyCol), Seq(col("__upd")))(all)
       .drop("__upd")
     val staging = targetPath + ".merge-staging"

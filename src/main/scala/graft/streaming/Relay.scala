@@ -271,11 +271,12 @@ object Relay {
     * complete/update output (or add a watermark on the group column for
     * append). */
   def pivotStream(events: DataFrame, groupCol: org.apache.spark.sql.Column,
-      valueCol: org.apache.spark.sql.Column, pinned: Seq[String]): DataFrame = {
+      valueCol: org.apache.spark.sql.Column, pinned: Seq[String],
+      groupAlias: String = "day"): DataFrame = {
     import org.apache.spark.sql.functions._
     val counts = pinned.map(v =>
       count(when(valueCol === v, 1)).as(v))
-    events.groupBy(groupCol.as("day"))
+    events.groupBy(groupCol.as(groupAlias))
       .agg(counts.head, counts.tail: _*)
   }
 

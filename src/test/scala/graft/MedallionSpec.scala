@@ -209,30 +209,45 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // schema-evolving merge (v4): a new column arrives with the updates;
     // untouched files are NOT rewritten and read back with w = null
     Sinks.upsertByKeyManifest(spark,
-      Seq((100L, "U100e", 7L)).toDF("k", "v", "w"), dir, "k",
-      allowSchemaEvolution = true)
+      Seq((100L, "U100e", 7L), (103L, "U103e", 8L)).toDF("k", "v", "w"),
+      dir, "k", allowSchemaEvolution = true)
     val evolved = Sinks.readVersioned(spark, dir)
     assert(evolved.columns.toSet == Set("k", "v", "w"))
-    val byK = evolved.filter(col("k").isin(100L, 5000L)).orderBy("k")
+    val byK = evolved.filter(col("k").isin(100L, 103L, 5000L)).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getLong(2))).toSeq
-    assert(byK == Seq((100L, "U100e", 7L), (5000L, "NEW", null)),
-      s"evolved read wrong: $byK")
-    // …while the strict default still rejects a schema mismatch
-    intercept[org.apache.spark.sql.AnalysisException] {
+    assert(byK == Seq((100L, "U100e", 7L), (103L, "U103e", 8L),
+      (5000L, "NEW", null)), s"evolved read wrong: $byK")
+    // …while the strict default still rejects a genuinely NEW column
+    intercept[IllegalArgumentException] {
       Sinks.upsertByKeyManifest(spark,
         Seq((1L, "x", 1L)).toDF("k", "v", "w2"), dir, "k")
     }
-    // vacuum(keep=1): only v4's files survive; the evolved table stays
+    // v5: a PLAIN merge (no evolution flag) touching an old+evolved file
+    // mix — 101 sits beside the evolved rows, 900 in a pre-evolution
+    // file. The touched-file re-read must mergeSchema across the mix:
+    // unmatched evolved rows keep their w values (no silent column drop),
+    // and `updates` lacking an already-committed column is fine.
+    Sinks.upsertByKeyManifest(spark,
+      Seq((101L, "U101f"), (900L, "U900")).toDF("k", "v"), dir, "k")
+    val afterMix = Sinks.readVersioned(spark, dir)
+      .filter(col("k").isin(100L, 101L, 103L, 900L)).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getAs[String]("v"),
+        if (r.isNullAt(r.fieldIndex("w"))) null else r.getAs[Long]("w"))).toSeq
+    assert(afterMix == Seq((100L, "U100e", 7L), (101L, "U101f", null),
+      (103L, "U103e", 8L), (900L, "U900", null)),
+      s"mixed-schema merge lost evolved values: $afterMix")
+    // vacuum(keep=1): only v5's files survive; the evolved table stays
     // readable (mergeSchema) with the same content
     Sinks.vacuum(spark, dir, keepVersions = 1)
-    assert(files().keySet == manifestFiles(4L),
+    assert(files().keySet == manifestFiles(5L),
       "vacuum must delete exactly the unreferenced files")
     assert(!new java.io.File(s"$dir/_manifest/v=1").exists())
     val plain = Sinks.readVersioned(spark, dir).select("k", "v").orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(plain == ((oracle.filterNot(_._1 == 100L) :+
-      (100L, "U100e") :+ (9000L, "N2")).sortBy(_._1)))
+    assert(plain == ((oracle.filterNot(r => Set(100L, 101L, 103L, 900L)(r._1)) :+
+      (100L, "U100e") :+ (101L, "U101f") :+ (103L, "U103e") :+
+      (900L, "U900") :+ (9000L, "N2")).sortBy(_._1)))
   }
 
   test("compaction shrinks file counts and preserves rows") {

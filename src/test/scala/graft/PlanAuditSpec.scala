@@ -56,12 +56,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q12: the shipmode/date predicates run before the orders join") {
     // The derived-column filters are ~24× selective and must gate the
     // lineitem side below the join, not filter the joined result.
-    val exec = SparkEntry.queries("q12")(spark, sf).queryExecution.executedPlan
-    val tree = exec.toString
-    val joinAt = tree.indexOf("Join")
-    val filterAt = tree.lastIndexOf("Filter")
-    assert(joinAt >= 0 && filterAt > joinAt,
-      s"expected the selective lineitem filter BELOW the join:\n$tree")
+    // Anchor the assertion to the join's lineitem-side CHILD subtree (a
+    // Filter anywhere after the first "Join" in the plan string would
+    // also match plans where the filter runs on the joined result).
+    // sparkPlan, not executedPlan: AQE wraps the latter in a leaf
+    // AdaptiveSparkPlanExec that TreeNode.collect cannot descend into.
+    val plan = SparkEntry.queries("q12")(spark, sf).queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, s"expected a join in q12:\n$plan")
+    val liSides = joins.flatMap(_.children)
+      .filter(_.toString.contains("lineitem"))
+    assert(liSides.nonEmpty, s"no join child scans lineitem:\n$plan")
+    assert(liSides.exists(_.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f }.nonEmpty),
+      s"expected the selective shipmode/date FilterExec inside the " +
+        s"lineitem-side join subtree:\n$plan")
   }
 
   test("q13: zero-order customers survive the left join into the histogram") {
