@@ -7,17 +7,27 @@ package graft
   * Protocol (fixed so round-over-round deltas are trustworthy):
   *  - queries run group-by-group in [[SparkEntry.benchGroups]] order
   *    (name-sorted within each cache-scope group);
-  *  - best-of-3 per query, min over the runs that SUCCEEDED — a transient
-  *    single-run failure (GC/OOM blip) must not discard a valid timing;
+  *  - the 3 runs are INTERLEAVED round-robin across the whole suite
+  *    (pass 1 of every query, then pass 2, then pass 3) rather than 3×
+  *    back-to-back per query: a co-tenant load spike of a few minutes
+  *    then skews at most one pass of the queries it overlaps, instead
+  *    of all runs of that window's queries — the r4/r5 skew signature;
+  *  - per query the reported value is the MEDIAN over the runs that
+  *    SUCCEEDED (robust against one loaded pass in either direction,
+  *    where min hides slowness and mean is dragged by a single spike);
+  *    a transient single-run failure must not discard a valid timing —
   *    a query only lands in "errors" when every run failed;
   *  - managed caches (silver fact, normalized corpus, anything persisted)
-  *    are cleared at group boundaries, so a group's persisted blocks
-  *    never linger as GC/memory pressure over later groups;
-  *  - full-precision results go to the tracked BENCHFULL.json; stdout
-  *    gets ONE compact JSON line printed after spark.stop() as the LAST
-  *    raw output line (build.sbt routes forked stdout unprefixed and
-  *    suppresses sbt's [success] trailer), so it survives whole in the
-  *    driver's bounded log tail.
+  *    are cleared at group boundaries in every pass, so each pass pays
+  *    the same cache-build cost and a group's persisted blocks never
+  *    linger as GC/memory pressure over later groups;
+  *  - full-precision results INCLUDING the raw per-run times of every
+  *    query ("raw": name → [run1, run2, run3], failed runs as the error
+  *    string) go to the tracked BENCHFULL.json — skew is diagnosable
+  *    from the artifact alone; stdout gets ONE compact JSON line
+  *    printed after spark.stop() as the LAST raw output line (build.sbt
+  *    routes forked stdout unprefixed and suppresses sbt's [success]
+  *    trailer), so it survives whole in the driver's bounded log tail.
   */
 object Bench {
   private val RUNS = 3
@@ -48,17 +58,31 @@ object Bench {
       case Some(names) =>
         SparkEntry.benchGroups.map(_.filter(q => names(q.name))).filter(_.nonEmpty)
     }
-    val runs = selectedGroups.flatMap { group =>
-      val timed = group.map { q =>
-        val attempts = Seq.fill(RUNS)(timeOnce(q.fn))
-        val ok = attempts.collect { case (t, null) => t }
-        if (ok.nonEmpty) (q.name, ok.min, null: String)
-        else (q.name, Double.NaN, attempts.head._2)
+    // Round-robin passes: each pass times every query once (group order,
+    // cache teardown at group boundaries), so a load spike lands on at
+    // most one of a query's runs.
+    val attemptsByName =
+      scala.collection.mutable.LinkedHashMap[String, Vector[(Double, String)]]()
+    for (_ <- 1 to RUNS) {
+      selectedGroups.foreach { group =>
+        group.foreach { q =>
+          attemptsByName.updateWith(q.name)(prev =>
+            Some(prev.getOrElse(Vector.empty) :+ timeOnce(q.fn)))
+        }
+        // Group teardown: drop every persisted block this group created.
+        graft.util.ManagedCaches.clearAll(spark)
+        spark.catalog.clearCache()
       }
-      // Group teardown: drop every persisted block this group created.
-      graft.util.ManagedCaches.clearAll(spark)
-      spark.catalog.clearCache()
-      timed
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val runs = attemptsByName.toSeq.map { case (name, attempts) =>
+      val ok = attempts.collect { case (t, null) => t }
+      if (ok.nonEmpty) (name, median(ok), null: String, attempts)
+      else (name, Double.NaN, attempts.head._2, attempts)
     }
     val ok = runs.filter(_._3 == null)
     val failed = runs.filter(_._3 != null)
@@ -82,12 +106,12 @@ object Bench {
       // (e.g. long error messages in a failing round), the cheapest
       // queries fold into a "rest" sum.
       val entries =
-        if (!compact) ok.map { case (k, v, _) => (k, v) }
+        if (!compact) ok.map { case (k, v, _, _) => (k, v) }
         else {
           val (fd, named) = ok.partition(_._1.startsWith("fd_"))
           val (folded, kept) =
             named.sortBy(_._2).splitAt(math.min(extraFold, math.max(named.size - 1, 0)))
-          kept.sortBy(r => named.indexOf(r)).map { case (k, v, _) => (k, v) } ++
+          kept.sortBy(r => named.indexOf(r)).map { case (k, v, _, _) => (k, v) } ++
             (if (folded.isEmpty) Nil
              else Seq((s"rest${folded.size}", folded.map(_._2).sum))) ++
             (if (fd.isEmpty) Nil else Seq(("fd_all", fd.map(_._2).sum)))
@@ -100,7 +124,7 @@ object Bench {
       // so the final fallback collapses errors to a bare count.
       val errs =
         if (foldErrors) s"""{"failed_count":${failed.size}}"""
-        else failed.map { case (k, _, e) =>
+        else failed.map { case (k, _, e, _) =>
           val msg = if (compact) e.takeWhile(_ != ':') else e
           "\"" + k + "\":\"" + esc(msg) + "\""
         }.mkString("{", ",", "}")
@@ -113,10 +137,23 @@ object Bench {
       val nFailedPart =
         if (compact && failed.isEmpty) "" else s""","n_failed":${failed.size}"""
       val sfVal = if (compact) new java.io.File(sfDir).getName else sfDir
+      // Raw per-run times (full output only): every attempt of every
+      // query in pass order — the skew-diagnosis record. A failed run
+      // carries its error string in place of the seconds.
+      val rawPart =
+        if (compact) ""
+        else {
+          val items = runs.map { case (k, _, _, attempts) =>
+            "\"" + k + "\":" + attempts.map { case (t, e) =>
+              if (e == null) t.toString else "\"" + esc(e) + "\""
+            }.mkString("[", ",", "]")
+          }.mkString("{", ",", "}")
+          s""","raw":$items"""
+        }
       // "unit" stays even in compact mode: the driver's parser expects the
       // documented {"metric","value","unit","queries","sf"} shape.
       val unitPart = s""","unit":"sec""""
-      s"""{"metric":"total","value":${fmt(total)}$unitPart$runsPart,"queries":$qs$errPart$nFailedPart,"sf":"$sfVal"}"""
+      s"""{"metric":"total","value":${fmt(total)}$unitPart$runsPart,"queries":$qs$errPart$nFailedPart$rawPart,"sf":"$sfVal"}"""
     }
     // Tracked full-precision twin of the compact line (every query, no
     // folding) — the durable record the judge can read from the repo.
