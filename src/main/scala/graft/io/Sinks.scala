@@ -159,27 +159,48 @@ object Sinks {
 
   // ── file-granular MERGE + time travel (versioned min/max manifest) ──
   //
-  // A minimal immutable-files + commit-manifest table: data files are
-  // never mutated; each version is a manifest listing (file, key min/max,
-  // rows); MERGE commits a new version that reuses every file whose key
-  // range the updates missed. This is the Delta cost model — data-skipping
-  // MERGE, snapshot reads, VACUUM — without a table format; what it does
-  // NOT provide is the atomic multi-writer commit protocol an object
-  // store needs (reference scope note in README). Reads of a versioned
-  // table go through [[readVersioned]]; after [[vacuum]](keep=1) the dir
-  // is also plain-parquet-readable again (only live files remain).
+  // A minimal immutable-files + delta-log table: data files are never
+  // mutated; each commit is a version dir holding only the DELTA of
+  // manifest entries — `add` rows (file, key min/max, rows) for files the
+  // commit wrote, `remove` rows for files it superseded — so commit cost
+  // is O(merge footprint), never O(table files). The live file set of any
+  // version is the fold of the chain ([[manifestAt]]), bounded by
+  // checkpoints ([[compactManifest]] writes the folded set as `ckpt=N`,
+  // Delta's log-checkpoint analogy). Commits are ATOMIC and optimistic-
+  // concurrency-safe: a version is committed by renaming a staged dir to
+  // `v=N+1`, which fails if a concurrent writer took N+1 first — the
+  // loser recomputes its merge against the new version and retries
+  // ([[upsertByKeyManifest]]), so no update is ever silently lost.
+  // Reads of a versioned table go through [[readVersioned]]; after
+  // [[vacuum]](keep=1) the dir is also plain-parquet-readable again
+  // (only live files remain). The remaining scope cut vs a real table
+  // format: rename-as-commit needs a filesystem with atomic rename (any
+  // POSIX FS / HDFS; an object store needs a log-store service).
 
   private def manifestRoot(targetPath: String): String = targetPath + "/_manifest"
   private def versionDir(targetPath: String, v: Long): String =
     s"${manifestRoot(targetPath)}/v=$v"
+  private def ckptDir(targetPath: String, v: Long): String =
+    s"${manifestRoot(targetPath)}/ckpt=$v"
+
+  private def listIds(targetPath: String, prefix: String): Seq[Long] = {
+    val root = new java.io.File(manifestRoot(targetPath))
+    if (!root.exists()) Nil
+    else root.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+      .collect { case s if s.startsWith(prefix) => s.drop(prefix.length).toLong }
+  }
 
   /** Latest committed version of a manifest-tracked table (0 = none). */
-  def currentVersion(targetPath: String): Long = {
-    val root = new java.io.File(manifestRoot(targetPath))
-    if (!root.exists()) 0L
-    else root.listFiles().filter(_.isDirectory).map(_.getName)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
-      .foldLeft(0L)(math.max)
+  def currentVersion(targetPath: String): Long =
+    listIds(targetPath, "v=").foldLeft(0L)(math.max)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(c => deleteRecursively(c)) finally children.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   /** Per-file key-range manifest entries of `dataPath`'s parquet files,
@@ -194,15 +215,103 @@ object Sinks {
       .groupBy(element_at(split(col("fp"), "/"), -1).as("file"))
       .agg(min("k").as("kmin"), max("k").as("kmax"), count(lit(1)).as("rows"))
 
+  /** Write `df` (forcing its scan NOW — callers stage manifests while
+    * their data staging dirs still exist) into a hidden staging dir under
+    * the manifest root; returns the staged path for [[tryCommit]]. */
+  private def stageManifest(df: DataFrame, targetPath: String): String = {
+    val staged =
+      s"${manifestRoot(targetPath)}/staging-${java.util.UUID.randomUUID()}"
+    df.coalesce(1).write.mode("overwrite").parquet(staged)
+    staged
+  }
+
+  /** THE commit point: atomically rename a staged manifest dir to its
+    * version (or checkpoint) dir. Returns false — after cleaning up the
+    * staged dir — iff the destination already exists, i.e. a concurrent
+    * writer committed this version first (optimistic-concurrency
+    * conflict). Any other failure propagates loudly. */
+  private def tryCommit(stagedPath: String, dest: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    try { Files.move(Paths.get(stagedPath), Paths.get(dest)); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteRecursively(Paths.get(stagedPath)); false
+    }
+  }
+
+  /** Move staged parquet data files into the live table dir (fresh-UUID
+    * part names — no collision with live files) and drop the staging
+    * dir. */
+  private def adoptStagedFiles(stagingPath: String, targetPath: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(targetPath))
+    val dir = new java.io.File(stagingPath)
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f =>
+      Files.move(f.toPath, Paths.get(s"$targetPath/${f.getName}")))
+    dir.listFiles().foreach(f => Files.deleteIfExists(f.toPath))
+    Files.deleteIfExists(dir.toPath)
+  }
+
   /** Write `df` as version 1 of a manifest-tracked table:
     * range-partitioned on `keyCol` into `nFiles` files — disjoint
-    * per-file key ranges are what make the min/max manifest selective. */
+    * per-file key ranges are what make the min/max manifest selective.
+    * Explicit table (re)creation: any existing content is overwritten. */
   def writeWithManifest(spark: SparkSession, df: DataFrame, targetPath: String,
       keyCol: String, nFiles: Int = 8): Unit = {
     df.repartitionByRange(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(targetPath)
-    manifestEntries(spark, targetPath, keyCol)
-      .coalesce(1).write.mode("overwrite").parquet(versionDir(targetPath, 1L))
+    val adds = manifestEntries(spark, targetPath, keyCol)
+      .withColumn("action", lit("add"))
+    val staged = stageManifest(adds, targetPath)
+    require(tryCommit(staged, versionDir(targetPath, 1L)),
+      s"concurrent writer raced an explicit writeWithManifest on $targetPath")
+  }
+
+  /** Live manifest entries (file, kmin, kmax, rows) of `targetPath` as of
+    * `version` (default: latest): reads the newest checkpoint at or below
+    * the version plus the delta chain above it, keeps the latest action
+    * per file, and returns the files still `add`-live. The chain length
+    * is bounded by the checkpoint cadence, so resolution cost is
+    * O(live files + recent deltas) regardless of table age. */
+  def manifestAt(spark: SparkSession, targetPath: String,
+      version: Long = -1L): DataFrame = {
+    val v = if (version > 0) version else currentVersion(targetPath)
+    require(v > 0, s"$targetPath has no committed manifest versions")
+    val ckpts = listIds(targetPath, "ckpt=").filter(_ <= v)
+    val deltas = listIds(targetPath, "v=").filter(_ <= v)
+    require(deltas.contains(v) || ckpts.contains(v),
+      s"version $v of $targetPath is not committed (or was vacuumed)")
+    val start = ckpts.foldLeft(0L)(math.max)
+    val parts =
+      (if (start > 0)
+        Seq(spark.read.parquet(ckptDir(targetPath, start))
+          .withColumn("__v", lit(start)))
+      else Nil) ++
+        deltas.filter(_ > start).sorted.map(d =>
+          spark.read.parquet(versionDir(targetPath, d))
+            .withColumn("__v", lit(d)))
+    val chain = parts.reduce(_.unionByName(_))
+    Cleaning.latestByKey(Seq("file"), Seq(col("__v")))(chain)
+      .filter(col("action") === "add")
+      .drop("action", "__v")
+  }
+
+  /** Fold the delta chain at `version` (default: latest) into a full
+    * checkpoint (`ckpt=N`) — Delta's log checkpoint: later [[manifestAt]]
+    * resolutions read the checkpoint plus only the deltas above it.
+    * Idempotent, and safe under concurrency (a racing compactor's commit
+    * simply wins; content is identical either way). Reads are
+    * byte-identical before and after (spec-asserted) — a checkpoint
+    * changes resolution cost, never content. */
+  def compactManifest(spark: SparkSession, targetPath: String,
+      version: Long = -1L): Unit = {
+    val v = if (version > 0) version else currentVersion(targetPath)
+    require(v > 0, s"$targetPath has no committed manifest versions")
+    if (new java.io.File(ckptDir(targetPath, v)).exists()) return
+    val full = manifestAt(spark, targetPath, v).withColumn("action", lit("add"))
+    val staged = stageManifest(full, targetPath)
+    tryCommit(staged, ckptDir(targetPath, v))
+    ()
   }
 
   /** Snapshot read: the table exactly as committed at `version`
@@ -211,9 +320,7 @@ object Sinks {
     * file list and reads only those files. */
   def readVersioned(spark: SparkSession, targetPath: String,
       version: Long = -1L): DataFrame = {
-    val v = if (version > 0) version else currentVersion(targetPath)
-    require(v > 0, s"$targetPath has no committed manifest versions")
-    val files = spark.read.parquet(versionDir(targetPath, v))
+    val files = manifestAt(spark, targetPath, version)
       .select("file").collect().map(r => s"$targetPath/${r.getString(0)}")
     // mergeSchema: after a schema-evolving merge, a version can span
     // files written before and after the widening; old files surface the
@@ -229,12 +336,10 @@ object Sinks {
     * and range scans over a non-partition column. */
   def readVersionedKeyRange(spark: SparkSession, targetPath: String,
       keyCol: String, lo: Any, hi: Any, version: Long = -1L): DataFrame = {
-    val v = if (version > 0) version else currentVersion(targetPath)
-    require(v > 0, s"$targetPath has no committed manifest versions")
-    val files = spark.read.parquet(versionDir(targetPath, v))
+    val files = manifestAt(spark, targetPath, version)
       .filter(!(col("kmax") < lit(lo) || col("kmin") > lit(hi)))
       .select("file").collect().map(r => s"$targetPath/${r.getString(0)}")
-    if (files.isEmpty) readVersioned(spark, targetPath, v).filter(lit(false))
+    if (files.isEmpty) readVersioned(spark, targetPath, version).filter(lit(false))
     else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
       .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
@@ -243,30 +348,79 @@ object Sinks {
     * scales with the files that actually contain matched keys, not the
     * table. Incoming keys range-join the broadcast manifest of the
     * current version; only the hit files are read and merged (latest
-    * wins) with ALL the updates (unmatched keys insert); version N+1's
-    * manifest reuses every other file entry untouched. Data files are
-    * immutable — prior versions stay readable via [[readVersioned]]
-    * until [[vacuum]] drops them — and the manifest splice scans only
-    * the newly written files, so no step is O(table).
+    * wins) with ALL the updates (unmatched keys insert); every other
+    * live file is untouched — the commit records only `remove` rows for
+    * the hit files and `add` rows for the rewritten ones, so the
+    * manifest write is O(merge footprint) too (no O(table-files) driver
+    * splice). Data files are immutable — prior versions stay readable
+    * via [[readVersioned]] until [[vacuum]] drops them.
     *
-    * Crash window: staged data files are moved into the live dir BEFORE
-    * the new manifest version is written. A crash in between leaves
-    * orphaned .parquet files that are invisible to every versioned read
-    * (no manifest references them) but make the dir not plain-parquet-
-    * readable until [[vacuum]] runs — vacuum deletes any data file no
-    * surviving version references, which is exactly the orphan set. This
-    * is consistent with the documented single-writer, no-atomic-commit
-    * scope (an object store needs a table format's commit protocol). */
+    * Concurrency: the commit is an atomic rename to `v=N+1`. If a
+    * concurrent writer commits N+1 first, this merge RECOMPUTES against
+    * the new current version and retries (its staged-then-adopted data
+    * files from the lost attempt become unreferenced orphans — invisible
+    * to every versioned read, reclaimed by [[vacuum]]), failing loudly
+    * after `maxAttempts` lost races. Both of two concurrent merges
+    * therefore land, serialized by version — no silent lost update.
+    *
+    * Crash window: staged data files are adopted into the live dir
+    * BEFORE the commit rename. A crash in between leaves orphaned
+    * .parquet files that are invisible to every versioned read but make
+    * the dir not plain-parquet-readable until [[vacuum]] runs — vacuum
+    * deletes any data file no surviving version references, which is
+    * exactly the orphan set.
+    *
+    * Every `compactEvery` commits the delta chain above the last
+    * checkpoint is folded into a new checkpoint ([[compactManifest]]),
+    * keeping resolution cost bounded on long-lived tables (0 disables).
+    */
   def upsertByKeyManifest(spark: SparkSession, updates: DataFrame,
       targetPath: String, keyCol: String,
-      allowSchemaEvolution: Boolean = false): Unit = {
-    import java.nio.file.{Files, Paths}
-    val cur = currentVersion(targetPath)
-    if (cur == 0L) {
-      writeWithManifest(spark, updates, targetPath, keyCol)
-      return
+      allowSchemaEvolution: Boolean = false,
+      maxAttempts: Int = 5, compactEvery: Int = 16): Unit = {
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"upsertByKeyManifest lost the commit race on $targetPath " +
+            s"$maxAttempts times — giving up loudly")
+      val cur = currentVersion(targetPath)
+      committed =
+        if (cur == 0L) tryCreate(spark, updates, targetPath, keyCol)
+        else tryMerge(spark, updates, targetPath, keyCol,
+          allowSchemaEvolution, cur)
     }
-    val manifest = spark.read.parquet(versionDir(targetPath, cur))
+    if (compactEvery > 0) {
+      val cur = currentVersion(targetPath)
+      val lastCkpt = listIds(targetPath, "ckpt=").filter(_ <= cur)
+        .foldLeft(0L)(math.max)
+      if (cur - lastCkpt >= compactEvery) compactManifest(spark, targetPath, cur)
+    }
+  }
+
+  /** First writer: stage + adopt data files, then commit `v=1` (all
+    * adds). Non-destructive, unlike [[writeWithManifest]] — losing the
+    * v=1 race must not clobber the winner's data. */
+  private def tryCreate(spark: SparkSession, df: DataFrame,
+      targetPath: String, keyCol: String): Boolean = {
+    val staging = s"$targetPath.merge-staging-${java.util.UUID.randomUUID()}"
+    df.repartitionByRange(8, col(keyCol)).write.mode("overwrite").parquet(staging)
+    val adds = manifestEntries(spark, staging, keyCol)
+      .withColumn("action", lit("add"))
+    val staged = stageManifest(adds, targetPath)  // forces the staging scan
+    adoptStagedFiles(staging, targetPath)
+    tryCommit(staged, versionDir(targetPath, 1L))
+  }
+
+  /** One optimistic merge attempt against version `cur`; false = lost
+    * the commit race (caller retries against the new version). */
+  private def tryMerge(spark: SparkSession, updates: DataFrame,
+      targetPath: String, keyCol: String, allowSchemaEvolution: Boolean,
+      cur: Long): Boolean = {
+    import spark.implicits._
+    val manifest = manifestAt(spark, targetPath, cur)
     val touched = updates.select(col(keyCol).as("k")).distinct()
       .join(broadcast(manifest),
         col("k") >= col("kmin") && col("k") <= col("kmax"))
@@ -296,39 +450,43 @@ object Sinks {
         allowMissingColumns = true)
     val merged = Cleaning.latestByKey(Seq(keyCol), Seq(col("__upd")))(all)
       .drop("__upd")
-    val staging = targetPath + ".merge-staging"
+    val staging = s"$targetPath.merge-staging-${java.util.UUID.randomUUID()}"
     merged.repartitionByRange(math.max(1, touched.size), col(keyCol))
       .write.mode("overwrite").parquet(staging)
-    // splice the manifest BEFORE moving files (the scan is lazy; collect
-    // forces it while the staging dir still exists)
-    val newEntries = manifestEntries(spark, staging, keyCol).collect().toSeq
-    val keptEntries = manifest.filter(!col("file").isin(touched.toSeq: _*)).collect().toSeq
-    val stagingDir = new java.io.File(staging)
-    // staged part names carry fresh UUIDs — no collision with live files
-    stagingDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f =>
-      Files.move(f.toPath, Paths.get(s"$targetPath/${f.getName}")))
-    stagingDir.listFiles().foreach(f => Files.deleteIfExists(f.toPath))
-    Files.deleteIfExists(stagingDir.toPath)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(keptEntries ++ newEntries, 1),
-        manifest.schema)
-      .write.mode("overwrite").parquet(versionDir(targetPath, cur + 1))
+    // Commit delta = adds for the rewritten files + removes for the hit
+    // files. The only driver-side file list is `touched` (needed anyway
+    // to name the read paths) — bounded by the merge footprint.
+    val adds = manifestEntries(spark, staging, keyCol)
+      .withColumn("action", lit("add"))
+    val kType = adds.schema("kmin").dataType
+    val removes = touched.toSeq.toDF("file").select(col("file"),
+      lit(null).cast(kType).as("kmin"), lit(null).cast(kType).as("kmax"),
+      lit(null).cast("bigint").as("rows"), lit("remove").as("action"))
+    val staged = stageManifest(adds.unionByName(removes), targetPath)
+    adoptStagedFiles(staging, targetPath)
+    tryCommit(staged, versionDir(targetPath, cur + 1))
   }
 
-  /** Drop all but the newest `keepVersions` manifests and delete every
-    * data file no surviving version references — Delta's VACUUM. With
-    * keepVersions=1 the table dir becomes plain-parquet-readable again
-    * (live files only). */
+  /** Drop all but the newest `keepVersions` versions and delete every
+    * data file no surviving version references — Delta's VACUUM. This is
+    * also the orphan reclaimer: data files adopted by a crashed or
+    * race-losing merge attempt are referenced by no version and get
+    * deleted here. With keepVersions=1 the table dir becomes
+    * plain-parquet-readable again (live files only). A checkpoint is
+    * written at the oldest surviving version first, so the kept versions
+    * stay resolvable once the older deltas are gone. */
   def vacuum(spark: SparkSession, targetPath: String,
       keepVersions: Int = 1): Unit = {
     import java.nio.file.{Files, Paths}
     val root = new java.io.File(manifestRoot(targetPath))
     require(root.exists(), s"$targetPath is not manifest-tracked")
-    val versions = root.listFiles().filter(_.isDirectory).map(_.getName)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }.sorted
-    val (dropped, kept) = versions.splitAt(math.max(versions.length - keepVersions, 0))
+    val versions = listIds(targetPath, "v=").sorted
+    val (dropped, kept) =
+      versions.splitAt(math.max(versions.length - keepVersions, 0))
+    if (dropped.nonEmpty)
+      compactManifest(spark, targetPath, kept.head)  // before deltas vanish
     val live = kept.flatMap(v =>
-      spark.read.parquet(versionDir(targetPath, v))
+      manifestAt(spark, targetPath, v)
         .select("file").collect().map(_.getString(0))).toSet
     new java.io.File(targetPath).listFiles()
       .filter(f => f.getName.endsWith(".parquet") && !live(f.getName))
@@ -336,11 +494,13 @@ object Sinks {
         Files.deleteIfExists(f.toPath)
         Files.deleteIfExists(Paths.get(s"$targetPath/.${f.getName}.crc"))
       }
-    dropped.foreach { v =>
-      val d = new java.io.File(versionDir(targetPath, v))
-      d.listFiles().foreach(f => Files.deleteIfExists(f.toPath))
-      Files.deleteIfExists(d.toPath)
-    }
+    dropped.foreach(v =>
+      deleteRecursively(Paths.get(versionDir(targetPath, v))))
+    listIds(targetPath, "ckpt=").filter(_ < kept.headOption.getOrElse(0L))
+      .foreach(v => deleteRecursively(Paths.get(ckptDir(targetPath, v))))
+    // abandoned manifest stagings from crashed commits
+    root.listFiles().filter(_.getName.startsWith("staging-"))
+      .foreach(f => deleteRecursively(f.toPath))
   }
 
   /** S11 (generic fallback) — keyed upsert for UNPARTITIONED targets:

@@ -156,8 +156,10 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     def files(): Map[String, Seq[Byte]] =
       new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
         .map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+    // live file set of a version, through the public chain-fold API
+    // (version dirs now hold add/remove DELTAS, not full listings)
     def manifestFiles(v: Long): Set[String] =
-      spark.read.parquet(s"$dir/_manifest/v=$v")
+      Sinks.manifestAt(spark, dir, v)
         .select("file").collect().map(_.getString(0)).toSet
     val before = files()
     assert(before.size == 8, s"expected 8 data files, got ${before.size}")
@@ -184,7 +186,7 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(v1Read == v1Rows.sortBy(_._1))
     // the spliced manifest's ranges match the live files exactly
-    spark.read.parquet(s"$dir/_manifest/v=2")
+    Sinks.manifestAt(spark, dir, 2L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .foreach { case (f, kmin, kmax) =>
         val actual = spark.read.parquet(s"$dir/$f").agg(
@@ -248,6 +250,72 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain == ((oracle.filterNot(r => Set(100L, 101L, 103L, 900L)(r._1)) :+
       (100L, "U100e") :+ (101L, "U101f") :+ (103L, "U103e") :+
       (900L, "U900") :+ (9000L, "N2")).sortBy(_._1)))
+  }
+
+  test("S11 manifest: concurrent merges both land — no silent lost update") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val dir = tmp() + "/concurrent_manifest"
+    Sinks.writeWithManifest(spark,
+      (0L until 200L).map(k => (k, s"v$k")).toDF("k", "v"), dir, "k", nFiles = 4)
+    // 5 rounds of two overlapping writers on disjoint keys: every commit
+    // is an atomic version-dir rename, so losers rebase and retry — all
+    // 10 updates must land regardless of interleaving.
+    (1 to 5).foreach { i =>
+      val a = Future(Sinks.upsertByKeyManifest(spark,
+        Seq((i * 10L, s"A$i")).toDF("k", "v"), dir, "k"))
+      val b = Future(Sinks.upsertByKeyManifest(spark,
+        Seq((100L + i * 10L, s"B$i")).toDF("k", "v"), dir, "k"))
+      Await.result(a, 300.seconds)
+      Await.result(b, 300.seconds)
+    }
+    assert(Sinks.currentVersion(dir) == 11L,
+      s"expected 11 serialized versions, got ${Sinks.currentVersion(dir)}")
+    val got = Sinks.readVersioned(spark, dir)
+      .filter((col("k") % 10 === 0) && col("k") < 200)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (0L until 200L by 10L).map { k =>
+      if (k >= 10 && k <= 50) (k, s"A${k / 10}")
+      else if (k >= 110 && k <= 150) (k, s"B${(k - 100) / 10}")
+      else (k, s"v$k")
+    }
+    assert(got == want, s"lost update detected: $got")
+  }
+
+  test("manifest checkpoint: byte-identical reads before/after compaction") {
+    import spark.implicits._
+    val dir = tmp() + "/ckpt_manifest"
+    Sinks.writeWithManifest(spark,
+      (0L until 500L).map(k => (k, s"v$k")).toDF("k", "v"), dir, "k", nFiles = 4)
+    // auto-compaction every 3 commits: merges land ckpts at v4 and v7
+    (1 to 6).foreach(i => Sinks.upsertByKeyManifest(spark,
+      Seq((i * 10L, s"u$i")).toDF("k", "v"), dir, "k", compactEvery = 3))
+    // chain lengths: v1-v3 = 3 ≥ 3 → ckpt=3; v4-v6 above it → ckpt=6
+    assert(new java.io.File(s"$dir/_manifest/ckpt=3").exists() &&
+      new java.io.File(s"$dir/_manifest/ckpt=6").exists(),
+      "auto-compaction must fold the chain every compactEvery commits")
+    val before = Sinks.readVersioned(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val beforeFiles = Sinks.readVersioned(spark, dir).inputFiles.sorted.toSeq
+    Sinks.compactManifest(spark, dir)
+    assert(new java.io.File(s"$dir/_manifest/ckpt=7").exists())
+    Sinks.compactManifest(spark, dir) // idempotent
+    // byte-identical read: same files opened, same rows out
+    assert(Sinks.readVersioned(spark, dir).inputFiles.sorted.toSeq == beforeFiles,
+      "compaction must not change which files a read opens")
+    val after = Sinks.readVersioned(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == before, "compaction must not change read content")
+    // time travel across the checkpoint boundary still resolves
+    val v1 = Sinks.readVersioned(spark, dir, version = 1L).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v1 == (0L until 500L).map(k => (k, s"v$k")))
+    // merges after compaction fold from the checkpoint
+    Sinks.upsertByKeyManifest(spark, Seq((123L, "post")).toDF("k", "v"), dir, "k")
+    assert(Sinks.readVersioned(spark, dir).filter(col("k") === 123L)
+      .collect()(0).getString(1) == "post")
   }
 
   test("compaction shrinks file counts and preserves rows") {
