@@ -311,14 +311,17 @@ object Dedup {
     *
     * Round count is the component diameter. Near-dup clusters are
     * shallow (a handful of variants of one document), so this converges
-    * in 2–4 rounds at any corpus size; for adversarially long chains the
-    * published fix is alternating large-star/small-star contraction
-    * (O(log n) rounds) — same per-round shuffle shape, so it would slot
-    * in here without changing callers.
+    * in 2–4 rounds at any corpus size; if the graph turns out deeper
+    * than `shallowRounds`, the implementation AUTO-SWITCHES to
+    * [[connectedComponentsStar]] — alternating large-star/small-star
+    * contraction, the published O(log n)-round fix for adversarially
+    * long chains — with the same per-round shuffle shape and identical
+    * output (property-tested equality incl. a long-chain case).
     *
     * Returns (id, cluster_id) for every node that appears in a pair. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 20,
+      shallowRounds: Int = 8): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
@@ -330,7 +333,7 @@ object Dedup {
     var cur = labelSum(labels)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
+    while (!converged && it < math.min(maxIter, shallowRounds)) {
       val nbrMin = sym
         .join(labels.withColumnRenamed("id", "u"), Seq("u"))
         .groupBy(col("v").as("id")).agg(min(col("label")).as("nbr_min"))
@@ -344,7 +347,80 @@ object Dedup {
       labels = next
       it += 1
     }
-    require(converged, s"connectedComponents: no fixpoint within $maxIter rounds")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    if (converged) labels.select(col("id"), col("label").as("cluster_id"))
+    // deeper than any near-dup cluster should be — contract in O(log n)
+    else connectedComponentsStar(pairs, aCol, bCol, maxIter)
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * adversarial-diameter path: converges in O(log n) rounds on ANY
+    * graph, vs diameter rounds for label propagation, with the same
+    * per-round cost shape (one groupBy + one join over |edges|).
+    *
+    * State is a canonical directed edge list (u → v, u > v).
+    * large-star: for each node u with symmetric neighborhood N(u) and
+    * m = min(N(u) ∪ {u}), rewire every LARGER neighbor v > u to m.
+    * small-star: for each u over its smaller neighbors N≤(u) with
+    * m = min(N≤(u)), rewire the non-min smaller neighbors and u itself
+    * to m. Both emit only big→small edges, so the canonical form is
+    * stable; the fixpoint is a forest of depth-1 stars rooted at each
+    * component's minimum id. Convergence is detected by a multiset
+    * signature (count + hash sum) of the edge list going stable —
+    * edge-set equality without a join.
+    *
+    * Output contract is IDENTICAL to [[connectedComponents]]:
+    * (id, cluster_id = component minimum) for every node in a pair. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val raw = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    var edges = raw
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      val moved = e.join(m, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = m.select(col("u"), col("m").as("v"))
+      moved.union(self).distinct()
+    }
+
+    def signature(e: DataFrame): (Long, String) = {
+      // decimal accumulator: a long sum of 64-bit hashes overflows
+      // (which ANSI mode rightly rejects)
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+
+    var cur = signature(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val s = signature(next)
+      converged = s == cur
+      cur = s
+      edges = next
+      it += 1
+    }
+    require(converged, s"connectedComponentsStar: no fixpoint within $maxIter rounds")
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
   }
 }

@@ -146,6 +146,35 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: large-star/small-star CC equals min-label propagation") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // random multigraphs with self-loops filtered — clusters must agree
+    // edge-for-edge with the propagation labels on ANY shape
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    forAll(edgeGen, n = 5) { rawPairs =>
+      val pairs = rawPairs.filter { case (a, b) => a != b }
+      whenever(pairs.nonEmpty) {
+        val df = pairs.toDF("id_a", "id_b")
+        val prop = Dedup
+          .connectedComponents(df, maxIter = 40, shallowRounds = 40)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val star = Dedup.connectedComponentsStar(df)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(star == prop, s"star/propagation divergence on $pairs")
+      }
+    }
+    // adversarial diameter: a 60-edge chain needs 60 propagation rounds
+    // but O(log n) star rounds — this also exercises the auto-switch in
+    // connectedComponents (shallowRounds default 8 < diameter)
+    val chainDf = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val viaAuto = Dedup.connectedComponents(chainDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaAuto == (0L to 60L).map(i => (i, 0L)).toSet,
+      "auto-switched chain must collapse to cluster 0")
+  }
+
   test("property: simhash is invariant to token order and multiplicity") {
     import org.apache.spark.unsafe.types.UTF8String
     val tokGen = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "e"))
