@@ -322,7 +322,112 @@ object SimQ extends QueryPack {
                END})) AS r(u)
        ORDER BY vec_id, dim"""
 
+  /** IVF-PQ search: coarse stride cells + per-subvector k-means
+    * codebooks (4 subspaces × 16 dims, ksub=4, one exact integer Lloyd
+    * round), asymmetric-distance scan of the probed cells, exact rerank
+    * of the top 20. Deterministic end-to-end, so the oracle REPLAYS the
+    * whole chain — sub-codebook training, codes, ADC sums, rerank. */
+  private def simIvfPq(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    graft.sim.PQ.ivfpqTopK(
+        e.filter(col("vec_id") % 25 === 0), e, k = 5,
+        centroidStride = 50, nprobe = 4,
+        subspaces = 4, subDim = 16, ksub = 4, iters = 1, rerank = 20)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Generated oracle: one `sim_kmeans`-style training block per
+    * subspace (slice bounds substituted), then codes / distance table /
+    * ADC / rerank as plain SQL. */
+  private val simIvfPqSql: String = {
+    val M = 4; val L = 16; val ksub = 4
+    def kv(m: Int) =
+      s"""kv$m AS (SELECT vec_id AS id,
+             list_transform(embedding[${m * L + 1}:${(m + 1) * L}],
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+           FROM embeddings)"""
+    def train(m: Int) =
+      s"""c0_$m AS (SELECT id AS cid, v AS c FROM kv$m WHERE id < $ksub),
+       d0_$m AS (SELECT kv$m.id, c0_$m.cid,
+                CAST(list_sum(list_transform(range(1, ${L + 1}),
+                  i -> (kv$m.v[i] - c0_$m.c[i]) * (kv$m.v[i] - c0_$m.c[i]))) AS BIGINT) AS d2
+              FROM kv$m CROSS JOIN c0_$m),
+       a0_$m AS (SELECT id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                          ORDER BY d2, cid) AS rn FROM d0_$m) WHERE rn = 1),
+       e0_$m AS (SELECT a0_$m.cid, u.dim, u.comp
+              FROM a0_$m JOIN kv$m USING (id),
+                   UNNEST(list_transform(kv$m.v,
+                     (x, i) -> {'dim': i, 'comp': x})) AS r(u)),
+       c1_$m AS (SELECT cid,
+                array_agg((s + n * 2000000) // n - 2000000 ORDER BY dim) AS c
+              FROM (SELECT cid, dim, SUM(comp) AS s, COUNT(*) AS n
+                    FROM e0_$m GROUP BY 1, 2) GROUP BY 1)"""
+    val kvs = (0 until M).map(kv).mkString(",\n       ")
+    val trains = (0 until M).map(train).mkString(",\n       ")
+    val booksUnion = (0 until M)
+      .map(m => s"SELECT $m AS m, cid, c FROM c1_$m").mkString(" UNION ALL ")
+    val subsUnion = (0 until M)
+      .map(m => s"SELECT id, $m AS m, v FROM kv$m").mkString(" UNION ALL ")
+    s"""WITH $kvs,
+       $trains,
+       books AS ($booksUnion),
+       subs AS ($subsUnion),
+       cd AS (SELECT s.id, b.m, b.cid,
+                CAST(list_sum(list_transform(range(1, ${L + 1}),
+                  i -> (s.v[i] - b.c[i]) * (s.v[i] - b.c[i]))) AS BIGINT) AS d2
+              FROM subs s JOIN books b USING (m)),
+       codes AS (SELECT id, m, cid AS code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id, m
+                          ORDER BY d2, cid) AS rn FROM cd) WHERE rn = 1),
+       qd AS (SELECT s.id AS query_id, b.m, b.cid AS code,
+                CAST(list_sum(list_transform(range(1, ${L + 1}),
+                  i -> (s.v[i] - b.c[i]) * (s.v[i] - b.c[i]))) AS BIGINT) AS dt
+              FROM subs s JOIN books b USING (m) WHERE s.id % 25 = 0),
+       v AS (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                  AS nv
+              FROM embeddings),
+       cent AS (SELECT vec_id AS cent_id, nv AS cv FROM v WHERE vec_id % 50 = 0),
+       assigned AS (SELECT id, cent_id FROM (
+         SELECT v.vec_id AS id, cent_id,
+                ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_dot_product(v.nv, cv), 4) DESC, cent_id) AS r
+         FROM v CROSS JOIN cent) t WHERE r = 1),
+       q AS (SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id % 25 = 0),
+       probes AS (SELECT query_id, cent_id FROM (
+         SELECT query_id, cent_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY round(list_dot_product(qv, cv), 4) DESC, cent_id) AS r
+         FROM q CROSS JOIN cent) t WHERE r <= 4),
+       cand AS (SELECT query_id, id AS neighbor_id
+                FROM probes JOIN assigned USING (cent_id)
+                WHERE id != query_id),
+       adist AS (SELECT c.query_id, c.neighbor_id, SUM(qd.dt) AS adist
+                 FROM cand c
+                 JOIN codes ON codes.id = c.neighbor_id
+                 JOIN qd ON qd.query_id = c.query_id
+                        AND qd.m = codes.m AND qd.code = codes.code
+                 GROUP BY 1, 2),
+       short AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adist, neighbor_id) AS rn FROM adist)
+                WHERE rn <= 20),
+       sims AS (SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, v.nv), 4) AS sim
+                FROM short
+                JOIN q USING (query_id)
+                JOIN v ON v.vec_id = neighbor_id)
+       SELECT query_id, rank, neighbor_id, sim FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         FROM sims) t
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("sim_ivfpq", simIvfPq, Some(simIvfPqSql)),
     Q("sim_quant", simQuant, Some(simQuantSql)),
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_ivft", simIvfTrained, Some(simIvfTrainedSql)),

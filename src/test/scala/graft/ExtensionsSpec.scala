@@ -223,6 +223,32 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.3, s"IVF nprobe=4 recall $recall unexpectedly low")
   }
 
+  test("ivfpqTopK: exact rerank sims, bounded ranks, sane recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val bf = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    // ksub=4 is only 2 bits per subspace — at that code rate the exact
+    // rerank depth is the recall knob, so probe deeper than the query
+    // registration's rerank=20
+    val pq = graft.sim.PQ.ivfpqTopK(queries, emb, 5,
+        centroidStride = 50, nprobe = 4,
+        subspaces = 4, subDim = 16, ksub = 4, iters = 1, rerank = 50)
+      .collect()
+    assert(pq.nonEmpty && pq.forall(_.getInt(1) <= 5))
+    // the rerank is exact cosine on real vectors: any pair brute force
+    // also ranked must carry the identical similarity
+    pq.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(2)))
+        .foreach(s => assert(s == r.getDouble(3), "PQ rerank must be exact"))
+    }
+    // ADC is an approximation of an approximation (coarse cells + codes):
+    // recall floor is looser than plain IVF but must stay meaningful
+    val recall = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+      .intersect(bf.keySet).size.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF-PQ recall $recall unexpectedly low")
+  }
+
   test("lshTopK: no false results and sane recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 10 === 0)
