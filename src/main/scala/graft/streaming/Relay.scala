@@ -255,6 +255,78 @@ object Relay {
       .toDF()
   }
 
+  /** One banded signature row for the streaming near-dup detector. */
+  final case class NearDupBandRow(band: Int, band_val: Long, id: Long,
+      simhash: Long)
+
+  /** Per-(band, band_val) bucket membership carried across micro-batches:
+    * every (id, simhash) ever landed in this bucket. */
+  final case class NearDupState(docs: List[(Long, Long)])
+
+  final case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming near-dup detection — the incremental twin of the batch
+    * [[graft.dedup.Dedup.simhashPairs]] pipeline, the one extension
+    * operator that previously had no streaming counterpart. Each arriving
+    * document's 64-bit simhash (same codegen'd kernel as batch) is split
+    * into maxHamming+1 pigeonhole bands; state lives per (band,
+    * band_val) bucket via `flatMapGroupsWithState` and holds the bucket's
+    * (id, simhash) members, so a new document compares only against its
+    * bucket cohort — the same candidate-pruning shape as the batch band
+    * join, incrementalized. Verified pairs (true Hamming ≤ maxHamming)
+    * emit in append mode as (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Contract notes: a pair colliding in SEVERAL bands emits once per
+    * colliding band (they are different state groups) — downstream
+    * consumers dedup with dropDuplicates(id_a, id_b) exactly like the
+    * batch candidate `distinct()`; re-delivered ids are ignored
+    * (exactly-once pairs per band under at-least-once input). State is a
+    * bucket's full membership: at 100 TB add event-time timeout eviction
+    * (dedup-window watermarking, as [[sessionize]] does) — the standard
+    * recall/state trade; the batch pipeline is the unbounded-lookback
+    * path. Streaming ≡ batch is asserted in StreamingSpec. */
+  def nearDupStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = maxHamming + 1
+    val bandBits = 64 / bands
+    val mask = (1L << bandBits) - 1
+    val banded = graft.dedup.Dedup.simhashTable(docs, idCol, textCol)
+      .select(col("id"), col("simhash"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * bandBits)
+            .bitwiseAND(lit(mask)).as("band_val"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.band_val").as("band_val"),
+        col("id"), col("simhash"))
+      .as[NearDupBandRow]
+    banded.groupByKey(r => (r.band, r.band_val))
+      .flatMapGroupsWithState[NearDupState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, batch, state: GroupState[NearDupState]) =>
+          val seen = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+          seen ++= state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
+          // id-sorted fold → deterministic pair emission within a batch
+          batch.toSeq.sortBy(_.id).foreach { r =>
+            if (!seen.exists(_._1 == r.id)) {
+              seen.foreach { case (oid, osh) =>
+                val h = java.lang.Long.bitCount(osh ^ r.simhash)
+                if (h <= maxHamming)
+                  out += (if (oid < r.id) NearDupPair(oid, r.id, h)
+                          else NearDupPair(r.id, oid, h))
+              }
+              seen += ((r.id, r.simhash))
+            }
+          }
+          state.update(NearDupState(seen.toList))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming pivot — the incremental twin of the batch `pv_daily`
     * query: wide per-group counts over a PINNED value set.
     *

@@ -293,6 +293,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a version per micro-batch, got ${Sinks.currentVersion(dst)}")
   }
 
+  test("streaming near-dup detection equals the batch simhashPairs join") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // two parquet files + maxFilesPerTrigger=1 → two micro-batches, so
+    // cross-batch pairs must come from the carried band-bucket STATE
+    val srcDir = tmp() + "/neardup_src"
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = docs.schema
+    val stream = Relay.nearDupStream(
+      Relay.readStreamPath(spark, srcDir, schema,
+        options = Map("maxFilesPerTrigger" -> "1")))
+    val q = stream.writeStream.format("memory").queryName("neardup_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // multi-band collisions emit once per band — dedup like the batch
+    // candidate distinct()
+    val streamed = spark.table("neardup_mem")
+      .select("id_a", "id_b", "hamming").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain near-dup pairs")
+    assert(streamed == batch,
+      s"streaming/batch divergence: extra=${streamed -- batch} missing=${batch -- streamed}")
+  }
+
   test("streaming pivot equals the batch pv_daily query") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
