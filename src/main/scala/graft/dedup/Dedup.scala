@@ -352,6 +352,47 @@ object Dedup {
     else connectedComponentsStar(pairs, aCol, bCol, maxIter)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023) over an
+    * embedding column — the cluster-scoped variant of embedding near-dup
+    * that makes all-pairs cosine tractable at corpus scale: k-means
+    * cells bound the candidate pairs (SemDeDup's observation: semantic
+    * duplicates share a cluster), within-cell pairs above `tau` become
+    * duplicate edges, connected components group them, and the minimum
+    * id per component survives.
+    *
+    * Composition of already-verified pieces: [[graft.sim.KMeans.fit]]
+    * (deterministic fixed-point cells), the codegen'd cosine kernel on
+    * [[graft.sim.Similarity.normalized]] vectors (4dp-rounded — exact
+    * across engines), and [[connectedComponents]]. At 100 TB, k scales
+    * with the corpus (SemDeDup uses ~10⁴-10⁵ cells) so each cell's pair
+    * join stays small; the cell equi-join is the only shuffle beyond
+    * training.
+    *
+    * Returns one row per input vector: (vec_id, group_id = component
+    * minimum or self, keep = 1 iff this id is its group's survivor). */
+  def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 4, iters: Int = 1,
+      tau: Double = 0.4): DataFrame = {
+    val assigned = graft.sim.KMeans.fit(emb, idCol, vecCol, k, iters)
+      .select(col("id"), col("cid"))
+    val cells = graft.sim.Similarity.normalized(emb, idCol, vecCol)
+      .join(assigned, Seq("id"))
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(graft.sim.Similarity.dotFast(col("a.nv"), col("b.nv")), 4)
+          .as("sim"))
+      .filter(col("sim") >= tau)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "vec_id")
+    emb.select(col(idCol).as("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("group_id"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+          .cast("int").as("keep"))
+  }
+
   /** Alternating large-star/small-star connected components (Kiveris et
     * al., "Connected Components in MapReduce and Beyond") — the
     * adversarial-diameter path: converges in O(log n) rounds on ANY

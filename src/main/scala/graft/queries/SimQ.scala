@@ -426,7 +426,73 @@ object SimQ extends QueryPack {
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** SemDeDup-style semantic dedup: k-means cells bound candidate pairs,
+    * within-cell cosine ≥ 0.4 edges, connected components, min-id
+    * survivor per group. Deterministic end-to-end (fixed-point training,
+    * 4dp cosine), so the oracle replays training, cells, edges, the
+    * transitive closure, and survivor flags. Registered here (not
+    * DedupQ) to share the normalized-corpus cache. */
+  private def dSemantic(spark: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.semanticDedup(emb(spark, d), k = 4, iters = 1,
+        tau = 0.4)
+      .orderBy("vec_id")
+
+  private val dSemanticSql =
+    """WITH RECURSIVE
+       kv AS (SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+           FROM embeddings),
+       c0 AS (SELECT id AS cid, v AS c FROM kv WHERE id < 4),
+       d0 AS (SELECT kv.id, c0.cid,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (kv.v[i] - c0.c[i]) * (kv.v[i] - c0.c[i]))) AS BIGINT) AS d2
+              FROM kv CROSS JOIN c0),
+       a0 AS (SELECT id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                          ORDER BY d2, cid) AS rn FROM d0) WHERE rn = 1),
+       e0 AS (SELECT a0.cid, u.dim, u.comp
+              FROM a0 JOIN kv USING (id),
+                   UNNEST(list_transform(kv.v,
+                     (x, i) -> {'dim': i, 'comp': x})) AS r(u)),
+       c1 AS (SELECT cid,
+                array_agg((s + n * 2000000) // n - 2000000 ORDER BY dim) AS c
+              FROM (SELECT cid, dim, SUM(comp) AS s, COUNT(*) AS n
+                    FROM e0 GROUP BY 1, 2) GROUP BY 1),
+       d1 AS (SELECT kv.id, c1.cid,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (kv.v[i] - c1.c[i]) * (kv.v[i] - c1.c[i]))) AS BIGINT) AS d2
+              FROM kv CROSS JOIN c1),
+       a1 AS (SELECT id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                          ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
+       nrm AS (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                  AS nv
+              FROM embeddings),
+       cells AS (SELECT a1.id, a1.cid, nrm.nv
+                 FROM a1 JOIN nrm ON nrm.vec_id = a1.id),
+       pairs AS (SELECT a.id AS id_a, b.id AS id_b
+                 FROM cells a JOIN cells b
+                   ON a.cid = b.cid AND a.id < b.id
+                 WHERE round(list_dot_product(a.nv, b.nv), 4) >= 0.4),
+       edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION ALL
+                 SELECT id_b, id_a FROM pairs),
+       reach AS (SELECT u, v FROM edges
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       groups AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS group_id
+                  FROM reach GROUP BY u)
+       SELECT e.vec_id,
+              COALESCE(g.group_id, e.vec_id) AS group_id,
+              CAST(COALESCE(g.group_id, e.vec_id) = e.vec_id AS INTEGER) AS keep
+       FROM embeddings e LEFT JOIN groups g USING (vec_id)
+       ORDER BY e.vec_id"""
+
   override def queries: Seq[Q] = Seq(
+    Q("d_semantic", dSemantic, Some(dSemanticSql)),
     Q("sim_ivfpq", simIvfPq, Some(simIvfPqSql)),
     Q("sim_quant", simQuant, Some(simQuantSql)),
     Q("sim_topk", simTopk, Some(simTopkSql)),

@@ -53,17 +53,40 @@ object PQ {
                            x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)))"""
       )).as(Seq("m", "v")))
 
-  /** Per-subspace codebooks (m, cid, c): [[KMeans.train]] on each
-    * contiguous slice, same deterministic recipe as `sim_kmeans`
-    * (seed = rows with id < ksub, exact integer Lloyd rounds). */
+  /** Per-subspace codebooks (m, cid, c): the same deterministic recipe
+    * as `sim_kmeans` per subspace (seed = rows with id < ksub, exact
+    * integer Lloyd rounds, argmin ties on (d2, cid), floor-division
+    * means) — but all `subspaces` trainings run as ONE joint Lloyd loop
+    * with the subspace id folded into the keys, so each iteration is a
+    * single pass over the data regardless of M (an M-way driver loop of
+    * separate trainings costs M× the actions for identical results —
+    * bit-identical, since the subspaces never mix: every aggregation
+    * and argmin is keyed by m). */
   def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-      subspaces: Int, subDim: Int, ksub: Int, iters: Int): DataFrame =
-    (0 until subspaces).map { m =>
-      val sliced = emb.select(col(idCol),
-        slice(col(vecCol), m * subDim + 1, subDim).as("sub"))
-      KMeans.train(sliced, idCol, "sub", ksub, iters)
-        .select(lit(m).as("m"), col("cid"), col("c"))
-    }.reduce(_.unionByName(_))
+      subspaces: Int, subDim: Int, ksub: Int, iters: Int): DataFrame = {
+    val subs = subspaceVecs(emb, idCol, vecCol, subspaces, subDim)
+      .localCheckpoint()
+    var cents = subs.filter(col("id") < ksub)
+      .select(col("m"), col("id").as("cid"), col("v").as("c"))
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(cents), Seq("m"))
+        .select(col("id"), col("m"), col("cid"),
+          expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t)")
+            .as("d2"))
+        .groupBy("id", "m").agg(min(struct(col("d2"), col("cid"))).as("mm"))
+        .select(col("id"), col("m"), col("mm.cid").as("cid"))
+      cents = assigned.join(subs, Seq("id", "m"))
+        .select(col("m"), col("cid"), posexplode(col("v")).as(Seq("dim", "comp")))
+        .groupBy("m", "cid", "dim")
+        .agg(sum(col("comp")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cent", expr("(s + n * 2000000L) div n - 2000000L"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, cent))), t -> t.cent)")
+          .as("c"))
+        .localCheckpoint()
+    }
+    cents
+  }
 
   /** PQ codes (id, m, code): nearest sub-centroid per (vector,
     * subspace), ties on (d2, cid) — one scan of the corpus against the

@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * constant-size sides by construction. */
   private val intentional = Set(
     "sim_topk", "sim_topk_agg", "sim_lsh_topk", "sim_ivf_topk",
-    "sim_near_dup", "sim_kmeans", "sim_ivft", "sim_ivfpq", "q22",
+    "sim_near_dup", "sim_kmeans", "sim_ivft", "sim_ivfpq", "d_semantic", "q22",
     "q2", "q11", "q15", "q16", "q20", "t_tfidf")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
