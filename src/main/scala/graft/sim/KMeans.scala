@@ -49,16 +49,18 @@ object KMeans {
       .select(col("id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
 
   /** Lloyd update: per-cluster fixed-point mean (floor division on
-    * shifted positives — engine-portable). Empty clusters drop out. */
+    * shifted positives — engine-portable). Empty clusters drop out.
+    * The per-dim sums run through the [[graft.plans.VecSum]] typed
+    * aggregator — whole vectors in partial aggregation, so the shuffle
+    * carries k array rows instead of k·dims (cid, dim) rows and the
+    * posexplode row blowup never materializes. Identical arithmetic
+    * (associative integer sums; transform preserves dim order). */
   def update(vecs: DataFrame, assigned: DataFrame): DataFrame =
     assigned.join(vecs, "id")
-      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "comp")))
-      .groupBy("cid", "dim")
-      .agg(sum(col("comp")).as("s"), count(lit(1)).as("n"))
-      .withColumn("cent", expr(s"(s + n * ${Shift}L) div n - ${Shift}L"))
       .groupBy("cid")
-      .agg(expr("transform(sort_array(collect_list(struct(dim, cent))), t -> t.cent)")
-        .as("c"))
+      .agg(graft.plans.VecSum.sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("cid"),
+        expr(s"transform(s, x -> (x + n * ${Shift}L) div n - ${Shift}L)").as("c"))
 
   private def trainLoop(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = vecs.filter(col("id") < k)

@@ -76,13 +76,10 @@ object PQ {
         .groupBy("id", "m").agg(min(struct(col("d2"), col("cid"))).as("mm"))
         .select(col("id"), col("m"), col("mm.cid").as("cid"))
       cents = assigned.join(subs, Seq("id", "m"))
-        .select(col("m"), col("cid"), posexplode(col("v")).as(Seq("dim", "comp")))
-        .groupBy("m", "cid", "dim")
-        .agg(sum(col("comp")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cent", expr("(s + n * 2000000L) div n - 2000000L"))
         .groupBy("m", "cid")
-        .agg(expr("transform(sort_array(collect_list(struct(dim, cent))), t -> t.cent)")
-          .as("c"))
+        .agg(graft.plans.VecSum.sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("m"), col("cid"),
+          expr("transform(s, x -> (x + n * 2000000L) div n - 2000000L)").as("c"))
         .localCheckpoint()
     }
     cents

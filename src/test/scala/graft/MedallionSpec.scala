@@ -185,6 +185,14 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v1Read = Sinks.readVersioned(spark, dir, version = 1L).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(v1Read == v1Rows.sortBy(_._1))
+    // O(merge footprint) commit: the v2 version dir holds only the
+    // DELTA (adds for rewritten files + removes for hit files), never
+    // the full live listing
+    val v2delta = spark.read.parquet(s"$dir/_manifest/v=2")
+    assert(v2delta.select("action").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("add", "remove")))
+    assert(v2delta.count() < manifestFiles(2L).size,
+      s"commit must write a delta, not the ${manifestFiles(2L).size}-file listing")
     // the spliced manifest's ranges match the live files exactly
     Sinks.manifestAt(spark, dir, 2L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
