@@ -433,7 +433,7 @@ object SimQ extends QueryPack {
     * transitive closure, and survivor flags. Registered here (not
     * DedupQ) to share the normalized-corpus cache. */
   private def dSemantic(spark: SparkSession, d: String): DataFrame =
-    graft.dedup.Dedup.semanticDedup(emb(spark, d), k = 4, iters = 1,
+    graft.dedup.Dedup.semanticDedup(emb(spark, d), k = 16, iters = 1,
         tau = 0.4)
       .orderBy("vec_id")
 
@@ -443,7 +443,7 @@ object SimQ extends QueryPack {
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
            FROM embeddings),
-       c0 AS (SELECT id AS cid, v AS c FROM kv WHERE id < 4),
+       c0 AS (SELECT id AS cid, v AS c FROM kv WHERE id < 16),
        d0 AS (SELECT kv.id, c0.cid,
                 CAST(list_sum(list_transform(range(1, 65),
                   i -> (kv.v[i] - c0.c[i]) * (kv.v[i] - c0.c[i]))) AS BIGINT) AS d2
