@@ -491,7 +491,46 @@ object SimQ extends QueryPack {
        FROM embeddings e LEFT JOIN groups g USING (vec_id)
        ORDER BY e.vec_id"""
 
+  /** Chunk→document embedding mean pooling — the standard step between
+    * chunk-level and document-level embedding pipelines (retrieval
+    * indexes, SemDeDup prefilters): every 4 consecutive vec_ids pool
+    * into one document vector. Pooling runs in the engine's exact
+    * fixed-point domain (floor(x·2²⁰) bigints — the `sim_kmeans`
+    * recipe): integer sums are order-independent, so the pooled values
+    * are bit-reproducible on any engine/partitioning, and the final
+    * (sum / 2²⁰) / n division is one fixed IEEE expression both engines
+    * evaluate identically. The per-dim sums go through the
+    * [[graft.plans.VecSum]] aggregator — whole arrays in map-side
+    * partial aggregation, one row per document through the shuffle.
+    * Output posexploded to (doc_id, dim, pooled) scalar rows. */
+  private def ePool(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(expr("vec_id div 4").as("doc_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+          .as("v"))
+      .groupBy("doc_id")
+      .agg(graft.plans.VecSum.sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("doc_id"),
+        posexplode(expr("transform(s, x -> (CAST(x AS DOUBLE) / 1048576.0) / n)"))
+          .as(Seq("dim", "pooled")))
+      .orderBy("doc_id", "dim")
+
+  private val ePoolSql =
+    """WITH sv AS (SELECT vec_id // 4 AS doc_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+           FROM embeddings),
+       e AS (SELECT doc_id, u.dim, u.q
+             FROM sv, UNNEST(list_transform(v,
+               (x, i) -> {'dim': i - 1, 'q': x})) AS r(u)),
+       agg AS (SELECT doc_id, dim, SUM(q) AS sq, COUNT(*) AS n
+               FROM e GROUP BY 1, 2)
+       SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+              (CAST(sq AS DOUBLE) / 1048576.0) / n AS pooled
+       FROM agg ORDER BY doc_id, dim"""
+
   override def queries: Seq[Q] = Seq(
+    Q("e_pool", ePool, Some(ePoolSql)),
     Q("d_semantic", dSemantic, Some(dSemanticSql)),
     Q("sim_ivfpq", simIvfPq, Some(simIvfPqSql)),
     Q("sim_quant", simQuant, Some(simQuantSql)),
