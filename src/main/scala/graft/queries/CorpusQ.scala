@@ -80,8 +80,35 @@ object CorpusQ extends QueryPack {
               CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
        FROM cums GROUP BY 1, 2 ORDER BY source, chunk_id"""
 
+  /** Exact greedy sequence packing into 512-token bins over 8 id-hash
+    * shards; the oracle replays the per-shard greedy fold as a recursive
+    * CTE, so bin assignments are value-checked, not just counted. */
+  private def cPack(spark: SparkSession, d: String): DataFrame =
+    Corpus.packGreedy(Tables.documents(spark, d), budget = 512, shards = 8)
+      .orderBy("doc_id")
+
+  private val cPackSql =
+    """WITH RECURSIVE
+       lens AS (SELECT doc_id, doc_id % 8 AS shard,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+            FROM documents),
+       t AS (SELECT doc_id, shard, len,
+              ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM lens),
+       fill AS (
+         SELECT shard, rn, doc_id, len, CAST(0 AS BIGINT) AS bin, len AS cum
+         FROM t WHERE rn = 1
+         UNION ALL
+         SELECT t.shard, t.rn, t.doc_id, t.len,
+                CASE WHEN f.cum + t.len > 512 THEN f.bin + 1 ELSE f.bin END,
+                CASE WHEN f.cum + t.len > 512 THEN t.len ELSE f.cum + t.len END
+         FROM fill f JOIN t ON t.shard = f.shard AND t.rn = f.rn + 1)
+       SELECT doc_id, shard, bin, len AS n_tokens
+       FROM fill ORDER BY doc_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("c_split_hash", cSplit, Some(cSplitSql)),
     Q("c_stratified_cap", cStratified, Some(cStratifiedSql)),
-    Q("c_chunk_budget", cChunks, Some(cChunksSql)))
+    Q("c_chunk_budget", cChunks, Some(cChunksSql)),
+    Q("c_pack", cPack, Some(cPackSql)))
 }

@@ -66,4 +66,47 @@ object Corpus {
         floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
       .drop("__cum")
   }
+
+  /** EXACT greedy sequence packing — the sequential-state packing
+    * [[chunkByTokenBudget]] documents as its gap: documents fill a bin
+    * until the NEXT one would overflow `budget`, then a fresh bin opens,
+    * so no bin ever exceeds the budget (except a single oversized
+    * document in its own bin). This is the pretraining batch-builder
+    * contract (context windows must not overflow), vs the prefix-sum
+    * approximation's straddling chunks.
+    *
+    * Greedy fill is inherently a sequential fold, so the parallelism
+    * unit is an explicit `shards` hash of the id: within a shard,
+    * documents pack in id order via one flatMapGroups pass (the typed
+    * analog of the engine's streaming state folds); shards pack
+    * independently and concurrently. Deterministic by construction —
+    * (shard, id-order) is a pure function of the data — and the fold is
+    * replayable in SQL as a recursive CTE, so the oracle is exact.
+    *
+    * Returns (doc_id, shard, bin, n_tokens): bin numbering is
+    * per-shard, dense from 0. */
+  def packGreedy(docs: DataFrame, budget: Long, shards: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        pmod(col(idCol), lit(shards.toLong)).cast("long").as("shard"),
+        Text.tokenCount(col(textCol)).cast("long").as("len"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toSeq.sortBy(_._1)
+        var bin = 0L
+        var cum = 0L
+        var first = true
+        sorted.iterator.map { case (id, _, len) =>
+          if (first) { cum = len; first = false }
+          else if (cum + len > budget) { bin += 1; cum = len }
+          else cum += len
+          (id, shard, bin, len)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "n_tokens")
+  }
 }
