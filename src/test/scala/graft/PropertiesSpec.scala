@@ -175,6 +175,38 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "auto-switched chain must collapse to cluster 0")
   }
 
+  test("property: greedy packing never overflows a bin (except oversized docs)") {
+    import spark.implicits._
+    val budget = 20L
+    // token counts spanning under- and over-budget docs
+    val lenGen = Gen.listOfN(30, Gen.choose(1, 30))
+    forAll(lenGen, n = 5) { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val packed = graft.text.Corpus.packGreedy(docs, budget, shards = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(packed.length == lens.length, "every doc must land in a bin")
+      packed.groupBy(p => (p._2, p._3)).foreach { case ((shard, bin), members) =>
+        val total = members.map(_._4).sum
+        assert(total <= budget || members.length == 1,
+          s"bin ($shard,$bin) holds $total tokens over budget $budget " +
+            s"with ${members.length} docs")
+      }
+      // bins fill greedily in id order: replay the fold per shard
+      packed.groupBy(_._2).foreach { case (_, members) =>
+        val sorted = members.sortBy(_._1)
+        var bin = 0L; var cum = 0L; var first = true
+        sorted.foreach { case (_, _, actualBin, len) =>
+          if (first) { cum = len; first = false }
+          else if (cum + len > budget) { bin += 1; cum = len }
+          else cum += len
+          assert(actualBin == bin, "bin assignment must match the greedy fold")
+        }
+      }
+    }
+  }
+
   test("property: simhash is invariant to token order and multiplicity") {
     import org.apache.spark.unsafe.types.UTF8String
     val tokGen = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "e"))
