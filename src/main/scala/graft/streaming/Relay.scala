@@ -327,6 +327,55 @@ object Relay {
       .toDF()
   }
 
+  /** One document for the streaming sequence packer. */
+  final case class PackDoc(shard: Long, doc_id: Long, len: Long)
+
+  /** The OPEN bin per shard, carried across micro-batches. */
+  final case class PackState(bin: Long, cum: Long)
+
+  final case class PackOut(doc_id: Long, shard: Long, bin: Long,
+      n_tokens: Long)
+
+  /** Streaming greedy sequence packing — the incremental twin of
+    * [[graft.text.Corpus.packGreedy]]: documents fill the shard's open
+    * bin until the next would overflow `budget`, whereupon a fresh bin
+    * opens; the open (bin, cum) pair is the ONLY state, one record per
+    * shard. Same in-order contract as [[scd2Stream]]: the feed is in
+    * id order per shard across batches; within a batch, documents sort
+    * by id before folding. Streaming ≡ batch asserted in StreamingSpec
+    * across a micro-batch boundary (the open bin must keep filling from
+    * carried state, not restart). */
+  def packStream(docs: DataFrame, budget: Long, shards: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(pmod(col(idCol), lit(shards.toLong)).cast("long").as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        graft.text.Text.tokenCount(col(textCol)).cast("long").as("len"))
+      .as[PackDoc]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard, batch, state: GroupState[PackState]) =>
+          var cur = state.getOption
+          val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+            cur = cur match {
+              case None => Some(PackState(0L, d.len))
+              case Some(s) if s.cum + d.len > budget =>
+                Some(PackState(s.bin + 1, d.len))
+              case Some(s) => Some(PackState(s.bin, s.cum + d.len))
+            }
+            PackOut(d.doc_id, shard, cur.get.bin, d.len)
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming pivot — the incremental twin of the batch `pv_daily`
     * query: wide per-group counts over a PINNED value set.
     *

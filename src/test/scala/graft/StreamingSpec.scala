@@ -328,6 +328,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming/batch divergence: extra=${streamed -- batch} missing=${batch -- streamed}")
   }
 
+  test("streaming greedy packing equals the batch packGreedy fold") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // split at the id median so batch 1 carries the LOW ids of every
+    // shard — the per-shard id-order contract — and a shard's open bin
+    // must keep filling across the batch boundary from carried state
+    val mid = 250L
+    val srcDir = tmp() + "/pack_src"
+    docs.filter(col("doc_id") < mid)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    docs.filter(col("doc_id") >= mid)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = Relay.packStream(
+      Relay.readStreamPath(spark, srcDir, docs.schema,
+        options = Map("maxFilesPerTrigger" -> "1")),
+      budget = 512L, shards = 8)
+    val q = stream.writeStream.format("memory").queryName("pack_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("pack_mem")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val batch = graft.text.Corpus.packGreedy(docs, budget = 512L, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch,
+      s"streaming/batch packing divergence (first deltas: ${
+        streamed.zip(batch).filter(p => p._1 != p._2).take(3)})")
+  }
+
   test("streaming pivot equals the batch pv_daily query") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
