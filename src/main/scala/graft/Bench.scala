@@ -6,8 +6,10 @@ package graft
   *
   * Protocol (fixed so round-over-round deltas are trustworthy):
   *  - queries run group-by-group in [[SparkEntry.benchGroups]] order
-  *    (name-sorted within each cache-scope group);
-  *  - the 3 runs are INTERLEAVED round-robin across the whole suite
+  *    (name-sorted within each cache-scope group, after the group's
+  *    `*_build` cache-warm rows — shared cache builds are timed as their
+  *    own named rows, so member rows measure queries, not builds);
+  *  - the runs are INTERLEAVED round-robin across the whole suite
   *    (pass 1 of every query, then pass 2, then pass 3) rather than 3×
   *    back-to-back per query: a co-tenant load spike of a few minutes
   *    then skews at most one pass of the queries it overlaps, instead
@@ -30,7 +32,10 @@ package graft
   *    trailer), so it survives whole in the driver's bounded log tail.
   */
 object Bench {
-  private val RUNS = 3
+  /** 5 interleaved passes: a median-of-5 stays honest with up to 2 loaded
+    * passes (median-of-3 reported the loaded number whenever 2 of 3
+    * passes were hit — the r6 d_semantic/d_cc artifact). */
+  private val RUNS = 5
 
   /** The driver keeps a 2000-char log tail; the compact line must stay
     * comfortably under it even when timings jitter or queries fail. */

@@ -26,17 +26,26 @@ object SparkEntry {
     Seq(OlapQ), Seq(FlightsQ))
 
   /** Bench iteration order: group by group, queries name-sorted within
-    * their group — fixed across rounds so per-query deltas are meaningful. */
+    * their group — fixed across rounds so per-query deltas are meaningful.
+    * A group's cache-build warm steps (`*_build`) run FIRST, as their own
+    * timed rows: the shared build cost gets a named row instead of being
+    * billed to the alphabetically-first member (the r6 ep3_star_gold /
+    * fd_airline_perf attribution artifact), and member rows measure
+    * query cost against the warm cache. */
   def benchGroups: Seq[Seq[Q]] =
-    packGroups.map(_.flatMap(_.queries).sortBy(_.name))
+    packGroups.map(g =>
+      g.flatMap(_.warms) ++ g.flatMap(_.queries).sortBy(_.name))
 
   /** All registered query packs. Order matters only for readability. */
   private val packs: Seq[QueryPack] = packGroups.flatten
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)
-    require(qs.map(_.name).distinct.size == qs.size,
-      s"duplicate query names: ${qs.map(_.name).diff(qs.map(_.name).distinct)}")
+    // Warm (bench-only) names participate in the uniqueness check too —
+    // a warm shadowing a query name would corrupt Bench's per-name rows.
+    val names = qs.map(_.name) ++ packs.flatMap(_.warms).map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct)}")
     qs
   }
 

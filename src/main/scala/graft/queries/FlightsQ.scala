@@ -381,6 +381,12 @@ object FlightsQ extends QueryPack {
                 AS rolling_7d_otp
        FROM daily ORDER BY airline_sk, flight_date"""
 
+  /** The flight-fact checkpoint build as its own timed bench row, so
+    * fd_airline_perf (first-alphabetical member) stops being billed the
+    * whole derivation (the r6 attribution artifact). */
+  override def warms: Seq[Q] = Seq(
+    Q("flights_fact_build", (s, d) => fact(s, d), None))
+
   override def queries: Seq[Q] = Seq(
     Q("fd_daily_summary", fdDaily, Some(fdDailySql)),
     Q("fd_airline_perf", fdAirline, Some(fdAirlineSql)),

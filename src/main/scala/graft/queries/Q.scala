@@ -15,4 +15,14 @@ final case class Q(
 
 trait QueryPack {
   def queries: Seq[Q]
+
+  /** Named cache-build steps for this pack's managed caches, timed by
+    * Bench as their own rows BEFORE the pack's member queries each pass.
+    * Without this, the group-boundary cache teardown bills the whole
+    * shared build to whichever member query runs first (alphabetically)
+    * — a measurement-attribution artifact, not a plan cost. Warm steps
+    * are bench-only: they never join the correctness registry (no oracle
+    * to drift) and their fn simply returns the cache-backed DataFrame so
+    * Bench's count() materializes it. */
+  def warms: Seq[Q] = Nil
 }

@@ -27,6 +27,13 @@ object SimQ extends QueryPack {
     e
   }
 
+  /** The normalized-corpus cache build as its own timed bench row: every
+    * sim_* member then measures against a warm corpus. */
+  override def warms: Seq[Q] = Seq(
+    Q("sim_corpus_build",
+      (s, d) => Similarity.cacheNormalizedCorpus(Tables.embeddings(s, d), d),
+      None))
+
   private def simTopk(spark: SparkSession, d: String): DataFrame = {
     val e = emb(spark, d)
     Similarity.bruteForceTopK(

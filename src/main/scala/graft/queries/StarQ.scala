@@ -155,6 +155,13 @@ object StarQ extends QueryPack {
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
        FROM daily ORDER BY return_flag, ship_date"""
 
+  /** The silver fact build shared by the StarQ+GoldQ cache group, as its
+    * own timed bench row: member queries then measure query cost against
+    * a warm cache instead of the first-alphabetical member paying the
+    * whole build (the r6 ep3_star_gold attribution artifact). */
+  override def warms: Seq[Q] = Seq(
+    Q("star_fact_build", (s, d) => graft.silver.Star.factLineitem(s, d), None))
+
   override def queries: Seq[Q] = Seq(
     Q("s4_date_dim", s4DateDim, Some(s4Sql)),
     Q("w5_hash_sk", w5HashSk, Some(w5Sql)),
