@@ -372,8 +372,9 @@ object Dedup {
     * minimum or self, keep = 1 iff this id is its group's survivor). */
   def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", k: Int = 4, iters: Int = 1,
-      tau: Double = 0.4): DataFrame = {
-    val assigned = graft.sim.KMeans.fit(emb, idCol, vecCol, k, iters)
+      tau: Double = 0.4, trainBuckets: Int = 1): DataFrame = {
+    val assigned = graft.sim.KMeans.fit(emb, idCol, vecCol, k, iters,
+        trainBuckets)
       .select(col("id"), col("cid"))
     val cells = graft.sim.Similarity.normalized(emb, idCol, vecCol)
       .join(assigned, Seq("id"))

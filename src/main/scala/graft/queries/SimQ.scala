@@ -177,34 +177,43 @@ object SimQ extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  /** Trained-codebook IVF: deterministic fixed-point Lloyd k-means
+  /** Trained-codebook k-means fit: deterministic fixed-point Lloyd
     * ([[graft.sim.KMeans]] — integer distances, floor-division centroid
-    * means), one training round from the id<k seed, then the final
-    * nearest-centroid assignment. The oracle re-runs the identical
-    * integer algorithm, so this is a FULL value check on a trained
-    * clustering, not a rows-only smoke. */
+    * means), TRAINED on the deterministic md5 1-in-2 sample (the 100 TB
+    * seam: codebooks train on a sample, assignment covers the corpus),
+    * seeded from the sample's 4 lowest ids, one Lloyd round, then the
+    * full-corpus nearest-centroid assignment. The oracle re-runs the
+    * identical integer algorithm INCLUDING the sample, so this is a
+    * FULL value check on a sampled-training clustering. */
   private def simKmeans(spark: SparkSession, d: String): DataFrame =
     graft.sim.KMeans.fit(Tables.embeddings(spark, d), "vec_id", "embedding",
-        k = 4, iters = 1)
+        k = 4, iters = 1, trainBuckets = 2)
       .select(col("id").as("vec_id"), col("cid").as("cluster"), col("d2"))
       .orderBy("vec_id")
 
+  /** The md5 1-in-2 training-sample predicate, DuckDB form — the exact
+    * twin of [[graft.sim.KMeans.trainFilter]](2). */
+  private val sampleWhere =
+    "CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0"
+
   private val simKmeansSql =
-    """WITH v AS (SELECT vec_id AS id,
+    s"""WITH v AS (SELECT vec_id AS id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
            FROM embeddings),
-       c0 AS (SELECT id AS cid, v AS c FROM v WHERE id < 4),
-       d0 AS (SELECT v.id, c0.cid,
+       sv AS (SELECT * FROM v WHERE $sampleWhere),
+       c0 AS (SELECT id AS cid, v AS c
+              FROM (SELECT * FROM sv ORDER BY id LIMIT 4)),
+       d0 AS (SELECT sv.id, c0.cid,
                 CAST(list_sum(list_transform(range(1, 65),
-                  i -> (v.v[i] - c0.c[i]) * (v.v[i] - c0.c[i]))) AS BIGINT) AS d2
-              FROM v CROSS JOIN c0),
+                  i -> (sv.v[i] - c0.c[i]) * (sv.v[i] - c0.c[i]))) AS BIGINT) AS d2
+              FROM sv CROSS JOIN c0),
        a0 AS (SELECT id, cid FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY id
                           ORDER BY d2, cid) AS rn FROM d0) WHERE rn = 1),
        e0 AS (SELECT a0.cid, u.dim, u.comp
-              FROM a0 JOIN v USING (id),
-                   UNNEST(list_transform(v.v,
+              FROM a0 JOIN sv USING (id),
+                   UNNEST(list_transform(sv.v,
                      (x, i) -> {'dim': i, 'comp': x})) AS r(u)),
        c1 AS (SELECT cid,
                 array_agg((s + n * 2000000) // n - 2000000 ORDER BY dim) AS c
@@ -227,7 +236,8 @@ object SimQ extends QueryPack {
     * integer k-means, centroid rescale, cosine probes, rerank. */
   private def simIvfTrained(spark: SparkSession, d: String): DataFrame = {
     val e = emb(spark, d)
-    val cent = graft.sim.KMeans.train(e, "vec_id", "embedding", k = 4, iters = 1)
+    val cent = graft.sim.KMeans.train(e, "vec_id", "embedding", k = 4,
+        iters = 1, trainBuckets = 2)
       .select(col("cid").as("cent_id"),
         Similarity.l2NormalizeCol(expr("transform(c, x -> x / 1048576.0D)"))
           .as("cv"))
@@ -237,21 +247,23 @@ object SimQ extends QueryPack {
   }
 
   private val simIvfTrainedSql =
-    """WITH kv AS (SELECT vec_id AS id,
+    s"""WITH kv AS (SELECT vec_id AS id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
            FROM embeddings),
-       c0k AS (SELECT id AS cid, v AS c FROM kv WHERE id < 4),
-       d0k AS (SELECT kv.id, c0k.cid,
+       skv AS (SELECT * FROM kv WHERE $sampleWhere),
+       c0k AS (SELECT id AS cid, v AS c
+               FROM (SELECT * FROM skv ORDER BY id LIMIT 4)),
+       d0k AS (SELECT skv.id, c0k.cid,
                 CAST(list_sum(list_transform(range(1, 65),
-                  i -> (kv.v[i] - c0k.c[i]) * (kv.v[i] - c0k.c[i]))) AS BIGINT) AS d2
-              FROM kv CROSS JOIN c0k),
+                  i -> (skv.v[i] - c0k.c[i]) * (skv.v[i] - c0k.c[i]))) AS BIGINT) AS d2
+              FROM skv CROSS JOIN c0k),
        a0k AS (SELECT id, cid FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY id
                           ORDER BY d2, cid) AS rn FROM d0k) WHERE rn = 1),
        e0k AS (SELECT a0k.cid, u.dim, u.comp
-              FROM a0k JOIN kv USING (id),
-                   UNNEST(list_transform(kv.v,
+              FROM a0k JOIN skv USING (id),
+                   UNNEST(list_transform(skv.v,
                      (x, i) -> {'dim': i, 'comp': x})) AS r(u)),
        c1k AS (SELECT cid,
                 array_agg((s + n * 2000000) // n - 2000000 ORDER BY dim) AS c
@@ -339,7 +351,8 @@ object SimQ extends QueryPack {
     graft.sim.PQ.ivfpqTopK(
         e.filter(col("vec_id") % 25 === 0), e, k = 5,
         centroidStride = 50, nprobe = 4,
-        subspaces = 4, subDim = 16, ksub = 4, iters = 1, rerank = 20)
+        subspaces = 4, subDim = 16, ksub = 4, iters = 1, rerank = 20,
+        trainBuckets = 2)
       .orderBy("query_id", "rank")
   }
 
@@ -354,17 +367,19 @@ object SimQ extends QueryPack {
                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
            FROM embeddings)"""
     def train(m: Int) =
-      s"""c0_$m AS (SELECT id AS cid, v AS c FROM kv$m WHERE id < $ksub),
-       d0_$m AS (SELECT kv$m.id, c0_$m.cid,
+      s"""skv$m AS (SELECT * FROM kv$m WHERE $sampleWhere),
+       c0_$m AS (SELECT id AS cid, v AS c
+                 FROM (SELECT * FROM skv$m ORDER BY id LIMIT $ksub)),
+       d0_$m AS (SELECT skv$m.id, c0_$m.cid,
                 CAST(list_sum(list_transform(range(1, ${L + 1}),
-                  i -> (kv$m.v[i] - c0_$m.c[i]) * (kv$m.v[i] - c0_$m.c[i]))) AS BIGINT) AS d2
-              FROM kv$m CROSS JOIN c0_$m),
+                  i -> (skv$m.v[i] - c0_$m.c[i]) * (skv$m.v[i] - c0_$m.c[i]))) AS BIGINT) AS d2
+              FROM skv$m CROSS JOIN c0_$m),
        a0_$m AS (SELECT id, cid FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY id
                           ORDER BY d2, cid) AS rn FROM d0_$m) WHERE rn = 1),
        e0_$m AS (SELECT a0_$m.cid, u.dim, u.comp
-              FROM a0_$m JOIN kv$m USING (id),
-                   UNNEST(list_transform(kv$m.v,
+              FROM a0_$m JOIN skv$m USING (id),
+                   UNNEST(list_transform(skv$m.v,
                      (x, i) -> {'dim': i, 'comp': x})) AS r(u)),
        c1_$m AS (SELECT cid,
                 array_agg((s + n * 2000000) // n - 2000000 ORDER BY dim) AS c
@@ -441,26 +456,28 @@ object SimQ extends QueryPack {
     * DedupQ) to share the normalized-corpus cache. */
   private def dSemantic(spark: SparkSession, d: String): DataFrame =
     graft.dedup.Dedup.semanticDedup(emb(spark, d), k = 16, iters = 1,
-        tau = 0.4)
+        tau = 0.4, trainBuckets = 2)
       .orderBy("vec_id")
 
   private val dSemanticSql =
-    """WITH RECURSIVE
+    s"""WITH RECURSIVE
        kv AS (SELECT vec_id AS id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
            FROM embeddings),
-       c0 AS (SELECT id AS cid, v AS c FROM kv WHERE id < 16),
-       d0 AS (SELECT kv.id, c0.cid,
+       skv AS (SELECT * FROM kv WHERE $sampleWhere),
+       c0 AS (SELECT id AS cid, v AS c
+              FROM (SELECT * FROM skv ORDER BY id LIMIT 16)),
+       d0 AS (SELECT skv.id, c0.cid,
                 CAST(list_sum(list_transform(range(1, 65),
-                  i -> (kv.v[i] - c0.c[i]) * (kv.v[i] - c0.c[i]))) AS BIGINT) AS d2
-              FROM kv CROSS JOIN c0),
+                  i -> (skv.v[i] - c0.c[i]) * (skv.v[i] - c0.c[i]))) AS BIGINT) AS d2
+              FROM skv CROSS JOIN c0),
        a0 AS (SELECT id, cid FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY id
                           ORDER BY d2, cid) AS rn FROM d0) WHERE rn = 1),
        e0 AS (SELECT a0.cid, u.dim, u.comp
-              FROM a0 JOIN kv USING (id),
-                   UNNEST(list_transform(kv.v,
+              FROM a0 JOIN skv USING (id),
+                   UNNEST(list_transform(skv.v,
                      (x, i) -> {'dim': i, 'comp': x})) AS r(u)),
        c1 AS (SELECT cid,
                 array_agg((s + n * 2000000) // n - 2000000 ORDER BY dim) AS c

@@ -62,26 +62,48 @@ object KMeans {
       .select(col("cid"),
         expr(s"transform(s, x -> (x + n * ${Shift}L) div n - ${Shift}L)").as("c"))
 
+  /** Deterministic 1-in-`buckets` training-sample predicate on the id
+    * column (md5 bucket 0 — [[graft.text.Corpus.hashBucket]], the same
+    * engine-portable idiom as the corpus split). `buckets = 1` keeps
+    * everything.
+    *
+    * This is the 100 TB training contract: a codebook needs thousands
+    * of training rows, not the corpus — Lloyd iterations over the full
+    * corpus are an O(corpus × iters) cost with no quality return past a
+    * sample (the assignment pass still covers every vector). Being a
+    * pure hash of the id, the sample is reproducible on any engine —
+    * oracles replay it with
+    * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % buckets = 0`. */
+  def trainFilter(buckets: Int): org.apache.spark.sql.Column =
+    if (buckets <= 1) lit(true)
+    else graft.text.Corpus.hashBucket(col("id"), buckets) === 0
+
   private def trainLoop(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = vecs.filter(col("id") < k)
+    // Seed = the k lowest ids of the TRAINING set (for an unsampled
+    // dense-id corpus this is exactly the historical id < k seed). k is
+    // tiny, so the TakeOrdered is k rows — never a data-scale sort.
+    var cents = vecs.orderBy("id").limit(k)
       .select(col("id").as("cid"), col("v").as("c"))
     for (_ <- 1 to iters)
       cents = update(vecs, assign(vecs, cents)).localCheckpoint()
     cents
   }
 
-  /** Train a k-centroid codebook: init = vectors with id < k (the
-    * deterministic seed), then `iters` assign→update rounds. */
+  /** Train a k-centroid codebook: deterministic md5 1-in-`trainBuckets`
+    * training sample ([[trainFilter]]), seed = the sample's k lowest
+    * ids, then `iters` assign→update rounds. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame =
-    trainLoop(scaledVecs(emb, idCol, vecCol).localCheckpoint(), k, iters)
+      k: Int, iters: Int, trainBuckets: Int = 1): DataFrame =
+    trainLoop(scaledVecs(emb, idCol, vecCol).filter(trainFilter(trainBuckets))
+      .localCheckpoint(), k, iters)
 
-  /** Final assignment table (id, cid, d2) for a trained codebook. The
-    * checkpointed scaled vectors feed BOTH training and the final
-    * assignment — scaling the embeddings is one pass, not two. */
+  /** Final assignment table (id, cid, d2) for a trained codebook:
+    * training reads the 1-in-`trainBuckets` md5 sample, the assignment
+    * covers the FULL corpus. The checkpointed scaled vectors feed both —
+    * scaling the embeddings is one pass, not two. */
   def fit(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, trainBuckets: Int = 1): DataFrame = {
     val vecs = scaledVecs(emb, idCol, vecCol).localCheckpoint()
-    assign(vecs, trainLoop(vecs, k, iters))
+    assign(vecs, trainLoop(vecs.filter(trainFilter(trainBuckets)), k, iters))
   }
 }

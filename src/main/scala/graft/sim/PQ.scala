@@ -63,10 +63,20 @@ object PQ {
     * bit-identical, since the subspaces never mix: every aggregation
     * and argmin is keyed by m). */
   def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-      subspaces: Int, subDim: Int, ksub: Int, iters: Int): DataFrame = {
+      subspaces: Int, subDim: Int, ksub: Int, iters: Int,
+      trainBuckets: Int = 1): DataFrame = {
+    // Training reads the deterministic md5 1-in-`trainBuckets` sample
+    // ([[KMeans.trainFilter]] — the 100 TB contract: sub-codebooks need
+    // thousands of rows, not the corpus); encode() still covers every
+    // vector. Seed = each subspace's slice of the sample's ksub lowest
+    // ids (every id carries all M subspaces, so one tiny id list seeds
+    // all M trainings — for an unsampled dense-id corpus this is the
+    // historical id < ksub seed).
     val subs = subspaceVecs(emb, idCol, vecCol, subspaces, subDim)
+      .filter(KMeans.trainFilter(trainBuckets))
       .localCheckpoint()
-    var cents = subs.filter(col("id") < ksub)
+    val seedIds = subs.select("id").distinct().orderBy("id").limit(ksub)
+    var cents = subs.join(broadcast(seedIds), Seq("id"))
       .select(col("m"), col("id").as("cid"), col("v").as("c"))
     for (_ <- 1 to iters) {
       val assigned = subs.join(broadcast(cents), Seq("m"))
@@ -105,7 +115,7 @@ object PQ {
   def ivfpqTopK(queries: DataFrame, corpus: DataFrame,
       k: Int, centroidStride: Long = 50, nprobe: Int = 4,
       subspaces: Int = 4, subDim: Int = 16, ksub: Int = 4, iters: Int = 1,
-      rerank: Int = 20,
+      rerank: Int = 20, trainBuckets: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // ── coarse IVF cells (same deterministic recipe as sim_ivf_topk) ──
     val cnorm = Similarity.normalized(corpus, idCol, vecCol)
@@ -127,7 +137,7 @@ object PQ {
       .select("query_id", "cent_id")
     // ── product quantizer: train, encode, query distance table ──
     val books = trainCodebooks(corpus, idCol, vecCol, subspaces, subDim,
-      ksub, iters).localCheckpoint()
+      ksub, iters, trainBuckets).localCheckpoint()
     val codes = encode(corpus, idCol, vecCol, books, subspaces, subDim)
     val dt = subspaceVecs(queries, idCol, vecCol, subspaces, subDim)
       .join(broadcast(books), Seq("m"))
