@@ -76,12 +76,17 @@ object Corpus {
     * approximation's straddling chunks.
     *
     * Greedy fill is inherently a sequential fold, so the parallelism
-    * unit is an explicit `shards` hash of the id: within a shard,
-    * documents pack in id order via one flatMapGroups pass (the typed
-    * analog of the engine's streaming state folds); shards pack
-    * independently and concurrently. Deterministic by construction —
-    * (shard, id-order) is a pure function of the data — and the fold is
-    * replayable in SQL as a recursive CTE, so the oracle is exact.
+    * unit is an explicit `shards` hash of the id. Within a shard the
+    * fold is fully STREAMING: rows are hash-distributed on the shard,
+    * Spark's external sort orders each partition by (shard, id) —
+    * spillable, never a whole shard on the heap — and one mapPartitions
+    * pass folds the sorted iterator with O(1) state (open-bin id +
+    * running token count, the [[graft.streaming.Relay]] packStream
+    * state shape), resetting at shard boundaries. The classic
+    * secondary-sort layout: memory is bounded regardless of shard size.
+    * Deterministic by construction — (shard, id-order) is a pure
+    * function of the data — and the fold is replayable in SQL as a
+    * recursive CTE, so the oracle is exact.
     *
     * Returns (doc_id, shard, bin, n_tokens): bin numbering is
     * per-shard, dense from 0. */
@@ -93,18 +98,21 @@ object Corpus {
       .select(col(idCol).cast("long").as("doc_id"),
         pmod(col(idCol), lit(shards.toLong)).cast("long").as("shard"),
         Text.tokenCount(col(textCol)).cast("long").as("len"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
       .as[(Long, Long, Long)]
-      .groupByKey(_._2)
-      .flatMapGroups { (shard, it) =>
-        val sorted = it.toSeq.sortBy(_._1)
+      .mapPartitions { it =>
+        // Several shards can hash into one partition; the (shard, id)
+        // sort makes each a contiguous run, so a shard-change resets
+        // the open bin. State is O(1); the iterator never materializes.
+        var shard = -1L // real shards are pmod >= 0
         var bin = 0L
         var cum = 0L
-        var first = true
-        sorted.iterator.map { case (id, _, len) =>
-          if (first) { cum = len; first = false }
+        it.map { case (id, sh, len) =>
+          if (sh != shard) { shard = sh; bin = 0L; cum = len }
           else if (cum + len > budget) { bin += 1; cum = len }
           else cum += len
-          (id, shard, bin, len)
+          (id, sh, bin, len)
         }
       }
       .toDF("doc_id", "shard", "bin", "n_tokens")
