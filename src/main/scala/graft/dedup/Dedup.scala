@@ -352,6 +352,17 @@ object Dedup {
     else connectedComponentsStar(pairs, aCol, bCol, maxIter)
   }
 
+  /** SemDeDup cell-count rule: k ≈ ⌈corpus / expectedCellSize⌉ cells
+    * (min 2). SemDeDup runs 10⁴-10⁵ cells over ~10⁸-10⁹ items, i.e.
+    * roughly 10³-10⁴ items per cell — cells must GROW IN NUMBER with the
+    * corpus, or the within-cell pair join degenerates quadratic. A pinned
+    * k that was right at one scale is the classic 100× trap; this rule is
+    * the default so [[semanticDedup]] stays scale-correct without caller
+    * diligence. Integer ceiling ⌈n/s⌉ matches the oracle's
+    * `GREATEST(2, CEIL(COUNT(*) / s))` exactly. */
+  def semanticCellCount(n: Long, expectedCellSize: Long = 1024L): Int =
+    math.max(2L, (n + expectedCellSize - 1) / expectedCellSize).toInt
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023) over an
     * embedding column — the cluster-scoped variant of embedding near-dup
     * that makes all-pairs cosine tractable at corpus scale: k-means
@@ -371,9 +382,14 @@ object Dedup {
     * Returns one row per input vector: (vec_id, group_id = component
     * minimum or self, keep = 1 iff this id is its group's survivor). */
   def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", k: Int = 4, iters: Int = 1,
+      vecCol: String = "embedding", k: Int = 0, iters: Int = 1,
       tau: Double = 0.4, trainBuckets: Int = 1): DataFrame = {
-    val assigned = graft.sim.KMeans.fit(emb, idCol, vecCol, k, iters,
+    // k <= 0 → the SemDeDup scaling rule: the operator is scale-correct
+    // by default instead of by caller diligence. The count is one
+    // aggregate job; callers that already know the corpus size can pin
+    // k to skip it.
+    val kk = if (k > 0) k else semanticCellCount(emb.count())
+    val assigned = graft.sim.KMeans.fit(emb, idCol, vecCol, kk, iters,
         trainBuckets)
       .select(col("id"), col("cid"))
     val cells = graft.sim.Similarity.normalized(emb, idCol, vecCol)

@@ -450,12 +450,17 @@ object SimQ extends QueryPack {
 
   /** SemDeDup-style semantic dedup: k-means cells bound candidate pairs,
     * within-cell cosine ≥ 0.4 edges, connected components, min-id
-    * survivor per group. Deterministic end-to-end (fixed-point training,
-    * 4dp cosine), so the oracle replays training, cells, edges, the
-    * transitive closure, and survivor flags. Registered here (not
-    * DedupQ) to share the normalized-corpus cache. */
+    * survivor per group. k is NOT pinned — the query exercises the
+    * [[graft.dedup.Dedup.semanticCellCount]] scaling default
+    * (⌈n/1024⌉ cells, min 2) and the oracle computes the identical k
+    * from COUNT(*), so the same SQL stays exact at every scale factor.
+    * Training reads the md5 1-in-2 sample. Deterministic end-to-end
+    * (fixed-point training, 4dp cosine), so the oracle replays the
+    * k-rule, sample, training, cells, edges, the transitive closure,
+    * and survivor flags. Registered here (not DedupQ) to share the
+    * normalized-corpus cache. */
   private def dSemantic(spark: SparkSession, d: String): DataFrame =
-    graft.dedup.Dedup.semanticDedup(emb(spark, d), k = 16, iters = 1,
+    graft.dedup.Dedup.semanticDedup(emb(spark, d), iters = 1,
         tau = 0.4, trainBuckets = 2)
       .orderBy("vec_id")
 
@@ -465,9 +470,12 @@ object SimQ extends QueryPack {
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
            FROM embeddings),
+       kp AS (SELECT GREATEST(2, CAST(CEIL(COUNT(*) / 1024.0) AS BIGINT)) AS kk
+              FROM embeddings),
        skv AS (SELECT * FROM kv WHERE $sampleWhere),
        c0 AS (SELECT id AS cid, v AS c
-              FROM (SELECT * FROM skv ORDER BY id LIMIT 16)),
+              FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM skv)
+              WHERE rn <= (SELECT kk FROM kp)),
        d0 AS (SELECT skv.id, c0.cid,
                 CAST(list_sum(list_transform(range(1, 65),
                   i -> (skv.v[i] - c0.c[i]) * (skv.v[i] - c0.c[i]))) AS BIGINT) AS d2
