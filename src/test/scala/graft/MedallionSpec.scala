@@ -260,6 +260,36 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
       (900L, "U900") :+ (9000L, "N2")).sortBy(_._1)))
   }
 
+  test("S11 manifest: time travel to a vacuumed version fails loudly") {
+    import spark.implicits._
+    val dir = tmp() + "/vacuumed_read"
+    Sinks.writeWithManifest(spark,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v"), dir, "k", nFiles = 4)
+    Sinks.upsertByKeyManifest(spark, Seq((5L, "U5")).toDF("k", "v"), dir, "k")
+    Sinks.upsertByKeyManifest(spark, Seq((6L, "U6")).toDF("k", "v"), dir, "k")
+    assert(Sinks.currentVersion(dir) == 3L)
+    Sinks.vacuum(spark, dir, keepVersions = 1)
+    // v1/v2's commit markers and unreferenced files are gone: resolving
+    // them must fail LOUDLY at the manifest require — a reader must
+    // never fall through to a partial/wrong file list (the documented
+    // retention contract: vacuum trades time travel for space).
+    val e1 = intercept[IllegalArgumentException] {
+      Sinks.readVersioned(spark, dir, version = 1L)
+    }
+    assert(e1.getMessage.contains("not committed (or was vacuumed)"),
+      s"wrong failure mode: ${e1.getMessage}")
+    intercept[IllegalArgumentException] { Sinks.manifestAt(spark, dir, 2L) }
+    intercept[IllegalArgumentException] {
+      Sinks.readVersionedKeyRange(spark, dir, "k", 0L, 10L, version = 2L)
+    }
+    // …while the retained version still reads complete and exact
+    val out = Sinks.readVersioned(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val oracle = ((0L until 100L).filterNot(Set(5L, 6L))
+      .map(k => (k, s"v$k")) ++ Seq((5L, "U5"), (6L, "U6"))).sortBy(_._1)
+    assert(out == oracle)
+  }
+
   test("S11 manifest: concurrent merges both land — no silent lost update") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
