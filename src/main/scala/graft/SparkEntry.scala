@@ -23,7 +23,10 @@ object SparkEntry {
     Seq(Relational), Seq(Functions), Seq(CleaningQ), Seq(EventsQ),
     Seq(TextQ), Seq(CorpusQ), Seq(DedupQ), Seq(SimQ), Seq(MultimodalQ),
     Seq(StarQ, GoldQ), Seq(WindowQ), Seq(ReshapeQ), Seq(TpchQ), Seq(AsofQ),
-    Seq(OlapQ), Seq(FlightsQ))
+    Seq(OlapQ), Seq(FlightsQ),
+    // r7 additions go in NEW trailing groups: r6-vs-r7 bench rows for
+    // the established groups stay apples-to-apples.
+    Seq(GraphQ))
 
   /** Bench iteration order: group by group, queries name-sorted within
     * their group — fixed across rounds so per-query deltas are meaningful.

@@ -106,8 +106,40 @@ object CorpusQ extends QueryPack {
        SELECT doc_id, shard, bin, len AS n_tokens
        FROM fill ORDER BY doc_id"""
 
+  /** Weighted epoch mixing: high-priority sources (src0-src2) run 2.5
+    * epochs, the mid tier 1.0, the tail 0.4 — [[Corpus.mixSources]]
+    * turns the weights into deterministic copy multiplicities (full
+    * copies + md5-bucket fractional slice, no RNG). Output is the
+    * mixed stream's (doc_id, source, copy) manifest. */
+  private def cMix(spark: SparkSession, d: String): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val wpct = when(idx < 3, 250L).when(idx < 10, 100L).otherwise(40L)
+    Corpus.mixSources(
+        Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        wpct, "doc_id")
+      .select("doc_id", "source", "copy")
+      .orderBy("doc_id", "copy")
+  }
+
+  private val cMixSql =
+    """WITH w AS (SELECT doc_id, source,
+                CASE WHEN CAST(substr(source, 4) AS INT) < 3 THEN 250
+                     WHEN CAST(substr(source, 4) AS INT) < 10 THEN 100
+                     ELSE 40 END AS wpct,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 AS b
+              FROM documents),
+       cop AS (SELECT doc_id, source,
+                wpct // 100 + CASE WHEN b < wpct % 100 THEN 1 ELSE 0 END AS copies
+              FROM w)
+       SELECT doc_id, source, u.copy
+       FROM cop, UNNEST(generate_series(0, copies - 1)) AS u(copy)
+       WHERE copies > 0
+       ORDER BY doc_id, copy"""
+
   override def queries: Seq[Q] = Seq(
     Q("c_split_hash", cSplit, Some(cSplitSql)),
+    Q("c_mix", cMix, Some(cMixSql)),
     Q("c_stratified_cap", cStratified, Some(cStratifiedSql)),
     Q("c_chunk_budget", cChunks, Some(cChunksSql)),
     Q("c_pack", cPack, Some(cPackSql)))

@@ -342,8 +342,78 @@ object TextQ extends QueryPack {
              FROM scored)
        WHERE rk = 1 ORDER BY doc_id"""
 
+  /** BM25 retrieval scoring (k1 = 1.2, b = 0.75) for a fixed 3-term
+    * query — the standard lexical-retrieval op a training-data pipeline
+    * uses for quality-targeted selection and decontamination lookups.
+    *
+    * Exactness discipline (the house float rules): IDF is the RATIONAL
+    * (N − df + 0.5)/(df + 0.5) — no ln(), whose last ulp differs across
+    * engines (same trade documented at [[tTfidf]]); every arithmetic
+    * step is one fixed IEEE expression tree both engines evaluate
+    * identically; and the per-term contributions are rounded to 6dp and
+    * summed as DECIMAL(18,6), so the cross-term sum is order-independent
+    * (float += is not associative; a plain double sum would be
+    * partitioning-dependent).
+    *
+    * Scale shape: term filter BEFORE the tf aggregation (the scan emits
+    * only query-term hits), df and corpus stats broadcast, the only
+    * big shuffles are the per-doc length and tf groupBys; top-10 is
+    * TakeOrderedAndProject, never a global sort. */
+  private def tBm25(spark: SparkSession, d: String): DataFrame = {
+    val terms = Seq("vector", "hash", "merge")
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dlen")).as("tot"))
+    val dft = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tfreq"))
+    tf.join(broadcast(dft), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(
+        """CAST(round(
+             ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tfreq AS DOUBLE) * 2.2)
+                / (CAST(tfreq AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(dlen AS DOUBLE)
+                       / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+             6) AS DECIMAL(18,6))"""))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("sdec"))
+      .select(col("doc_id"), col("sdec").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  private val tBm25Sql =
+    """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                    FROM documents),
+       dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY 1),
+       stats AS (SELECT COUNT(*) AS n_docs, SUM(dlen) AS tot FROM dl),
+       dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+               WHERE tok IN ('vector', 'hash', 'merge') GROUP BY 1),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tfreq FROM toks
+              WHERE tok IN ('vector', 'hash', 'merge') GROUP BY 1, 2),
+       scored AS (SELECT doc_id,
+             CAST(round(
+               ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(tfreq AS DOUBLE) * 2.2)
+                  / (CAST(tfreq AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dlen AS DOUBLE)
+                         / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+               6) AS DECIMAL(18,6)) AS contrib
+           FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id)
+           CROSS JOIN stats)
+       SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+       FROM scored GROUP BY doc_id
+       ORDER BY score DESC, doc_id LIMIT 10"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_tokens", tTokens, Some(tTokensSql)),
+    Q("t_bm25", tBm25, Some(tBm25Sql)),
     Q("t_vocab", tVocab, Some(tVocabSql)),
     Q("t_scrub", tScrub, Some(tScrubSql)),
     Q("t_tfidf", tTfidf, Some(tTfidfSql)),

@@ -49,6 +49,29 @@ object Corpus {
       .drop("__r")
   }
 
+  /** Weighted source mixing — the epoch-composition op of a training-data
+    * pipeline: each stratum gets a target weight expressed in integer
+    * PERCENT (250 = 2.5 epochs of that source, 40 = keep 40%).
+    * Upsampling emits `weight div 100` full copies of every document;
+    * the fractional remainder keeps the deterministic md5 1-in-100
+    * bucket slice (`weight % 100` buckets) — so a 2.5× source yields 2
+    * copies of every doc plus a third copy of a stable half… no RNG,
+    * reproducible on any engine, and late-arriving docs of a known id
+    * always mix identically (the [[splitByHash]] leakage guarantee).
+    *
+    * Scale shape: one projection + `explode(sequence)` — no shuffle at
+    * all; the copy multiplicity is bounded by max(weight) div 100 + 1.
+    * Returns the input row + (copy: 0-based copy index). */
+  def mixSources(df: DataFrame, weightPct: Column, keyCol: String): DataFrame = {
+    val b = hashBucket(col(keyCol), 100)
+    df.withColumn("__copies",
+        (weightPct.cast("long") / lit(100L)).cast("long") +
+          when(b < weightPct.cast("long") % 100L, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Token-budget chunking for batch building: contiguous (by `orderCol`,
     * per `partCol`) documents are grouped into chunks of ~`budget` tokens
     * via chunk = floor(exclusive-prefix-sum / budget). A document that

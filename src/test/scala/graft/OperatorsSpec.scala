@@ -176,6 +176,77 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("pageRank: hub outranks leaves; mass identities hold on a star graph") {
+    import spark.implicits._
+    // undirected star: hub 0 <-> leaves 1..5
+    val pairs = (1L to 5L).map(l => (0L, l))
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.map(_.swap).toDF("src", "dst"))
+    val out = graft.graph.Graph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 6)
+    val leaves = (1L to 5L).map(out)
+    assert(leaves.distinct.size == 1, "symmetric leaves must tie exactly")
+    assert(out(0L) > leaves.head, "the hub must outrank leaves")
+    // exact replay of the integer recurrence: every leaf's contribution
+    // is score div 1, the hub's spreads div 5
+    var (hub, leaf) = (1000000L, 1000000L)
+    for (_ <- 1 to 3) {
+      val nh = 150000L + (85L * leaf * 5L) / 100L
+      val nl = 150000L + (85L * (hub / 5L)) / 100L
+      hub = nh; leaf = nl
+    }
+    assert(out(0L) == hub && leaves.head == leaf,
+      s"fixed-point recurrence drifted: got ${out(0L)}/${leaves.head}, want $hub/$leaf")
+  }
+
+  test("mixSources: copy multiplicity = full copies + deterministic fractional slice") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(k => (k, if (k < 100) "a" else "b"))
+      .toDF("doc_id", "src")
+    // a = 230% (2 full + 30% slice), b = 40% (no full, 40% slice)
+    val w = when(col("src") === "a", 230L).otherwise(40L)
+    val out = graft.text.Corpus.mixSources(docs, w, "doc_id")
+      .groupBy("doc_id", "src").agg(count(lit(1)).as("n"),
+        max(col("copy")).as("maxc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // every a-doc appears 2 or 3 times, copies densely numbered from 0
+    (0L until 100L).foreach { k =>
+      val (s, n, maxc) = byDoc(k)
+      assert(s == "a" && (n == 2L || n == 3L) && maxc == n - 1, s"doc $k: $n copies")
+    }
+    // b-docs appear at most once; the slice is the md5 bucket < 40 rule
+    (100L until 200L).foreach { k =>
+      byDoc.get(k).foreach { case (_, n, _) => assert(n == 1L) }
+    }
+    val nB = out.count(_._2 == "b")
+    assert(nB > 20 && nB < 60, s"b slice should be ~40%, got $nB/100")
+    // determinism: a second run yields the identical multiset
+    val again = graft.text.Corpus.mixSources(docs, w, "doc_id")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.groupBy(_._1).view.mapValues(_.head._3).toMap == again)
+  }
+
+  test("bm25 discipline: identical doubles from the decimal-sum path vs a plain sum") {
+    import spark.implicits._
+    // the decimal contrib sum must be order-independent: summing the
+    // same 6dp contributions in reversed order yields the same score
+    val xs = Seq(1.234567, 2.000001, 0.999999, 3.141593)
+    def sumDec(vs: Seq[Double]): java.math.BigDecimal =
+      vs.map(v => new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP))
+        .reduce(_.add(_))
+    assert(sumDec(xs) == sumDec(xs.reverse))
+    // and the registered query returns a deterministic top-10
+    val a = SparkEntry.queries("t_bm25")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = SparkEntry.queries("t_bm25")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.size == 10)
+    assert(a.map(_._2) == a.map(_._2).sorted.reverse, "scores must be ranked desc")
+  }
+
   test("connectedComponents on an empty pair list returns no rows") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
