@@ -328,6 +328,54 @@ object Sinks {
     spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
   }
 
+  /** Change-data-feed read: the row-level difference between two
+    * committed versions, as Delta CDF's insert/delete stream — an
+    * update surfaces as delete(old row) + insert(new row).
+    *
+    * Resolution is file-granular against the manifest (files added vs
+    * removed across the version range), then row-level: a merge
+    * rewrites whole hit files, so unchanged rows appear in BOTH the
+    * added and removed sets — the two `exceptAll`s cancel that rewrite
+    * churn, leaving the minimal exact change set. Cost is O(changed-file
+    * rows), never O(table): only files whose liveness flipped are read,
+    * and the exceptAll shuffle carries just those rows. Schema-evolving
+    * ranges align on the union schema (old-side rows surface new
+    * columns as null, like [[readVersioned]]).
+    *
+    * Returns the table columns + `_change_type` ("insert" | "delete").
+    * Both endpoints must still be committed (not vacuumed) — same
+    * loud-failure contract as [[readVersioned]]. */
+  def readChanges(spark: SparkSession, targetPath: String,
+      fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val to = if (toVersion > 0) toVersion else currentVersion(targetPath)
+    require(fromVersion >= 1 && to >= fromVersion,
+      s"bad change range $fromVersion..$to for $targetPath")
+    val beforeFiles = manifestAt(spark, targetPath, fromVersion)
+      .select("file").collect().map(_.getString(0)).toSet
+    val afterFiles = manifestAt(spark, targetPath, to)
+      .select("file").collect().map(_.getString(0)).toSet
+    def readFiles(fs: Set[String]): DataFrame = {
+      val paths = fs.toSeq.sorted.map(f => s"$targetPath/$f")
+      if (paths.isEmpty) readVersioned(spark, targetPath, to).limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(paths: _*)
+    }
+    val addedRows = readFiles(afterFiles -- beforeFiles)
+    val removedRows = readFiles(beforeFiles -- afterFiles)
+    val dtypes = (addedRows.schema ++ removedRows.schema)
+      .map(f => f.name -> f.dataType).toMap
+    val cols = (addedRows.columns ++ removedRows.columns).distinct.toSeq
+    def align(df: DataFrame): DataFrame =
+      df.select(cols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(dtypes(c)).as(c)): _*)
+    align(addedRows).exceptAll(align(removedRows))
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(
+        align(removedRows).exceptAll(align(addedRows))
+          .withColumn("_change_type", lit("delete")))
+  }
+
   /** Key-range snapshot read with manifest data skipping — the SELECT
     * side of the same manifest the MERGE uses: files whose [kmin, kmax]
     * cannot intersect [lo, hi] are never opened (assert with

@@ -260,6 +260,36 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
       (900L, "U900") :+ (9000L, "N2")).sortBy(_._1)))
   }
 
+  test("S11 manifest: readChanges is the minimal insert/delete diff (CDF)") {
+    import spark.implicits._
+    val dir = tmp() + "/cdf_manifest"
+    Sinks.writeWithManifest(spark,
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v"), dir, "k", nFiles = 4)
+    // v2: update 2 keys in one file's range + insert a new key
+    Sinks.upsertByKeyManifest(spark,
+      Seq((10L, "U10"), (11L, "U11"), (9000L, "NEW")).toDF("k", "v"), dir, "k")
+    val ch = Sinks.readChanges(spark, dir, 1L).orderBy("k", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // the merge REWROTE a whole ~100-row file, but unchanged rewritten
+    // rows must cancel: the CDF is exactly the 3 inserts + 2 deletes
+    assert(ch == Seq(
+      (10L, "v10", "delete"), (10L, "U10", "insert"),
+      (11L, "v11", "delete"), (11L, "U11", "insert"),
+      (9000L, "NEW", "insert")).sortBy(t => (t._1, t._3)),
+      s"CDF not minimal: $ch")
+    // v3: another disjoint update; ranges compose (1→3 sees both) and
+    // a same-version range is empty
+    Sinks.upsertByKeyManifest(spark, Seq((200L, "U200")).toDF("k", "v"), dir, "k")
+    val full = Sinks.readChanges(spark, dir, 1L, 3L)
+    assert(full.count() == 7)
+    assert(Sinks.readChanges(spark, dir, 3L, 3L).count() == 0)
+    // delete+insert of the same key across versions keeps BOTH rows
+    // (update = delete old + insert new, the Delta CDF contract)
+    val k200 = full.filter(col("k") === 200L)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(k200 == Set(("v200", "delete"), ("U200", "insert")))
+  }
+
   test("S11 manifest: time travel to a vacuumed version fails loudly") {
     import spark.implicits._
     val dir = tmp() + "/vacuumed_read"
