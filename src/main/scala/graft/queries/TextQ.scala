@@ -411,9 +411,60 @@ object TextQ extends QueryPack {
        FROM scored GROUP BY doc_id
        ORDER BY score DESC, doc_id LIMIT 10"""
 
+  /** Corpus-trained bigram-LM quality score (the CCNet-style perplexity
+    * filter, re-expressed exactly): per document, the MEAN transition
+    * probability of its bigrams under the corpus's own bigram model —
+    * P(w2|w1) = count(w1 w2) / count(w1 ·). Fluent/common word order
+    * scores high; shuffled or boilerplate-injected text scores low.
+    *
+    * Exactness: no log-perplexity (libm ln ulps differ across engines) —
+    * the mean of 6dp-rounded rational probabilities, summed as
+    * DECIMAL(18,6), one final double divide. Bigram extraction is
+    * SHUFFLE-FREE: an array transform over the split tokens (no
+    * self-join, no per-doc window sort); the model tables are two
+    * groupBys bounded by |vocab| and |vocab|², broadcast back. At an
+    * open-vocab 100 TB corpus the broadcast side is the trimmed model
+    * (top-k bigrams), the standard CCNet construction. */
+  private def tLmScore(spark: SparkSession, d: String): DataFrame = {
+    val bigrams = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("s"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(s, 1, size(s) - 1), (w, i) -> struct(w AS w1, s[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .withColumn("p", expr(
+        "CAST(round(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS DECIMAL(18,6))"))
+      .groupBy("doc_id")
+      .agg(sum(col("p")).as("sp"), count(lit(1)).as("nb"))
+      .select(col("doc_id"),
+        expr("CAST(sp AS DOUBLE) / CAST(nb AS DOUBLE)").as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  private val tLmScoreSql =
+    """WITH b AS (SELECT doc_id, u.w1, u.w2
+              FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+                   UNNEST(list_transform(s[1:len(s) - 1],
+                     (w, i) -> {'w1': w, 'w2': s[i + 1]})) AS r(u)),
+       c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+       c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+       p AS (SELECT b.doc_id,
+               CAST(round(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS p
+             FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+       SELECT doc_id,
+              CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+       FROM p GROUP BY doc_id ORDER BY doc_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_tokens", tTokens, Some(tTokensSql)),
     Q("t_bm25", tBm25, Some(tBm25Sql)),
+    Q("t_lm_score", tLmScore, Some(tLmScoreSql)),
     Q("t_vocab", tVocab, Some(tVocabSql)),
     Q("t_scrub", tScrub, Some(tScrubSql)),
     Q("t_tfidf", tTfidf, Some(tTfidfSql)),
