@@ -125,8 +125,55 @@ object EventsQ extends QueryPack {
        UNION ALL SELECT '3_purchase', COUNT(*) FROM p
        ORDER BY stage"""
 
+  /** Weekly cohort retention — the standard product-analytics rollup:
+    * users cohorted by first-activity week (Monday-truncated, the house
+    * week convention), then per (cohort, week-offset) the distinct
+    * active users and the retention rate against the cohort size.
+    *
+    * Scale shape: one groupBy(user) for cohort assignment, one shuffle
+    * join back on user_id (AQE broadcasts it while the user dim is
+    * small; stays a hash join at 100 TB), and one (cohort, offset)
+    * aggregation with map-side distinct partials. Offsets are exact
+    * integer day arithmetic div 7; the rate is a single IEEE divide
+    * rounded to 4dp — both engine-portable. */
+  private def eCohort(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        expr("datediff(wk, cohort_week) div 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .withColumn("retention_pct", round(
+        col("n_active").cast("double") / col("cohort_size").cast("double"), 4))
+      .select("cohort_week", "week_offset", "n_active", "cohort_size",
+        "retention_pct")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val eCohortSql =
+    """WITH ev AS (SELECT user_id,
+                CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+       c AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1),
+       sizes AS (SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+                 FROM c GROUP BY 1),
+       act AS (SELECT cohort_week,
+                CAST((wk - cohort_week) // 7 AS BIGINT) AS week_offset,
+                COUNT(DISTINCT user_id) AS n_active
+              FROM ev JOIN c USING (user_id) GROUP BY 1, 2)
+       SELECT cohort_week, week_offset, n_active, cohort_size,
+              round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 4)
+                AS retention_pct
+       FROM act JOIN sizes USING (cohort_week)
+       ORDER BY cohort_week, week_offset"""
+
   override def queries: Seq[Q] = Seq(
     Q("s9_hourly_agg", s9HourlyAgg, Some(s9Sql)),
+    Q("e_cohort", eCohort, Some(eCohortSql)),
     Q("s10_upsert_latest", s10UpsertLatest, Some(s10Sql)),
     Q("f_json_extract", fJsonExtract, Some(fJsonSql)),
     Q("e_funnel", eFunnel, Some(eFunnelSql)),
