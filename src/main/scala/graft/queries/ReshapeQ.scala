@@ -56,7 +56,32 @@ object ReshapeQ extends QueryPack {
             UNNEST(list_transform(string_split(p_name, ' '),
                    (x, i) -> {'pos': i - 1, 'word': x})) AS r(u)"""
 
+  /** Wide→long melt (unpivot) — the inverse reshape, composed as
+    * melt(pivot(events)): the daily wide matrix stacks back to
+    * (day, event_type, n) rows, INCLUDING explicit 0 cells (the pivot
+    * round-trip is lossless either way). `stack` is a generator like
+    * posexplode — scan → generate inside codegen, no shuffle beyond the
+    * pivot's own aggregate. */
+  private def pvMelt(spark: SparkSession, d: String): DataFrame =
+    pvDaily(spark, d).select(col("day"), expr(
+      s"""stack(${eventTypes.size},
+          ${eventTypes.map(t => s"'$t', $t").mkString(", ")})
+          AS (event_type, n)"""))
+      .orderBy("day", "event_type")
+
+  private val pvMeltSql =
+    """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+       cnt AS (SELECT date_trunc('day', ts) AS day, event_type,
+                COUNT(*) AS n FROM events GROUP BY 1, 2)
+       SELECT day, t.event_type, COALESCE(cnt.n, 0) AS n
+       FROM days CROSS JOIN (
+         SELECT UNNEST(['click', 'error', 'purchase', 'signup', 'view'])
+           AS event_type) t
+       LEFT JOIN cnt USING (day, event_type)
+       ORDER BY day, event_type"""
+
   override def queries: Seq[Q] = Seq(
     Q("pv_daily", pvDaily, Some(pvSql)),
+    Q("pv_melt", pvMelt, Some(pvMeltSql)),
     Q("x_unnest", xUnnest, Some(xSql)))
 }
