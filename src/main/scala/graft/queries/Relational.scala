@@ -161,6 +161,42 @@ object Relational extends QueryPack {
          ON c_custkey = o_custkey
        ORDER BY c_custkey"""
 
+  /** J11 — FULL OUTER join (engine-completeness: the one join type the
+    * other j* queries don't cover): 1995's daily order counts against
+    * daily ship counts — each side contributes days the other lacks, so
+    * both null-producing directions are exercised. Coalesced key +
+    * zero-filled measures; one sort-merge join on the day key. */
+  private def j11FullOuter(spark: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+      .groupBy(col("o_orderdate").cast("date").as("od"))
+      .agg(count(lit(1)).as("n_ordered"))
+    val shp = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate").between("1995-01-01", "1995-12-31"))
+      .groupBy(col("l_shipdate").cast("date").as("sd"))
+      .agg(count(lit(1)).as("n_shipped"))
+    ord.join(shp, col("od") === col("sd"), "full_outer")
+      .select(coalesce(col("od"), col("sd")).as("day"),
+        coalesce(col("n_ordered"), lit(0L)).as("n_ordered"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+      .orderBy("day")
+  }
+
+  private val j11Sql =
+    """WITH ord AS (SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS n_ordered
+              FROM orders
+              WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+              GROUP BY 1),
+       shp AS (SELECT CAST(l_shipdate AS DATE) AS sd, COUNT(*) AS n_shipped
+              FROM lineitem
+              WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
+              GROUP BY 1)
+       SELECT COALESCE(od, sd) AS day,
+              COALESCE(n_ordered, 0) AS n_ordered,
+              COALESCE(n_shipped, 0) AS n_shipped
+       FROM ord FULL OUTER JOIN shp ON od = sd
+       ORDER BY day"""
+
   /** A6/A7 — conditional counts + derived rates (reference cancelled/delayed
     * counters, `03_gold_unikargo_01_daily_analytics.ipynb:75-78`). Integer
     * sums then a single double division → bit-stable. */
@@ -344,6 +380,7 @@ object Relational extends QueryPack {
     Q("j5_using_join", j5UsingJoin, Some(j5Sql)),
     Q("j8_anti_join", j8AntiJoin, Some(j8Sql)),
     Q("j9_left_join", j9LeftJoin, Some(j9Sql)),
+    Q("j11_full_outer", j11FullOuter, Some(j11Sql)),
     Q("a6_cond_rates", a6CondRates, Some(a6Sql)),
     Q("a8_count_distinct", a8CountDistinct, Some(a8Sql)),
     Q("a9_two_level", a9TwoLevel, Some(a9Sql)),

@@ -288,6 +288,18 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val k200 = full.filter(col("k") === 200L)
       .collect().map(r => (r.getString(1), r.getString(2))).toSet
     assert(k200 == Set(("v200", "delete"), ("U200", "insert")))
+    // v4 evolves the schema: the CDF over the evolving range aligns on
+    // the union schema — pre-evolution delete rows surface the new
+    // column as null, the insert carries its value
+    Sinks.upsertByKeyManifest(spark,
+      Seq((200L, "U200e", 9L)).toDF("k", "v", "w"), dir, "k",
+      allowSchemaEvolution = true)
+    val ev = Sinks.readChanges(spark, dir, 3L, 4L).filter(col("k") === 200L)
+      .collect().map(r => (r.getString(1),
+        if (r.isNullAt(r.fieldIndex("w"))) null else r.getAs[Long]("w"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(ev == Set(("U200", null, "delete"), ("U200e", 9L, "insert")),
+      s"evolving CDF misaligned: $ev")
   }
 
   test("S11 manifest: time travel to a vacuumed version fails loudly") {

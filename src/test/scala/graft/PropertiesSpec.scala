@@ -247,5 +247,32 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: pageRank mass bounds and determinism on random graphs") {
+    import spark.implicits._
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        u <- Gen.choose(0L, 9L); v <- Gen.choose(0L, 9L) if u != v
+      } yield (u, v))
+    forAll(edgeGen, n = 5) { es =>
+      whenever(es.nonEmpty) {
+        // undirected closure: every node has out-edges, so total mass is
+        // conserved up to floor losses: n·150000 ≤ Σscore ≤ n·10⁶
+        val edges = (es ++ es.map(_.swap)).toDF("src", "dst")
+        val out = graft.graph.Graph.pageRank(edges, iters = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+        val n = out.size
+        val total = out.map(_._2).sum
+        assert(total <= n * 1000000L,
+          s"mass created: $total > ${n * 1000000L}")
+        assert(total >= n * 150000L, s"more than damped mass lost: $total")
+        assert(out.forall(_._2 >= 150000L), "every node keeps the base rank")
+        // bit-determinism: a rerun yields the identical fixed-point scores
+        val again = graft.graph.Graph.pageRank(edges, iters = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+        assert(out == again)
+      }
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
