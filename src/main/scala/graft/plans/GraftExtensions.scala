@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
       (args: Seq[Expression]) => SimHashExpr(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("md5_bucket"),
+      new ExpressionInfo(classOf[Md5BucketExpr].getName, "md5_bucket"),
+      (args: Seq[Expression]) =>
+        Md5BucketExpr(args.head, intArg(args(1), "buckets").toLong)))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "vec_dot"),
       (args: Seq[Expression]) => DotExpr(args.head, args(1))))

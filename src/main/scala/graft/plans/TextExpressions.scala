@@ -209,6 +209,25 @@ object TextKernels {
     if (best < 0) UTF8String.fromString("und") else langs(best)
   }
 
+  /** md5 hash bucket of an (already string-cast) key: the first 4 digest
+    * bytes as an unsigned big-endian 32-bit value, mod `buckets` —
+    * BIT-IDENTICAL to the Column form
+    * `pmod(conv(substring(md5(key), 1, 8), 16, 10), buckets)` (the first
+    * 8 lowercase-hex chars ARE the first 4 bytes; the value is in
+    * [0, 2³²) so pmod ≡ %), but with zero string churn: the Column form
+    * allocates the 32-char hex string, an 8-char substring, and conv's
+    * decimal string per row — this is one digest and integer ops. Every
+    * md5-bucket op (corpus split, mixing, k-means training sample) sits
+    * on a full-corpus scan at 100 TB, so per-row allocation is the cost
+    * that matters. */
+  def md5Bucket(key: UTF8String, buckets: Long): Long = {
+    val md = digestTL.get(); md.reset()
+    val d = md.digest(key.getBytes)
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % buckets
+  }
+
   /** k-hash MinHash signature over a shingle set: sig(i) = min md5 hex of
     * s"$i|$shingle"; null entries when the set is empty (mirrors
     * array_min of an empty transform). Hot path: thread-local digest,
@@ -259,6 +278,24 @@ case class SimHashExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+/** md5_bucket(key, buckets) → long: deterministic hash bucket in
+  * [0, buckets) — see [[TextKernels.md5Bucket]] for the bit-parity
+  * contract with the conv/substring/pmod Column form (asserted in
+  * ExtensionsSpec) and the oracle-side DuckDB twin. */
+case class Md5BucketExpr(child: Expression, buckets: Long)
+    extends UnaryExpression {
+  require(buckets >= 1, "buckets must be >= 1")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.md5Bucket(input.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.md5Bucket($c, ${buckets}L)")
+  override protected def withNewChildInternal(newChild: Expression): Md5BucketExpr =
+    copy(child = newChild)
+  override def prettyName: String = "md5_bucket"
 }
 
 /** shingles(text, n) → array<string>: distinct word n-grams. */

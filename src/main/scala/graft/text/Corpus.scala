@@ -17,8 +17,20 @@ object Corpus {
 
   /** Deterministic hash bucket in [0, buckets) from a key column: first 8
     * md5 hex chars → int. The same key lands in the same bucket on any
-    * engine (DuckDB: ('0x' || substr(md5(k), 1, 8))::BIGINT % buckets). */
+    * engine (DuckDB: ('0x' || substr(md5(k), 1, 8))::BIGINT % buckets).
+    * Runs as the codegen'd [[graft.plans.Md5BucketExpr]] kernel — one
+    * digest + integer ops per row instead of the hex/substring/conv
+    * string churn; bit-identical to [[hashBucketHof]] (ExtensionsSpec). */
   def hashBucket(key: Column, buckets: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.Md5BucketExpr(
+        org.apache.spark.sql.GraftBridge.expression(key.cast("string")),
+        buckets.toLong))
+
+  /** The declarative Column twin of [[hashBucket]], kept for the
+    * bit-equality spec and as executable documentation of the oracle
+    * form. */
+  def hashBucketHof(key: Column, buckets: Int): Column =
     pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(buckets.toLong))
 

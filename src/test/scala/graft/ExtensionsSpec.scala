@@ -80,6 +80,21 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(Similarity.lshSignatureHof(col("nv"), 16, 64).as("slow"),
         Similarity.lshSignature(col("nv"), 16, 64).as("fast"))
     assert(sigs2.filter(col("slow") =!= col("fast")).count() == 0)
+    // md5_bucket kernel vs the conv/substring/pmod Column form, over
+    // long keys, negative longs, and string keys
+    val buckets = Seq(2, 7, 100)
+    val keys = spark.range(-500, 500).select(col("id"),
+      concat(lit("k"), col("id")).as("s"))
+    buckets.foreach { b =>
+      assert(keys.filter(
+        graft.text.Corpus.hashBucket(col("id"), b) =!=
+          graft.text.Corpus.hashBucketHof(col("id"), b)).count() == 0,
+        s"md5_bucket($b) drifted from the HOF form on longs")
+      assert(keys.filter(
+        graft.text.Corpus.hashBucket(col("s"), b) =!=
+          graft.text.Corpus.hashBucketHof(col("s"), b)).count() == 0,
+        s"md5_bucket($b) drifted from the HOF form on strings")
+    }
   }
 
   test("text-stats/quality/langId kernels are bit-identical to the HOF formulations") {
