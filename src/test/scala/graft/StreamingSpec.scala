@@ -389,6 +389,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming pivot (${streamed.length} rows) != batch (${batch.length})")
   }
 
+  test("streaming weighted mixing equals the batch c_mix manifest") {
+    import org.apache.spark.sql.functions._
+    // mixSources is stateless (pure hash of the key), so the SAME code
+    // runs on a stream unchanged — the twin asserts the streamed mix
+    // manifest is the batch one row-for-row.
+    val sf = "/root/testdata/sf0.001"
+    val srcDir = tmp() + "/mix_src"
+    new java.io.File(srcDir).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/documents.parquet"))
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val wpct = when(idx < 3, 250L).when(idx < 10, 100L).otherwise(40L)
+    val stream = graft.text.Corpus.mixSources(
+      Relay.readStreamPath(spark, srcDir, schema)
+        .select(col("doc_id"), col("source")), wpct, "doc_id")
+    val q = stream.writeStream.format("memory").queryName("mix_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("mix_mem")
+      .orderBy("doc_id", "copy").collect()
+    val batch = graft.text.Corpus.mixSources(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("source")), wpct, "doc_id")
+      .orderBy("doc_id", "copy").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"streaming mix (${streamed.length} rows) != batch (${batch.length})")
+  }
+
   test("param fallback chain: explicit > system property > env > default") {
     import graft.etl.Params
     assert(Params.resolve("env_name", Map("env_name" -> "prod")) == Some("prod"))
