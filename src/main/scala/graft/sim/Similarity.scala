@@ -261,6 +261,56 @@ object Similarity {
     ivfTopKWithCentroids(queries, corpus, cent, k, nprobe, idCol, vecCol)
   }
 
+  /** Build the MATERIALIZABLE IVF index table (id, cent_id, nv) for
+    * [[ivfSearchIndex]]: every corpus vector normalized and assigned to
+    * its nearest centroid. Persist this once (e.g.
+    * `Sinks.writeWithManifest(…, keyCol = "cent_id")` — keying the
+    * manifest on the CELL id gives per-file cell ranges, so the min/max
+    * manifest prunes unprobed cells at the FILE level, the storage-layer
+    * twin of nprobe) and search many times. */
+  def buildIvfIndex(corpus: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol)
+    val wA = Window.partitionBy("id")
+      .orderBy(col("cd").desc, col("cent_id").asc)
+    c.crossJoin(broadcast(cent))
+      .select(col("id"), col("cent_id"), col("nv"),
+        round(dotFast(col("nv"), col("cv")), 4).as("cd"))
+      .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
+      .select("id", "cent_id", "nv")
+  }
+
+  /** IVF search against a PERSISTED index ([[buildIvfIndex]] output,
+    * reloaded from storage) — the build-once/search-many production
+    * flow: a query batch reads only the probed cells of the stored
+    * assignment, never re-normalizing or re-assigning the corpus.
+    * Bit-identical results to [[ivfTopKWithCentroids]] over the same
+    * corpus and codebook (ExtensionsSpec). */
+  def ivfSearchIndex(queries: DataFrame, index: DataFrame, cent: DataFrame,
+      k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nv").as("qv"))
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("cd").desc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cent_id"),
+        round(dotFast(col("qv"), col("cv")), 4).as("cd"))
+      .withColumn("r", row_number().over(wQ)).filter(col("r") <= nprobe)
+      .select("query_id", "cent_id")
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(index, Seq("cent_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("nv"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotFast(col("qv"), col("nv")), 4).as("sim"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** [[ivfTopK]] with an EXTERNAL codebook — `cent` is (cent_id, cv)
     * with cv already L2-normalized. This is the production seam: pass
     * [[KMeans]]-trained centroids (or any codebook) without changing

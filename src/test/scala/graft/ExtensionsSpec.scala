@@ -264,6 +264,32 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.2, s"IVF-PQ recall $recall unexpectedly low")
   }
 
+  test("persisted IVF index: reloaded search equals fresh search; manifest prunes cells") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val cent = graft.sim.KMeans.train(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .select(col("cid").as("cent_id"),
+        Similarity.l2NormalizeCol(expr("transform(c, x -> x / 1048576.0D)")).as("cv"))
+    // build once, persist through the manifest sink KEYED ON THE CELL —
+    // per-file cent_id ranges make the min/max manifest prune unprobed
+    // cells at the file level (the storage-layer twin of nprobe)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString + "/idx"
+    graft.io.Sinks.writeWithManifest(spark,
+      Similarity.buildIvfIndex(emb, cent), dir, "cent_id", nFiles = 4)
+    val loaded = graft.io.Sinks.readVersioned(spark, dir)
+    val fromIndex = Similarity.ivfSearchIndex(queries, loaded, cent, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    val fresh = Similarity.ivfTopKWithCentroids(queries, emb, cent, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(fromIndex.sameElements(fresh),
+      "persisted-index search must equal the fresh-assignment search")
+    // file pruning: a single cell's key-range read opens fewer files
+    val oneCell = graft.io.Sinks.readVersionedKeyRange(spark, dir, "cent_id", 0L, 0L)
+    assert(oneCell.inputFiles.length < loaded.inputFiles.length,
+      s"cell read must prune files (${oneCell.inputFiles.length} of ${loaded.inputFiles.length})")
+  }
+
   test("lshTopK: no false results and sane recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 10 === 0)
