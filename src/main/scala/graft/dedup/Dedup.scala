@@ -328,7 +328,7 @@ object Dedup {
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
     def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("label"))).head.get(0))
+      Option(df.agg(sum(col("label"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     var cur = labelSum(labels)
     var converged = false
@@ -461,7 +461,7 @@ object Dedup {
       // decimal accumulator: a long sum of 64-bit hashes overflows
       // (which ANSI mode rightly rejects)
       val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
       (r.getLong(0), String.valueOf(r.get(1)))
     }
 

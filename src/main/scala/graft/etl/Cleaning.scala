@@ -47,14 +47,14 @@ object Cleaning {
     * `row_number over (order by orderCols desc) = 1` provided the
     * ordering is total (pass enough columns to break all ties). */
   def latestByKey(keys: Seq[String], orderCols: Seq[Column])(df: DataFrame): DataFrame = {
-    val valueCols = df.columns.filterNot(keys.contains)
+    val valueCols = df.columns.filterNot(keys.contains).toIndexedSeq
     val packed = df.groupBy(keys.map(col): _*)
       .agg(max_by(
         struct(valueCols.map(col): _*),
         struct(orderCols: _*)).as("__row"))
     packed.select(keys.map(col) ++
       valueCols.map(c => col(s"__row.$c").as(c)): _*)
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Reference `handle_null_values` (`cleaning.py:89-130`): per-column

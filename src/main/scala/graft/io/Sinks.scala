@@ -126,7 +126,8 @@ object Sinks {
       // tasks/files (salt derived from the row hash, never written out)
       val parts = partitionCols.map(col) ++
         (if (filesPerPartition > 1)
-          Seq(pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition.toLong)))
+          Seq(pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*),
+            lit(filesPerPartition.toLong)))
         else Nil)
       df.repartition(parts: _*)
         .write.mode("overwrite")

@@ -245,7 +245,7 @@ object TextKernels {
     }
     var i = 0
     while (i < k) {
-      val prefix = (i + "|").getBytes(utf8)
+      val prefix = s"$i|".getBytes(utf8)
       var best: Array[Byte] = null
       s = 0
       while (s < shingleBytes.length) {

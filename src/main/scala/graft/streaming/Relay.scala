@@ -55,6 +55,7 @@ object Relay {
 
   /** Trigger names → Spark triggers (reference `writers.py:53-59`:
     * availableNow default, processingTime, once). */
+  @scala.annotation.nowarn("cat=deprecation") // "once" is a reference-contract mode
   def trigger(name: String, interval: String = "10 seconds"): Trigger =
     name match {
       case "availableNow" => Trigger.AvailableNow()
