@@ -42,6 +42,32 @@ object Relay {
     options.foldLeft(spark.readStream.schema(schema).format(format))((r, kv) =>
       r.option(kv._1, kv._2)).load(path)
 
+  /** Stream-stream INTERVAL join — the streaming twin of
+    * [[graft.operators.RangeJoin.followingWithin]]: right-side rows in
+    * the window strictly AFTER each left row, as a watermarked
+    * stream-stream inner join. Both sides carry event-time watermarks
+    * and the time bound sits IN the join condition — that pair is what
+    * lets Spark expire buffered join state once the watermark passes a
+    * row's window, so state is O(rows within the watermark horizon),
+    * never the whole stream. Right keys/ts are renamed (`r_*`, rts) so
+    * the output schema is unambiguous; `lts` is the left event time. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String, payload: Seq[String],
+      windowSec: Long, watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val l = left.withColumnRenamed(tsCol, "lts")
+      .withWatermark("lts", watermark)
+    val r = keys.foldLeft(
+        right.select((keys :+ tsCol).map(col) ++ payload.map(col): _*)
+          .withColumnRenamed(tsCol, "rts"))(
+        (df, k) => df.withColumnRenamed(k, s"r_$k"))
+      .withWatermark("rts", watermark)
+    val cond = keys.map(k => col(k) === col(s"r_$k")).reduce(_ && _) &&
+      col("rts") > col("lts") &&
+      col("rts") <= col("lts") + expr(s"INTERVAL $windowSec SECONDS")
+    l.join(r, cond, "inner").drop(keys.map(k => s"r_$k"): _*)
+  }
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.dedup.Dedup.exactDedup]]: duplicates of a key arriving
     * within the event-time watermark are dropped across micro-batches,

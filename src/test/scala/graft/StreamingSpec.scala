@@ -389,6 +389,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming pivot (${streamed.length} rows) != batch (${batch.length})")
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val srcDir = tmp() + "/ssj_src"
+    new java.io.File(srcDir).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    def stream(eventType: String, idAs: String) =
+      Relay.readStreamPath(spark, srcDir, schema)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === eventType)
+        .select(col("user_id"), col("ts"), col("event_id").as(idAs))
+    val joined = Relay.intervalJoinStream(
+      stream("signup", "signup_id"), stream("click", "click_id"),
+      Seq("user_id"), "ts", payload = Seq("click_id"), windowSec = 3600)
+    val q = joined.writeStream.format("memory").queryName("ssj_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // aggregate the streamed join rows driver-side and compare with the
+    // batch bucketed range join query (itself oracle-exact)
+    val streamed = spark.table("ssj_mem")
+      .groupBy("signup_id").agg(count(col("click_id")).as("n_clicks"))
+      .orderBy("signup_id").collect()
+    val batch = SparkEntry.queries("rj_following_clicks")(spark, sf)
+      .collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"stream-stream join (${streamed.length} groups) != batch (${batch.length})")
+  }
+
   test("streaming weighted mixing equals the batch c_mix manifest") {
     import org.apache.spark.sql.functions._
     // mixSources is stateless (pure hash of the key), so the SAME code
