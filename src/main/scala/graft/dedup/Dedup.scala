@@ -359,7 +359,14 @@ object Dedup {
     * k that was right at one scale is the classic 100× trap; this rule is
     * the default so [[semanticDedup]] stays scale-correct without caller
     * diligence. Integer ceiling ⌈n/s⌉ matches the oracle's
-    * `GREATEST(2, CEIL(COUNT(*) / s))` exactly. */
+    * `GREATEST(2, CEIL(COUNT(*) / s))` exactly.
+    *
+    * Honest limit: the flat centroid BROADCAST in [[graft.sim.KMeans]]
+    * holds to ~10⁵-10⁶ cells (low-hundreds of MB of codebook); past
+    * that — ~10⁹ docs at this cell size — cluster in two levels (coarse
+    * cells via a small codebook, then per-cell sub-clustering), the
+    * same decomposition [[graft.sim.PQ]] already uses across subspaces
+    * and [[graft.sim.Similarity.ivfTopK]] uses for probing. */
   def semanticCellCount(n: Long, expectedCellSize: Long = 1024L): Int =
     math.max(2L, (n + expectedCellSize - 1) / expectedCellSize).toInt
 
