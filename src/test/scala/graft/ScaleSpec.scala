@@ -147,6 +147,19 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the predicate pushed into the ORC scan:\n$plan")
   }
 
+  test("j11 full outer: both date-range predicates reach the parquet scans") {
+    // a full-outer join cannot push filters THROUGH the join, so each
+    // side's range predicate must already sit at its own scan — the
+    // year filters are ~7x selective and at 100 TB decide whether the
+    // join reads a year or the decade
+    val plan = SparkEntry.queries("j11_full_outer")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*GreaterThanOrEqual".r
+      .findAllIn(plan).size
+    assert(pushed >= 2,
+      s"expected the order-date and ship-date ranges pushed to both scans, found $pushed:\n$plan")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // The row-level companion of dynamic partition pruning: when a shuffle
     // join's build side carries a selective filter, Spark injects a bloom
