@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * PageRank layout. Out-degrees are joined ONCE outside the loop;
   * `localCheckpoint` truncates lineage each round so the plan stays a
   * few nodes deep regardless of iteration count. Dangling nodes (no
-  * out-edges) simply leak their mass, the common large-graph
-  * simplification; callers wanting undirected semantics pass both edge
-  * directions.
+  * out-edges) leak their mass by default (the common large-graph
+  * simplification — and a non-issue on symmetric edge lists); pass
+  * `redistributeDangling = true` for the textbook equal-share
+  * correction on directed graphs. Callers wanting undirected semantics
+  * pass both edge directions.
   */
 object Graph {
 
@@ -33,9 +35,19 @@ object Graph {
 
   /** `iters` rounds of damped PageRank (d = 0.85) over directed edges
     * (srcCol, dstCol). Returns (node, score): score is the fixed-point
-    * BIGINT rank, initial value 10⁶ per node. */
+    * BIGINT rank, initial value 10⁶ per node.
+    *
+    * `redistributeDangling = true` applies the textbook correction for
+    * nodes with no out-edges: their pooled mass is shared equally
+    * (floor-divided) across all nodes each round, so total mass is
+    * conserved up to floor losses even on directed graphs. The pooled
+    * mass is a ONE-row aggregate per round (same discipline as the CC
+    * convergence check) — never a data-sized collect. Default off: on
+    * symmetric (undirected-closure) edge lists there are no dangling
+    * nodes and the aggregate is a wasted job. */
   def pageRank(edges: DataFrame, iters: Int,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      redistributeDangling: Boolean = false): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -50,16 +62,28 @@ object Graph {
     // only joins scores and aggregates, never recomputes degrees
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
+    val dangling =
+      if (!redistributeDangling) null
+      else nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti").localCheckpoint()
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
     var score = nodes.withColumn("score", lit(Scale))
     for (_ <- 1 to iters) {
       val contrib = eDeg
         .join(score.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("score div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      // equal floor-share of the dangling pool, added to every node's
+      // incoming mass (0 when redistribution is off or nothing dangles)
+      val share =
+        if (!redistributeDangling) 0L
+        else Option(score.join(dangling, Seq("node"), "left_semi")
+            .agg(sum(col("score"))).head().get(0))
+          .map(_.asInstanceOf[Long] / nNodes).getOrElse(0L)
       score = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) +
-            expr("(85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100"))
+            expr(s"(85 * (coalesce(in_sum, CAST(0 AS BIGINT)) + ${share}L)) div 100"))
             .as("score"))
         .localCheckpoint()
     }

@@ -200,6 +200,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fixed-point recurrence drifted: got ${out(0L)}/${leaves.head}, want $hub/$leaf")
   }
 
+  test("pageRank dangling redistribution conserves the pooled mass on directed graphs") {
+    import spark.implicits._
+    // directed star: hub 0 -> leaves 1..5; leaves dangle (no out-edges)
+    val edges = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val leak = graft.graph.Graph.pageRank(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val redist = graft.graph.Graph.pageRank(edges, iters = 2,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(redist.values.sum > leak.values.sum,
+      "redistribution must retain mass the leaking variant loses")
+    // exact replay of the corrected recurrence
+    var (hub, leaf) = (1000000L, 1000000L)
+    for (_ <- 1 to 2) {
+      val share = (5L * leaf) / 6L
+      val nh = 150000L + (85L * share) / 100L
+      val nl = 150000L + (85L * (hub / 5L + share)) / 100L
+      hub = nh; leaf = nl
+    }
+    assert(redist(0L) == hub && (1L to 5L).forall(redist(_) == leaf),
+      s"corrected recurrence drifted: got ${redist(0L)}/${redist(1L)}, want $hub/$leaf")
+    // on a dangling-free (symmetric) graph the flag is a no-op
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val a = graft.graph.Graph.pageRank(sym, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.graph.Graph.pageRank(sym, 2, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "redistribution must be identity when nothing dangles")
+  }
+
   test("mixSources: copy multiplicity = full copies + deterministic fractional slice") {
     import spark.implicits._
     val docs = (0L until 200L).map(k => (k, if (k < 100) "a" else "b"))
