@@ -359,33 +359,10 @@ object TextQ extends QueryPack {
     * only query-term hits), df and corpus stats broadcast, the only
     * big shuffles are the per-doc length and tf groupBys; top-10 is
     * TakeOrderedAndProject, never a global sort. */
-  private def tBm25(spark: SparkSession, d: String): DataFrame = {
-    val terms = Seq("vector", "hash", "merge")
-    val toks = Tables.documents(spark, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dlen")).as("tot"))
-    val dft = toks.filter(col("tok").isin(terms: _*))
-      .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    val tf = toks.filter(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tfreq"))
-    tf.join(broadcast(dft), Seq("tok"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("contrib", expr(
-        """CAST(round(
-             ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-              / (CAST(df AS DOUBLE) + 0.5))
-             * ((CAST(tfreq AS DOUBLE) * 2.2)
-                / (CAST(tfreq AS DOUBLE)
-                   + 1.2 * (0.25 + 0.75 * (CAST(dlen AS DOUBLE)
-                       / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
-             6) AS DECIMAL(18,6))"""))
-      .groupBy("doc_id").agg(sum(col("contrib")).as("sdec"))
-      .select(col("doc_id"), col("sdec").cast("double").as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(10)
-  }
+  private def tBm25(spark: SparkSession, d: String): DataFrame =
+    graft.text.Bm25.scoreFromIndex(
+      graft.text.Bm25.buildIndex(Tables.documents(spark, d)),
+      Seq("vector", "hash", "merge"), k = 10)
 
   private val tBm25Sql =
     """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok

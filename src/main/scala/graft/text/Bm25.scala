@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval (k1 = 1.2, b = 0.75) split into the production
+  * two-phase lifecycle: build the postings index ONCE over the corpus,
+  * then score many query batches against it — the same build-once /
+  * search-many shape as the persisted IVF index
+  * ([[graft.sim.Similarity.buildIvfIndex]]), for the lexical side
+  * (quality-targeted selection, decontamination lookups).
+  *
+  * Exactness discipline (shared with the `t_bm25` oracle): IDF is the
+  * RATIONAL (N − df + 0.5)/(df + 0.5) — no libm ln(), whose last ulp is
+  * engine-dependent; every arithmetic step is one fixed IEEE expression
+  * tree; per-term contributions are rounded to 6dp and summed as
+  * DECIMAL(18,6) so the cross-term sum is order-independent.
+  */
+object Bm25 {
+
+  /** Materializable index: one row per (tok, doc) posting carrying the
+    * term frequency and the doc length — everything scoring needs, no
+    * re-tokenization. Persist via
+    * `Sinks.writeWithManifest(…, keyCol = "tok")`: per-file TOKEN ranges
+    * let the min/max manifest prune postings files down to a query's
+    * terms (`readVersionedKeyRange`) — the storage-layer analogue of an
+    * inverted index seek. */
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tfreq"))
+      .join(dl, Seq("doc_id"))
+      .select("tok", "doc_id", "tfreq", "dlen")
+  }
+
+  /** One BM25 term contribution — the SINGLE definition of the scoring
+    * arithmetic (the `t_bm25` oracle SQL mirrors this text). */
+  private val contribExpr =
+    """CAST(round(
+         ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+          / (CAST(df AS DOUBLE) + 0.5))
+         * ((CAST(tfreq AS DOUBLE) * 2.2)
+            / (CAST(tfreq AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * (CAST(dlen AS DOUBLE)
+                   / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+         6) AS DECIMAL(18,6))"""
+
+  /** Top-k BM25 docs for `terms` against a (possibly reloaded) index.
+    * Corpus stats and per-term document frequencies are derived FROM the
+    * index (1-row / |terms|-row broadcasts); the only per-posting work is
+    * the term filter and the per-doc decimal sum. Top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def scoreFromIndex(index: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val docs = index.select("doc_id", "dlen").distinct()
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dlen")).as("tot"))
+    val hits = index.filter(col("tok").isin(terms: _*))
+    val dft = hits.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    hits.join(broadcast(dft), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(contribExpr))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("sdec"))
+      .select(col("doc_id"), col("sdec").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

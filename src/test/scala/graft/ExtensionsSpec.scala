@@ -290,6 +290,25 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cell read must prune files (${oneCell.inputFiles.length} of ${loaded.inputFiles.length})")
   }
 
+  test("persisted BM25 index: reloaded scoring equals inline; manifest prunes by term") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("vector", "hash", "merge")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx_").toString + "/idx"
+    graft.io.Sinks.writeWithManifest(spark,
+      graft.text.Bm25.buildIndex(docs), dir, "tok", nFiles = 4)
+    val loaded = graft.io.Sinks.readVersioned(spark, dir)
+    val fromIndex = graft.text.Bm25.scoreFromIndex(loaded, terms, k = 10).collect()
+    val inline = SparkEntry.queries("t_bm25")(spark, sf).collect()
+    assert(fromIndex.sameElements(inline),
+      "persisted-index BM25 must equal the inline build+score")
+    // token-keyed manifest: a term-range read opens fewer postings files
+    val ranged = graft.io.Sinks.readVersionedKeyRange(spark, dir, "tok",
+      "vector", "vector")
+    assert(ranged.inputFiles.length < loaded.inputFiles.length,
+      s"term read must prune postings files (${ranged.inputFiles.length} of ${loaded.inputFiles.length})")
+  }
+
   test("lshTopK: no false results and sane recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 10 === 0)
