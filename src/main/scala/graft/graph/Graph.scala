@@ -33,21 +33,15 @@ object Graph {
 
   private val Scale = 1000000L
 
-  /** `iters` rounds of damped PageRank (d = 0.85) over directed edges
-    * (srcCol, dstCol). Returns (node, score): score is the fixed-point
-    * BIGINT rank, initial value 10⁶ per node.
-    *
-    * `redistributeDangling = true` applies the textbook correction for
-    * nodes with no out-edges: their pooled mass is shared equally
-    * (floor-divided) across all nodes each round, so total mass is
-    * conserved up to floor losses even on directed graphs. The pooled
-    * mass is a ONE-row aggregate per round (same discipline as the CC
-    * convergence check) — never a data-sized collect. Default off: on
-    * symmetric (undirected-closure) edge lists there are no dangling
-    * nodes and the aggregate is a wasted job. */
-  def pageRank(edges: DataFrame, iters: Int,
-      srcCol: String = "src", dstCol: String = "dst",
-      redistributeDangling: Boolean = false): DataFrame = {
+  /** Loop-invariant state: deduped edges, the node universe, edges with
+    * out-degree pre-joined, and (when correcting for dangling mass) the
+    * dangling-node set + node count. Built once, localCheckpointed, shared
+    * by every round of [[pageRank]] / [[pageRankUntil]]. */
+  private final case class PrGraph(nodes: DataFrame, eDeg: DataFrame,
+      dangling: DataFrame, nNodes: Long)
+
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+      redistributeDangling: Boolean): PrGraph = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -67,26 +61,82 @@ object Graph {
       else nodes.join(e.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti").localCheckpoint()
     val nNodes = if (redistributeDangling) nodes.count() else 0L
-    var score = nodes.withColumn("score", lit(Scale))
-    for (_ <- 1 to iters) {
-      val contrib = eDeg
-        .join(score.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("score div outdeg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("in_sum"))
-      // equal floor-share of the dangling pool, added to every node's
-      // incoming mass (0 when redistribution is off or nothing dangles)
-      val share =
-        if (!redistributeDangling) 0L
-        else Option(score.join(dangling, Seq("node"), "left_semi")
-            .agg(sum(col("score"))).head().get(0))
-          .map(_.asInstanceOf[Long] / nNodes).getOrElse(0L)
-      score = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) +
-            expr(s"(85 * (coalesce(in_sum, CAST(0 AS BIGINT)) + ${share}L)) div 100"))
-            .as("score"))
-        .localCheckpoint()
-    }
+    PrGraph(nodes, eDeg, dangling, nNodes)
+  }
+
+  /** One damped round: score_{t+1}(v) = 150000 + (85 · (Σ_{u→v}
+    * score_t(u) div outdeg(u) + danglingShare)) div 100. The dangling
+    * share is a ONE-row aggregate (same discipline as the CC convergence
+    * check) — never a data-sized collect. */
+  private def step(g: PrGraph, score: DataFrame): DataFrame = {
+    val contrib = g.eDeg
+      .join(score.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), expr("score div outdeg").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("in_sum"))
+    // equal floor-share of the dangling pool, added to every node's
+    // incoming mass (0 when redistribution is off or nothing dangles)
+    val share =
+      if (g.dangling == null) 0L
+      else Option(score.join(g.dangling, Seq("node"), "left_semi")
+          .agg(sum(col("score"))).head().get(0))
+        .map(_.asInstanceOf[Long] / g.nNodes).getOrElse(0L)
+    g.nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(150000L) +
+          expr(s"(85 * (coalesce(in_sum, CAST(0 AS BIGINT)) + ${share}L)) div 100"))
+          .as("score"))
+      .localCheckpoint()
+  }
+
+  /** `iters` rounds of damped PageRank (d = 0.85) over directed edges
+    * (srcCol, dstCol). Returns (node, score): score is the fixed-point
+    * BIGINT rank, initial value 10⁶ per node.
+    *
+    * `redistributeDangling = true` applies the textbook correction for
+    * nodes with no out-edges: their pooled mass is shared equally
+    * (floor-divided) across all nodes each round, so total mass is
+    * conserved up to floor losses even on directed graphs. Default off:
+    * on symmetric (undirected-closure) edge lists there are no dangling
+    * nodes and the aggregate is a wasted job. */
+  def pageRank(edges: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      redistributeDangling: Boolean = false): DataFrame = {
+    val g = prepare(edges, srcCol, dstCol, redistributeDangling)
+    var score = g.nodes.withColumn("score", lit(Scale))
+    for (_ <- 1 to iters) score = step(g, score)
     score
+  }
+
+  /** Convergence-terminated PageRank — the production stopping rule:
+    * iterate until the L1 score delta Σ|score_t − score_{t−1}| drops
+    * below `eps` (fixed-point units, i.e. eps = 10⁶ ≈ one full unit of
+    * rank mass) or `maxIters` rounds ran. The fixed-iteration
+    * [[pageRank]] is the oracle-replayable form; this one answers "how
+    * many rounds does THIS graph need" without the caller guessing —
+    * identical scores to `pageRank(edges, roundsRun)` by construction
+    * (spec-asserted), since both fold the same [[step]].
+    *
+    * The delta is a ONE-row aggregate per round (the CC convergence
+    * shape, [[graft.dedup.Dedup.connectedComponents]]) — the only
+    * driver-side value in the loop; never a data-sized collect.
+    * Returns (scores, roundsRun). */
+  def pageRankUntil(edges: DataFrame, eps: Long, maxIters: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      redistributeDangling: Boolean = false): (DataFrame, Int) = {
+    require(eps >= 0L, s"eps must be non-negative, got $eps")
+    val g = prepare(edges, srcCol, dstCol, redistributeDangling)
+    var score = g.nodes.withColumn("score", lit(Scale))
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (delta >= eps && rounds < maxIters) {
+      val next = step(g, score)
+      delta = Option(next
+          .join(score.withColumnRenamed("score", "prev"), Seq("node"))
+          .agg(sum(abs(col("score") - col("prev")))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      score = next
+      rounds += 1
+    }
+    (score, rounds)
   }
 }

@@ -296,36 +296,21 @@ object TextQ extends QueryPack {
                    THEN 1 ELSE 0 END AS still_has_pii
        FROM documents ORDER BY doc_id"""
 
-  /** Per-document salient term — the TF-IDF shape with a RATIONAL
-    * inverse-document-frequency (tf · N/df instead of tf · ln(N/df)):
-    * libm log differs in the last ulp across engines, while N/df is one
-    * IEEE divide both sides compute identically, and the ARGMAX per
-    * document is what the operator is for. Two shuffles (corpus df on
-    * token, per-doc tf on doc) + a broadcast of the |vocab| df table. */
-  private def tTfidf(spark: SparkSession, d: String): DataFrame = {
-    // Both frequency aggregations re-run the token explosion from the
-    // scan. Deliberate: a repartition boundary here would let
-    // ReusedExchange tokenize once, but materializing the exploded
-    // stream (larger than the input text) costs more than the second
-    // columnar scan + map-side partials — measured 0.8 s vs 1.0-1.2 s
-    // at sf0.1, and the same asymmetry holds at scale.
-    val toks = Tables.documents(spark, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val nDocs = Tables.documents(spark, d).agg(count(lit(1)).as("n_docs"))
-    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-      .orderBy(col("score").desc, col("tok"))
-    tf.join(broadcast(df), Seq("tok"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("score",
-        col("tf") * (col("n_docs").cast("double") / col("df").cast("double")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("tok").as("top_term"), col("score"))
+  /** Per-document salient term — the TF-IDF argmax through
+    * [[graft.text.Lm.salientTerm]] (rational IDF, no libm; see there).
+    * Registered UN-capped: the df-side join strategy is AQE's size-based
+    * choice (broadcast at this SF because the vocab is genuinely small),
+    * never a forced hint — `vocabTopK` bounds the df broadcast when a
+    * corpus-independent cap is wanted (ExtensionsSpec covers the capped
+    * path). Both frequency aggregations re-run the token explosion from
+    * the scan. Deliberate: a repartition boundary here would let
+    * ReusedExchange tokenize once, but materializing the exploded
+    * stream (larger than the input text) costs more than the second
+    * columnar scan + map-side partials — measured 0.8 s vs 1.0-1.2 s
+    * at sf0.1, and the same asymmetry holds at scale. */
+  private def tTfidf(spark: SparkSession, d: String): DataFrame =
+    graft.text.Lm.salientTerm(Tables.documents(spark, d))
       .orderBy("doc_id")
-  }
 
   private val tTfidfSql =
     """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
@@ -388,59 +373,98 @@ object TextQ extends QueryPack {
        FROM scored GROUP BY doc_id
        ORDER BY score DESC, doc_id LIMIT 10"""
 
-  /** Corpus-trained bigram-LM quality score (the CCNet-style perplexity
-    * filter, re-expressed exactly): per document, the MEAN transition
-    * probability of its bigrams under the corpus's own bigram model —
-    * P(w2|w1) = count(w1 w2) / count(w1 ·). Fluent/common word order
-    * scores high; shuffled or boilerplate-injected text scores low.
-    *
-    * Exactness: no log-perplexity (libm ln ulps differ across engines) —
-    * the mean of 6dp-rounded rational probabilities, summed as
-    * DECIMAL(18,6), one final double divide. Bigram extraction is
-    * SHUFFLE-FREE: an array transform over the split tokens (no
-    * self-join, no per-doc window sort); the model tables are two
-    * groupBys bounded by |vocab| and |vocab|², broadcast back. At an
-    * open-vocab 100 TB corpus the broadcast side is the trimmed model
-    * (top-k bigrams), the standard CCNet construction. */
-  private def tLmScore(spark: SparkSession, d: String): DataFrame = {
-    val bigrams = Tables.documents(spark, d)
-      .select(col("doc_id"), split(col("text"), " ").as("s"))
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(s, 1, size(s) - 1), (w, i) -> struct(w AS w1, s[i + 1] AS w2))"))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bigrams
-      .join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .withColumn("p", expr(
-        "CAST(round(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS DECIMAL(18,6))"))
-      .groupBy("doc_id")
-      .agg(sum(col("p")).as("sp"), count(lit(1)).as("nb"))
-      .select(col("doc_id"),
-        expr("CAST(sp AS DOUBLE) / CAST(nb AS DOUBLE)").as("lm_score"))
-      .orderBy("doc_id")
+  /** Batch-of-queries BM25 against the postings index: 3 query rows
+    * scored in ONE pass over the postings
+    * ([[graft.text.Bm25.scoreBatchFromIndex]] — the `ivfSearchIndex`
+    * shape on the lexical side), per-query top-5 by (score desc,
+    * doc_id). Query 1 is `t_bm25`'s exact term set, so the per-query
+    * equivalence is also oracle-visible, not just spec-asserted. */
+  private def tBm25Batch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (1L, "vector"), (1L, "hash"), (1L, "merge"),
+      (2L, "join"), (2L, "scan"),
+      (3L, "stream"), (3L, "window"), (3L, "sort"))
+      .toDF("query_id", "term")
+    graft.text.Bm25.scoreBatchFromIndex(
+      graft.text.Bm25.buildIndex(Tables.documents(spark, d)), queries, k = 5)
+      .orderBy("query_id", "rank")
   }
+
+  private val tBm25BatchSql =
+    """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                    FROM documents),
+       dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY 1),
+       stats AS (SELECT COUNT(*) AS n_docs, SUM(dlen) AS tot FROM dl),
+       q(query_id, tok) AS (VALUES
+         (CAST(1 AS BIGINT), 'vector'), (1, 'hash'), (1, 'merge'),
+         (2, 'join'), (2, 'scan'),
+         (3, 'stream'), (3, 'window'), (3, 'sort')),
+       dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+               WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tfreq FROM toks
+              WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+       scored AS (SELECT q.query_id, tf.doc_id,
+             CAST(round(
+               ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(tfreq AS DOUBLE) * 2.2)
+                  / (CAST(tfreq AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dlen AS DOUBLE)
+                         / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+               6) AS DECIMAL(18,6)) AS contrib
+           FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id)
+                JOIN q USING (tok)
+           CROSS JOIN stats),
+       agg AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+               FROM scored GROUP BY 1, 2)
+       SELECT query_id, rank, doc_id, score FROM (
+         SELECT query_id, doc_id, score,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS INT) AS rank
+         FROM agg)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Corpus-trained bigram-LM quality score (the CCNet-style perplexity
+    * filter): per document, the MEAN transition probability of its
+    * IN-MODEL bigrams under the corpus's own TRIMMED bigram model —
+    * P(w2|w1) = count(w1 w2) / count(w1 ·), model = the top-500 bigrams
+    * by (count desc, w1, w2). Fluent/common word order scores high;
+    * shuffled or boilerplate-injected text scores low; a document with
+    * no in-model bigram scores 0.0.
+    *
+    * The trim is the 100 TB contract, not a tuning knob: the broadcast
+    * side is ≤ modelTopK rows BY PARAMETER (corpus-independent), where
+    * the untrimmed |vocab|² table grows with the corpus — see
+    * [[graft.text.Lm.lmScore]] for the full scale + exactness story.
+    * 500 of the ~916 (sf0.01) / ~931 (sf0.1) distinct bigrams means the
+    * oracle genuinely replays the trim at both verify scales. */
+  private def tLmScore(spark: SparkSession, d: String): DataFrame =
+    graft.text.Lm.lmScore(Tables.documents(spark, d), modelTopK = 500)
+      .orderBy("doc_id")
 
   private val tLmScoreSql =
     """WITH b AS (SELECT doc_id, u.w1, u.w2
               FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
                    UNNEST(list_transform(s[1:len(s) - 1],
                      (w, i) -> {'w1': w, 'w2': s[i + 1]})) AS r(u)),
-       c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+       c2f AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+       m AS (SELECT * FROM c2f ORDER BY c2 DESC, w1, w2 LIMIT 500),
        c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
        p AS (SELECT b.doc_id,
-               CAST(round(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 6)
+               CAST(round(CAST(m.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 6)
                     AS DECIMAL(18,6)) AS p
-             FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
-       SELECT doc_id,
-              CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
-       FROM p GROUP BY doc_id ORDER BY doc_id"""
+             FROM b JOIN m USING (w1, w2) JOIN c1 USING (w1)),
+       agg AS (SELECT doc_id,
+                 CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+               FROM p GROUP BY doc_id)
+       SELECT d.doc_id, COALESCE(agg.lm_score, 0.0) AS lm_score
+       FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
 
   override def queries: Seq[Q] = Seq(
     Q("t_tokens", tTokens, Some(tTokensSql)),
     Q("t_bm25", tBm25, Some(tBm25Sql)),
+    Q("t_bm25_batch", tBm25Batch, Some(tBm25BatchSql)),
     Q("t_lm_score", tLmScore, Some(tLmScoreSql)),
     Q("t_vocab", tVocab, Some(tVocabSql)),
     Q("t_scrub", tScrub, Some(tScrubSql)),

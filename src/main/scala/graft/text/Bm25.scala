@@ -65,4 +65,45 @@ object Bm25 {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Batch-of-queries BM25 — the production shape against a persisted
+    * index: a query TABLE (query_id, term) scored in ONE pass over the
+    * postings, the same N-queries-one-plan flow as
+    * [[graft.sim.Similarity.ivfSearchIndex]] on the ANN side. Per query
+    * the result is bit-identical to [[scoreFromIndex]] on its terms
+    * (ExtensionsSpec asserts it).
+    *
+    * Plan: the postings are filtered ONCE by the distinct term set of the
+    * whole batch (broadcast left-semi — the batch is small relative to
+    * the corpus by definition), per-term document frequencies and the
+    * 1-row corpus stats are broadcast back, and attaching query ids is a
+    * broadcast join on the term — so N queries cost one postings scan +
+    * one (query_id, doc_id) aggregation, not N scans. Duplicate terms
+    * within a query are deduplicated (binary query term frequency,
+    * matching `isin` in the single-query path). Per-query top-k is a
+    * rank window over |batch|·k candidate rows, never a global sort. */
+  def scoreBatchFromIndex(index: DataFrame, queries: DataFrame, k: Int,
+      queryIdCol: String = "query_id", termCol: String = "term"): DataFrame = {
+    val q = queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("tok"))
+      .distinct()
+    val docs = index.select("doc_id", "dlen").distinct()
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dlen")).as("tot"))
+    val hits = index
+      .join(broadcast(q.select("tok").distinct()), Seq("tok"), "left_semi")
+    val dft = hits.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    hits.join(broadcast(dft), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(contribExpr))
+      .join(broadcast(q), Seq("tok"))
+      .groupBy("query_id", "doc_id").agg(sum(col("contrib")).as("sdec"))
+      .select(col("query_id"), col("doc_id"),
+        col("sdec").cast("double").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
 }

@@ -309,6 +309,46 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"term read must prune postings files (${ranged.inputFiles.length} of ${loaded.inputFiles.length})")
   }
 
+  test("batch BM25 equals per-query scoreFromIndex; trimmed LM model is bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val index = graft.text.Bm25.buildIndex(docs)
+    val batch = Seq(
+      (1L, "vector"), (1L, "hash"), (1L, "merge"),
+      (2L, "join"), (2L, "scan"),
+      (3L, "stream"), (3L, "window"), (3L, "sort"))
+    val fromBatch = graft.text.Bm25.scoreBatchFromIndex(
+        index, batch.toDF("query_id", "term"), k = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq }
+    batch.groupBy(_._1).foreach { case (qid, terms) =>
+      val single = graft.text.Bm25.scoreFromIndex(index, terms.map(_._2), k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fromBatch(qid) == single,
+        s"batch scoring must be bit-identical to per-query for query $qid")
+    }
+    // bounded LM model: the trim caps the broadcast side BY PARAMETER
+    val b = graft.text.Lm.bigrams(docs)
+    assert(graft.text.Lm.bigramModel(b, modelTopK = 100).count() == 100L)
+    assert(graft.text.Lm.bigramModel(b, minCount = 1000000L).count() == 0L)
+    // with the cap at/above |model| the trim is the identity, so the
+    // trimmed score path equals the untrimmed one
+    val full = graft.text.Lm.lmScore(docs).orderBy("doc_id").collect()
+    val capped = graft.text.Lm.lmScore(docs, modelTopK = 1000000)
+      .orderBy("doc_id").collect()
+    assert(capped.sameElements(full),
+      "a non-binding trim must not change lm scores")
+    // same for the salient-term vocab cap
+    val st = graft.text.Lm.salientTerm(docs).orderBy("doc_id").collect()
+    val stCapped = graft.text.Lm.salientTerm(docs, vocabTopK = 1000000)
+      .orderBy("doc_id").collect()
+    assert(stCapped.sameElements(st),
+      "a non-binding vocab cap must not change salient terms")
+  }
+
   test("lshTopK: no false results and sane recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") % 10 === 0)

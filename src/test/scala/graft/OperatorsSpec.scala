@@ -230,6 +230,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, "redistribution must be identity when nothing dangles")
   }
 
+  test("pageRankUntil: stops at the L1-delta threshold and equals fixed-iters at that round") {
+    import spark.implicits._
+    val pairs = (1L to 5L).map(l => (0L, l))
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.map(_.swap).toDF("src", "dst"))
+    val (scores, rounds) = graft.graph.Graph.pageRankUntil(
+      edges, eps = 40000L, maxIters = 50)
+    assert(rounds > 1 && rounds < 50,
+      s"expected genuine convergence inside the budget, stopped at $rounds")
+    val fixed = graft.graph.Graph.pageRank(edges, iters = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = scores.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == fixed,
+      "convergence-terminated scores must equal the fixed-iters run at the stopping round")
+    // the stopping rule is tight: one round earlier the delta was still >= eps
+    val prev = graft.graph.Graph.pageRank(edges, iters = rounds - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastDelta = got.map { case (n, s) => math.abs(s - prev(n)) }.sum
+    assert(lastDelta < 40000L, s"final delta $lastDelta must be under eps")
+    // maxIters caps a loose eps; the dangling-corrected path converges too
+    val (_, capped) = graft.graph.Graph.pageRankUntil(edges, eps = 0L, maxIters = 3)
+    assert(capped == 3, "eps=0 must run exactly maxIters rounds")
+    val directed = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val (ds, dr) = graft.graph.Graph.pageRankUntil(directed, eps = 40000L,
+      maxIters = 50, redistributeDangling = true)
+    val dFixed = graft.graph.Graph.pageRank(directed, iters = dr,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ds.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == dFixed,
+      "corrected-path convergence must equal its fixed-iters twin")
+  }
+
   test("mixSources: copy multiplicity = full copies + deterministic fractional slice") {
     import spark.implicits._
     val docs = (0L until 200L).map(k => (k, if (k < 100) "a" else "b"))

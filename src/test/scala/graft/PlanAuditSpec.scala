@@ -26,9 +26,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "sim_topk", "sim_topk_agg", "sim_lsh_topk", "sim_ivf_topk",
     "sim_near_dup", "sim_kmeans", "sim_ivft", "sim_ivfpq", "d_semantic", "q22",
     "q2", "q11", "q15", "q16", "q20", "t_tfidf",
-    // bm25's cross join broadcasts the ONE-row corpus n_docs/total-length
-    // stats aggregate — a scalar side by construction
-    "t_bm25")
+    // bm25's cross join (single + batch query form) broadcasts the
+    // ONE-row corpus n_docs/total-length stats aggregate — a scalar side
+    // by construction
+    "t_bm25", "t_bm25_batch")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
