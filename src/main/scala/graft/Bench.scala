@@ -9,11 +9,12 @@ package graft
   *    (name-sorted within each cache-scope group, after the group's
   *    `*_build` cache-warm rows — shared cache builds are timed as their
   *    own named rows, so member rows measure queries, not builds);
-  *  - the runs are INTERLEAVED round-robin across the whole suite
-  *    (pass 1 of every query, then pass 2, then pass 3) rather than 3×
-  *    back-to-back per query: a co-tenant load spike of a few minutes
-  *    then skews at most one pass of the queries it overlaps, instead
-  *    of all runs of that window's queries — the r4/r5 skew signature;
+  *  - the runs are INTERLEAVED round-robin across the whole suite (one
+  *    full pass of every query per round, RUNS rounds total) rather than
+  *    RUNS× back-to-back per query: a co-tenant load spike of a few
+  *    minutes then skews at most one pass of the queries it overlaps,
+  *    instead of all runs of that window's queries — the r4/r5 skew
+  *    signature;
   *  - per query the reported value is the MEDIAN over the runs that
   *    SUCCEEDED (robust against one loaded pass in either direction,
   *    where min hides slowness and mean is dragged by a single spike);
@@ -24,7 +25,7 @@ package graft
   *    the same cache-build cost and a group's persisted blocks never
   *    linger as GC/memory pressure over later groups;
   *  - full-precision results INCLUDING the raw per-run times of every
-  *    query ("raw": name → [run1, run2, run3], failed runs as the error
+  *    query ("raw": name → one entry per run, failed runs as the error
   *    string) go to the tracked BENCHFULL.json — skew is diagnosable
   *    from the artifact alone; stdout gets ONE compact JSON line
   *    printed after spark.stop() as the LAST raw output line (build.sbt

@@ -367,8 +367,15 @@ object Dedup {
     * cells via a small codebook, then per-cell sub-clustering), the
     * same decomposition [[graft.sim.PQ]] already uses across subspaces
     * and [[graft.sim.Similarity.ivfTopK]] uses for probing. */
-  def semanticCellCount(n: Long, expectedCellSize: Long = 1024L): Int =
-    math.max(2L, (n + expectedCellSize - 1) / expectedCellSize).toInt
+  def semanticCellCount(n: Long, expectedCellSize: Long = 1024L): Int = {
+    val k = math.max(2L, (n + expectedCellSize - 1) / expectedCellSize)
+    // loud, not wrapped: .toInt past Int.MaxValue would silently go
+    // negative and feed a nonsensical k into KMeans.fit
+    require(k <= Int.MaxValue.toLong,
+      s"cell count $k for n=$n overflows Int — raise expectedCellSize " +
+        "(or cluster in two levels; see the Honest limit note above)")
+    k.toInt
+  }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023) over an
     * embedding column — the cluster-scoped variant of embedding near-dup

@@ -363,6 +363,18 @@ object Sinks {
     }
     val addedRows = readFiles(afterFiles -- beforeFiles)
     val removedRows = readFiles(beforeFiles -- afterFiles)
+    // A column on BOTH sides with different types (a type-changing
+    // evolution inside the range) cannot be aligned — last-wins in the
+    // dtype map would pick one arbitrarily and exceptAll/unionByName
+    // would then fail at analysis with an unrelated-looking error.
+    val typeConflicts = addedRows.schema
+      .filter(f => removedRows.columns.contains(f.name))
+      .filter(f => removedRows.schema(f.name).dataType != f.dataType)
+    require(typeConflicts.isEmpty,
+      s"type-changing evolution unsupported in change ranges: column(s) " +
+        s"${typeConflicts.map(_.name).mkString(", ")} have different types " +
+        s"across versions $fromVersion..$to of $targetPath — read the " +
+        "endpoints via readVersioned and diff explicitly instead")
     val dtypes = (addedRows.schema ++ removedRows.schema)
       .map(f => f.name -> f.dataType).toMap
     val cols = (addedRows.columns ++ removedRows.columns).distinct.toSeq
@@ -514,6 +526,59 @@ object Sinks {
     val staged = stageManifest(adds.unionByName(removes), targetPath)
     adoptStagedFiles(staging, targetPath)
     tryCommit(staged, versionDir(targetPath, cur + 1))
+  }
+
+  /** Append-only commit to a manifest-tracked table: write `df` as NEW
+    * range-partitioned files and commit `v=N+1` with add rows only — no
+    * existing file is read, rewritten, or removed, so the whole
+    * operation is O(appended data) + an O(new-files) manifest delta.
+    *
+    * This is the incremental-maintenance path for manifest-keyed INDEX
+    * tables (the persisted IVF assignment keyed on `cent_id`, the BM25
+    * postings keyed on `tok` — [[graft.sim.Similarity.appendToIvfIndex]]
+    * / [[graft.text.Bm25.appendToIndex]]), where the key is
+    * deliberately NON-unique: the MERGE path's latest-wins-per-key
+    * rewrite would collapse an index's many-rows-per-key layout, while
+    * an append leaves the prior postings untouched and simply widens the
+    * live file set. Per-file key ranges of the new files join the same
+    * min/max manifest, so key-range pruning keeps working across
+    * build + append generations (the new files' ranges overlap the old
+    * ones — pruning selectivity degrades gracefully with generations
+    * until [[compactManifest]]/a rebuild re-sorts, same as any LSM-ish
+    * layout).
+    *
+    * Concurrency follows [[upsertByKeyManifest]]: data files are staged
+    * + adopted once (content is version-independent), then the commit
+    * rename retries against the moving head — the add rows are collected
+    * driver-side (O(new files), bounded by the append) so a lost race
+    * can re-stage the manifest without re-scanning adopted files. */
+  def appendWithManifest(spark: SparkSession, df: DataFrame, targetPath: String,
+      keyCol: String, nFiles: Int = 8, maxAttempts: Int = 5): Unit = {
+    require(currentVersion(targetPath) > 0,
+      s"$targetPath is not manifest-tracked — writeWithManifest creates it")
+    val staging = s"$targetPath.append-staging-${java.util.UUID.randomUUID()}"
+    df.repartitionByRange(nFiles, col(keyCol)).write.mode("overwrite").parquet(staging)
+    val addsDf = manifestEntries(spark, staging, keyCol)
+      .withColumn("action", lit("add"))
+    val schema = addsDf.schema
+    val addRows = addsDf.collect().toSeq  // O(new files) — bounded by the append
+    adoptStagedFiles(staging, targetPath)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"appendWithManifest lost the commit race on $targetPath " +
+            s"$maxAttempts times — giving up loudly")
+      val cur = currentVersion(targetPath)
+      val staged = stageManifest(
+        spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(addRows).asJava), schema),
+        targetPath)
+      committed = tryCommit(staged, versionDir(targetPath, cur + 1))
+    }
   }
 
   /** Drop all but the newest `keepVersions` versions and delete every

@@ -280,6 +280,21 @@ object Similarity {
       .select("id", "cent_id", "nv")
   }
 
+  /** Incremental index maintenance: assign ONLY the new vectors against
+    * the SAME codebook the index was built with and append their
+    * (id, cent_id, nv) rows — no rebuild, commit cost O(new files)
+    * ([[graft.io.Sinks.appendWithManifest]]). `build(A); append(B)`
+    * yields the identical row set as `build(A ∪ B)` because assignment
+    * is per-row deterministic given the codebook (ExtensionsSpec).
+    * Vectors must be new ids (append is not upsert); retraining the
+    * codebook requires a rebuild — the standard IVF contract. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, cent: DataFrame, indexPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nFiles: Int = 4): Unit =
+    graft.io.Sinks.appendWithManifest(spark,
+      buildIvfIndex(corpus, cent, idCol, vecCol), indexPath, "cent_id", nFiles)
+
   /** IVF search against a PERSISTED index ([[buildIvfIndex]] output,
     * reloaded from storage) — the build-once/search-many production
     * flow: a query batch reads only the probed cells of the stored

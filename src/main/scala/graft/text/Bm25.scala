@@ -35,6 +35,21 @@ object Bm25 {
       .select("tok", "doc_id", "tfreq", "dlen")
   }
 
+  /** Incremental index maintenance: tokenize ONLY the new documents and
+    * append their postings to the persisted index — no rebuild, commit
+    * cost O(new files) ([[graft.io.Sinks.appendWithManifest]]).
+    * `build(A); append(B)` yields the identical row set — and therefore
+    * bit-identical scores, since df / corpus stats are derived from the
+    * index at score time — as `build(A ∪ B)` (ExtensionsSpec). The docs
+    * MUST be new: re-appending an already-indexed document would
+    * double-count its postings (append is not upsert — deduplicate
+    * upstream, e.g. via the manifest CDF or an anti-join on doc_id). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      indexPath: String, idCol: String = "doc_id", textCol: String = "text",
+      nFiles: Int = 4): Unit =
+    graft.io.Sinks.appendWithManifest(spark, buildIndex(docs, idCol, textCol),
+      indexPath, "tok", nFiles)
+
   /** One BM25 term contribution — the SINGLE definition of the scoring
     * arithmetic (the `t_bm25` oracle SQL mirrors this text). */
   private val contribExpr =

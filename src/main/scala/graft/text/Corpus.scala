@@ -76,8 +76,11 @@ object Corpus {
     * Returns the input row + (copy: 0-based copy index). */
   def mixSources(df: DataFrame, weightPct: Column, keyCol: String): DataFrame = {
     val b = hashBucket(col(keyCol), 100)
+    // integer `div`, not double-divide-then-truncate: bit-for-bit the
+    // oracle's `//` floor for ANY long weight, keeping the module's
+    // integer-arithmetic discipline
     df.withColumn("__copies",
-        (weightPct.cast("long") / lit(100L)).cast("long") +
+        call_function("div", weightPct.cast("long"), lit(100L)) +
           when(b < weightPct.cast("long") % 100L, 1L).otherwise(0L))
       .filter(col("__copies") > 0)
       .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))

@@ -309,6 +309,51 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"term read must prune postings files (${ranged.inputFiles.length} of ${loaded.inputFiles.length})")
   }
 
+  test("incremental index append: build(A)+append(B) equals build(A∪B), O(new-files) commit") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val (docsA, docsB) =
+      (docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
+    // ── BM25 postings ──
+    val bmDir = java.nio.file.Files.createTempDirectory("graft_bm25_app_").toString + "/idx"
+    graft.io.Sinks.writeWithManifest(spark,
+      graft.text.Bm25.buildIndex(docsA), bmDir, "tok", nFiles = 4)
+    graft.text.Bm25.appendToIndex(spark, docsB, bmDir, nFiles = 2)
+    val bmLoaded = graft.io.Sinks.readVersioned(spark, bmDir)
+    val bmFresh = graft.text.Bm25.buildIndex(docs)
+    assert(bmLoaded.exceptAll(bmFresh).isEmpty && bmFresh.exceptAll(bmLoaded).isEmpty,
+      "appended postings must equal the full rebuild row-for-row")
+    val terms = Seq("vector", "hash", "merge")
+    assert(graft.text.Bm25.scoreFromIndex(bmLoaded, terms, k = 10).collect()
+      .sameElements(graft.text.Bm25.scoreFromIndex(bmFresh, terms, k = 10).collect()),
+      "scores against build(A)+append(B) must be bit-identical to build(A∪B)")
+    // the append commit is O(new files): v=2 carries exactly the 2
+    // appended add rows, no removes, and no pre-existing file re-listed
+    assert(graft.io.Sinks.currentVersion(bmDir) == 2L)
+    val v2 = spark.read.parquet(s"$bmDir/_manifest/v=2").collect()
+    assert(v2.length == 2 && v2.forall(_.getAs[String]("action") == "add"),
+      s"append delta must be 2 add rows, got ${v2.length}")
+    // ── IVF assignment ──
+    val emb = Tables.embeddings(spark, sf)
+    val (embA, embB) =
+      (emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 =!= 0))
+    val cent = graft.sim.KMeans.train(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .select(col("cid").as("cent_id"),
+        Similarity.l2NormalizeCol(expr("transform(c, x -> x / 1048576.0D)")).as("cv"))
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString + "/idx"
+    graft.io.Sinks.writeWithManifest(spark,
+      Similarity.buildIvfIndex(embA, cent), ivfDir, "cent_id", nFiles = 4)
+    Similarity.appendToIvfIndex(spark, embB, cent, ivfDir, nFiles = 2)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val viaAppend = Similarity.ivfSearchIndex(queries,
+        graft.io.Sinks.readVersioned(spark, ivfDir), cent, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    val fresh = Similarity.ivfTopKWithCentroids(queries, emb, cent, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(viaAppend.sameElements(fresh),
+      "search over build(A)+append(B) must equal the fresh full-corpus search")
+  }
+
   test("batch BM25 equals per-query scoreFromIndex; trimmed LM model is bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -512,6 +512,47 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corpus-prep DAG runs dedup→quality→decontam→split→pack end-to-end with row accounting") {
+    import graft.etl.CorpusPipeline
+    val out = tmp()
+    val logs = CorpusPipeline.run(spark, s => Tables.documents(s, sf), out)
+    assert(logs.size == 7 && logs.forall(_.status == "success"),
+      s"all 7 corpus tasks must succeed: $logs")
+    assert(logs.map(_.task) == Seq("read_documents_raw", "transform_dedup",
+      "transform_quality_filter", "transform_decontam", "transform_split",
+      "transform_pack", "write_packed_corpus"),
+      "tasks must run in dependency order")
+    val packed = spark.read.parquet(s"$out/packed")
+    // row accounting, replayed stage by stage through the SAME stage
+    // functions the DAG binds — each stage must shrink (or preserve) the
+    // corpus exactly as its standalone operator does
+    val docs = Tables.documents(spark, sf)
+    val n0 = docs.count()
+    val deduped = CorpusPipeline.dedupStage(docs)
+    val n1 = deduped.count()
+    val gated = CorpusPipeline.qualityStage(deduped)
+    val n2 = gated.count()
+    val clean = CorpusPipeline.decontamStage(gated)
+    val n3 = clean.count()
+    val train = CorpusPipeline.splitStage(clean)
+    val n4 = train.count()
+    assert(n1 < n0, s"dedup must drop the planted duplicate bags ($n1 of $n0)")
+    assert(n1 == docs.select(graft.text.Text.bagOfWordsFingerprint(col("text")))
+      .distinct().count(), "dedup keeps exactly one row per fingerprint")
+    assert(n2 <= n1, s"quality gate cannot add rows ($n2 of $n1)")
+    assert(n3 < n2, s"decontam must at least drop the bench slice ($n3 of $n2)")
+    assert(n4 < n3 && n4 > 0, s"train split is a strict non-empty subset ($n4 of $n3)")
+    assert(packed.count() == n4,
+      "packing assigns every surviving train doc to exactly one bin")
+    // the write task's logged row count is the packed-manifest count
+    assert(logs.find(_.kind == "write").get.rowCount == n4)
+    // packing respects the token budget: no multi-doc bin exceeds it
+    val overflowing = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("docs"))
+      .filter(col("tok") > 256L && col("docs") > 1L)
+    assert(overflowing.isEmpty, "multi-doc bins must respect the budget")
+  }
+
   test("full 23-column task-log schema round-trips through the S6 sink") {
     import graft.etl.{Medallion, PipelineConfig}
     val logs = Seq(
