@@ -24,9 +24,9 @@ object SparkEntry {
     Seq(TextQ), Seq(CorpusQ), Seq(DedupQ), Seq(SimQ), Seq(MultimodalQ),
     Seq(StarQ, GoldQ), Seq(WindowQ), Seq(ReshapeQ), Seq(TpchQ), Seq(AsofQ),
     Seq(OlapQ), Seq(FlightsQ),
-    // r7 additions go in NEW trailing groups: r6-vs-r7 bench rows for
-    // the established groups stay apples-to-apples.
-    Seq(GraphQ))
+    // r7+ additions go in NEW trailing groups: round-over-round bench
+    // rows for the established groups stay apples-to-apples.
+    Seq(GraphQ), Seq(PrepQ))
 
   /** Bench iteration order: group by group, queries name-sorted within
     * their group — fixed across rounds so per-query deltas are meaningful.

@@ -495,4 +495,111 @@ object Dedup {
       .union(edges.select(col("v").as("id"), col("v").as("cluster_id")))
       .distinct()
   }
+
+  /** Positional word n-grams: (idCol, pos, sh) with one row per n-gram
+    * START position (0-based posexplode ordinal). Unlike [[shingles]] these
+    * are NOT distinct — within-document repeats are the point. Docs shorter
+    * than n contribute no rows (same short-doc guard as [[shingles]]). */
+  private def positionalShingles(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol),
+        posexplode(when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))))
+      .toDF(idCol, "pos", "sh")
+  }
+
+  /** Substring-level duplicate-SPAN detection — the relational
+    * re-expression of exact-substring training-data dedup (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * every word n-gram occurring more than once in the corpus (across
+    * documents OR repeated inside one) marks its start position as
+    * duplicated; per document the operator reports total n-gram positions,
+    * duplicated positions, the number of MAXIMAL contiguous duplicated
+    * runs they merge into (`dup_spans` — the spans a scrubber would cut),
+    * and `dup_ratio_bp` = ⌊dup·10⁴/total⌋ (integer basis points — the
+    * removal-pressure score, no float division).
+    *
+    * 100 TB shape: positional shingling fuses into the scan (zero
+    * shuffle); the duplicated-shingle set is ONE hash shuffle with
+    * map-side partial counts; marking is a shingle equi-join whose dup
+    * side AQE broadcasts when small; the run count is one (doc, pos)
+    * window partitioned by document. Nothing is all-pairs. At open-vocab
+    * scale, group on a 64-bit shingle hash (the md5-prefix idiom) instead
+    * of the string to cut shuffle width — collisions only ever over-mark,
+    * and the hash is oracle-replayable; the string form here is the exact
+    * oracle baseline. */
+  def duplicateNgramSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val sh = positionalShingles(docs, idCol, textCol, n)
+    val marked = markedDupPositions(sh, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val spans = marked.withColumn("prev", lag(col("pos"), 1).over(w))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("dup_ngrams"),
+        sum(when(col("prev").isNull || col("pos") - col("prev") > 1, 1L)
+          .otherwise(0L)).as("dup_spans"))
+    val tot = sh.groupBy(idCol).agg(count(lit(1)).as("total_ngrams"))
+    docs.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total_ngrams"), lit(0L)).as("total_ngrams"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        when(col("total_ngrams").isNull, lit(0L))
+          .otherwise(expr(
+            "(coalesce(dup_ngrams, CAST(0 AS BIGINT)) * 10000) div total_ngrams"))
+          .as("dup_ratio_bp"))
+  }
+
+  /** Duplicated start positions: (idCol, pos) for every n-gram whose
+    * shingle occurs >1 time corpus-wide. One shuffle (partial-agg count
+    * by shingle) + one equi-join back. */
+  private def markedDupPositions(sh: DataFrame, idCol: String): DataFrame = {
+    val dup = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("sh")
+    sh.join(dup, Seq("sh")).select(col(idCol), col("pos"))
+  }
+
+  /** The scrub half of exact-substring dedup: REBUILDS each document with
+    * every duplicated n-gram span removed. A token is covered when any
+    * duplicated n-gram's window [pos, pos+n-1] includes it; covered tokens
+    * are dropped and the survivors are rejoined in order. Returns
+    * (idCol, clean_text, n_tokens, n_removed) for every input document
+    * (fully-duplicated docs come back with empty clean_text).
+    *
+    * 100 TB shape: covered-index expansion is an n-wide explode of only
+    * the MARKED positions (∝ duplicated text, not corpus); the anti-join
+    * and ordered rebuild shuffle on the document id; the rebuild
+    * aggregates `array_sort(collect_list(struct(ti, tok)))` — order
+    * restored deterministically inside the aggregate, so partitioning
+    * never leaks into the output. */
+  def removeDuplicateNgramSpans(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = positionalShingles(docs, idCol, textCol, n)
+    val marked = markedDupPositions(sh, idCol)
+    val covered = marked
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+      .distinct()
+    val tokPos = docs
+      .select(col(idCol), posexplode(toks))
+      .toDF(idCol, "ti", "tok")
+    val rebuilt = tokPos.join(covered, Seq(idCol, "ti"), "left_anti")
+      .groupBy(idCol).agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("ti"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

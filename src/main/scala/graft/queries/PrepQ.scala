@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.Text
+
+/** Round-8 corpus-prep + evaluation extensions (own trailing bench group
+  * so established groups' round-over-round rows stay apples-to-apples):
+  *
+  *  - substring-level duplicate-SPAN detection and removal — the
+  *    exact-substring training-data dedup of Lee et al. 2021
+  *    (arXiv:2107.06499) re-expressed relationally;
+  *  - per-language quality-percentile cut — the "keep the top X% per
+  *    language" pretraining filter;
+  *  - ANN recall@k evaluation — LSH top-k graded against the exact
+  *    brute-force top-k, the recall harness every approximate index
+  *    needs before it ships.
+  */
+object PrepQ extends QueryPack {
+
+  /** The normalized-corpus cache is rebuilt inside this group (Bench
+    * clears managed caches at group boundaries), so the build gets its
+    * own named row and `sim_recall_lsh` measures against a warm corpus —
+    * same attribution discipline as SimQ's `sim_corpus_build`. */
+  override def warms: Seq[Q] = Seq(
+    Q("prep_corpus_build",
+      (s, d) => Similarity.cacheNormalizedCorpus(Tables.embeddings(s, d), d),
+      None))
+
+  private def emb(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    Similarity.cacheNormalizedCorpus(e, d)
+    e
+  }
+
+  /** Duplicate 5-gram span report: per doc, how many n-gram start
+    * positions are duplicated corpus-wide and how many maximal contiguous
+    * spans they merge into (9% of positions at sf0.01 — the planted
+    * near-dups). Integer basis-point ratio, no float division. */
+  private def dSpanNgram(spark: SparkSession, d: String): DataFrame =
+    Dedup.duplicateNgramSpans(Tables.documents(spark, d), "doc_id", "text",
+        n = 5)
+      .orderBy("doc_id")
+
+  private val dSpanNgramSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS s
+              FROM toks, LATERAL unnest(generate_series(1, len(t) - 4)) AS g(i)
+              WHERE len(t) >= 5),
+       dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+       marked AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup ON sh.s = dup.s),
+       runs AS (SELECT doc_id, pos,
+                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM marked),
+       spans AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS dup_ngrams,
+                   CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+                 FROM runs GROUP BY doc_id),
+       tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_ngrams
+               FROM sh GROUP BY doc_id)
+       SELECT d.doc_id,
+         CAST(COALESCE(tot.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+         CAST(COALESCE(spans.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+         CAST(COALESCE(spans.dup_spans, 0) AS BIGINT) AS dup_spans,
+         CAST(CASE WHEN tot.total_ngrams IS NULL THEN 0
+              ELSE (COALESCE(spans.dup_ngrams, 0) * 10000) // tot.total_ngrams
+              END AS BIGINT) AS dup_ratio_bp
+       FROM documents d
+       LEFT JOIN tot ON d.doc_id = tot.doc_id
+       LEFT JOIN spans ON d.doc_id = spans.doc_id
+       ORDER BY d.doc_id"""
+
+  /** The scrub half: rebuild every document with its duplicated 5-gram
+    * spans cut out (fully-duplicated docs come back empty). */
+  private def dSpanScrub(spark: SparkSession, d: String): DataFrame =
+    Dedup.removeDuplicateNgramSpans(Tables.documents(spark, d), "doc_id",
+        "text", n = 5)
+      .orderBy("doc_id")
+
+  private val dSpanScrubSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS s
+              FROM toks, LATERAL unnest(generate_series(1, len(t) - 4)) AS g(i)
+              WHERE len(t) >= 5),
+       dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+       marked AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup ON sh.s = dup.s),
+       covered AS (SELECT DISTINCT doc_id, ti FROM (
+                     SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS ti
+                     FROM marked) u),
+       tokpos AS (SELECT doc_id, i AS ti, t[i] AS tok
+                  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+       kept AS (SELECT tp.doc_id, tp.ti, tp.tok FROM tokpos tp
+                LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.ti = c.ti
+                WHERE c.ti IS NULL),
+       rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+                   FROM kept GROUP BY doc_id)
+       SELECT d.doc_id,
+         COALESCE(r.clean_text, '') AS clean_text,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0) AS BIGINT)
+           AS n_removed
+       FROM documents d
+       LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+       ORDER BY d.doc_id"""
+
+  private val enStop = Text.langStopwords.toMap.apply("en")
+
+  /** Per-language quality-percentile cut: keep the top 25% of documents
+    * by composite quality score WITHIN each language (rank·4 ≤ n — pure
+    * integer arithmetic, ties on doc_id). The exact window form is the
+    * oracle baseline; at 100 TB the same cut is a per-language
+    * `approx_percentile` threshold broadcast back over one scan (no
+    * global per-language sort) — plan shape documented, result
+    * approximate by design there. */
+  private def tQualityPctl(spark: SparkSession, d: String): DataFrame = {
+    val qs = Text.qualityStatsFast(col("text"), enStop)
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), qs.getField("quality").as("quality"))
+    val wr = Window.partitionBy("lang").orderBy(col("quality").desc,
+      col("doc_id"))
+    val wc = Window.partitionBy("lang")
+    base
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(wc))
+      .filter(col("rn") * 4 <= col("n_lang"))
+      .orderBy("doc_id")
+  }
+
+  private val tQualityPctlSql = {
+    val stopList = enStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                   FROM documents),
+       q AS (SELECT doc_id, lang,
+               (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+               + (CAST(len(list_filter(toks, x -> list_contains($stopList, x)))
+                    AS DOUBLE) / len(toks)) * 0.25
+               + (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
+                 * 0.25 AS quality
+             FROM t),
+       r AS (SELECT doc_id, lang, quality,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY quality DESC, doc_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+             FROM q)
+       SELECT doc_id, lang, quality, rn, n_lang FROM r
+       WHERE rn * 4 <= n_lang ORDER BY doc_id"""
+  }
+
+  /** Recall@5 of the LSH-bucketed ANN path graded against the exact
+    * brute-force top-5, per query (integer basis points). The exact side
+    * uses the TopK typed aggregator (map-side partial top-k — the
+    * scale-correct form); both sides reuse the shared normalized-corpus
+    * cache, and the grading join is |queries|·k rows — evaluation never
+    * touches the corpus again. */
+  private def simRecallLsh(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    val q = e.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopKAgg(q, e, k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.lshTopK(q, e, k = 5, planes = 16, bands = 4)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("(coalesce(hits, CAST(0 AS BIGINT)) * 10000) div 5")
+          .as("recall_bp"))
+      .orderBy("query_id")
+  }
+
+  private val simRecallLshSql =
+    s"""WITH exact AS (${SimQ.simTopkSql}),
+       approx AS (${SimQ.simLshSql}),
+       hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+                FROM exact e JOIN approx a
+                  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+                GROUP BY e.query_id)
+       SELECT q.query_id,
+         CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         CAST((COALESCE(h.hits, 0) * 10000) // 5 AS BIGINT) AS recall_bp
+       FROM (SELECT DISTINCT query_id FROM exact) q
+       LEFT JOIN hits h ON q.query_id = h.query_id
+       ORDER BY q.query_id"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("d_span_ngram", dSpanNgram, Some(dSpanNgramSql)),
+    Q("d_span_scrub", dSpanScrub, Some(dSpanScrubSql)),
+    Q("t_quality_pctl", tQualityPctl, Some(tQualityPctlSql)),
+    Q("sim_recall_lsh", simRecallLsh, Some(simRecallLshSql)))
+}

@@ -41,7 +41,7 @@ object SimQ extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  private val simTopkSql =
+  private[queries] val simTopkSql =
     """WITH v AS (SELECT vec_id,
                 list_transform(embedding::DOUBLE[],
                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
@@ -89,7 +89,7 @@ object SimQ extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  private val simLshSql: String = {
+  private[queries] val simLshSql: String = {
     val planes = Similarity.planeSigns(16, 64)
     val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
       val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")

@@ -29,7 +29,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bm25's cross join (single + batch query form) broadcasts the
     // ONE-row corpus n_docs/total-length stats aggregate — a scalar side
     // by construction
-    "t_bm25", "t_bm25_batch")
+    "t_bm25", "t_bm25_batch",
+    // the recall harness replays the ANN cross-join shape on its exact
+    // (brute-force) side — the same broadcast-query-side join as sim_topk
+    "sim_recall_lsh")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
