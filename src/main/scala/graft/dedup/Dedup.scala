@@ -500,7 +500,7 @@ object Dedup {
     * START position (0-based posexplode ordinal). Unlike [[shingles]] these
     * are NOT distinct — within-document repeats are the point. Docs shorter
     * than n contribute no rows (same short-doc guard as [[shingles]]). */
-  private def positionalShingles(docs: DataFrame, idCol: String,
+  def positionalShingles(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     docs.select(col(idCol),
@@ -554,6 +554,14 @@ object Dedup {
             "(coalesce(dup_ngrams, CAST(0 AS BIGINT)) * 10000) div total_ngrams"))
           .as("dup_ratio_bp"))
   }
+
+  /** Duplicated start positions over prepared positional shingles — the
+    * mark set [[duplicateNgramSpans]] and [[removeDuplicateNgramSpans]]
+    * aggregate, exposed for the streaming twin's batch-equivalence
+    * contract ([[graft.streaming.Relay.spanDupStream]]). */
+  def duplicateNgramPositions(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame =
+    markedDupPositions(positionalShingles(docs, idCol, textCol, n), idCol)
 
   /** Duplicated start positions: (idCol, pos) for every n-gram whose
     * shingle occurs >1 time corpus-wide. One shuffle (partial-agg count

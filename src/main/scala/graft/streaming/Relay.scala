@@ -354,6 +354,72 @@ object Relay {
       .toDF()
   }
 
+  /** One positional n-gram for the streaming span-dedup twin. */
+  final case class SpanShingleRow(sh: String, doc_id: Long, pos: Long)
+
+  /** Per-shingle state for [[spanDupStream]]: the HELD first occurrence
+    * (until a second arrives) or the dup flag once the shingle is known
+    * duplicated — O(1) per distinct shingle either way. */
+  final case class SpanState(firstDoc: Long, firstPos: Long, isDup: Boolean)
+
+  final case class SpanMark(doc_id: Long, pos: Long)
+
+  /** Streaming duplicate-SPAN detection — the incremental twin of
+    * [[graft.dedup.Dedup.duplicateNgramPositions]]: positional n-grams
+    * key the state store by shingle; the first occurrence is held, and
+    * the moment a second arrives (same batch or any later one) BOTH are
+    * emitted as duplicated-position marks — after that the shingle is
+    * just a flag and every further occurrence emits immediately. Each
+    * (doc, pos) mark is emitted exactly once, so the accumulated output
+    * equals the batch mark set (StreamingSpec, across a micro-batch
+    * boundary).
+    *
+    * State is one record per DISTINCT shingle seen — corpus-lifetime
+    * growth, same trade as [[nearDupStream]]'s bucket membership: at
+    * 100 TB bound it with event-time timeout eviction (dedup-window
+    * watermarking), accepting missed marks across evicted windows; the
+    * batch pipeline is the unbounded-lookback path. */
+  def spanDupStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = graft.dedup.Dedup.positionalShingles(docs, idCol, textCol, n)
+      .select(col("sh"), col(idCol).cast("long").as("doc_id"),
+        col("pos").cast("long").as("pos"))
+      .as[SpanShingleRow]
+    sh.groupByKey(_.sh)
+      .flatMapGroupsWithState[SpanState, SpanMark](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, batch, state: GroupState[SpanState]) =>
+          // (doc, pos)-sorted fold → deterministic emission within a batch
+          val rows = batch.toSeq.sortBy(r => (r.doc_id, r.pos))
+          val st = state.getOption
+          var held: Option[(Long, Long)] =
+            st.filter(!_.isDup).map(s => (s.firstDoc, s.firstPos))
+          var dup = st.exists(_.isDup)
+          val out = scala.collection.mutable.ListBuffer.empty[SpanMark]
+          rows.foreach { r =>
+            if (dup) out += SpanMark(r.doc_id, r.pos)
+            else held match {
+              case Some((hd, hp)) =>
+                dup = true
+                out += SpanMark(hd, hp)
+                out += SpanMark(r.doc_id, r.pos)
+                held = None
+              case None => held = Some((r.doc_id, r.pos))
+            }
+          }
+          state.update(
+            if (dup) SpanState(0L, 0L, isDup = true)
+            else held.map { case (d, p) => SpanState(d, p, isDup = false) }
+              .getOrElse(SpanState(0L, 0L, isDup = false)))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** One document for the streaming sequence packer. */
   final case class PackDoc(shard: Long, doc_id: Long, len: Long)
 

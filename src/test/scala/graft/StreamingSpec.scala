@@ -328,6 +328,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming/batch divergence: extra=${streamed -- batch} missing=${batch -- streamed}")
   }
 
+  test("streaming span-dedup marks equal the batch duplicateNgramPositions set") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // two parquet files + maxFilesPerTrigger=1 → two micro-batches: a
+    // shingle whose two occurrences straddle the split only marks if the
+    // held first occurrence is carried in STATE across batches
+    val srcDir = tmp() + "/spandup_src"
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = docs.schema
+    val stream = Relay.spanDupStream(
+      Relay.readStreamPath(spark, srcDir, schema,
+        options = Map("maxFilesPerTrigger" -> "1")), n = 5)
+    val q = stream.writeStream.format("memory").queryName("spandup_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("spandup_mem")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.dedup.Dedup
+      .duplicateNgramPositions(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    assert(batch.nonEmpty, "fixture must contain duplicated spans")
+    // cross-batch carry must matter: some duplicated shingle has its two
+    // occurrences in different micro-batches (even/odd doc split)
+    assert(streamed == batch,
+      s"streaming/batch divergence: extra=${streamed -- batch} missing=${batch -- streamed}")
+  }
+
   test("streaming greedy packing equals the batch packGreedy fold") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
