@@ -191,9 +191,52 @@ object PrepQ extends QueryPack {
        LEFT JOIN hits h ON q.query_id = h.query_id
        ORDER BY q.query_id"""
 
+  /** BPE merge induction, 3 rounds over the corpus word-frequency table
+    * — the tokenizer-training artifact (Sennrich et al. 2016). Rounds
+    * iterate over |vocab| rows, never the corpus; each round's winning
+    * pair is a 1-row aggregate broadcast into the rewrite. The oracle
+    * unrolls all three rounds with the identical doubled-space string
+    * algebra. */
+  private def tBpeMerges(spark: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.learnMerges(Tables.documents(spark, d), "text",
+      rounds = 3)
+
+  private def bpeRoundCtes(i: Int): String = {
+    val prev = s"v${i - 1}"
+    s"""p$i AS (SELECT t[j] AS sym_a, t[j+1] AS sym_b,
+           CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM (SELECT string_split(sym, ' ') AS t, freq FROM $prev),
+              LATERAL unnest(generate_series(1, len(t) - 1)) g(j)
+         GROUP BY 1, 2),
+       top$i AS (SELECT sym_a, sym_b, pair_count FROM p$i
+           ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+       v$i AS (SELECT trim(regexp_replace(
+           replace(' ' || replace(sym, ' ', '  ') || ' ',
+                   ' ' || t.sym_a || '  ' || t.sym_b || ' ',
+                   ' ' || t.sym_a || t.sym_b || ' '),
+           ' +', ' ', 'g')) AS sym, freq
+         FROM $prev CROSS JOIN top$i t)"""
+  }
+
+  private val tBpeMergesSql =
+    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents) u
+           WHERE word <> '' GROUP BY word),
+       v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+                     freq FROM w),
+       ${bpeRoundCtes(1)},
+       ${bpeRoundCtes(2)},
+       ${bpeRoundCtes(3)}
+       SELECT 1 AS round, sym_a, sym_b, pair_count FROM top1
+       UNION ALL SELECT 2, sym_a, sym_b, pair_count FROM top2
+       UNION ALL SELECT 3, sym_a, sym_b, pair_count FROM top3
+       ORDER BY round"""
+
   override def queries: Seq[Q] = Seq(
     Q("d_span_ngram", dSpanNgram, Some(dSpanNgramSql)),
     Q("d_span_scrub", dSpanScrub, Some(dSpanScrubSql)),
     Q("t_quality_pctl", tQualityPctl, Some(tQualityPctlSql)),
+    Q("t_bpe_merges", tBpeMerges, Some(tBpeMergesSql)),
     Q("sim_recall_lsh", simRecallLsh, Some(simRecallLshSql)))
 }

@@ -32,7 +32,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t_bm25", "t_bm25_batch",
     // the recall harness replays the ANN cross-join shape on its exact
     // (brute-force) side — the same broadcast-query-side join as sim_topk
-    "sim_recall_lsh")
+    "sim_recall_lsh",
+    // each BPE round cross-joins the ONE-row winning-pair aggregate into
+    // the vocab rewrite — a scalar side by construction
+    "t_bpe_merges")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -81,6 +81,46 @@ class PrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BPE merges: the Sennrich worked example, ties on pair text") {
+    import spark.implicits._
+    // freqs: low 5, lower 2, newest 6, widest 3
+    // round 1: (e,s)=9 ties (s,t)=9 → (e,s) on text; round 2: (es,t)=9;
+    // round 3: (l,o)=7 ties (o,w)=7 → (l,o)
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")
+    ).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.learnMerges(docs, "text", rounds = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges === Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "l", "o", 7L)))
+  }
+
+  test("BPE applyMerges encodes a fresh word with the learned merge order") {
+    import spark.implicits._
+    val out = graft.text.Bpe.applyMerges(
+        Seq("lowest").toDF("word"), "word",
+        Seq(("e", "s"), ("es", "t"), ("l", "o")))
+      .select("sym").head().getString(0)
+    assert(out === "lo w est")
+  }
+
+  test("BPE mergePair is greedy left-to-right on repeat chains") {
+    import spark.implicits._
+    val out = Seq("z z z", "z z z z").toDF("s")
+      .select(graft.text.Bpe.mergePair(
+        org.apache.spark.sql.functions.col("s"),
+        org.apache.spark.sql.functions.lit("z"),
+        org.apache.spark.sql.functions.lit("z")).as("m"))
+      .collect().map(_.getString(0))
+    assert(out === Seq("zz z", "zz zz"))
+  }
+
   test("sim_recall_lsh: one row per query, hits <= k, recall_bp = hits * 2000") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("sim_recall_lsh")(spark, sf).collect()
