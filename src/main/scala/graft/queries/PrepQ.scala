@@ -233,10 +233,72 @@ object PrepQ extends QueryPack {
        UNION ALL SELECT 3, sym_a, sym_b, pair_count FROM top3
        ORDER BY round"""
 
+  /** The encode step corpus-wide: learn 3 merges, then re-tokenize every
+    * word occurrence with them (each round's 1-row pair broadcast into
+    * the fold — training and encoding in ONE declarative plan, no driver
+    * collect). Per doc: whitespace words vs post-BPE token count. At
+    * 100 TB encode the WORD-FREQUENCY table instead and join the
+    * (word → sym) dictionary back — same expressions, |vocab|-bounded
+    * rewrite work. */
+  private def tBpeApply(spark: SparkSession, d: String): DataFrame = {
+    import graft.text.Bpe
+    val docs = Tables.documents(spark, d)
+    val merges = Bpe.learnMerges(docs, "text", rounds = 3)
+    def m(r: Int, p: String) = merges.filter(col("round") === r)
+      .select(col("sym_a").as(s"a$p"), col("sym_b").as(s"b$p"))
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    words
+      .crossJoin(broadcast(m(1, "1")))
+      .crossJoin(broadcast(m(2, "2")))
+      .crossJoin(broadcast(m(3, "3")))
+      .withColumn("sym",
+        Bpe.mergePair(Bpe.mergePair(Bpe.mergePair(
+          Bpe.symbolize(col("word")),
+          col("a1"), col("b1")), col("a2"), col("b2")), col("a3"), col("b3")))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(size(split(col("sym"), " ")).cast("long")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val tBpeApplySql = {
+    def ap(inner: String, a: String, b: String): String =
+      s"""trim(regexp_replace(
+           replace(' ' || replace($inner, ' ', '  ') || ' ',
+                   ' ' || $a || '  ' || $b || ' ',
+                   ' ' || $a || $b || ' '),
+           ' +', ' ', 'g'))"""
+    val enc = ap(ap(ap("trim(regexp_replace(word, '(.)', '\\1 ', 'g'))",
+      "t1.sym_a", "t1.sym_b"), "t2.sym_a", "t2.sym_b"),
+      "t3.sym_a", "t3.sym_b")
+    s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents) u
+           WHERE word <> '' GROUP BY word),
+       v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+                     freq FROM w),
+       ${bpeRoundCtes(1)},
+       ${bpeRoundCtes(2)},
+       ${bpeRoundCtes(3)},
+       words AS (SELECT doc_id, word
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents) u
+                 WHERE word <> ''),
+       enc AS (SELECT doc_id, $enc AS sym
+               FROM words CROSS JOIN top1 t1 CROSS JOIN top2 t2
+                    CROSS JOIN top3 t3)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_bpe_tokens
+       FROM enc GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("d_span_ngram", dSpanNgram, Some(dSpanNgramSql)),
     Q("d_span_scrub", dSpanScrub, Some(dSpanScrubSql)),
     Q("t_quality_pctl", tQualityPctl, Some(tQualityPctlSql)),
     Q("t_bpe_merges", tBpeMerges, Some(tBpeMergesSql)),
+    Q("t_bpe_apply", tBpeApply, Some(tBpeApplySql)),
     Q("sim_recall_lsh", simRecallLsh, Some(simRecallLshSql)))
 }

@@ -34,8 +34,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (brute-force) side — the same broadcast-query-side join as sim_topk
     "sim_recall_lsh",
     // each BPE round cross-joins the ONE-row winning-pair aggregate into
-    // the vocab rewrite — a scalar side by construction
-    "t_bpe_merges")
+    // the vocab rewrite (and the encode fold) — scalar sides by
+    // construction
+    "t_bpe_merges", "t_bpe_apply")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
