@@ -274,5 +274,73 @@ class PropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: span report/scrub invariants hold on random corpora") {
+    import graft.dedup.Dedup
+    val n = 3
+    // small alphabet + short docs → dense duplicate structure
+    val docGen = Gen.listOfN(6,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c")).map(_.take(8)))
+    forAll(docGen, n = 8) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val report = Dedup.duplicateNgramSpans(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val scrub = Dedup.removeDuplicateNgramSpans(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      texts.indices.foreach { i =>
+        val id = i.toLong
+        val (total, dup, spans, bp) = report(id)
+        val (clean, nTok, nRem) = scrub(id)
+        assert(dup <= total && spans <= dup)
+        assert(bp == (if (total == 0) 0L else dup * 10000 / total))
+        // every dup position covers n tokens; covers can overlap but a
+        // nonempty mark set removes at least one full n-gram
+        if (dup > 0) assert(nRem >= n && nRem <= math.min(nTok, n * dup))
+        else assert(nRem == 0L)
+        // the rebuilt text is the kept tokens in original order
+        val kept = if (clean.isEmpty) 0L else clean.split(" ").length.toLong
+        assert(kept == nTok - nRem)
+        // order preserved even when non-contiguous: kept tokens are a
+        // subsequence of the original
+        assert(clean.isEmpty ||
+          isSubsequence(clean.split(" "), texts(i).toArray))
+      }
+    }
+  }
+
+  private def isSubsequence(sub: Array[String], full: Array[String]): Boolean = {
+    var j = 0
+    full.foreach { t => if (j < sub.length && sub(j) == t) j += 1 }
+    j == sub.length
+  }
+
+  test("property: BPE mergePair preserves character content and only removes spaces") {
+    import graft.text.Bpe
+    import spark.implicits._
+    val symGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "ab", "c")).map(_.take(8))
+    forAll(symGen, n = 8) { syms =>
+      val sym = syms.mkString(" ")
+      val out = Seq(sym).toDF("s")
+        .select(Bpe.mergePair(col("s"), lit("a"), lit("b")).as("m"))
+        .head().getString(0)
+      assert(out.replace(" ", "") == sym.replace(" ", ""),
+        s"character content changed: '$sym' -> '$out'")
+      // merged token count = original minus number of disjoint (a,b)
+      // adjacencies taken greedily left-to-right
+      var i = 0
+      var merges = 0
+      while (i < syms.length - 1) {
+        if (syms(i) == "a" && syms(i + 1) == "b") { merges += 1; i += 2 }
+        else i += 1
+      }
+      assert(out.split(" ").length == syms.length - merges,
+        s"greedy merge count mismatch: '$sym' -> '$out'")
+    }
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
