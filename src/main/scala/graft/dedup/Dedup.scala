@@ -533,26 +533,57 @@ object Dedup {
   def duplicateNgramSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
     val sh = positionalShingles(docs, idCol, textCol, n)
-    val marked = markedDupPositions(sh, idCol)
+    spanReport(docs, sh, markedDupPositions(sh, idCol), idCol, "dup")
+  }
+
+  /** Span-level benchmark decontamination (the GPT-3 appendix-C /
+    * Lee et al. shape): every corpus n-gram that ALSO appears anywhere in
+    * the benchmark set marks its position as contaminated; per corpus
+    * document the report is (total_ngrams, contam_ngrams, contam_spans,
+    * contam_ratio_bp) — the span-granular sibling of the doc-level
+    * 3-gram-hit filter (`t_decontam`), for pipelines that cut the spans
+    * instead of the document.
+    *
+    * 100 TB shape: the benchmark shingle set is corpus-independent and
+    * SMALL (benchmarks are fixed suites) — one distinct + a semi-join the
+    * optimizer broadcasts; everything else is [[duplicateNgramSpans]]'s
+    * plan. */
+  def benchmarkSpanOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val sh = positionalShingles(corpus, idCol, textCol, n)
+    val benchSh = positionalShingles(benchmark, idCol, textCol, n)
+      .select("sh").distinct()
+    val marked = sh.join(benchSh, Seq("sh"))
+      .select(col(idCol), col("pos"))
+    spanReport(corpus, sh, marked, idCol, "contam")
+  }
+
+  /** Shared span-report aggregation: per document, total n-gram
+    * positions, marked positions, maximal contiguous marked runs, and
+    * the ⌊marked·10⁴/total⌋ integer ratio — columns named
+    * (total_ngrams, ⟨p⟩_ngrams, ⟨p⟩_spans, ⟨p⟩_ratio_bp). */
+  private def spanReport(docs: DataFrame, sh: DataFrame, marked: DataFrame,
+      idCol: String, p: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
     val spans = marked.withColumn("prev", lag(col("pos"), 1).over(w))
       .groupBy(idCol).agg(
-        count(lit(1)).as("dup_ngrams"),
+        count(lit(1)).as(s"${p}_ngrams"),
         sum(when(col("prev").isNull || col("pos") - col("prev") > 1, 1L)
-          .otherwise(0L)).as("dup_spans"))
+          .otherwise(0L)).as(s"${p}_spans"))
     val tot = sh.groupBy(idCol).agg(count(lit(1)).as("total_ngrams"))
     docs.select(col(idCol))
       .join(tot, Seq(idCol), "left")
       .join(spans, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("total_ngrams"), lit(0L)).as("total_ngrams"),
-        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
-        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col(s"${p}_ngrams"), lit(0L)).as(s"${p}_ngrams"),
+        coalesce(col(s"${p}_spans"), lit(0L)).as(s"${p}_spans"),
         when(col("total_ngrams").isNull, lit(0L))
           .otherwise(expr(
-            "(coalesce(dup_ngrams, CAST(0 AS BIGINT)) * 10000) div total_ngrams"))
-          .as("dup_ratio_bp"))
+            s"(coalesce(${p}_ngrams, CAST(0 AS BIGINT)) * 10000)" +
+              " div total_ngrams"))
+          .as(s"${p}_ratio_bp"))
   }
 
   /** Duplicated start positions over prepared positional shingles — the

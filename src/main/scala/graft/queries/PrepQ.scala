@@ -233,6 +233,52 @@ object PrepQ extends QueryPack {
        UNION ALL SELECT 3, sym_a, sym_b, pair_count FROM top3
        ORDER BY round"""
 
+  /** Span-level decontamination: corpus docs (doc_id % 25 != 0) reported
+    * against the benchmark set (doc_id % 25 == 0 — the same split as the
+    * doc-level `t_decontam`), 5-gram overlap spans. */
+  private def tDecontamSpan(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    Dedup.benchmarkSpanOverlap(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  private val tDecontamSpanSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents WHERE doc_id % 25 <> 0),
+       btoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents WHERE doc_id % 25 = 0),
+       sh AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS s
+              FROM toks, LATERAL unnest(generate_series(1, len(t) - 4)) AS g(i)
+              WHERE len(t) >= 5),
+       bsh AS (SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS s
+               FROM btoks, LATERAL unnest(generate_series(1, len(t) - 4)) AS g(i)
+               WHERE len(t) >= 5),
+       marked AS (SELECT sh.doc_id, sh.pos FROM sh JOIN bsh ON sh.s = bsh.s),
+       runs AS (SELECT doc_id, pos,
+                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM marked),
+       spans AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS contam_ngrams,
+                   CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS contam_spans
+                 FROM runs GROUP BY doc_id),
+       tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_ngrams
+               FROM sh GROUP BY doc_id)
+       SELECT d.doc_id,
+         CAST(COALESCE(tot.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+         CAST(COALESCE(spans.contam_ngrams, 0) AS BIGINT) AS contam_ngrams,
+         CAST(COALESCE(spans.contam_spans, 0) AS BIGINT) AS contam_spans,
+         CAST(CASE WHEN tot.total_ngrams IS NULL THEN 0
+              ELSE (COALESCE(spans.contam_ngrams, 0) * 10000)
+                   // tot.total_ngrams END AS BIGINT) AS contam_ratio_bp
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+       LEFT JOIN tot ON d.doc_id = tot.doc_id
+       LEFT JOIN spans ON d.doc_id = spans.doc_id
+       ORDER BY d.doc_id"""
+
   /** The encode step corpus-wide: learn 3 merges, then re-tokenize every
     * word occurrence with them (each round's 1-row pair broadcast into
     * the fold — training and encoding in ONE declarative plan, no driver
@@ -300,5 +346,6 @@ object PrepQ extends QueryPack {
     Q("t_quality_pctl", tQualityPctl, Some(tQualityPctlSql)),
     Q("t_bpe_merges", tBpeMerges, Some(tBpeMergesSql)),
     Q("t_bpe_apply", tBpeApply, Some(tBpeApplySql)),
+    Q("t_decontam_span", tDecontamSpan, Some(tDecontamSpanSql)),
     Q("sim_recall_lsh", simRecallLsh, Some(simRecallLshSql)))
 }

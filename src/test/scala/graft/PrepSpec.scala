@@ -81,6 +81,29 @@ class PrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("benchmarkSpanOverlap marks only benchmark-overlapping spans, " +
+      "not corpus self-dups") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g"),   // "a b c d e" is in the benchmark
+      (2L, "a b c d e f g"),   // corpus self-dup of doc 1 — but only the
+                               // benchmark overlap may mark
+      (3L, "p q r s t u")      // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "x a b c d e y")).toDF("doc_id", "text")
+    val out = Dedup.benchmarkSpanOverlap(corpus, bench, "doc_id", "text",
+        n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // docs 1/2: 3 5-grams, only pos 0 ("a b c d e") contaminated — the
+    // full-doc self-dup between them must NOT mark anything
+    assert(out === Seq(
+      (1L, 3L, 1L, 1L, 3333L),
+      (2L, 3L, 1L, 1L, 3333L),
+      (3L, 2L, 0L, 0L, 0L)))
+  }
+
   test("BPE merges: the Sennrich worked example, ties on pair text") {
     import spark.implicits._
     // freqs: low 5, lower 2, newest 6, widest 3
