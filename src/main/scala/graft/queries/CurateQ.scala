@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{Importance, Privacy}
+
+/** Round-8 curation extensions (own trailing bench group — established
+  * groups' round-over-round rows stay apples-to-apples):
+  *
+  *  - PII pseudonymization + masking over the customer table (the
+  *    release-prep projection: keyed-hash pseudonym, regex-masked direct
+  *    identifier, banded continuous attribute);
+  *  - k-anonymity audit of the released quasi-identifier tuple;
+  *  - DSIR-style importance selection of the documents raw pool against
+  *    a target-domain slice (log-free integer weights — see
+  *    [[graft.text.Importance]]).
+  */
+object CurateQ extends QueryPack {
+
+  /** Pseudonymized customer release: the direct identifier c_name is
+    * (a) replaced by a salted-md5 pseudonym (stable → still joinable)
+    * and (b) masked in place (first 6 of the 9-digit tail starred);
+    * c_acctbal generalizes to a 2000-wide band. Scan-fused projection —
+    * redaction costs one pass at any scale. */
+  private def tPiiMask(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d).select(
+      Privacy.pseudonymize(col("c_name"), "graft").as("pseudonym"),
+      regexp_replace(col("c_name"), lit("#[0-9]{6}"), lit("#******"))
+        .as("name_masked"),
+      col("c_nationkey"), col("c_mktsegment"),
+      Privacy.band(col("c_acctbal"), 2000L).as("acctbal_band"))
+      .orderBy("pseudonym")
+
+  private val tPiiMaskSql =
+    """SELECT md5('graft|' || c_name) AS pseudonym,
+         regexp_replace(c_name, '#[0-9]{6}', '#******', 'g') AS name_masked,
+         c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 2000) * 2000 AS BIGINT) AS acctbal_band
+       FROM customer ORDER BY pseudonym"""
+
+  /** k-anonymity audit of the released tuple (nation, segment, acctbal
+    * band): one partial-agg shuffle on the quasi tuple, output
+    * |equivalence classes| rows — classes with meets_k = 0 need more
+    * generalization before release. */
+  private def tKanonAudit(spark: SparkSession, d: String): DataFrame = {
+    val released = Tables.customer(spark, d).select(
+      col("c_nationkey"), col("c_mktsegment"),
+      Privacy.band(col("c_acctbal"), 2000L).as("acctbal_band"))
+    Privacy.kAnonymityAudit(released,
+        Seq("c_nationkey", "c_mktsegment", "acctbal_band"), k = 5L)
+      .orderBy("c_nationkey", "c_mktsegment", "acctbal_band")
+  }
+
+  private val tKanonAuditSql =
+    """SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 2000) * 2000 AS BIGINT) AS acctbal_band,
+         CAST(count(*) AS BIGINT) AS group_size,
+         CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS meets_k
+       FROM customer
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** DSIR selection: sources src0-src3 are the trusted target domain;
+    * the rest of documents is the raw pool, scored by summed log-free
+    * token weights and cut to its top 10% (rn·10 ≤ n, ties → doc_id). */
+  private val targetSources = Seq("src0", "src1", "src2", "src3")
+
+  private def cAffinitySelect(spark: SparkSession, d: String): DataFrame =
+    Importance.selectTopAffinity(Tables.documents(spark, d),
+        col("source").isin(targetSources: _*), keepDenom = 10L)
+      .orderBy("doc_id")
+
+  private val cAffinitySelectSql = {
+    val tgt = targetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, (source IN ($tgt)) AS tgt,
+              unnest(string_split(text, ' ')) AS tok FROM documents),
+       t2 AS (SELECT * FROM toks WHERE tok <> ''),
+       tc AS (SELECT tok,
+                CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+              FROM t2 GROUP BY tok),
+       tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                      CAST(sum(cr) AS BIGINT) AS nr FROM tc),
+       w AS (SELECT tok, ct * nr - cr * nt AS w FROM tc, tot),
+       ds AS (SELECT t2.doc_id, CAST(sum(w.w) AS BIGINT) AS affinity
+              FROM t2 JOIN w ON t2.tok = w.tok
+              WHERE NOT t2.tgt GROUP BY t2.doc_id),
+       r AS (SELECT doc_id, affinity,
+               CAST(ROW_NUMBER() OVER (ORDER BY affinity DESC, doc_id)
+                 AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+             FROM ds)
+       SELECT doc_id, affinity, rn FROM r WHERE rn * 10 <= n
+       ORDER BY doc_id"""
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("t_pii_mask", tPiiMask, Some(tPiiMaskSql)),
+    Q("t_kanon_audit", tKanonAudit, Some(tKanonAuditSql)),
+    Q("c_affinity_select", cAffinitySelect, Some(cAffinitySelectSql)))
+}

@@ -36,7 +36,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // each BPE round cross-joins the ONE-row winning-pair aggregate into
     // the vocab rewrite (and the encode fold) — scalar sides by
     // construction
-    "t_bpe_merges", "t_bpe_apply")
+    "t_bpe_merges", "t_bpe_apply",
+    // the DSIR weight projection cross-joins the ONE-row corpus-total
+    // aggregate (nt, nr) into the |vocab| count table — scalar side by
+    // construction
+    "c_affinity_select")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
