@@ -291,10 +291,16 @@ object Sinks {
         deltas.filter(_ > start).sorted.map(d =>
           spark.read.parquet(versionDir(targetPath, d))
             .withColumn("__v", lit(d)))
-    val chain = parts.reduce(_.unionByName(_))
+    // Deltas written before data-file compaction existed carry no
+    // data_change column; normalize to true (every pre-OPTIMIZE action
+    // changed data) so mixed chains union cleanly.
+    val normalized = parts.map(df =>
+      if (df.columns.contains("data_change")) df
+      else df.withColumn("data_change", lit(true)))
+    val chain = normalized.reduce(_.unionByName(_))
     Cleaning.latestByKey(Seq("file"), Seq(col("__v")))(chain)
       .filter(col("action") === "add")
-      .drop("action", "__v")
+      .drop("action", "__v", "data_change")
   }
 
   /** Fold the delta chain at `version` (default: latest) into a full
@@ -313,6 +319,111 @@ object Sinks {
     val staged = stageManifest(full, targetPath)
     tryCommit(staged, ckptDir(targetPath, v))
     ()
+  }
+
+  /** Delta-style OPTIMIZE — DATA-file compaction (the sibling of
+    * [[compactManifest]], which compacts the LOG): bin-pack the current
+    * version's small live files (rows < `targetRows`) into few large
+    * ones and commit the rewrite as `v=N+1`.
+    *
+    * Why it exists: [[appendWithManifest]] is O(appended data) per
+    * commit, so a streaming/incremental pipeline accretes many small
+    * files — the classic small-files problem. At 100 TB that kills scan
+    * throughput (per-file open cost, tiny row groups, no effective
+    * column-chunk compression) and degrades the min/max manifest's
+    * pruning selectivity as generations of overlapping key ranges pile
+    * up. Compaction restores both: bins are formed over the kmin-sorted
+    * live entries, so each output file covers one contiguous key range.
+    *
+    * Semantics: every action in the commit is `data_change = false` —
+    * compaction rewrites bytes, it changes NO rows. [[readChanges]]
+    * recognizes version ranges whose every action is data_change=false
+    * and returns an empty change feed without reading any data file
+    * (Delta CDF's treatment of OPTIMIZE commits); mixed ranges fall back
+    * to the row-level diff, where rewrite churn cancels in the
+    * exceptAlls.
+    *
+    * Concurrency: the rewritten files' CONTENT is version-independent
+    * (pure repack of the observed bins), so data files are staged +
+    * adopted once and only the manifest commit retries against a moving
+    * head. Before each retry the source files are re-validated against
+    * the new head's live set: if a concurrent merge rewrote or removed
+    * any of them, this compaction is stale and aborts as a no-op (0) —
+    * its adopted-but-never-committed output files are orphans that
+    * [[vacuum]] reclaims, exactly like a crashed merge attempt's.
+    *
+    * Returns the number of small files compacted away (0 = nothing to
+    * do, table already compact, or lost to a conflicting writer). Driver
+    * work is O(live files) — the same file-list bound every manifest op
+    * here has. */
+  def optimizeTable(spark: SparkSession, targetPath: String, keyCol: String,
+      targetRows: Long = 1L << 20, maxAttempts: Int = 5): Int = {
+    import spark.implicits._
+    val cur = currentVersion(targetPath)
+    require(cur > 0, s"$targetPath is not manifest-tracked")
+    val entries = manifestAt(spark, targetPath, cur)
+      .orderBy("kmin")
+      .collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("rows")))
+    // Greedy adjacent bin-packing over the kmin-sorted small files: a
+    // large file (>= targetRows) breaks the run so no bin straddles it
+    // (its key range would swallow the bin's pruning selectivity).
+    val bins = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+    var open = Vector.empty[String]
+    var openRows = 0L
+    def flush(): Unit = {
+      if (open.size >= 2) bins += open
+      open = Vector.empty; openRows = 0L
+    }
+    entries.foreach { case (f, rows) =>
+      if (rows >= targetRows) flush()
+      else {
+        open :+= f; openRows += rows
+        if (openRows >= targetRows) flush()
+      }
+    }
+    flush()
+    if (bins.isEmpty) return 0
+    val sources = bins.flatten.toSet
+    val adds = bins.toVector.flatMap { bin =>
+      val staging = s"$targetPath.opt-staging-${java.util.UUID.randomUUID()}"
+      spark.read.option("mergeSchema", "true")
+        .parquet(bin.map(f => s"$targetPath/$f"): _*)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val a = manifestEntries(spark, staging, keyCol).collect().toVector
+      adoptStagedFiles(staging, targetPath)
+      a
+    }
+    // Schema-only analysis of the entry projection (no execution) so the
+    // collected add rows and their createDataFrame schema always agree.
+    val addSchema = manifestEntries(spark, targetPath, keyCol).schema
+    val kType = addSchema("kmin").dataType
+    val addsDf = spark.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(adds).asJava),
+        addSchema)
+      .withColumn("action", lit("add"))
+      .withColumn("data_change", lit(false))
+    val removesDf = sources.toSeq.sorted.toDF("file").select(col("file"),
+      lit(null).cast(kType).as("kmin"), lit(null).cast(kType).as("kmax"),
+      lit(null).cast("bigint").as("rows"), lit("remove").as("action"),
+      lit(false).as("data_change"))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"optimizeTable lost the commit race on $targetPath " +
+            s"$maxAttempts times — giving up loudly")
+      val head = currentVersion(targetPath)
+      val live = manifestAt(spark, targetPath, head)
+        .select("file").collect().map(_.getString(0)).toSet
+      if (!sources.subsetOf(live)) return 0 // conflicting rewrite → stale
+      val staged = stageManifest(addsDf.unionByName(removesDf), targetPath)
+      if (tryCommit(staged, versionDir(targetPath, head + 1)))
+        return sources.size
+    }
+    -1 // unreachable
   }
 
   /** Snapshot read: the table exactly as committed at `version`
@@ -351,6 +462,22 @@ object Sinks {
     val to = if (toVersion > 0) toVersion else currentVersion(targetPath)
     require(fromVersion >= 1 && to >= fromVersion,
       s"bad change range $fromVersion..$to for $targetPath")
+    // Maintenance-only fast path: if every commit in (from, to] carries
+    // only data_change=false actions (pure OPTIMIZE range), the change
+    // feed is empty BY CONSTRUCTION — return it from the O(deltas)
+    // manifest metadata without opening a single data file. Mixed
+    // ranges fall through to the row-level diff, where compaction's
+    // rewrite churn cancels in the exceptAlls anyway.
+    val rangeDeltas = listIds(targetPath, "v=")
+      .filter(v => v > fromVersion && v <= to)
+    val maintenanceOnly = rangeDeltas.nonEmpty && rangeDeltas.forall { v =>
+      val d = spark.read.parquet(versionDir(targetPath, v))
+      d.columns.contains("data_change") &&
+        d.filter(col("data_change") === true).head(1).isEmpty
+    }
+    if (maintenanceOnly)
+      return readVersioned(spark, targetPath, to).limit(0)
+        .withColumn("_change_type", lit(""))
     val beforeFiles = manifestAt(spark, targetPath, fromVersion)
       .select("file").collect().map(_.getString(0)).toSet
     val afterFiles = manifestAt(spark, targetPath, to)

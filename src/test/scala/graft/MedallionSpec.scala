@@ -302,6 +302,63 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"evolving CDF misaligned: $ev")
   }
 
+  test("S11 manifest: OPTIMIZE bin-packs small files; reads identical; " +
+      "CDF skips the maintenance range; vacuum reclaims the packed-away files") {
+    import spark.implicits._
+    val dir = tmp() + "/optimize_manifest"
+    Sinks.writeWithManifest(spark,
+      (0L until 200L).map(k => (k, s"v$k")).toDF("k", "v"), dir, "k", nFiles = 4)
+    // three incremental appends → 6 more small files (the small-files
+    // problem OPTIMIZE exists for)
+    (0 until 3).foreach(i =>
+      Sinks.appendWithManifest(spark,
+        (1000L + i * 10 until 1010L + i * 10).map(k => (k, s"a$k")).toDF("k", "v"),
+        dir, "k", nFiles = 2))
+    val vPre = Sinks.currentVersion(dir)
+    assert(vPre == 4L)
+    def live(v: Long): Set[String] =
+      Sinks.manifestAt(spark, dir, v).select("file")
+        .collect().map(_.getString(0)).toSet
+    val filesPre = live(vPre)
+    assert(filesPre.size == 10)
+    val contentPre = Sinks.readVersioned(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // bin-pack everything (targetRows far above any file) into ONE file
+    val packed = Sinks.optimizeTable(spark, dir, "k", targetRows = 100000L)
+    assert(packed == 10, s"expected all 10 small files packed, got $packed")
+    assert(Sinks.currentVersion(dir) == vPre + 1)
+    val filesPost = live(vPre + 1)
+    assert(filesPost.size == 1 && filesPost.intersect(filesPre).isEmpty,
+      s"expected one fresh packed file, got $filesPost")
+    // content is bit-identical across the rewrite
+    val contentPost = Sinks.readVersioned(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(contentPost == contentPre)
+    // ... and time travel to the pre-optimize version still reads the
+    // old layout
+    assert(Sinks.readVersioned(spark, dir, vPre).count() == 230L)
+    // CDF: the optimize-only range is EMPTY (data_change=false commit),
+    // resolved from manifest metadata alone; a range spanning the last
+    // append + the optimize surfaces exactly that append's rows
+    assert(Sinks.readChanges(spark, dir, vPre, vPre + 1).isEmpty)
+    val spanning = Sinks.readChanges(spark, dir, vPre - 1, vPre + 1)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(spanning.size == 10 && spanning.forall(_._2 == "insert") &&
+      spanning.map(_._1).sorted == (1020L until 1030L).toSeq,
+      s"spanning CDF wrong: $spanning")
+    // a second optimize is a no-op (single live file ≥ nothing to pack)
+    assert(Sinks.optimizeTable(spark, dir, "k", targetRows = 100000L) == 0)
+    assert(Sinks.currentVersion(dir) == vPre + 1)
+    // vacuum to the optimized head reclaims all 10 packed-away files
+    Sinks.vacuum(spark, dir, keepVersions = 1)
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(onDisk == filesPost, s"vacuum left orphans: ${onDisk -- filesPost}")
+    val contentFinal = Sinks.readVersioned(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(contentFinal == contentPre)
+  }
+
   test("S11 manifest: time travel to a vacuumed version fails loudly") {
     import spark.implicits._
     val dir = tmp() + "/vacuumed_read"
