@@ -99,6 +99,34 @@ object Bpe {
         mergePair(sym, lit(a), lit(b))
       })
 
+  /** Scan-fused whole-document encode accounting: per doc, whitespace
+    * word count vs post-BPE token count, with NO explode and NO shuffle —
+    * the words stay inside array HOFs (`filter`/`aggregate`) so the whole
+    * encode is one codegen'd projection over the scan. Each learned
+    * round's (sym_a, sym_b) pair joins in as a broadcast 1-row cross join
+    * (the established BPE fold shape).
+    *
+    * Because it is STATELESS row-at-a-time, this exact form also runs
+    * unchanged on a `readStream` source (stream-static broadcast joins
+    * against the merge table) — the streaming twin asserted in
+    * StreamingSpec. Docs with no non-empty word report (0, 0) rather
+    * than dropping out (the explode+groupBy form in `t_bpe_apply` has no
+    * row to aggregate for them). */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, rounds: Int = 3): DataFrame = {
+    val withM = (1 to rounds).foldLeft(docs)((df, r) =>
+      df.crossJoin(broadcast(merges.filter(col("round") === r)
+        .select(col("sym_a").as(s"__a$r"), col("sym_b").as(s"__b$r")))))
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    def enc(w: Column) = (1 to rounds).foldLeft(symbolize(w))((s, r) =>
+      mergePair(s, col(s"__a$r"), col(s"__b$r")))
+    withM.select(col(idCol).as("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L),
+        (acc, w) => acc + size(split(enc(w), " ")).cast("long"))
+        .as("n_bpe_tokens"))
+  }
+
   /** The round's winning pair: max count, ties on pair text — a 1-row
     * aggregate (TakeOrderedAndProject), never a data-sized sort. */
   private def topPair(vocab: DataFrame): DataFrame =

@@ -488,6 +488,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming mix (${streamed.length} rows) != batch (${batch.length})")
   }
 
+  test("streaming BPE encode equals the batch t_bpe_apply accounting") {
+    import org.apache.spark.sql.functions._
+    // Bpe.encodeCounts is stateless row-at-a-time (words stay in array
+    // HOFs; each merge round is a broadcast 1-row stream-static cross
+    // join), so the SAME code runs on a stream unchanged. Three-way
+    // equality: streamed scan-fused == batch scan-fused == the
+    // registered t_bpe_apply (explode+groupBy) oracle form.
+    val sf = "/root/testdata/sf0.001"
+    val srcDir = tmp() + "/bpe_src"
+    new java.io.File(srcDir).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/documents.parquet"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = graft.text.Bpe.learnMerges(docs, "text", rounds = 3)
+    val stream = graft.text.Bpe.encodeCounts(
+      Relay.readStreamPath(spark, srcDir, docs.schema)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", merges)
+    val q = stream.writeStream.format("memory").queryName("bpe_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("bpe_mem").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.text.Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val registered = SparkEntry.queries("t_bpe_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch,
+      s"streamed BPE encode (${streamed.size}) != batch (${batch.size})")
+    assert(batch == registered,
+      "scan-fused encode != explode+groupBy t_bpe_apply form")
+  }
+
   test("param fallback chain: explicit > system property > env > default") {
     import graft.etl.Params
     assert(Params.resolve("env_name", Map("env_name" -> "prod")) == Some("prod"))
