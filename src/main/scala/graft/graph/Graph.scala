@@ -107,6 +107,118 @@ object Graph {
     score
   }
 
+  /** Per-node triangle counts over an UNDIRECTED edge list, via
+    * degree-ordered edge orientation — the standard distributed triangle
+    * algorithm (the MapReduce formulation of Schank's node-iterator):
+    * orient every edge from the endpoint that is smaller in the total
+    * order (degree, id) toward the larger, enumerate wedges by
+    * self-joining the oriented list on its source, and close each wedge
+    * (v, w) against the oriented edge set.
+    *
+    * Why orientation matters at scale: a naive wedge enumeration around
+    * high-degree hubs is Σ deg(v)² — quadratic in the hub degree, the
+    * thing that kills co-occurrence graphs with power-law skew. Orienting
+    * by (degree, id) bounds every oriented out-degree by O(√|E|)
+    * (a node keeps only neighbors of even-higher degree, and there can
+    * be at most 2√|E| nodes of degree ≥ √|E|), so the wedge join is
+    * O(|E|^1.5) worst-case regardless of skew — each triangle is
+    * produced exactly once, no post-hoc dedup. All three steps are
+    * equi-joins / partial-agg shuffles; no cartesian anywhere.
+    *
+    * The composite order key is the single BIGINT deg·2³² + id (ids must
+    * fit in 32 bits — required loudly), so the "compare by (deg, id)"
+    * lexicographic order is one integer comparison that both engines
+    * evaluate identically — no window-rank global sort to assign
+    * positions. Pure integer arithmetic end-to-end: the DuckDB oracle
+    * replays the same construction bit-for-bit.
+    *
+    * Returns (node, triangles) for every node in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    // canonical undirected edge set: unordered pair stored as (a < b)
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+      // deg·2³² + id: one BIGINT carrying the (degree, id) lexicographic
+      // order. Loud failure beats silent key collisions if ids outgrow
+      // 32 bits (the ADVICE.md semanticCellCount lesson).
+      .select(col("node"),
+        when(col("node") >= lit(1L << 32), raise_error(
+          lit("triangleCounts: node id >= 2^32 overflows the order key")))
+          .otherwise(col("dg") * lit(1L << 32) + col("node")).as("kk"))
+    val oriented = e0
+      .join(deg.select(col("node").as("a"), col("kk").as("ka")), "a")
+      .join(deg.select(col("node").as("b"), col("kk").as("kb")), "b")
+      .select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("ka"), col("kb")).as("kdst"))
+      .localCheckpoint()
+    // wedges around each apex, (v, w) emitted in orientation order so
+    // the closing edge lookup is exactly one oriented key
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("kdst").as("kv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("kdst").as("kw")),
+        "src")
+      .filter(col("kv") < col("kw"))
+      .select(col("src").as("apex"), col("v"), col("w"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tri.select(col("apex").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community (label = node id); each round, every
+    * node adopts the most frequent label among its in-neighbors, ties
+    * broken by the SMALLEST label — the deterministic tie-break that
+    * makes synchronous LPA replayable in SQL (asynchronous/randomized
+    * LPA is the common streaming variant precisely because it converges
+    * faster, but its result is schedule-dependent — useless under an
+    * exactness gate). Nodes with no in-edges keep their label.
+    *
+    * Scale shape per round: one |edges| equi-join with the label table,
+    * one (node, label) partial-agg count, and one per-node window pick
+    * (PARTITIONED by node — never a global window), then
+    * `localCheckpoint` to truncate lineage. Callers wanting undirected
+    * semantics pass both edge directions, as with [[pageRank]].
+    *
+    * Returns (node, label) after `iters` rounds. */
+  def labelPropagate(edges: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var lab = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val freq = e.join(lab.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val pick = freq
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("node").orderBy(col("c").desc, col("label").asc)))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      lab = lab.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   /** Convergence-terminated PageRank — the production stopping rule:
     * iterate until the L1 score delta Σ|score_t − score_{t−1}| drops
     * below `eps` (fixed-point units, i.e. eps = 10⁶ ≈ one full unit of

@@ -115,7 +115,116 @@ object GraphQ extends QueryPack {
        ORDER BY score DESC, node LIMIT 20"""
   }
 
+  /** Part co-purchase triangle counts: nodes are parts, an edge links
+    * two parts that appear on the SAME order within the Q1-1995 slice
+    * (the date filter is pushed to the orders scan), per-node triangle
+    * counts via degree-ordered orientation ([[Graph.triangleCounts]] —
+    * wedge join bounded O(|E|^1.5) regardless of hub skew), top-20 by
+    * (triangles desc, node). Pure integers — the oracle replays the
+    * orientation and wedge-close bit-for-bit. */
+  private def grTriangles(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+    val edges = li.alias("x")
+      .join(li.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    Graph.triangleCounts(edges)
+      .orderBy(col("triangles").desc, col("node").asc)
+      .limit(20)
+  }
+
+  private val grTrianglesSql =
+    """WITH o AS (SELECT o_orderkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+       li AS (SELECT l_orderkey, l_partkey FROM lineitem
+              JOIN o ON l_orderkey = o_orderkey),
+       e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                                 AND x.l_partkey < y.l_partkey),
+       deg AS (SELECT node, COUNT(*) AS dg
+               FROM (SELECT a AS node FROM e0
+                     UNION ALL SELECT b FROM e0) GROUP BY 1),
+       k AS (SELECT node, dg * 4294967296 + node AS kk FROM deg),
+       o2 AS (SELECT CASE WHEN ka.kk < kb.kk THEN e0.a ELSE e0.b END AS src,
+                     CASE WHEN ka.kk < kb.kk THEN e0.b ELSE e0.a END AS dst,
+                     GREATEST(ka.kk, kb.kk) AS kdst
+              FROM e0 JOIN k ka ON e0.a = ka.node
+                      JOIN k kb ON e0.b = kb.node),
+       w AS (SELECT e1.src AS apex, e1.dst AS v, e2.dst AS w2
+             FROM o2 e1 JOIN o2 e2 ON e1.src = e2.src
+                                  AND e1.kdst < e2.kdst),
+       tri AS (SELECT apex, v, w2 FROM w
+               JOIN o2 ON w.v = o2.src AND w.w2 = o2.dst),
+       cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+               FROM (SELECT apex AS node FROM tri
+                     UNION ALL SELECT v FROM tri
+                     UNION ALL SELECT w2 FROM tri) GROUP BY 1)
+       SELECT node, triangles FROM cnt
+       ORDER BY triangles DESC, node LIMIT 20"""
+
+  /** Community detection on the customer↔supplier trade graph:
+    * 2 synchronous label-propagation rounds
+    * ([[Graph.labelPropagate]] — deterministic smallest-label
+    * tie-break), then community sizes, top-20 by (size desc, label).
+    * The oracle unrolls both rounds with the same windowed pick. */
+  private def grLabelprop(spark: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cust_node"),
+        (col("l_suppkey") * 2 + 1).as("supp_node"))
+    val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
+      .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
+    Graph.labelPropagate(edges, iters = 2)
+      .groupBy("label").agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("label").asc)
+      .limit(20)
+  }
+
+  private val grLabelpropSql = {
+    // one synchronous round: label_{t+1}(v) = arg max over in-neighbor
+    // labels by (count desc, label asc), keep own label if no in-edges
+    def round(prev: String, cur: String) =
+      s"""f$cur AS (SELECT e.dst AS node, $prev.label, COUNT(*) AS c
+              FROM e JOIN $prev ON $prev.node = e.src
+              GROUP BY 1, 2),
+       p$cur AS (SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                         ORDER BY c DESC, label) AS rk FROM f$cur)
+              WHERE rk = 1),
+       $cur AS (SELECT $prev.node,
+                       COALESCE(p$cur.label, $prev.label) AS label
+              FROM $prev LEFT JOIN p$cur ON $prev.node = p$cur.node)"""
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+                              l_suppkey * 2 + 1 AS supp_node
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT cust_node AS src, supp_node AS dst FROM pairs
+             UNION
+             SELECT supp_node, cust_node FROM pairs),
+       nodes AS (SELECT DISTINCT src AS node FROM e
+                 UNION
+                 SELECT DISTINCT dst FROM e),
+       s0 AS (SELECT node, node AS label FROM nodes),
+       ${round("s0", "s1")},
+       ${round("s1", "s2")}
+       SELECT label, CAST(COUNT(*) AS BIGINT) AS size
+       FROM s2 GROUP BY 1
+       ORDER BY size DESC, label LIMIT 20"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("gr_pagerank", grPagerank, Some(grPagerankSql)),
-    Q("gr_pagerank_directed", grPagerankDirected, Some(grPagerankDirectedSql)))
+    Q("gr_pagerank_directed", grPagerankDirected, Some(grPagerankDirectedSql)),
+    Q("gr_triangles", grTriangles, Some(grTrianglesSql)),
+    Q("gr_labelprop", grLabelprop, Some(grLabelpropSql)))
 }

@@ -1,0 +1,115 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency / cardinality sketches, relationally.
+  *
+  * Both sketches here are the fixed-size summaries a 100 TB pipeline
+  * keeps when the exact answer's state would grow with the data: the
+  * Count-Min sketch (Cormode & Muthukrishnan 2005) answers point
+  * frequency queries from d·w counters, and HyperLogLog (Flajolet et
+  * al. 2007) estimates distinct counts from m max-of-leading-zeros
+  * registers. The relational framing makes both MERGEABLE for free —
+  * a sketch is a groupBy over deterministic hash cells, so map-side
+  * partial aggregation IS the sketch merge, shard sketches combine by
+  * the same aggregate (sum for CMS, max for HLL), and a streaming
+  * update-mode aggregation maintains them incrementally.
+  *
+  * Exactness discipline: hashes are md5-derived integers (the house
+  * kernel — `('0x' || substr(md5(k), 1, 8))::BIGINT % w` on the DuckDB
+  * side), widths/registers are pure integer arithmetic, and the one
+  * float op in the HLL estimator is a fixed literal expression tree
+  * both engines evaluate identically. No RNG, no libm.
+  */
+object Sketch {
+
+  /** The house md5 bucket: first 8 md5 hex chars of `key` → [0, w). */
+  private def bucket(key: Column, w: Long): Column =
+    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(w))
+
+  /** Count-Min sketch of `tokCol`: `depth` independent hash rows ×
+    * `width` columns; cell (r, c) counts tokens with h_r(tok) = c,
+    * h_r = md5 of "r|tok". Returns (r, c, cnt) — at most depth·width
+    * rows REGARDLESS of corpus size, the whole point: per-partition
+    * partial aggregation collapses each partition to ≤ d·w cells
+    * before the shuffle, so the shuffle volume is O(partitions·d·w),
+    * not O(tokens), and two shards' sketches merge by summing cells
+    * (spec-verified). */
+  def countMin(toks: DataFrame, tokCol: String,
+      depth: Int, width: Long): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    val cells = (0 until depth).map(r =>
+      struct(lit(r).as("r"),
+        bucket(concat_ws("|", lit(r.toString), col(tokCol)), width).as("c")))
+    toks.select(explode(array(cells: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point frequency estimates for `probes` (a SMALL relation — the
+    * candidate tokens, broadcast against the ≤ d·w-row sketch): the
+    * classic min-over-rows upper bound, never an underestimate
+    * (spec-verified). Probing a token no row ever counted reads 0 via
+    * the left join. Returns (tok, est). */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, tokCol: String,
+      depth: Int, width: Long): DataFrame = {
+    val keyed = probes.select(col(tokCol)).distinct()
+      .select(col(tokCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col(tokCol), col("r"),
+        bucket(concat_ws("|", col("r").cast("string"), col(tokCol)), width)
+          .as("c"))
+    keyed.join(sketch, Seq("r", "c"), "left")
+      .groupBy(tokCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** HyperLogLog registers over `tokCol`, m buckets (m must be a power
+    * of two ≤ 2¹⁶): h = first 15 md5 hex chars (60 bits, always
+    * positive), bucket = h mod m, and the register is the max over the
+    * bucket's values of ρ(w) = leading zeros of w = h div m in its
+    * (60 − log₂m)-bit width, plus one — computed EXACTLY via the
+    * binary-string length (`bin`, identical unpadded semantics in
+    * Spark and DuckDB), no log2 float. Returns ALL m rows (bucket,
+    * register), 0 for never-hit buckets — fixed-size state, max-merge
+    * across shards (spec-verified). */
+  def hllRegisters(toks: DataFrame, tokCol: String, m: Int): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 65536,
+      s"m must be a power of two in [2, 65536], got $m")
+    val wBits = 60 - Integer.numberOfTrailingZeros(m)
+    val h = conv(substring(md5(col(tokCol)), 1, 15), 16, 10).cast("long")
+    val regs = toks
+      .select(pmod(h, lit(m.toLong)).as("bucket"),
+        expr(s"${h.expr.sql} div ${m}L").as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0L, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("register"))
+    toks.sparkSession.range(m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("register"), lit(0)).cast("int").as("register"))
+  }
+
+  /** The raw HLL estimate α_m·m²/Σ 2^(−register) from a register table,
+    * as one fixed expression tree: the harmonic sum is computed as the
+    * INTEGER Σ 2^(wBits+1−register) (≤ m·2^(wBits+1), safely BIGINT),
+    * and the single float step is literal·literal/CAST(sum) — the same
+    * IEEE ops in any engine. α is the standard 0.7213/(1 + 1.079/m)
+    * for m ≥ 128, or the small-m constants (0.673 / 0.697 / 0.709). */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+    val wBits = 60 - Integer.numberOfTrailingZeros(m)
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST(${wBits + 1} - register AS INT))")).as("s"))
+      .select((lit(alpha) * lit(m.toDouble * m.toDouble) *
+        lit(math.pow(2.0, (wBits + 1).toDouble)) / col("s").cast("double"))
+        .as("estimate"))
+  }
+}

@@ -262,6 +262,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "corrected-path convergence must equal its fixed-iters twin")
   }
 
+  test("triangleCounts: exact per-node counts; orientation dedups; pendants drop out") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + pendant 5-1 + disconnected path 10-11-12.
+    // Every K4 node closes C(3,2)=3 triangles; nothing else closes any.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((5L, 1L), (10L, 11L), (11L, 12L)))
+      .toDF("src", "dst")
+    val got = graft.graph.Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 per-node counts drifted: $got")
+    // duplicate + reversed edges must not inflate counts (canonical dedup)
+    val noisy = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val got2 = graft.graph.Graph.triangleCounts(noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got, "orientation must count each triangle exactly once")
+    // loud failure when an id overflows the (deg, id) composite order key
+    val big = Seq((1L << 33, 1L), (1L, 2L), (2L, 1L << 33)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      graft.graph.Graph.triangleCounts(big).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("2^32"),
+      s"expected the order-key overflow guard, got: ${e.getMessage}")
+  }
+
+  test("labelPropagate: clique collapses to one label; sync bipartite oscillation is exact") {
+    import spark.implicits._
+    // triangle {1,2,3} (both directions) + disconnected pair {10,11}
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+    val edges = und.toDF("src", "dst")
+      .union(und.map(_.swap).toDF("src", "dst"))
+    // hand replay of the synchronous (count desc, label asc) rule:
+    // round 1: 1←min(2,3)=2, 2←min(1,3)=1, 3←min(1,2)=1, 10↔11 swap
+    // round 2: 1←mode(1,1)=1, 2←min(2,1)=1, 3←min(2,1)=1, 10↔11 swap back
+    val r1 = graft.graph.Graph.labelPropagate(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 10L -> 11L, 11L -> 10L),
+      s"round-1 sync labels drifted: $r1")
+    val r2 = graft.graph.Graph.labelPropagate(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 11L),
+      s"round-2 sync labels drifted: $r2")
+  }
+
   test("mixSources: copy multiplicity = full copies + deterministic fractional slice") {
     import spark.implicits._
     val docs = (0L until 200L).map(k => (k, if (k < 100) "a" else "b"))
