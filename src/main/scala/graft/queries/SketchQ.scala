@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sketch.Sketch
+
+/** Sketch coverage (engine extension — fixed-size summaries for the
+  * statistics a 100 TB pipeline can't afford to keep exactly): a
+  * Count-Min point-frequency sketch and a HyperLogLog distinct-count
+  * estimate over the documents token stream, both md5-deterministic so
+  * the DuckDB oracle replays every cell/register bit-for-bit — the
+  * estimates are approximate with respect to the TRUTH, but exact with
+  * respect to the ALGORITHM, which is what the gate checks.
+  */
+object SketchQ extends QueryPack {
+
+  private def toks(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** CMS point estimates (d = 4, w = 256) for a fixed probe list —
+    * frequent tokens, mid tokens, and one absent token. Output
+    * (tok, est, exact): est ≥ exact always (min-over-rows upper
+    * bound); the absent token reads collision noise. The sketch is
+    * ≤ 1024 cells at ANY corpus size — partial aggregation collapses
+    * each partition before the shuffle. The exact-count column is the
+    * verification luxury of the small SF, not part of the sketch. */
+  private val cmsProbes =
+    Seq("the", "a", "table", "hash", "merge", "vector", "window", "qzx_absent")
+
+  private def tCmsPoint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val t = toks(spark, d)
+    val sketch = Sketch.countMin(t, "tok", depth = 4, width = 256L)
+    val exact = t.groupBy("tok").agg(count(lit(1)).as("exact"))
+    Sketch.cmsEstimate(sketch, cmsProbes.toDF("tok"), "tok",
+        depth = 4, width = 256L)
+      .join(exact, Seq("tok"), "left")
+      .select(col("tok"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
+      .orderBy("tok")
+  }
+
+  private val tCmsPointSql = {
+    val probeRows = cmsProbes.map(p => s"('$p')").mkString(", ")
+    s"""WITH t2 AS (SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents) WHERE tok <> ''),
+       rs(r) AS (VALUES (0), (1), (2), (3)),
+       cells AS (SELECT r,
+                   ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 8))::BIGINT
+                     % 256 AS c,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM t2 CROSS JOIN rs GROUP BY 1, 2),
+       probes(tok) AS (VALUES $probeRows),
+       pk AS (SELECT p.tok, rs.r,
+                ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || '|' || p.tok), 1, 8))::BIGINT
+                  % 256 AS c
+              FROM probes p CROSS JOIN rs),
+       est AS (SELECT tok, MIN(COALESCE(cnt, 0)) AS est
+               FROM pk LEFT JOIN cells USING (r, c) GROUP BY 1),
+       ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact
+              FROM t2 GROUP BY 1)
+       SELECT tok, est, COALESCE(ex.exact, 0) AS exact
+       FROM est LEFT JOIN ex USING (tok) ORDER BY tok"""
+  }
+
+  /** HLL distinct-part estimate over the lineitem part keys, m = 64
+    * registers: one row (estimate, exact). The part-key cardinality
+    * (2 k at sf0.01, 20 k at sf0.1) sits squarely in the raw
+    * estimator's regime (≥ 2.5·m) — the documents vocab (~31 tokens)
+    * does NOT, and would need the linear-counting small-range
+    * correction, whose ln() violates the no-libm exactness rule. The
+    * registers are 64 BIGINT-exact max-of-leading-zero values (the
+    * `bin`-length trick — no float log2), the harmonic sum is an
+    * integer, and the single float op is a fixed literal expression
+    * tree. The exact countDistinct rides along for scrutiny — at
+    * 100 TB only the 64-register state and the estimate remain. */
+  private def tHllDistinct(spark: SparkSession, d: String): DataFrame = {
+    val keys = Tables.lineitem(spark, d)
+      .select(col("l_partkey").cast("string").as("tok"))
+    Sketch.hllEstimate(Sketch.hllRegisters(keys, "tok", m = 64), m = 64)
+      .crossJoin(keys.agg(count_distinct(col("tok")).as("exact")))
+      .select(col("estimate"), col("exact"))
+  }
+
+  private val tHllDistinctSql =
+    """WITH t2 AS (SELECT CAST(l_partkey AS VARCHAR) AS tok FROM lineitem),
+       h AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t2),
+       r AS (SELECT h % 64 AS bucket, h // 64 AS w FROM h),
+       rho AS (SELECT bucket,
+                 CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+               FROM r),
+       reg AS (SELECT bucket, MAX(rho) AS register FROM rho GROUP BY 1),
+       allb AS (SELECT range AS bucket FROM range(64)),
+       regs AS (SELECT allb.bucket, COALESCE(reg.register, 0) AS register
+                FROM allb LEFT JOIN reg ON allb.bucket = reg.bucket),
+       s AS (SELECT SUM(CAST(1 AS BIGINT) << (55 - register)) AS s FROM regs)
+       SELECT CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                * CAST(36028797018963968 AS DOUBLE) / CAST(s AS DOUBLE)
+                AS estimate,
+              (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM t2) AS exact
+       FROM s"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("t_cms_point", tCmsPoint, Some(tCmsPointSql)),
+    Q("t_hll_distinct", tHllDistinct, Some(tHllDistinctSql)))
+}

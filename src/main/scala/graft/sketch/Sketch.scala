@@ -79,8 +79,9 @@ object Sketch {
     val wBits = 60 - Integer.numberOfTrailingZeros(m)
     val h = conv(substring(md5(col(tokCol)), 1, 15), 16, 10).cast("long")
     val regs = toks
-      .select(pmod(h, lit(m.toLong)).as("bucket"),
-        expr(s"${h.expr.sql} div ${m}L").as("w"))
+      .select(h.as("h"))
+      .select(pmod(col("h"), lit(m.toLong)).as("bucket"),
+        expr(s"h div ${m}L").as("w"))
       .select(col("bucket"),
         when(col("w") === 0L, lit(wBits + 1))
           .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))

@@ -40,7 +40,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the DSIR weight projection cross-joins the ONE-row corpus-total
     // aggregate (nt, nr) into the |vocab| count table — scalar side by
     // construction
-    "c_affinity_select")
+    "c_affinity_select",
+    // the HLL output row cross-joins the ONE-row estimate with the
+    // ONE-row exact countDistinct — both scalar by construction
+    "t_hll_distinct")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

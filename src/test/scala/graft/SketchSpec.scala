@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sketch.Sketch
+
+/** Laws of the mergeable sketches ([[graft.sketch.Sketch]]): CMS never
+  * underestimates and merges by cell-sum; HLL registers merge by max and
+  * the estimate lands within the published error envelope. All fixtures
+  * are deterministic (md5 hashing, no RNG) — once green, always green.
+  */
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = Sessions.local("4", "graft-sketch")
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Deterministic skewed multiset: token t_k appears k times, k = 1..40
+    * (so exact counts are known by construction). */
+  private def skewed = {
+    import spark.implicits._
+    (1 to 40).flatMap(k => Seq.fill(k)(s"t$k")).toDF("tok")
+  }
+
+  test("CMS point estimates never underestimate; exact when no collision") {
+    import spark.implicits._
+    val sketch = Sketch.countMin(skewed, "tok", depth = 4, width = 64L)
+    val probes = ((1 to 40).map(k => s"t$k") :+ "absent").toDF("tok")
+    val est = Sketch.cmsEstimate(sketch, probes, "tok", depth = 4, width = 64L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 40).foreach { k =>
+      assert(est(s"t$k") >= k.toLong,
+        s"CMS must upper-bound: t$k est ${est(s"t$k")} < exact $k")
+    }
+    assert(est("absent") >= 0L)
+    // min-over-rows tightness: with d=4 rows of width 64 on 40 tokens,
+    // at least some probes should read their exact count
+    assert((1 to 40).count(k => est(s"t$k") == k.toLong) > 20,
+      "implausibly loose sketch — hash rows are not independent")
+  }
+
+  test("CMS merges by cell-sum: sketch(A ++ B) == sum-merge of shard sketches") {
+    val a = skewed.filter(md5(col("tok")).substr(1, 1) < "8")
+    val b = skewed.filter(md5(col("tok")).substr(1, 1) >= "8")
+    val whole = Sketch.countMin(skewed, "tok", depth = 4, width = 64L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Sketch.countMin(a, "tok", depth = 4, width = 64L)
+      .union(Sketch.countMin(b, "tok", depth = 4, width = 64L))
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "cell-sum merge must equal the whole-corpus sketch")
+  }
+
+  test("HLL registers merge by max; estimate within the m=64 error envelope") {
+    import spark.implicits._
+    val keys = (1L to 5000L).map(k => s"k$k").toDF("tok")
+    val regs = Sketch.hllRegisters(keys, "tok", m = 64)
+    val regMap = regs.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(regMap.size == 64, "every bucket must be present, zero-filled")
+    // max-merge across disjoint shards reproduces the whole-set registers
+    val a = keys.filter(md5(col("tok")).substr(1, 1) < "8")
+    val b = keys.filter(md5(col("tok")).substr(1, 1) >= "8")
+    val ra = Sketch.hllRegisters(a, "tok", m = 64)
+    val rb = Sketch.hllRegisters(b, "tok", m = 64)
+    val merged = ra.union(rb).groupBy("bucket")
+      .agg(max("register").as("register"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == regMap, "max-merge must equal the whole-set registers")
+    // 1.04/sqrt(64) = 13% standard error; 3 sigma ~ 39%. Deterministic
+    // fixture — this is a fixed value, the bound just documents the regime.
+    val est = Sketch.hllEstimate(regs, m = 64).head().getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.39,
+      s"estimate $est outside the m=64 error envelope for n=5000")
+    // duplicates must not move a cardinality sketch
+    val dup = Sketch.hllRegisters(keys.union(keys).union(keys), "tok", m = 64)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dup == regMap, "HLL must be insensitive to multiplicity")
+  }
+
+  test("hllRegisters rejects a non-power-of-two m loudly") {
+    intercept[IllegalArgumentException] {
+      Sketch.hllRegisters(skewed, "tok", m = 48)
+    }
+  }
+
+  test("streaming CMS: the sketch is a plain update-mode aggregation, ≡ batch") {
+    import spark.implicits._
+    // the sketch pipeline (explode → groupBy cell → count) runs UNCHANGED
+    // on a stream — incremental maintenance is the engine's agg state,
+    // zero custom operator code. Two files → two micro-batches.
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream").toString
+    val toks = skewed
+    toks.filter(md5(col("tok")).substr(1, 1) < "8")
+      .coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    toks.filter(md5(col("tok")).substr(1, 1) >= "8")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = Sketch.countMin(
+      spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir),
+      "tok", depth = 4, width = 64L)
+    val q = stream.writeStream.format("memory").queryName("cms_mem")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_mem")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketch.countMin(toks, "tok", depth = 4, width = 64L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "streaming sketch must equal the batch sketch")
+  }
+}
