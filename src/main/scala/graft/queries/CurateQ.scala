@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.link.Link
 import graft.text.{Importance, Privacy}
 
 /** Round-8 curation extensions (own trailing bench group — established
@@ -95,8 +96,40 @@ object CurateQ extends QueryPack {
        ORDER BY doc_id"""
   }
 
+  /** Entity-resolution fuzzy match over customer names: all pairs
+    * within Levenshtein distance 1, found by deletion-neighborhood
+    * blocking + exact verify ([[graft.link.Link.fuzzyPairs]] — never
+    * an all-pairs join), first 5000 pairs by (custkey_a, custkey_b)
+    * via TakeOrderedAndProject. The oracle replays the same variant
+    * generation, block join, and levenshtein verify. */
+  private def erFuzzyPairs(spark: SparkSession, d: String): DataFrame =
+    Link.fuzzyPairs(Tables.customer(spark, d), "c_custkey", "c_name")
+      .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+        col("key_a").as("name_a"), col("key_b").as("name_b"), col("dist"))
+      .orderBy("custkey_a", "custkey_b")
+      .limit(5000)
+
+  private val erFuzzyPairsSql =
+    """WITH v AS (SELECT c_custkey, c_name,
+              CASE WHEN i = 0 THEN c_name
+                   ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+              END AS variant
+            FROM customer CROSS JOIN range(0, 64) t(i)
+            WHERE i <= length(c_name)),
+       cand AS (SELECT DISTINCT a.c_custkey AS custkey_a,
+                       b.c_custkey AS custkey_b,
+                       a.c_name AS name_a, b.c_name AS name_b
+                FROM v a JOIN v b ON a.variant = b.variant
+                                 AND a.c_custkey < b.c_custkey)
+       SELECT custkey_a, custkey_b, name_a, name_b,
+              CAST(levenshtein(name_a, name_b) AS INT) AS dist
+       FROM cand
+       WHERE levenshtein(name_a, name_b) <= 1
+       ORDER BY custkey_a, custkey_b LIMIT 5000"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_pii_mask", tPiiMask, Some(tPiiMaskSql)),
     Q("t_kanon_audit", tKanonAudit, Some(tKanonAuditSql)),
-    Q("c_affinity_select", cAffinitySelect, Some(cAffinitySelectSql)))
+    Q("c_affinity_select", cAffinitySelect, Some(cAffinitySelectSql)),
+    Q("er_fuzzy_pairs", erFuzzyPairs, Some(erFuzzyPairsSql)))
 }

@@ -306,6 +306,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"round-2 sync labels drifted: $r2")
   }
 
+  test("fuzzyPairs: deletion-neighborhood blocking finds exactly the lev<=1 pairs") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha"), (2L, "alpha"),   // equality (dist 0)
+      (3L, "alphb"),                  // substitution vs alpha
+      (4L, "alpha1"),                 // insertion vs alpha
+      (5L, "alph"),                   // deletion vs alpha
+      (6L, "beta"), (7L, "betarax"),  // dist 3 — must NOT match
+      (8L, "gamma")                   // isolated
+    ).toDF("id", "key")
+    val got = graft.link.Link.fuzzyPairs(rows, "id", "key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    // brute-force ground truth over all pairs
+    val data = Seq(1L -> "alpha", 2L -> "alpha", 3L -> "alphb",
+      4L -> "alpha1", 5L -> "alph", 6L -> "beta", 7L -> "betarax", 8L -> "gamma")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ka) <- data; (ib, kb) <- data if ia < ib
+      dd = lev(ka, kb) if dd <= 1
+    } yield (ia, ib, dd)).toSet
+    assert(want.nonEmpty && got == want,
+      s"blocking must be lossless for lev<=1: extra=${got -- want} missing=${want -- got}")
+  }
+
   test("mixSources: copy multiplicity = full copies + deterministic fractional slice") {
     import spark.implicits._
     val docs = (0L until 200L).map(k => (k, if (k < 100) "a" else "b"))
