@@ -127,9 +127,74 @@ object CurateQ extends QueryPack {
        WHERE levenshtein(name_a, name_b) <= 1
        ORDER BY custkey_a, custkey_b LIMIT 5000"""
 
+  /** Trained quality classifier: 3 batch-perceptron rounds
+    * ([[graft.ml.Perceptron]] — all-BIGINT training, one scan + one
+    * partial-agg aggregate per round, driver holds only the 5 weights)
+    * separating the DSIR target sources from the raw pool on 5 integer
+    * document features (bias, token count, chars, 'the' occurrences,
+    * distinct tokens). Output = the training log (round, errors,
+    * weights after update); the oracle unrolls all 3 rounds. */
+  private def tPercepTrain(spark: SparkSession, d: String): DataFrame = {
+    val features = Tables.documents(spark, d).select(
+      when(col("source").isin(targetSources: _*), 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      size(split(col("text"), " ")).cast("long").as("x1"),
+      col("n_chars").as("x2"),
+      expr("CAST((length(text) - length(replace(text, 'the', ''))) div 3" +
+        " AS BIGINT)").as("x3"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("x4"))
+    graft.ml.Perceptron.trainBatch(
+      features, Seq("x0", "x1", "x2", "x3", "x4"), "y", rounds = 3)
+      .orderBy("round")
+  }
+
+  private val tPercepTrainSql = {
+    val tgt = targetSources.map(s => s"'$s'").mkString(", ")
+    // one unrolled round: gradient sums over the rows the incoming
+    // weights misclassify, then weights += gradient
+    def grad(cur: String, from: String, margin: String) =
+      s"""g$cur AS (SELECT CAST(COUNT(*) AS BIGINT) AS errors,
+             CAST(COALESCE(SUM(f.y * f.x0), 0) AS BIGINT) AS s0,
+             CAST(COALESCE(SUM(f.y * f.x1), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(f.y * f.x2), 0) AS BIGINT) AS s2,
+             CAST(COALESCE(SUM(f.y * f.x3), 0) AS BIGINT) AS s3,
+             CAST(COALESCE(SUM(f.y * f.x4), 0) AS BIGINT) AS s4
+           FROM $from WHERE f.y * ($margin) <= 0)"""
+    val m = (p: String) => s"$p.w0*f.x0 + $p.w1*f.x1 + $p.w2*f.x2" +
+      s" + $p.w3*f.x3 + $p.w4*f.x4"
+    s"""WITH f AS (SELECT CASE WHEN source IN ($tgt) THEN CAST(1 AS BIGINT)
+                        ELSE CAST(-1 AS BIGINT) END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+             n_chars AS x2,
+             CAST((length(text) - length(replace(text, 'the', ''))) // 3
+                  AS BIGINT) AS x3,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x4
+           FROM documents),
+       ${grad("1", "f f", "0")},
+       r1 AS (SELECT errors, s0 AS w0, s1 AS w1, s2 AS w2, s3 AS w3,
+                     s4 AS w4 FROM g1),
+       ${grad("2", "f f, r1", m("r1"))},
+       r2 AS (SELECT g2.errors, r1.w0 + g2.s0 AS w0, r1.w1 + g2.s1 AS w1,
+                     r1.w2 + g2.s2 AS w2, r1.w3 + g2.s3 AS w3,
+                     r1.w4 + g2.s4 AS w4 FROM g2, r1),
+       ${grad("3", "f f, r2", m("r2"))},
+       r3 AS (SELECT g3.errors, r2.w0 + g3.s0 AS w0, r2.w1 + g3.s1 AS w1,
+                     r2.w2 + g3.s2 AS w2, r2.w3 + g3.s3 AS w3,
+                     r2.w4 + g3.s4 AS w4 FROM g3, r2)
+       SELECT CAST(1 AS BIGINT) AS round, errors, w0 AS w_x0, w1 AS w_x1,
+              w2 AS w_x2, w3 AS w_x3, w4 AS w_x4 FROM r1
+       UNION ALL
+       SELECT 2, errors, w0, w1, w2, w3, w4 FROM r2
+       UNION ALL
+       SELECT 3, errors, w0, w1, w2, w3, w4 FROM r3
+       ORDER BY round"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("t_pii_mask", tPiiMask, Some(tPiiMaskSql)),
     Q("t_kanon_audit", tKanonAudit, Some(tKanonAuditSql)),
     Q("c_affinity_select", cAffinitySelect, Some(cAffinitySelectSql)),
-    Q("er_fuzzy_pairs", erFuzzyPairs, Some(erFuzzyPairsSql)))
+    Q("er_fuzzy_pairs", erFuzzyPairs, Some(erFuzzyPairsSql)),
+    Q("t_percep_train", tPercepTrain, Some(tPercepTrainSql)))
 }

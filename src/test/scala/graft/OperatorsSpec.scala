@@ -306,6 +306,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"round-2 sync labels drifted: $r2")
   }
 
+  test("perceptron: separable fixture converges to 0 errors; classify agrees; log replays") {
+    import spark.implicits._
+    // y = +1 iff x1 > x2 — linearly separable by w = (0, 1, -1) scaled
+    val f = (for (a <- 1L to 10L; b <- 1L to 10L if a != b)
+      yield (if (a > b) 1L else -1L, 1L, a, b))
+      .toDF("y", "x0", "x1", "x2")
+    val log = graft.ml.Perceptron
+      .trainBatch(f, Seq("x0", "x1", "x2"), "y", rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(log.last._2 == 0L,
+      s"separable data must converge, final errors ${log.last._2}")
+    // round 1 starts from w=0: every row misclassified, first update is
+    // the class-difference vector (hand-replayed)
+    assert(log.head._2 == f.count())
+    val s = f.select(sum(col("y") * col("x0")), sum(col("y") * col("x1")),
+      sum(col("y") * col("x2"))).head()
+    assert(log.head._3 == Seq(s.getLong(0), s.getLong(1), s.getLong(2)),
+      "round-1 update must be the class-difference vector")
+    // the converged weights classify every training row correctly
+    val wFinal = log.last._3
+    val miss = graft.ml.Perceptron
+      .classify(f, Seq("x0", "x1", "x2"), wFinal)
+      .filter(col("pred") =!= col("y")).count()
+    assert(miss == 0L, s"converged weights must fit the training set, $miss missed")
+  }
+
   test("fuzzyPairs: deletion-neighborhood blocking finds exactly the lev<=1 pairs") {
     import spark.implicits._
     val rows = Seq(
