@@ -219,6 +219,98 @@ object Graph {
     lab
   }
 
+  /** Multi-source BFS hop distances: dist = 0 on the source set, and
+    * each round relaxes dist(v) = min(dist(v), min_{u→v} dist(u) + 1)
+    * — after `rounds` rounds every node within `rounds` hops of a
+    * source carries its EXACT hop distance (unreached nodes are
+    * absent). The frontier-free formulation (relax ALL reached nodes
+    * each round, not just the frontier) costs one extra join of
+    * already-settled nodes but keeps every round the identical
+    * one-join + min-aggregate shape — the same per-round layout as
+    * [[pageRank]], bit-replayable by unrolling. Integer distances;
+    * no floats anywhere.
+    *
+    * Scale: each round shuffles at most |edges| rows into a map-side
+    * partial MIN — the textbook Pregel BFS without the vertex-program
+    * machinery. `localCheckpoint` truncates lineage per round. */
+  def bfsHops(edges: DataFrame, sources: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      sourceCol: String = "node"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var dist = sources.select(col(sourceCol).cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k,
+    * computed by iterative peeling — drop the nodes whose CURRENT
+    * degree is < k, recompute degrees, repeat. [[kCoreRounds]] runs a
+    * FIXED number of peels (the oracle-replayable form, the
+    * [[pageRank]] analogue); this convergence form peels until a round
+    * removes nothing (detected by a ONE-row count aggregate, the
+    * [[pageRankUntil]] discipline) and returns the surviving canonical
+    * (a < b) edges plus the rounds run. Each peel is one degree
+    * aggregate + one semi-join on each endpoint — |edges|-bounded
+    * shuffles, no driver data. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): (DataFrame, Int) = {
+    require(k >= 1 && maxRounds >= 0, "need k >= 1 and maxRounds >= 0")
+    var e = canonEdges(edges).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // the stopping signal is a ONE-row count of under-degree nodes
+      val dropped = degrees(e).filter(col("dg") < k).count()
+      if (dropped == 0L) converged = true
+      else { e = peel(e, k).localCheckpoint(); rounds += 1 }
+    }
+    (e, rounds)
+  }
+
+  /** Exactly `rounds` peels of the k-core iteration over canonical
+    * (a < b) undirected edges — replayable in SQL by unrolling. */
+  def kCoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0, "need k >= 1 and rounds >= 0")
+    var e = canonEdges(edges).localCheckpoint()
+    for (_ <- 1 to rounds) e = peel(e, k).localCheckpoint()
+    e
+  }
+
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+
+  /** One peel: keep = deg ≥ k, edges survive iff BOTH endpoints do. */
+  private def peel(e: DataFrame, k: Int): DataFrame = {
+    val keep = degrees(e).filter(col("dg") >= k).select(col("node"))
+    e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
+  }
+
   /** Convergence-terminated PageRank — the production stopping rule:
     * iterate until the L1 score delta Σ|score_t − score_{t−1}| drops
     * below `eps` (fixed-point units, i.e. eps = 10⁶ ≈ one full unit of

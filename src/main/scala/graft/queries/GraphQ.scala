@@ -18,19 +18,10 @@ object GraphQ extends QueryPack {
     * parity namespace keeps the bipartite id spaces disjoint), edges are
     * both directions of every distinct (customer, supplier) trade pair,
     * 3 damped rounds, top-20 nodes by (score desc, node). */
-  private def grPagerank(spark: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(spark, d)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("cust_node"),
-        (col("l_suppkey") * 2 + 1).as("supp_node"))
-    val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
-      .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
-    Graph.pageRank(edges, iters = 3)
+  private def grPagerank(spark: SparkSession, d: String): DataFrame =
+    Graph.pageRank(tradeEdges(spark, d), iters = 3)
       .orderBy(col("score").desc, col("node").asc)
       .limit(20)
-  }
 
   private val grPagerankSql = {
     // one damped integer round: score_{t+1}(v) = 150000 + (85·Σ_{u→v} score_t(u) div outdeg(u)) div 100
@@ -175,20 +166,11 @@ object GraphQ extends QueryPack {
     * ([[Graph.labelPropagate]] — deterministic smallest-label
     * tie-break), then community sizes, top-20 by (size desc, label).
     * The oracle unrolls both rounds with the same windowed pick. */
-  private def grLabelprop(spark: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(spark, d)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("cust_node"),
-        (col("l_suppkey") * 2 + 1).as("supp_node"))
-    val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
-      .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
-    Graph.labelPropagate(edges, iters = 2)
+  private def grLabelprop(spark: SparkSession, d: String): DataFrame =
+    Graph.labelPropagate(tradeEdges(spark, d), iters = 2)
       .groupBy("label").agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("label").asc)
       .limit(20)
-  }
 
   private val grLabelpropSql = {
     // one synchronous round: label_{t+1}(v) = arg max over in-neighbor
@@ -222,9 +204,112 @@ object GraphQ extends QueryPack {
        ORDER BY size DESC, label LIMIT 20"""
   }
 
+  /** The customer↔supplier trade edge list (both directions; parity
+    * namespace keeps the bipartite id spaces disjoint) — shared by the
+    * PageRank / label-propagation / BFS queries. */
+  private def tradeEdges(spark: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cust_node"),
+        (col("l_suppkey") * 2 + 1).as("supp_node"))
+    pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
+      .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
+  }
+
+  /** Multi-source BFS over the trade graph: sources are the nation-0
+    * customers, 3 relax rounds ([[Graph.bfsHops]]), output the hop
+    * histogram (dist, n_nodes). On the bipartite graph dist alternates
+    * customer/supplier layers — dist 2 is "customers sharing a supplier
+    * with nation 0", the collaborative-filtering neighborhood. Oracle
+    * unrolls the 3 min-relaxations. */
+  private def grBfsHops(spark: SparkSession, d: String): DataFrame = {
+    val sources = Tables.customer(spark, d)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    Graph.bfsHops(tradeEdges(spark, d), sources, rounds = 3)
+      .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dist")
+  }
+
+  private val grBfsHopsSql = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM $prev
+                UNION ALL
+                SELECT e.dst, $prev.dist + 1 FROM e
+                JOIN $prev ON $prev.node = e.src) GROUP BY 1)"""
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+                              l_suppkey * 2 + 1 AS supp_node
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT cust_node AS src, supp_node AS dst FROM pairs
+             UNION
+             SELECT supp_node, cust_node FROM pairs),
+       d0 AS (SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+              FROM customer WHERE c_nationkey = 0),
+       ${round("d0", "d1")},
+       ${round("d1", "d2")},
+       ${round("d2", "d3")}
+       SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       FROM d3 GROUP BY 1 ORDER BY dist"""
+  }
+
+  /** 10-core of the Q1-1995 part co-purchase graph: 3 fixed peels
+    * ([[Graph.kCoreRounds]] — each peel one degree aggregate + two
+    * semi-joins, |edges|-bounded), which reaches the true 10-core at
+    * both verify scales (spec asserts convergence via [[Graph.kCore]]);
+    * output the surviving nodes with their core degrees. Oracle unrolls
+    * the 3 peels. */
+  private def grKcore(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+    val edges = li.alias("x")
+      .join(li.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val core = Graph.kCoreRounds(edges, k = 10, rounds = 3)
+    core.select(col("a").as("node"))
+      .union(core.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("node").asc)
+  }
+
+  private val grKcoreSql = {
+    def peelRound(prev: String, cur: String) =
+      s"""d$cur AS (SELECT node, COUNT(*) AS dg FROM (
+                SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+              GROUP BY 1),
+       $cur AS (SELECT a, b FROM $prev
+              WHERE a IN (SELECT node FROM d$cur WHERE dg >= 10)
+                AND b IN (SELECT node FROM d$cur WHERE dg >= 10))"""
+    s"""WITH o AS (SELECT o_orderkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+       li AS (SELECT l_orderkey, l_partkey FROM lineitem
+              JOIN o ON l_orderkey = o_orderkey),
+       e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                                 AND x.l_partkey < y.l_partkey),
+       ${peelRound("e0", "e1")},
+       ${peelRound("e1", "e2")},
+       ${peelRound("e2", "e3")}
+       SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+         SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+       GROUP BY 1 ORDER BY dg DESC, node"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("gr_pagerank", grPagerank, Some(grPagerankSql)),
     Q("gr_pagerank_directed", grPagerankDirected, Some(grPagerankDirectedSql)),
     Q("gr_triangles", grTriangles, Some(grTrianglesSql)),
-    Q("gr_labelprop", grLabelprop, Some(grLabelpropSql)))
+    Q("gr_labelprop", grLabelprop, Some(grLabelpropSql)),
+    Q("gr_bfs_hops", grBfsHops, Some(grBfsHopsSql)),
+    Q("gr_kcore", grKcore, Some(grKcoreSql)))
 }

@@ -306,6 +306,43 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"round-2 sync labels drifted: $r2")
   }
 
+  test("bfsHops: exact hop distances on a path + branch; unreached absent; min wins") {
+    import spark.implicits._
+    // path 1→2→3→4 with shortcut 1→3, plus island 9→10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
+      .toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val got = graft.graph.Graph.bfsHops(edges, src, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shortcut must win: dist(3) = 1 (not 2); dist(4) = 2 via the shortcut
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      s"hop distances drifted: $got")
+    // fewer rounds truncate the frontier, never mis-label reached nodes
+    val r1 = graft.graph.Graph.bfsHops(edges, src, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("kCore: fixed peels match the converged core; tail peels away, clique survives") {
+    import spark.implicits._
+    // K5 clique {1..5} + a tail 5-6-7 hanging off it
+    val k5 = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val edges = (k5 ++ Seq((5L, 6L), (6L, 7L))).toDF("src", "dst")
+    val (core, rounds) = graft.graph.Graph.kCore(edges, k = 3, maxRounds = 10)
+    val nodes = core.select(col("a")).union(core.select(col("b")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(nodes == Set(1L, 2L, 3L, 4L, 5L),
+      s"the 3-core of K5+tail is K5, got $nodes")
+    assert(rounds >= 1 && rounds < 10, s"peeling must converge, ran $rounds")
+    // the fixed-rounds (oracle) form at the convergence round is identical
+    val fixedE = graft.graph.Graph.kCoreRounds(edges, k = 3, rounds = rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val convE = core.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixedE == convE, "kCoreRounds at the stopping round must equal kCore")
+    // a k above the max clique degree empties the graph
+    assert(graft.graph.Graph.kCore(edges, k = 5, maxRounds = 10)._1.count() == 0L)
+  }
+
   test("perceptron: separable fixture converges to 0 errors; classify agrees; log replays") {
     import spark.implicits._
     // y = +1 iff x1 > x2 — linearly separable by w = (0, 1, -1) scaled
