@@ -1,0 +1,72 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pipeline-health drift monitors — the checks a production ingest runs
+  * over its own daily metrics before letting a batch promote. Both are
+  * pure integer arithmetic end-to-end, so the DuckDB oracle replays
+  * them exactly (the house rule: monitoring that flakes across engines
+  * is worse than no monitoring).
+  */
+object Drift {
+
+  /** One-sided upper CUSUM (Page 1954) over an ordered integer series —
+    * the sequential change-point detector: S_t = max(0, S_{t−1} + x_t −
+    * ref − slack), alarm when S_t > h. The recurrence looks inherently
+    * sequential, but has the prefix closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P_t the running sum of the
+    * drifts — two cumulative window aggregates, no loop (the same
+    * window-algebra trade as the w8 forward-fill).
+    *
+    * Scale note: the window is GLOBAL over the series — correct here
+    * because the input is the already-aggregated per-period metric
+    * (|days| rows, dim-sized), never the raw events. The caller
+    * aggregates first; this is the w1_surrogate_key scale boundary,
+    * documented rather than hidden.
+    *
+    * Returns (orderCol, xCol, s, alarm). */
+  def cusumUpper(series: DataFrame, orderCol: String, xCol: String,
+      ref: Long, slack: Long, h: Long): DataFrame = {
+    val w = Window.orderBy(orderCol)
+    series
+      .withColumn("d", col(xCol).cast("long") - lit(ref) - lit(slack))
+      .withColumn("pt", sum(col("d")).over(w))
+      .select(col(orderCol), col(xCol),
+        (col("pt") - least(lit(0L), min(col("pt")).over(w))).as("s"))
+      .withColumn("alarm", (col("s") > lit(h)).cast("int"))
+  }
+
+  /** Per-period categorical-distribution drift: the L1 distance (in
+    * integer basis points) between each period's category shares and
+    * the whole-series shares — Σ_cat |share_period − share_global|,
+    * shares as floor(n·10⁴ / total). The integer-bp L1 is the
+    * engine-exact stand-in for PSI/KL (whose ln() the exactness rules
+    * ban); alarm when the distance exceeds `thresholdBp`.
+    *
+    * Scale shape: two partial-agg count aggregations ((period, cat) and
+    * cat), the category join is broadcast-sized (|categories|), and the
+    * per-period reduce is one more partial agg — no windows over data,
+    * no driver loops. Returns (periodCol, l1_bp, alarm). */
+  def categoryDrift(df: DataFrame, periodCol: String, catCol: String,
+      thresholdBp: Long): DataFrame = {
+    val perCat = df.groupBy(col(periodCol), col(catCol))
+      .agg(count(lit(1)).as("n"))
+    val perPeriod = perCat.groupBy(col(periodCol))
+      .agg(sum(col("n")).as("tot"))
+    val globalCat = perCat.groupBy(col(catCol)).agg(sum(col("n")).as("gn"))
+    val globalTot = globalCat.agg(sum(col("gn")).as("gtot"))
+    // the |periods|·|categories| grid (dim-sized broadcast cross) keeps
+    // the L1 term for categories a period never saw — share 0 vs global
+    perPeriod.crossJoin(broadcast(globalCat))
+      .join(perCat, Seq(periodCol, catCol), "left")
+      .crossJoin(broadcast(globalTot))
+      .select(col(periodCol),
+        abs(expr("coalesce(n, CAST(0 AS BIGINT)) * 10000 div tot") -
+          expr("gn * 10000 div gtot")).as("dv"))
+      .groupBy(col(periodCol))
+      .agg(sum(col("dv")).as("l1_bp"))
+      .withColumn("alarm", (col("l1_bp") > lit(thresholdBp)).cast("int"))
+  }
+}

@@ -306,6 +306,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"round-2 sync labels drifted: $r2")
   }
 
+  test("cusumUpper: closed form equals the max(0, ...) recurrence; level shift alarms") {
+    import spark.implicits._
+    // flat at 100 for 10 periods, then a +30 level shift
+    val xs = (Seq.fill(10)(100L) ++ Seq.fill(5)(130L)).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }
+    val out = graft.etl.Drift.cusumUpper(xs.toDF("t", "x"), "t", "x",
+        ref = 100L, slack = 5L, h = 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    // direct replay of S_t = max(0, S_{t-1} + x - ref - slack)
+    var s = 0L
+    val want = xs.map { case (t, x) =>
+      s = math.max(0L, s + x - 100L - 5L); (t, s, if (s > 40L) 1 else 0)
+    }
+    assert(out.toSeq == want,
+      s"closed form diverged from the recurrence: $out vs $want")
+    assert(out.take(10).forall(_._3 == 0) && out.last._3 == 1,
+      "alarm must stay quiet pre-shift and fire after the level shift")
+  }
+
+  test("categoryDrift: shifted-mix period alarms; absent category still contributes") {
+    import spark.implicits._
+    // p1/p2: 50/50 a-b mix; p3: all-a (and never sees b)
+    val rows = Seq.fill(50)(("p1", "a")) ++ Seq.fill(50)(("p1", "b")) ++
+      Seq.fill(50)(("p2", "a")) ++ Seq.fill(50)(("p2", "b")) ++
+      Seq.fill(100)(("p3", "a"))
+    val got = graft.etl.Drift.categoryDrift(rows.toDF("p", "cat"), "p", "cat",
+        thresholdBp = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // global: a = 200/300 = 6666bp, b = 3333bp
+    // p1/p2: |5000-6666| + |5000-3333| = 3333bp; p3: |10000-6666| + |0-3333| = 6667bp
+    assert(got("p1") == ((3333L, 1)) && got("p2") == ((3333L, 1)),
+      s"balanced periods drifted wrong: $got")
+    assert(got("p3") == ((6667L, 1)),
+      "the all-a period must count the ABSENT b's global share in its L1")
+  }
+
   test("bfsHops: exact hop distances on a path + branch; unreached absent; min wins") {
     import spark.implicits._
     // path 1→2→3→4 with shortcut 1→3, plus island 9→10

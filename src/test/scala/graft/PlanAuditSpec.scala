@@ -43,7 +43,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "c_affinity_select",
     // the HLL output row cross-joins the ONE-row estimate with the
     // ONE-row exact countDistinct — both scalar by construction
-    "t_hll_distinct")
+    "t_hll_distinct",
+    // the mix-drift grid crosses the |periods| dim with the broadcast
+    // |categories| dim and the ONE-row global total — dim/scalar sides
+    // by construction
+    "e_cat_drift")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
