@@ -26,7 +26,8 @@ object SparkEntry {
     Seq(OlapQ), Seq(FlightsQ),
     // r7+ additions go in NEW trailing groups: round-over-round bench
     // rows for the established groups stay apples-to-apples.
-    Seq(GraphQ), Seq(PrepQ), Seq(CurateQ), Seq(SketchQ), Seq(MonitorQ))
+    Seq(GraphQ), Seq(PrepQ), Seq(CurateQ), Seq(SketchQ), Seq(MonitorQ),
+    Seq(SeqQ))
 
   /** Bench iteration order: group by group, queries name-sorted within
     * their group — fixed across rounds so per-query deltas are meaningful.

@@ -1,0 +1,72 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence / interval analytics over event-shaped data — the two
+  * session-flow primitives the funnel/cohort/retention family
+  * (EventsQ) doesn't cover: the empirical Markov transition matrix of
+  * an event stream, and sweep-line interval concurrency. Integer
+  * arithmetic end-to-end (basis-point probabilities, not float
+  * divides), so the DuckDB oracle replays both exactly.
+  */
+object Sequences {
+
+  /** Empirical Markov transition matrix: for each entity's event
+    * sequence (partitioned by `partCol`, ordered by `orderCols` — pass
+    * a tie-breaking id as the trailing order column so the sequence is
+    * total and engine-independent), count adjacent (from, to) state
+    * pairs and report the transition probability in integer BASIS
+    * POINTS: p_bp = n·10000 div Σ n over the from-state (floor — the
+    * house integer-divide discipline; rows sum to ≤ 10000 per from).
+    *
+    * Scale shape: one shuffle on `partCol` for the lead() window
+    * (per-entity partitions, never global), then a (from, to)
+    * partial-agg count — the transition table is |states|² rows, a
+    * dim-sized result at any corpus size. Returns (from_state,
+    * to_state, n, p_bp). */
+  def transitionMatrix(events: DataFrame, partCol: String,
+      orderCols: Seq[String], stateCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
+    val pairs = events
+      .select(col(partCol), col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+    val counts = pairs.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .join(counts.groupBy("from_state").agg(sum(col("n")).as("tot")),
+        "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("n * 10000 div tot").as("p_bp"))
+  }
+
+  /** Sweep-line interval concurrency: how many [start, end) intervals
+    * are active at each boundary day — +1 at each start, −1 at each
+    * end, then a cumulative sum over the per-day deltas. An interval
+    * counts as active from its start day up to but EXCLUDING its end
+    * day (the half-open convention; end-day deltas land before the
+    * day's reading).
+    *
+    * Scale shape: the ±1 deltas collapse to ONE partial-agg groupBy on
+    * the day — the raw intervals are never sorted or windowed. The
+    * cumulative sum runs over the aggregated per-day series only
+    * (|distinct days| rows, calendar-bounded — ~2.5 k for seven years
+    * at ANY scale factor), the same dim-sized-series boundary
+    * [[Drift.cusumUpper]] documents. Returns (day, delta, active)
+    * ordered by day. */
+  def sweepConcurrency(intervals: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(to_date(col(startCol)).as("day"), lit(1L).as("d"))
+      .union(intervals.select(to_date(col(endCol)).as("day"),
+        lit(-1L).as("d")))
+      .filter(col("day").isNotNull)
+      .groupBy("day").agg(sum(col("d")).as("delta"))
+    deltas.withColumn("active",
+      sum(col("delta")).over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

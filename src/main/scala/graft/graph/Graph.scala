@@ -311,6 +311,48 @@ object Graph {
       .select(col("a"), col("b"))
   }
 
+  /** Weighted single-source (multi-source) shortest paths: Bellman–Ford
+    * min-plus relaxation — dist(v) = min(dist(v), min_{u→v} dist(u) +
+    * w(u,v)) — for `rounds` rounds, so every node reachable within
+    * `rounds` hops carries the exact minimum path weight over paths of
+    * ≤ `rounds` edges (unreached nodes absent). The weighted
+    * generalization of [[bfsHops]]: identical per-round shape (one
+    * |edges| equi-join + one map-side partial MIN), integer weights so
+    * min-plus is engine-exact and the oracle unrolls rounds
+    * bit-for-bit. Parallel edges collapse to their MIN weight up front
+    * — the only weight that can ever win a relaxation.
+    *
+    * Scale: weights ride the same |edges|-bounded shuffle as BFS; no
+    * priority queue to distribute (Dijkstra's frontier ordering doesn't
+    * shard — round-synchronous relaxation is the standard Pregel
+    * trade). `localCheckpoint` truncates lineage per round. */
+  def sssp(edges: DataFrame, sources: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w",
+      sourceCol: String = "node"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var dist = sources.select(col(sourceCol).cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Convergence-terminated PageRank — the production stopping rule:
     * iterate until the L1 score delta Σ|score_t − score_{t−1}| drops
     * below `eps` (fixed-point units, i.e. eps = 10⁶ ≈ one full unit of

@@ -191,10 +191,30 @@ object CurateQ extends QueryPack {
        ORDER BY round"""
   }
 
+  /** Deterministic uniform 100-doc sample of the corpus
+    * ([[graft.text.Corpus.sampleUniform]] — the no-RNG reservoir
+    * equivalent: smallest (md5(doc_id), doc_id) wins, executed as
+    * TakeOrderedAndProject with per-partition partial top-k, no global
+    * sort). Re-ordered by doc_id for output; the oracle replays the
+    * same md5 order. */
+  private def cSampleUniform(spark: SparkSession, d: String): DataFrame =
+    graft.text.Corpus.sampleUniform(
+        Tables.documents(spark, d).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", k = 100)
+      .orderBy("doc_id")
+
+  private val cSampleUniformSql =
+    """SELECT doc_id, source, n_chars FROM (
+         SELECT doc_id, source, n_chars FROM documents
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+       ORDER BY doc_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_pii_mask", tPiiMask, Some(tPiiMaskSql)),
     Q("t_kanon_audit", tKanonAudit, Some(tKanonAuditSql)),
     Q("c_affinity_select", cAffinitySelect, Some(cAffinitySelectSql)),
     Q("er_fuzzy_pairs", erFuzzyPairs, Some(erFuzzyPairsSql)),
-    Q("t_percep_train", tPercepTrain, Some(tPercepTrainSql)))
+    Q("t_percep_train", tPercepTrain, Some(tPercepTrainSql)),
+    Q("c_sample_uniform", cSampleUniform, Some(cSampleUniformSql)))
 }

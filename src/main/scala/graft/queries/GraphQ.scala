@@ -305,11 +305,62 @@ object GraphQ extends QueryPack {
        GROUP BY 1 ORDER BY dg DESC, node"""
   }
 
+  /** Weighted shortest paths over the trade graph: edge weight =
+    * smallest l_quantity ever traded between the pair (an integer
+    * "distance"), sources = nation-0 customers, 3 Bellman–Ford rounds
+    * ([[Graph.sssp]] — the weighted [[Graph.bfsHops]]; same per-round
+    * join+MIN shape, weights ride the shuffle). Top-20 closest nodes by
+    * (dist, node); the oracle unrolls the 3 min-plus relaxations. */
+  private def grSssp(spark: SparkSession, d: String): DataFrame = {
+    val t = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cust_node"),
+        (col("l_suppkey") * 2 + 1).as("supp_node"),
+        col("l_quantity").cast("long").as("w"))
+    val edges = t.select(col("cust_node").as("src"),
+        col("supp_node").as("dst"), col("w"))
+      .union(t.select(col("supp_node").as("src"),
+        col("cust_node").as("dst"), col("w")))
+    val sources = Tables.customer(spark, d)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    Graph.sssp(edges, sources, rounds = 3)
+      .orderBy(col("dist").asc, col("node").asc)
+      .limit(20)
+  }
+
+  private val grSsspSql = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM $prev
+                UNION ALL
+                SELECT e.dst, $prev.dist + e.w FROM e
+                JOIN $prev ON $prev.node = e.src) GROUP BY 1)"""
+    s"""WITH t AS (SELECT o_custkey * 2 AS cust_node,
+                      l_suppkey * 2 + 1 AS supp_node,
+                      CAST(l_quantity AS BIGINT) AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT src, dst, MIN(w) AS w FROM (
+             SELECT cust_node AS src, supp_node AS dst, w FROM t
+             UNION ALL
+             SELECT supp_node, cust_node, w FROM t) GROUP BY 1, 2),
+       d0 AS (SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+              FROM customer WHERE c_nationkey = 0),
+       ${round("d0", "d1")},
+       ${round("d1", "d2")},
+       ${round("d2", "d3")}
+       SELECT node, dist FROM d3 ORDER BY dist, node LIMIT 20"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("gr_pagerank", grPagerank, Some(grPagerankSql)),
     Q("gr_pagerank_directed", grPagerankDirected, Some(grPagerankDirectedSql)),
     Q("gr_triangles", grTriangles, Some(grTrianglesSql)),
     Q("gr_labelprop", grLabelprop, Some(grLabelpropSql)),
     Q("gr_bfs_hops", grBfsHops, Some(grBfsHopsSql)),
-    Q("gr_kcore", grKcore, Some(grKcoreSql)))
+    Q("gr_kcore", grKcore, Some(grKcoreSql)),
+    Q("gr_sssp", grSssp, Some(grSsspSql)))
 }

@@ -104,7 +104,68 @@ object SketchQ extends QueryPack {
               (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM t2) AS exact
        FROM s"""
 
+  /** Bloom-filter decontamination — the sketch twin of `t_decontam`:
+    * the benchmark slice's word 3-grams go into a 2048-bit / 3-hash
+    * Bloom filter ([[Sketch.bloomBits]] — ≤ 2048 rows of state at ANY
+    * benchmark size, vs the exact shingle set that grows with it), and
+    * every corpus shingle probes the broadcast filter. Per doc:
+    * bloom_hits (shingles the filter claims) vs exact_hits (true
+    * overlaps) — bloom_hits ≥ exact_hits always (no false negatives;
+    * the surplus rows ARE the false positives the m/k trade buys), and
+    * a doc the exact pass flags is never missed. Output ordered by
+    * doc_id; md5 positions replay bit-for-bit in the oracle. */
+  private def tBloomDecontam(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val benchSh = docs.filter(col("doc_id") % 25 === 0)
+      .select(explode(graft.dedup.Dedup.shinglesFast(col("text"), 3)).as("sh"))
+    val bits = Sketch.bloomBits(benchSh, "sh", hashes = 3, mBits = 2048L)
+    val corpusSh = docs.filter(col("doc_id") % 25 =!= 0)
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.shinglesFast(col("text"), 3)).as("sh"))
+    val member = Sketch.bloomProbe(bits, corpusSh.select(col("sh")), "sh",
+      hashes = 3, mBits = 2048L)
+    corpusSh
+      .join(member.filter(col("member") === 1).select(col("sh")), Seq("sh"))
+      .join(broadcast(benchSh.distinct().withColumn("ex", lit(1))),
+        Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("bloom_hits"),
+        sum(coalesce(col("ex"), lit(0))).cast("long").as("exact_hits"))
+      .orderBy("doc_id")
+  }
+
+  private val tBloomDecontamSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM toks WHERE len(t) >= 3),
+       bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 = 0),
+       js(j) AS (VALUES (0), (1), (2)),
+       bits AS (SELECT DISTINCT
+                  ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 8))::BIGINT
+                    % 2048 AS bit
+                FROM bench CROSS JOIN js),
+       probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 <> 0),
+       pk AS (SELECT p.sh,
+                ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || p.sh), 1, 8))::BIGINT
+                  % 2048 AS bit
+              FROM probes p CROSS JOIN js),
+       pm AS (SELECT sh,
+                CASE WHEN SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 3
+                     THEN 1 ELSE 0 END AS member
+              FROM pk LEFT JOIN bits b USING (bit) GROUP BY 1)
+       SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_hits,
+              CAST(SUM(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS exact_hits
+       FROM sh s
+       JOIN pm ON s.sh = pm.sh AND pm.member = 1
+       LEFT JOIN bench ON s.sh = bench.sh
+       WHERE s.doc_id % 25 <> 0
+       GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_cms_point", tCmsPoint, Some(tCmsPointSql)),
-    Q("t_hll_distinct", tHllDistinct, Some(tHllDistinctSql)))
+    Q("t_hll_distinct", tHllDistinct, Some(tHllDistinctSql)),
+    Q("t_bloom_decontam", tBloomDecontam, Some(tBloomDecontamSql)))
 }

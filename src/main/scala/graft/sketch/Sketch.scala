@@ -64,6 +64,41 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Bloom-filter bit set over `keyCol`: `hashes` positions per key,
+    * h_j(k) = md5 of "j|k" mod `mBits`, returned as the DISTINCT set
+    * of set bit positions — at most mBits rows REGARDLESS of key count
+    * (the fixed-size-state property, as [[countMin]]), and two shards'
+    * filters merge by union-distinct, which IS the bitwise OR.
+    * Partial-agg distinct collapses each partition before the shuffle,
+    * so the shuffle is O(partitions·mBits), not O(keys). */
+  def bloomBits(keys: DataFrame, keyCol: String,
+      hashes: Int, mBits: Long): DataFrame = {
+    require(hashes >= 1 && mBits >= 1, "hashes and mBits must be >= 1")
+    val pos = (0 until hashes).map(j =>
+      bucket(concat_ws("|", lit(j.toString), col(keyCol)), mBits))
+    keys.select(explode(array(pos: _*)).as("bit")).distinct()
+  }
+
+  /** Membership probes against a Bloom bit set: a probe key is a
+    * (possible) member iff ALL `hashes` of its bits are set — the
+    * classic no-false-negative / tunable-false-positive contract.
+    * The filter is ≤ mBits rows → broadcast to the probe side; each
+    * probe costs `hashes` lookups folded into one join + count.
+    * Returns (keyCol, member: int 0/1). */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, keyCol: String,
+      hashes: Int, mBits: Long): DataFrame = {
+    require(hashes >= 1 && mBits >= 1, "hashes and mBits must be >= 1")
+    probes.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(array((0 until hashes).map(j =>
+          bucket(concat_ws("|", lit(j.toString), col(keyCol)), mBits)): _*))
+          .as("bit"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("bit"), "left")
+      .groupBy(keyCol)
+      .agg(when(sum(coalesce(col("hit"), lit(0))) === hashes, lit(1))
+        .otherwise(lit(0)).cast("int").as("member"))
+  }
+
   /** HyperLogLog registers over `tokCol`, m buckets (m must be a power
     * of two ≤ 2¹⁶): h = first 15 md5 hex chars (60 bits, always
     * positive), bucket = h mod m, and the register is the max over the

@@ -87,6 +87,24 @@ object Corpus {
       .drop("__copies")
   }
 
+  /** Deterministic uniform k-of-n sample — the reservoir-sampling
+    * equivalent without RNG or sequential state: keep the k rows with
+    * the smallest (md5(key), key). The md5 order is independent of
+    * every data attribute, so the pick is uniform over the key
+    * population — the same guarantee a seeded reservoir gives, but
+    * reproducible across engines, partitionings, and reruns (the
+    * [[splitByHash]] property), and MERGEABLE: top-k of a union is the
+    * top-k over the shards' top-ks, which is exactly what Spark's
+    * TakeOrderedAndProject executes — per-partition partial top-k, one
+    * k-row collect per partition, no global sort and no shuffle of the
+    * full input. Growing the sample later (k' > k) keeps the old
+    * sample as a strict prefix — samples are nested, the property
+    * incremental eval sets rely on. */
+  def sampleUniform(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc).limit(k)
+  }
+
   /** Token-budget chunking for batch building: contiguous (by `orderCol`,
     * per `partCol`) documents are grouped into chunks of ~`budget` tokens
     * via chunk = floor(exclusive-prefix-sum / budget). A document that

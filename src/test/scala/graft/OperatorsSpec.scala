@@ -379,6 +379,75 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.graph.Graph.kCore(edges, k = 5, maxRounds = 10)._1.count() == 0L)
   }
 
+  test("sssp: min path weight wins over hop count; parallel edges collapse to min; rounds truncate") {
+    import spark.implicits._
+    // 1→2→3 cost 1+1=2 beats the direct 1→3 cost 10; parallel 1→2 edges
+    // (5 and 1) must collapse to 1; island 9→10 unreached from 1
+    val edges = Seq((1L, 2L, 5L), (1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (9L, 10L, 1L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("node")
+    val got = graft.graph.Graph.sssp(edges, src, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L),
+      s"shortest path weights drifted: $got")
+    // one round can only see direct edges: 3 still reads the direct cost
+    val r1 = graft.graph.Graph.sssp(edges, src, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 3L -> 10L),
+      s"round-1 must be direct-edge relaxation only: $r1")
+  }
+
+  test("transitionMatrix: known chains count pairs; p_bp floors; tie-break totalizes order") {
+    import spark.implicits._
+    // user 1: a→b→a→b ; user 2: a→b→c — pairs: a→b ×3, b→a ×1, b→c ×1
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))
+      .toDF("uid", "seq", "state")
+    val got = graft.etl.Sequences.transitionMatrix(ev, "uid", Seq("seq"), "state")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(("a", "b") -> ((3L, 10000L)),
+      ("b", "a") -> ((1L, 5000L)), ("b", "c") -> ((1L, 5000L))),
+      s"transition matrix drifted: $got")
+    // per-from basis points sum to exactly 10000 here (no floor loss at /2)
+    assert(got.collect { case ((f, _), (_, p)) if f == "b" => p }.sum == 10000L)
+  }
+
+  test("sweepConcurrency: half-open intervals; overlaps stack; end day releases") {
+    import spark.implicits._
+    val iv = Seq(("2024-01-01", "2024-01-03"), ("2024-01-02", "2024-01-04"),
+      ("2024-01-02", "2024-01-02"))  // empty half-open interval: +1−1 same day
+      .toDF("s", "e")
+      .select(col("s").cast("timestamp"), col("e").cast("timestamp"))
+    val got = graft.etl.Sequences.sweepConcurrency(iv, "s", "e")
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // Jan1: +1 → 1 active; Jan2: +2−1 → 2 active (the empty interval nets
+    // zero); Jan3: −1 → 1; Jan4: −1 → 0
+    assert(got == Map("2024-01-01" -> ((1L, 1L)), "2024-01-02" -> ((1L, 2L)),
+      "2024-01-03" -> ((-1L, 1L)), "2024-01-04" -> ((-1L, 0L))),
+      s"sweep profile drifted: $got")
+  }
+
+  test("sampleUniform: nested samples; partitioning-independent; matches the md5 order") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    val k10 = graft.text.Corpus.sampleUniform(df, "id", 10)
+      .collect().map(_.getLong(0)).toSet
+    val k5 = graft.text.Corpus.sampleUniform(df, "id", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(k5.subsetOf(k10), "growing k must keep the smaller sample as a prefix")
+    // repartitioning must not change the pick (the no-RNG guarantee)
+    val k10r = graft.text.Corpus.sampleUniform(df.repartition(13), "id", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(k10r == k10, "sample must be partitioning-independent")
+    // and it IS the brute-force smallest-(md5, id) set
+    val brute = df.select(col("id"), md5(col("id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .sorted.take(10).map(_._2).toSet
+    assert(k10 == brute, "sample must equal the md5-order top-k")
+  }
+
   test("perceptron: separable fixture converges to 0 errors; classify agrees; log replays") {
     import spark.implicits._
     // y = +1 iff x1 > x2 — linearly separable by w = (0, 1, -1) scaled

@@ -86,6 +86,38 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloom: no false negatives ever; false positives exist at a tight m; absent keys can miss") {
+    import spark.implicits._
+    val keys = (1L to 500L).map(i => s"key_$i").toDF("k")
+    // tight filter (256 bits / 3 hashes for 500 keys) → FPs guaranteed
+    val bits = Sketch.bloomBits(keys, "k", hashes = 3, mBits = 256L)
+    assert(bits.count() <= 256L, "bit set must be bounded by mBits")
+    // every inserted key MUST probe member=1 — the Bloom contract
+    val selfProbe = Sketch.bloomProbe(bits, keys, "k", hashes = 3, mBits = 256L)
+    assert(selfProbe.filter(col("member") === 0).count() == 0L,
+      "a Bloom filter never false-negatives an inserted key")
+    // fresh keys: with 256 nearly-saturated bits most probe as members
+    // (FPs — fine), but the filter is not vacuous for a ROOMY m
+    val fresh = (1L to 500L).map(i => s"other_$i").toDF("k")
+    val roomy = Sketch.bloomBits(keys, "k", hashes = 3, mBits = 65536L)
+    val freshProbe = Sketch.bloomProbe(roomy, fresh, "k",
+      hashes = 3, mBits = 65536L)
+    assert(freshProbe.filter(col("member") === 1).count() < 50L,
+      "a roomy filter must reject almost all absent keys")
+  }
+
+  test("bloom merges by union-distinct: bits(A ++ B) == union of shard bit sets") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => s"a_$i").toDF("k")
+    val b = (1L to 100L).map(i => s"b_$i").toDF("k")
+    val whole = Sketch.bloomBits(a.union(b), "k", hashes = 3, mBits = 4096L)
+      .collect().map(_.getLong(0)).toSet
+    val merged = Sketch.bloomBits(a, "k", hashes = 3, mBits = 4096L)
+      .union(Sketch.bloomBits(b, "k", hashes = 3, mBits = 4096L))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(whole == merged, "shard bit sets must OR into the whole filter")
+  }
+
   test("streaming CMS: the sketch is a plain update-mode aggregation, ≡ batch") {
     import spark.implicits._
     // the sketch pipeline (explode → groupBy cell → count) runs UNCHANGED
