@@ -107,6 +107,54 @@ object Graph {
     score
   }
 
+  /** Personalized PageRank: the teleport mass returns to the SOURCE set
+    * only, so scores measure proximity to the sources instead of global
+    * importance — the ranking behind "related items" and seeded
+    * relevance propagation. Same exact fixed-point discipline as
+    * [[pageRank]], with the restart folded into the per-node basis:
+    *
+    *   score_0(v)     = 10⁶ if v ∈ S else 0
+    *   score_{t+1}(v) = basis(v) + (85 · Σ_{u→v} score_t(u) div outdeg(u)) div 100
+    *   basis(v)       = 150000 if v ∈ S else 0
+    *
+    * i.e. each round 15% of a source's unit mass restarts at the source
+    * while 85% of everyone's mass flows along edges — nodes unreachable
+    * from S stay at exactly 0. Sources outside the graph's node set are
+    * ignored (they can neither receive nor forward mass).
+    *
+    * Scale shape: identical per-round cost to [[pageRank]] (one |edges|
+    * join + one partial-agg sum); the source set is dim-sized and rides
+    * a broadcast left join onto the node table. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      sourceCol: String = "node"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val g = prepare(edges, srcCol, dstCol, redistributeDangling = false)
+    val s = sources.select(col(sourceCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .join(g.nodes, Seq("node"), "left_semi")
+      .withColumn("basis", lit(150000L))
+      .localCheckpoint()
+    var score = g.nodes.join(broadcast(s), Seq("node"), "left")
+      .select(col("node"),
+        when(col("basis").isNotNull, lit(Scale)).otherwise(lit(0L)).as("score"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = g.eDeg
+        .join(score.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("score div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      score = g.nodes.join(contrib, Seq("node"), "left")
+        .join(broadcast(s), Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("basis"), lit(0L)) +
+            expr("(85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100"))
+            .as("score"))
+        .localCheckpoint()
+    }
+    score
+  }
+
   /** Per-node triangle counts over an UNDIRECTED edge list, via
     * degree-ordered edge orientation — the standard distributed triangle
     * algorithm (the MapReduce formulation of Schank's node-iterator):

@@ -355,8 +355,63 @@ object GraphQ extends QueryPack {
        SELECT node, dist FROM d3 ORDER BY dist, node LIMIT 20"""
   }
 
+  /** Personalized PageRank seeded at the nation-0 suppliers
+    * ([[Graph.personalizedPageRank]]): teleport mass returns only to
+    * the seeds, so the top-20 ranks trade-graph proximity to nation 0
+    * — the "related suppliers/customers" ranking — and nodes
+    * unreachable from the seeds sit at exactly 0. 3 rounds, integer
+    * fixed-point; the oracle unrolls the seeded basis per round. */
+  private def grPpr(spark: SparkSession, d: String): DataFrame =
+    Graph.personalizedPageRank(
+        tradeEdges(spark, d),
+        Tables.supplier(spark, d).filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2 + 1).as("node")),
+        iters = 3)
+      .orderBy(col("score").desc, col("node").asc)
+      .limit(20)
+
+  private val grPprSql = {
+    // one seeded round: score_{t+1}(v) = basis(v) + (85·Σ_{u→v} score_t(u) div outdeg(u)) div 100,
+    // basis(v) = 150000 iff v is a seed (in-graph nation-0 supplier node)
+    def round(prev: String, cur: String) =
+      s"""i$cur AS (SELECT e.dst AS node,
+                SUM($prev.score // deg.outdeg) AS in_sum
+              FROM e JOIN deg USING (src)
+                     JOIN $prev ON $prev.node = e.src
+              GROUP BY 1),
+       $cur AS (SELECT n.node,
+                CAST(CASE WHEN sg.node IS NOT NULL THEN 150000 ELSE 0 END
+                     + (85 * COALESCE(i$cur.in_sum, 0)) // 100
+                     AS BIGINT) AS score
+              FROM nodes n LEFT JOIN i$cur USING (node)
+                           LEFT JOIN sg USING (node))"""
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+                              l_suppkey * 2 + 1 AS supp_node
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT cust_node AS src, supp_node AS dst FROM pairs
+             UNION
+             SELECT supp_node, cust_node FROM pairs),
+       nodes AS (SELECT DISTINCT src AS node FROM e
+                 UNION
+                 SELECT DISTINCT dst FROM e),
+       deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       srcs AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node
+                FROM supplier WHERE s_nationkey = 0),
+       sg AS (SELECT n.node FROM nodes n JOIN srcs USING (node)),
+       s0 AS (SELECT n.node,
+                CAST(CASE WHEN sg.node IS NOT NULL THEN 1000000 ELSE 0 END
+                     AS BIGINT) AS score
+              FROM nodes n LEFT JOIN sg USING (node)),
+       ${round("s0", "s1")},
+       ${round("s1", "s2")},
+       ${round("s2", "s3")}
+       SELECT node, score FROM s3
+       ORDER BY score DESC, node LIMIT 20"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("gr_pagerank", grPagerank, Some(grPagerankSql)),
+    Q("gr_ppr", grPpr, Some(grPprSql)),
     Q("gr_pagerank_directed", grPagerankDirected, Some(grPagerankDirectedSql)),
     Q("gr_triangles", grTriangles, Some(grTrianglesSql)),
     Q("gr_labelprop", grLabelprop, Some(grLabelpropSql)),

@@ -560,5 +560,82 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.dedup.Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("associationRules: basket stats floor to bp; dup lines collapse; min support filters") {
+    import spark.implicits._
+    // b1:{x,y} (x twice — must collapse), b2:{x,y}, b3:{x,z}, b4:{x}
+    val b = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "x")).toDF("b", "i")
+    val got = graft.mine.Mine.associationRules(b, "b", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // n=4, n_x=4, n_y=2, n_z=1; (x,y) co-occurs 2×, (x,z) 1×
+    assert(got == Map(
+      ("x", "y") -> ((2L, 5000L, 5000L, 10000L)),   // lift 1.0: y ⊥ x exactly
+      ("y", "x") -> ((2L, 5000L, 10000L, 10000L)),  // conf P(x|y) = 1
+      ("x", "z") -> ((1L, 2500L, 2500L, 10000L)),
+      ("z", "x") -> ((1L, 2500L, 10000L, 10000L))), s"rules drifted: $got")
+    // raising the pair-support floor drops the singleton pair, both directions
+    val kept = graft.mine.Mine.associationRules(b, "b", "i", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("x", "y"), ("y", "x")))
+  }
+
+  test("skyline2d: matches brute-force dominance; frontier ties all survive") {
+    import spark.implicits._
+    val pts = Seq((0L, 1L), (1L, 5L), (1L, 3L), (2L, 7L), (2L, 7L),
+      (3L, 7L), (3L, 9L), (5L, 9L)).toDF("x", "y")
+    val got = graft.mine.Mine.skyline2d(pts, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // brute force: r survives iff no s with s.x<=r.x, s.y>=r.y, strict somewhere
+    val rows = Seq((0L, 1L), (1L, 5L), (1L, 3L), (2L, 7L), (2L, 7L),
+      (3L, 7L), (3L, 9L), (5L, 9L))
+    val brute = rows.filter { r =>
+      !rows.exists(s => s._1 <= r._1 && s._2 >= r._2 && s != r)
+    }
+    // (2,7) appears twice and both copies must survive (equal points
+    // never dominate each other); the brute filter above treats the
+    // twin as a dominator, so assert against the hand-derived set + dup
+    assert(got == Seq((0L, 1L), (1L, 5L), (2L, 7L), (2L, 7L), (3L, 9L)),
+      s"skyline drifted: $got (strict-dominance brute set: $brute)")
+  }
+
+  test("rrf: reciprocal contributions sum; absent docs score one-sided; doc_id breaks ties") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = graft.sim.Fusion.rrf(Seq(a, b), k0 = 0, topK = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // d20: 1e6/2 + 1e6/1 = 1.5e6; d10 and d30 tie at 1e6 vs 5e5
+    assert(got == Seq((1, 20L, 1500000L), (2, 10L, 1000000L),
+      (3, 30L, 500000L)), s"fusion drifted: $got")
+    // exact tie (both rank 1 in one ranker each) breaks on doc_id asc
+    val t1 = Seq((1L, 50L, 1)).toDF("query_id", "doc_id", "rank")
+    val t2 = Seq((1L, 40L, 1)).toDF("query_id", "doc_id", "rank")
+    val tied = graft.sim.Fusion.rrf(Seq(t1, t2), k0 = 0, topK = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(tied == Seq((1, 40L), (2, 50L)))
+  }
+
+  test("personalizedPageRank: hand recurrence replays; unreachable stays 0; all-sources = pageRank") {
+    import spark.implicits._
+    // cycle 1→2→3→1 plus feeder 4→1: 4 forwards mass but never receives
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val s = Seq(1L).toDF("node")
+    val got = graft.graph.Graph.personalizedPageRank(e, s, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // s1 = (150000, 850000, 0, 0); s2 = (150000, 127500, 722500, 0);
+    // s3 = (150000 + 85·722500 div 100, 127500, 108375, 0)
+    assert(got == Map(1L -> 764125L, 2L -> 127500L, 3L -> 108375L, 4L -> 0L),
+      s"ppr drifted: $got")
+    // seeding EVERY node reduces to plain PageRank (same basis, same init)
+    val all = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val ppr = graft.graph.Graph.personalizedPageRank(e, all, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = graft.graph.Graph.pageRank(e, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == pr, "all-sources PPR must equal global PageRank")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -47,7 +47,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the mix-drift grid crosses the |periods| dim with the broadcast
     // |categories| dim and the ONE-row global total — dim/scalar sides
     // by construction
-    "e_cat_drift")
+    "e_cat_drift",
+    // hybrid fusion runs both rankers: bm25's ONE-row stats cross join
+    // + the ANN broadcast-query-side join (sim_topk's shape)
+    "hr_rrf")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
