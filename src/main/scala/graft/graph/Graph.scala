@@ -374,6 +374,53 @@ object Graph {
     * priority queue to distribute (Dijkstra's frontier ordering doesn't
     * shard — round-synchronous relaxation is the standard Pregel
     * trade). `localCheckpoint` truncates lineage per round. */
+  /** HITS hubs & authorities (Kleinberg) over a DIRECTED edge list:
+    * auth_t(v) = Σ_{u→v} hub_{t−1}(u), hub_t(v) = Σ_{v→w} auth_t(w),
+    * each half-step rescaled to MAX-normalized fixed-point integers —
+    * x(v) ← ⌊x(v)·10⁶ / max x⌋ — instead of the textbook L2 norm, whose
+    * sqrt is engine-dependent in the last ulp. Max-normalization keeps
+    * the iteration bounded (top score is exactly 10⁶ each half-step),
+    * preserves the ORDER of scores (what HITS is consumed for), and is
+    * replayable in SQL as a scalar-subquery division. Returns
+    * (node, hub, auth) after `rounds` full rounds; nodes with no
+    * in-edges have auth 0, no out-edges hub 0.
+    *
+    * Scale shape: per half-step one |edges| equi-join + one partial-agg
+    * sum, same as [[pageRank]]; the max is a ONE-row aggregate (the CC
+    * convergence-check discipline, never a data-sized collect). The
+    * rescale product runs in DECIMAL(38,0): raw ≤ 10⁶·maxdeg and the
+    * ·10⁶ product overflows 2⁶³ once in-degrees pass ~10⁷ — hub graphs
+    * at warehouse scale do. */
+  def hits(edges: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val g = prepare(edges, srcCol, dstCol, redistributeDangling = false)
+    val e = g.eDeg.select("src", "dst")
+    def rescale(raw: DataFrame, out: String): DataFrame = {
+      val mx = Option(raw.agg(max(col("raw"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      raw.select(col("node"),
+        (if (mx == 0L) lit(0L)
+         else expr(s"(CAST(raw AS DECIMAL(38,0)) * 1000000) div ${mx}L"))
+          .as(out))
+        .localCheckpoint()
+    }
+    def gather(score: DataFrame, scoreCol: String, from: String,
+        to: String): DataFrame =
+      g.nodes.join(
+        e.join(score.withColumnRenamed("node", from), from)
+          .groupBy(col(to).as("node")).agg(sum(col(scoreCol)).as("raw")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+    var hub = g.nodes.withColumn("hub", lit(Scale))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auth = rescale(gather(hub, "hub", "src", "dst"), "auth")
+      hub = rescale(gather(auth, "auth", "dst", "src"), "hub")
+    }
+    hub.join(auth, Seq("node"))
+  }
+
   def sssp(edges: DataFrame, sources: DataFrame, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w",
       sourceCol: String = "node"): DataFrame = {

@@ -41,6 +41,14 @@ object Link {
         expr("CASE WHEN i = 0 THEN key " +
           "ELSE concat(substring(key, 1, i - 1), " +
           "substring(key, i + 1, 2147483647)) END").as("variant"))
+      // keys with REPEATED characters produce the same variant from
+      // several deletion positions ("0001" → "001" three ways); without
+      // this dedup every such key joins each block multiple times and
+      // the candidate pair set inflates quadratically (zero-padded
+      // identifiers: ~7 dup variants → ~49× the pairs, all discarded by
+      // the later distinct). One partial-agg distinct here keeps blocks
+      // minimal — the candidate SET is unchanged.
+      .distinct()
     val cand = v.alias("a")
       .join(v.alias("b"),
         col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))

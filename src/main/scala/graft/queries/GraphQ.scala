@@ -409,9 +409,66 @@ object GraphQ extends QueryPack {
        ORDER BY score DESC, node LIMIT 20"""
   }
 
+  /** HITS over the DIRECTED customer→supplier trade graph
+    * ([[Graph.hits]], 2 rounds): customers are pure hubs (no in-edges
+    * → auth 0), suppliers pure authorities, so the top-20 by authority
+    * ranks suppliers by hub-weighted customer breadth — the mutual
+    * reinforcement PageRank's single score can't express. Integer
+    * max-normalization each half-step; the oracle replays every
+    * half-step including the scalar max divisions. */
+  private def grHits(spark: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    Graph.hits(edges, rounds = 2)
+      .orderBy(col("auth").desc, col("hub").desc, col("node").asc)
+      .limit(20)
+  }
+
+  private val grHitsSql = {
+    // one full round from hub table hp: auth = max-normalized in-sum of
+    // hubs, hub = max-normalized out-sum of the new auths
+    def round(hp: String, ra: String, a: String, rh: String, h: String) =
+      s"""$ra AS (SELECT n.node,
+                CAST(COALESCE(SUM($hp.s), 0) AS BIGINT) AS raw
+              FROM nodes n LEFT JOIN e ON e.dst = n.node
+                           LEFT JOIN $hp ON $hp.node = e.src
+              GROUP BY 1),
+       $a AS (SELECT node,
+                CAST(CASE WHEN mx.m = 0 THEN 0
+                     ELSE (raw * 1000000) // mx.m END AS BIGINT) AS s
+              FROM $ra CROSS JOIN (SELECT MAX(raw) AS m FROM $ra) mx),
+       $rh AS (SELECT n.node,
+                CAST(COALESCE(SUM($a.s), 0) AS BIGINT) AS raw
+              FROM nodes n LEFT JOIN e ON e.src = n.node
+                           LEFT JOIN $a ON $a.node = e.dst
+              GROUP BY 1),
+       $h AS (SELECT node,
+                CAST(CASE WHEN mx.m = 0 THEN 0
+                     ELSE (raw * 1000000) // mx.m END AS BIGINT) AS s
+              FROM $rh CROSS JOIN (SELECT MAX(raw) AS m FROM $rh) mx)"""
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+                              l_suppkey * 2 + 1 AS supp_node
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT cust_node AS src, supp_node AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT src AS node FROM e
+                 UNION
+                 SELECT DISTINCT dst FROM e),
+       h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
+       ${round("h0", "ra1", "a1", "rh1", "h1")},
+       ${round("h1", "ra2", "a2", "rh2", "h2")}
+       SELECT h2.node, h2.s AS hub, a2.s AS auth
+       FROM h2 JOIN a2 USING (node)
+       ORDER BY auth DESC, hub DESC, node LIMIT 20"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("gr_pagerank", grPagerank, Some(grPagerankSql)),
     Q("gr_ppr", grPpr, Some(grPprSql)),
+    Q("gr_hits", grHits, Some(grHitsSql)),
     Q("gr_pagerank_directed", grPagerankDirected, Some(grPagerankDirectedSql)),
     Q("gr_triangles", grTriangles, Some(grTrianglesSql)),
     Q("gr_labelprop", grLabelprop, Some(grLabelpropSql)),

@@ -164,8 +164,49 @@ object SketchQ extends QueryPack {
        WHERE s.doc_id % 25 <> 0
        GROUP BY 1 ORDER BY 1"""
 
+  /** Per-group HLL: distinct part keys per return flag from SPARSE
+    * registers ([[Sketch.hllRegistersBy]] — ≤ 64 register rows per
+    * group at any scale, absent buckets accounted at estimate time).
+    * Each group's cardinality (~2 k sf0.01 / ~20 k sf0.1) sits in the
+    * raw estimator's regime. Exact countDistinct rides along for
+    * scrutiny, as in `t_hll_distinct`. */
+  private def tHllGrouped(spark: SparkSession, d: String): DataFrame = {
+    val keys = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_partkey").cast("string").as("tok"))
+    Sketch.hllEstimateBy(
+        Sketch.hllRegistersBy(keys, "tok", "l_returnflag", m = 64),
+        "l_returnflag", m = 64)
+      .join(keys.groupBy("l_returnflag")
+        .agg(count_distinct(col("tok")).as("exact")), Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+  }
+
+  private val tHllGroupedSql =
+    """WITH t2 AS (SELECT l_returnflag AS g, CAST(l_partkey AS VARCHAR) AS tok
+                FROM lineitem),
+       h AS (SELECT g, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t2),
+       r AS (SELECT g, h % 64 AS bucket, h // 64 AS w FROM h),
+       rho AS (SELECT g, bucket,
+                 CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+               FROM r),
+       reg AS (SELECT g, bucket, MAX(rho) AS register FROM rho GROUP BY 1, 2),
+       s AS (SELECT g,
+               SUM(CAST(1 AS BIGINT) << (55 - register))
+                 + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS s
+             FROM reg GROUP BY 1),
+       ex AS (SELECT l_returnflag AS g,
+                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact
+              FROM lineitem GROUP BY 1)
+       SELECT g AS l_returnflag,
+              CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                * CAST(36028797018963968 AS DOUBLE) / CAST(s.s AS DOUBLE)
+                AS estimate,
+              exact
+       FROM s JOIN ex USING (g) ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_cms_point", tCmsPoint, Some(tCmsPointSql)),
     Q("t_hll_distinct", tHllDistinct, Some(tHllDistinctSql)),
+    Q("t_hll_grouped", tHllGrouped, Some(tHllGroupedSql)),
     Q("t_bloom_decontam", tBloomDecontam, Some(tBloomDecontamSql)))
 }

@@ -127,6 +127,55 @@ object Sketch {
         coalesce(col("register"), lit(0)).cast("int").as("register"))
   }
 
+  /** Per-group HLL registers — [[hllRegisters]] keyed by `groupCol`:
+    * the state is ≤ m SPARSE register rows per group (absent buckets
+    * are implicit zeros, accounted at estimate time), so per-group
+    * cardinality tracking costs O(|groups|·m) shuffle rows at ANY
+    * corpus size, with the same max-merge law per (group, bucket)
+    * across shards. */
+  def hllRegistersBy(toks: DataFrame, tokCol: String, groupCol: String,
+      m: Int): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 65536,
+      s"m must be a power of two in [2, 65536], got $m")
+    val wBits = 60 - Integer.numberOfTrailingZeros(m)
+    val h = conv(substring(md5(col(tokCol)), 1, 15), 16, 10).cast("long")
+    toks
+      .select(col(groupCol), h.as("h"))
+      .select(col(groupCol), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        expr(s"h div ${m}L").as("w"))
+      .select(col(groupCol), col("bucket"),
+        when(col("w") === 0L, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).cast("int").as("register"))
+  }
+
+  /** Per-group raw estimates from a SPARSE register table
+    * ([[hllRegistersBy]]): the harmonic sum adds 2^(wBits+1−register)
+    * for present buckets plus (m − |present|)·2^(wBits+1) for the
+    * implicit zero registers — identical to [[hllEstimate]] over the
+    * dense grid, without materializing |groups|·m rows. Returns
+    * (groupCol, estimate). */
+  def hllEstimateBy(registers: DataFrame, groupCol: String, m: Int): DataFrame = {
+    val wBits = 60 - Integer.numberOfTrailingZeros(m)
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers
+      .groupBy(col(groupCol))
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${wBits + 1} - register AS INT))")) +
+        (lit(m.toLong) - count(lit(1))) *
+          expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1})")).as("s"))
+      .select(col(groupCol),
+        (lit(alpha) * lit(m.toDouble * m.toDouble) *
+          lit(math.pow(2.0, (wBits + 1).toDouble)) / col("s").cast("double"))
+          .as("estimate"))
+  }
+
   /** The raw HLL estimate α_m·m²/Σ 2^(−register) from a register table,
     * as one fixed expression tree: the harmonic sum is computed as the
     * INTEGER Σ 2^(wBits+1−register) (≤ m·2^(wBits+1), safely BIGINT),

@@ -469,6 +469,45 @@ object Relay {
       .toDF()
   }
 
+  /** One event for the streaming transition tracker. */
+  final case class SeqEvent(ent: Long, ord: Long, state: String)
+
+  /** Per-entity carried state: the LAST event seen (order + state). */
+  final case class SeqLast(ord: Long, state: String)
+
+  final case class SeqPair(from_state: String, to_state: String)
+
+  /** Streaming Markov-transition extraction — the incremental twin of
+    * [[graft.etl.Sequences.transitionMatrix]]'s pair step: each entity's
+    * adjacent (from, to) state pairs are emitted as events arrive, with
+    * the entity's LAST seen event carried as O(1) state so a pair whose
+    * two events straddle a micro-batch boundary is still produced
+    * exactly once. Same in-order contract as [[scd2Stream]] /
+    * [[packStream]]: per entity the feed is ordered by `ord` across
+    * batches; within a batch rows sort before folding, so emission is
+    * deterministic. Downstream the pair stream feeds the usual
+    * update-mode count aggregate to form the live transition matrix —
+    * counts, like the batch side's, never exceed |states|² rows. */
+  def transitionStream(events: org.apache.spark.sql.Dataset[SeqEvent]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.ent)
+      .flatMapGroupsWithState[SeqLast, SeqPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, batch, state: GroupState[SeqLast]) =>
+          var held = state.getOption
+          val out = batch.toSeq.sortBy(_.ord).map { r =>
+            val pair = held.map(h => SeqPair(h.state, r.state))
+            held = Some(SeqLast(r.ord, r.state))
+            pair
+          }.flatten
+          held.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming pivot — the incremental twin of the batch `pv_daily`
     * query: wide per-group counts over a PINNED value set.
     *

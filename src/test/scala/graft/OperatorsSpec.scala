@@ -616,6 +616,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tied == Seq((1, 40L), (2, 50L)))
   }
 
+  test("hits: hand recurrence with max-normalization; bipartite roles separate cleanly") {
+    import spark.implicits._
+    // hubs {2,4} → authorities {1,3}: 2→1, 2→3, 4→3
+    val e = Seq((2L, 1L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val got = graft.graph.Graph.hits(e, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // r1: ra=(1e6, 2e6) → a=(5e5, 1e6); rh=(1.5e6, 1e6) → h=(1e6, 666666)
+    // r2: ra=(1e6, 1666666) → a=(600000, 1e6); rh=(1.6e6, 1e6) → h=(1e6, 625000)
+    assert(got == Map(
+      1L -> ((0L, 600000L)), 2L -> ((1000000L, 0L)),
+      3L -> ((0L, 1000000L)), 4L -> ((625000L, 0L))),
+      s"hits drifted: $got")
+  }
+
   test("personalizedPageRank: hand recurrence replays; unreachable stays 0; all-sources = pageRank") {
     import spark.implicits._
     // cycle 1→2→3→1 plus feeder 4→1: 4 forwards mass but never receives

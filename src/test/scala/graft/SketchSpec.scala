@@ -86,6 +86,33 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("grouped HLL: sparse accounting equals the dense per-group estimate; groups merge by max") {
+    import spark.implicits._
+    val keys = ((1L to 3000L).map(k => ("g1", s"a$k")) ++
+      (1L to 400L).map(k => ("g2", s"b$k"))).toDF("g", "tok")
+    val grouped = Sketch.hllEstimateBy(
+        Sketch.hllRegistersBy(keys, "tok", "g", m = 64), "g", m = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the sparse (m − present)·2^(wBits+1) accounting must reproduce the
+    // dense zero-filled grid's estimate bit-for-bit, per group
+    for (g <- Seq("g1", "g2")) {
+      val dense = Sketch.hllEstimate(
+        Sketch.hllRegisters(keys.filter(col("g") === g), "tok", m = 64),
+        m = 64).head().getDouble(0)
+      assert(grouped(g) == dense,
+        s"group $g: sparse ${grouped(g)} != dense $dense")
+    }
+    // shard max-merge per (group, bucket) reproduces the whole registers
+    val a = keys.filter(md5(col("tok")).substr(1, 1) < "8")
+    val b = keys.filter(md5(col("tok")).substr(1, 1) >= "8")
+    val merged = Sketch.hllRegistersBy(a, "tok", "g", m = 64)
+      .union(Sketch.hllRegistersBy(b, "tok", "g", m = 64))
+      .groupBy("g", "bucket").agg(max("register").cast("int").as("register"))
+    val whole = Sketch.hllRegistersBy(keys, "tok", "g", m = 64)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "per-group max-merge must equal the whole-set registers")
+  }
+
   test("bloom: no false negatives ever; false positives exist at a tight m; absent keys can miss") {
     import spark.implicits._
     val keys = (1L to 500L).map(i => s"key_$i").toDF("k")

@@ -552,5 +552,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Relay.trigger("bogus") }
   }
 
+  test("streaming transition pairs equal the batch lead-window pairs across a batch boundary") {
+    import spark.implicits._
+    // 4 entities × 6 ordered events; micro-batch 1 carries ord 1-3,
+    // batch 2 carries ord 4-6 (the per-entity in-order contract), so
+    // every entity's 3→4 pair straddles the boundary and only exists if
+    // the held last event crosses batches in state
+    val states = Seq("a", "b", "a", "c", "b", "a")
+    val events = for (ent <- 1L to 4L; ord <- 1L to 6L)
+      yield (ent, ord, states((ord.toInt - 1 + ent.toInt) % 6))
+    val df = events.toDF("ent", "ord", "state")
+    val srcDir = tmp() + "/trans_src"
+    df.filter(col("ord") <= 3).coalesce(1).write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    df.filter(col("ord") > 3).coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = Relay.transitionStream(
+      Relay.readStreamPath(spark, srcDir, df.schema,
+          options = Map("maxFilesPerTrigger" -> "1"))
+        .as[Relay.SeqEvent])
+    val q = stream.writeStream.format("memory").queryName("trans_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("trans_mem")
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.etl.Sequences.transitionMatrix(df, "ent", Seq("ord"), "state")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch,
+      s"streaming/batch divergence: streamed=$streamed batch=$batch")
+    // 4 entities × 5 adjacent pairs each = 20 total transitions
+    assert(streamed.values.sum == 20L)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
