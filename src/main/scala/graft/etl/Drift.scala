@@ -69,4 +69,53 @@ object Drift {
       .agg(sum(col("dv")).as("l1_bp"))
       .withColumn("alarm", (col("l1_bp") > lit(thresholdBp)).cast("int"))
   }
+
+  /** 2×2 A/B chi-square — the experiment gate next to the drift
+    * monitors: one row per UNIT (already deduplicated — a unit that
+    * converted twice still counts once) with variant ∈ {0, 1} and
+    * success ∈ {0, 1}, reduced in ONE conditional-count aggregate to
+    * the contingency cells (a, b, c, d) and scored with the closed-form
+    * 2×2 statistic
+    *
+    *   χ² = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * in MICROUNITS (⌊χ²·10⁶⌋) — the (O−E)²/E form needs rational
+    * expectations, the closed form needs only integer products, so the
+    * result is engine-exact. The products run in DECIMAL(38,0):
+    * n·(ad−bc)²·10⁶ passes 2⁶³ as soon as cells reach ~10⁴ (exact up
+    * to ~10⁹-unit arms; beyond that a test statistic is pointless —
+    * everything is significant). `significant` flags χ² ≥ 3.841459
+    * (the 0.05 critical value, df = 1). Degenerate margins (an empty
+    * arm or all-same outcome) score 0, not an error.
+    *
+    * Scale shape: the whole operator is one map-side-partial aggregate
+    * to a SINGLE row — nothing after the scan depends on data size. */
+  def abChiSquare(units: DataFrame, variantCol: String,
+      successCol: String): DataFrame =
+    units
+      .agg(
+        sum(when(col(variantCol) === 0 && col(successCol) === 1, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col(variantCol) === 0 && col(successCol) === 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col(variantCol) === 1 && col(successCol) === 1, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col(variantCol) === 1 && col(successCol) === 0, 1L)
+          .otherwise(0L)).as("d"))
+      .select(
+        expr("a + b").as("n_a"), expr("c + d").as("n_b"),
+        col("a").as("succ_a"), col("c").as("succ_b"),
+        expr("CASE WHEN a + b = 0 THEN 0 " +
+          "ELSE (a * 10000) div (a + b) END").as("conv_a_bp"),
+        expr("CASE WHEN c + d = 0 THEN 0 " +
+          "ELSE (c * 10000) div (c + d) END").as("conv_b_bp"),
+        expr("""CASE WHEN (a + b) * (c + d) = 0 OR (a + c) * (b + d) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE ((CAST(a AS DECIMAL(38,0)) + b + c + d)
+                  * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+                  * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+                  * 1000000)
+                  div ((CAST(a AS DECIMAL(38,0)) + b) * (c + d)
+                       * (a + c) * (b + d)) END""").as("chi2_micro"))
+      .withColumn("significant", (col("chi2_micro") >= 3841459L).cast("int"))
 }

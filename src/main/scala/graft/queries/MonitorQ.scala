@@ -78,5 +78,55 @@ object MonitorQ extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
     Q("e_cusum_drift", eCusumDrift, Some(eCusumDriftSql)),
-    Q("e_cat_drift", eCatDrift, Some(eCatDriftSql)))
+    Q("e_cat_drift", eCatDrift, Some(eCatDriftSql)),
+    Q("e_abtest", eAbtest, Some(eAbtestSql)))
+
+  /** A/B experiment gate ([[Drift.abChiSquare]]): units are users
+    * (variant = user_id parity — the deterministic stand-in for an
+    * assignment column), success = the user ever purchased. Parity
+    * assignment is null-effect by construction, so the fixture
+    * exercises the non-significant path; the spec exercises the
+    * significant one. One conditional-count aggregate → one row. */
+  private def eAbtest(spark: SparkSession, d: String): DataFrame =
+    Drift.abChiSquare(
+      Tables.events(spark, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1)
+          .otherwise(0)).as("succ"))
+        .select(pmod(col("user_id"), lit(2)).as("variant"), col("succ")),
+      "variant", "succ")
+
+  private val eAbtestSql =
+    """WITH u AS (SELECT user_id % 2 AS variant,
+                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS succ
+              FROM events GROUP BY user_id),
+       ct AS (SELECT
+           CAST(SUM(CASE WHEN variant = 0 AND succ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN variant = 0 AND succ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN variant = 1 AND succ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN variant = 1 AND succ = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+         FROM u)
+       SELECT a + b AS n_a, c + d AS n_b, a AS succ_a, c AS succ_b,
+              CASE WHEN a + b = 0 THEN 0
+                   ELSE (a * 10000) // (a + b) END AS conv_a_bp,
+              CASE WHEN c + d = 0 THEN 0
+                   ELSE (c * 10000) // (c + d) END AS conv_b_bp,
+              CAST(CASE WHEN (a + b) * (c + d) = 0 OR (a + c) * (b + d) = 0
+                   THEN 0
+                   ELSE (CAST(a + b + c + d AS HUGEINT)
+                     * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                     * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                     * 1000000)
+                     // (CAST(a + b AS HUGEINT) * (c + d)
+                        * (a + c) * (b + d)) END AS BIGINT) AS chi2_micro,
+              CASE WHEN CASE WHEN (a + b) * (c + d) = 0 OR (a + c) * (b + d) = 0
+                        THEN 0
+                        ELSE (CAST(a + b + c + d AS HUGEINT)
+                          * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                          * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                          * 1000000)
+                          // (CAST(a + b AS HUGEINT) * (c + d)
+                             * (a + c) * (b + d)) END >= 3841459
+                   THEN 1 ELSE 0 END AS significant
+       FROM ct"""
 }

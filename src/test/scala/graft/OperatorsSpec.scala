@@ -616,6 +616,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tied == Seq((1, 40L), (2, 50L)))
   }
 
+  test("abChiSquare: closed-form 2x2 matches hand value; null effect and degenerate margins score 0") {
+    import spark.implicits._
+    // a=30/b=70 vs c=10/d=90: chi2 = 200·(2700−700)²/(100·100·40·160) = 12.5
+    val strong = (Seq.fill(30)((0, 1)) ++ Seq.fill(70)((0, 0)) ++
+      Seq.fill(10)((1, 1)) ++ Seq.fill(90)((1, 0))).toDF("variant", "succ")
+    val s = graft.etl.Drift.abChiSquare(strong, "variant", "succ").head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) ==
+      ((100L, 100L, 30L, 10L)))
+    assert((s.getLong(4), s.getLong(5)) == ((3000L, 1000L)))
+    assert(s.getLong(6) == 12500000L && s.getInt(7) == 1,
+      s"chi2_micro=${s.getLong(6)} significant=${s.getInt(7)}")
+    // identical arms: ad − bc = 0 exactly
+    val nullEff = (Seq.fill(50)((0, 1)) ++ Seq.fill(50)((0, 0)) ++
+      Seq.fill(50)((1, 1)) ++ Seq.fill(50)((1, 0))).toDF("variant", "succ")
+    val ne = graft.etl.Drift.abChiSquare(nullEff, "variant", "succ").head()
+    assert(ne.getLong(6) == 0L && ne.getInt(7) == 0)
+    // empty B arm: degenerate margin must score 0, not divide by zero
+    val oneArm = Seq.fill(50)((0, 1)).toDF("variant", "succ")
+    val oa = graft.etl.Drift.abChiSquare(oneArm, "variant", "succ").head()
+    assert(oa.getLong(6) == 0L && oa.getInt(7) == 0)
+  }
+
   test("hits: hand recurrence with max-normalization; bipartite roles separate cleanly") {
     import spark.implicits._
     // hubs {2,4} → authorities {1,3}: 2→1, 2→3, 4→3
