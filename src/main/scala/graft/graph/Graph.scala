@@ -463,10 +463,26 @@ object Graph {
     * Returns (scores, roundsRun). */
   def pageRankUntil(edges: DataFrame, eps: Long, maxIters: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      redistributeDangling: Boolean = false): (DataFrame, Int) = {
+      redistributeDangling: Boolean = false,
+      warmStart: Option[DataFrame] = None): (DataFrame, Int) = {
     require(eps >= 0L, s"eps must be non-negative, got $eps")
     val g = prepare(edges, srcCol, dstCol, redistributeDangling)
-    var score = g.nodes.withColumn("score", lit(Scale))
+    // Warm start — the incremental-recompute path: seed from a prior
+    // run's (node, score) instead of the uniform 10⁶. After an append
+    // or small edge delta the fixed point moves little, so iteration
+    // from warm scores crosses the eps gate in a round or two where a
+    // cold start replays the full mixing time (spec: warm-starting from
+    // the converged scores terminates at the first delta check). New
+    // nodes absent from the prior run enter at the cold 10⁶; stale
+    // nodes no longer in the graph are dropped by the node-table join.
+    var score = warmStart match {
+      case None => g.nodes.withColumn("score", lit(Scale))
+      case Some(prev) => g.nodes
+        .join(prev.select(col("node").cast("long").as("node"),
+          col("score").cast("long").as("prev")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("prev"), lit(Scale)).as("score"))
+        .localCheckpoint()
+    }
     var rounds = 0
     var delta = Long.MaxValue
     while (delta >= eps && rounds < maxIters) {

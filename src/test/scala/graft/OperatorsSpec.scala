@@ -262,6 +262,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "corrected-path convergence must equal its fixed-iters twin")
   }
 
+  test("pageRankUntil warm start: converged seed stops in one round; new/stale nodes handled") {
+    import spark.implicits._
+    val pairs = (1L to 5L).map(l => (0L, l))
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.map(_.swap).toDF("src", "dst"))
+    val (cold, coldRounds) = graft.graph.Graph.pageRankUntil(
+      edges, eps = 40000L, maxIters = 50)
+    assert(coldRounds > 1, "cold start must need several rounds here")
+    // seeding from the converged scores crosses the eps gate immediately
+    val (warm, warmRounds) = graft.graph.Graph.pageRankUntil(
+      edges, eps = 40000L, maxIters = 50, warmStart = Some(cold))
+    assert(warmRounds == 1,
+      s"warm start from the fixed point must stop at the first delta check, ran $warmRounds")
+    val coldMap = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val warmMap = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one extra step from (near) the fixed point stays within eps of it
+    assert(warmMap.keySet == coldMap.keySet &&
+      warmMap.map { case (n, s) => math.abs(s - coldMap(n)) }.sum < 40000L,
+      "warm-started scores must stay within eps of the converged seed")
+    // a prior run over a DIFFERENT graph: node 6 is new (enters cold at
+    // 10^6), node 99 is stale (dropped by the node-table join)
+    val grown = edges.union(Seq((0L, 6L), (6L, 0L)).toDF("src", "dst"))
+    val stalePrev = cold.union(Seq((99L, 123L)).toDF("node", "score"))
+    val (g, _) = graft.graph.Graph.pageRankUntil(
+      grown, eps = 40000L, maxIters = 50, warmStart = Some(stalePrev))
+    val gMap = g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gMap.keySet == (0L to 6L).toSet, "stale node must be dropped, new node present")
+    // warm start changes the path, never the destination: same graph run
+    // cold to a tight eps agrees on every score to within that eps
+    val (gc, _) = graft.graph.Graph.pageRankUntil(grown, eps = 1000L, maxIters = 100)
+    val gcMap = gc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drift = gMap.map { case (n, s) => math.abs(s - gcMap(n)) }.max
+    assert(drift <= 40000L, s"warm and cold fixed points must agree (max drift $drift)")
+  }
+
   test("triangleCounts: exact per-node counts; orientation dedups; pendants drop out") {
     import spark.implicits._
     // K4 on {1,2,3,4} + pendant 5-1 + disconnected path 10-11-12.
