@@ -691,6 +691,53 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(vanilla).count() > 0)
   }
 
+  test("S11 materialized agg: incremental refresh from the CDF ≡ full recompute") {
+    import spark.implicits._
+    import graft.io.Materialized
+    val dir = tmp() + "/ivm_manifest"
+    // (k merge-key, g group, v nullable measure). Group 99 will vanish
+    // entirely (cnt→0 drop); group 98's only non-null v will be nulled
+    // (sum must flip back to NULL via the non-null count).
+    val v1Rows = (0L until 290L).map(k => (k, k % 7, if (k % 5 == 0) None else Some(k * 10))) ++
+      (290L until 295L).map(k => (k, 99L, Some(k))) ++
+      Seq((295L, 98L, Some(7L)), (296L, 98L, None), (297L, 98L, None))
+    Sinks.writeWithManifest(spark, v1Rows.toDF("k", "g", "v"), dir, "k", nFiles = 4)
+    val (agg1, ver1) = Materialized.fullRefresh(spark, dir, Seq("g"), Seq("v"))
+    assert(ver1 == 1L)
+    val stored = agg1.collect()  // "persist" the v1 aggregate
+    val prev = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(stored.toSeq).asJava), agg1.schema)
+    // v2: move every g=99 row into g=0, change values, insert new keys
+    Sinks.upsertByKeyManifest(spark,
+      ((290L until 295L).map(k => (k, 0L, Some(k * 100))) ++
+        Seq((1L, 1L, Some(999L)), (5L, 2L, Some(50L))) ++
+        (1000L until 1005L).map(k => (k, 3L, Some(k)))).toDF("k", "g", "v"),
+      dir, "k")
+    // v3: null out group 98's only non-null measure + one more update
+    Sinks.upsertByKeyManifest(spark,
+      Seq((295L, 98L, None: Option[Long]), (2L, 2L, Some(4L)))
+        .toDF("k", "g", "v"), dir, "k")
+    val (inc, verInc) = Materialized.incrementalRefresh(
+      spark, dir, prev, ver1, Seq("g"), Seq("v"))
+    val (full, verFull) = Materialized.fullRefresh(spark, dir, Seq("g"), Seq("v"))
+    assert(verInc == 3L && verFull == 3L)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSet
+    val incSet = shape(inc)
+    assert(incSet == shape(full),
+      "incremental aggregate must equal the full recompute bit-for-bit")
+    assert(!incSet.exists(_._1 == 99L), "emptied group must drop out")
+    val g98 = incSet.find(_._1 == 98L).get
+    assert(g98._3.isEmpty && g98._4 == 0L,
+      s"all-null group must read sum NULL via nn=0, got $g98")
+    // no-op refresh: already at the current version → prev passes through
+    val (same, v3b) = Materialized.incrementalRefresh(
+      spark, dir, inc, verInc, Seq("g"), Seq("v"))
+    assert(v3b == 3L && shape(same) == incSet)
+  }
+
   test("star fact: surrogate keys are collision-free") {
     val fact = Star.factLineitem(spark, sf)
     val n = fact.count()
