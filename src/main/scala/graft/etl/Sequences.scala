@@ -69,4 +69,35 @@ object Sequences {
       sum(col("delta")).over(Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** K-tap exponential smoothing (finite-impulse-response EWMA): per
+    * entity, ewma_i = ⌊Σ_{j<K} 2^(K−1−j)·x_{i−j} / Σ present 2^(K−1−j)⌋
+    * — halving weights over the last K observations, the denominator
+    * summing only the taps that EXIST (so the first rows of a sequence
+    * smooth over what's there, and a null value contributes neither
+    * numerator nor weight). All integer: the oracle replays the lags
+    * and the floor divide bit-for-bit.
+    *
+    * This is deliberately the TRUNCATED form, not the recursive
+    * s_i = (x_i + s_{i−1}) div 2: the recursion's per-step floor makes
+    * it inherently sequential per key (a 10⁹-event key would serialize),
+    * while the K-tap window is one keyed-partition sort + K lag()
+    * reads — embarrassingly parallel, with the dropped tail bounded by
+    * 2^−K of the mass. Appends `ewma` to the input columns. */
+  def expSmooth(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valCol: String, taps: Int): DataFrame = {
+    require(taps >= 1 && taps <= 32, s"taps must be in [1, 32], got $taps")
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
+    val lags = (0 until taps).map { j =>
+      val wt = 1L << (taps - 1 - j)
+      val x = lag(col(valCol).cast("long"), j).over(w)
+      (coalesce(x * wt, lit(0L)),
+        when(x.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    df.withColumn("num", lags.map(_._1).reduce(_ + _))
+      .withColumn("den", lags.map(_._2).reduce(_ + _))
+      .withColumn("ewma", expr("num div den"))
+      .drop("num", "den")
+  }
 }

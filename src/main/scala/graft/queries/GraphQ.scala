@@ -465,6 +465,56 @@ object GraphQ extends QueryPack {
        ORDER BY auth DESC, hub DESC, node LIMIT 20"""
   }
 
+  /** Link prediction on the Q1-1995 part co-purchase graph
+    * ([[Graph.linkPredictRA]], degCap 40): the top-20 NON-adjacent part
+    * pairs by resource-allocation score — "parts likely to be bought
+    * together next", the recommendation primitive. Wedges fan out only
+    * through parts with degree ≤ 40 (hub wedges are both the scale
+    * hazard and the near-zero RA contributions); existing edges are
+    * anti-joined away. Integer ⌊10⁶/deg⌋ weights — the oracle replays
+    * cap, wedge join, and anti-join bit-for-bit. */
+  private def grLinkpred(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+    val edges = li.alias("x")
+      .join(li.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    Graph.linkPredictRA(edges, degCap = 40)
+      .orderBy(col("score").desc, col("cn").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
+  private val grLinkpredSql =
+    """WITH o AS (SELECT o_orderkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'),
+       li AS (SELECT l_orderkey, l_partkey FROM lineitem
+              JOIN o ON l_orderkey = o_orderkey),
+       e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                                 AND x.l_partkey < y.l_partkey),
+       adj AS (SELECT a AS v, b AS u FROM e0
+               UNION ALL SELECT b, a FROM e0),
+       deg AS (SELECT v, COUNT(*) AS dg FROM adj GROUP BY 1),
+       mid AS (SELECT adj.v, adj.u, deg.dg
+               FROM adj JOIN deg USING (v) WHERE dg <= 40),
+       w AS (SELECT l.u AS a, r.u AS b, l.dg
+             FROM mid l JOIN mid r ON l.v = r.v AND l.u < r.u),
+       s AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+                    CAST(SUM(1000000 // dg) AS BIGINT) AS score
+             FROM w GROUP BY 1, 2)
+       SELECT s.a, s.b, s.cn, s.score
+       FROM s LEFT JOIN e0 ON s.a = e0.a AND s.b = e0.b
+       WHERE e0.a IS NULL
+       ORDER BY score DESC, cn DESC, s.a, s.b LIMIT 20"""
+
   override def queries: Seq[Q] = Seq(
     Q("gr_pagerank", grPagerank, Some(grPagerankSql)),
     Q("gr_ppr", grPpr, Some(grPprSql)),
@@ -474,5 +524,6 @@ object GraphQ extends QueryPack {
     Q("gr_labelprop", grLabelprop, Some(grLabelpropSql)),
     Q("gr_bfs_hops", grBfsHops, Some(grBfsHopsSql)),
     Q("gr_kcore", grKcore, Some(grKcoreSql)),
-    Q("gr_sssp", grSssp, Some(grSsspSql)))
+    Q("gr_sssp", grSssp, Some(grSsspSql)),
+    Q("gr_linkpred", grLinkpred, Some(grLinkpredSql)))
 }

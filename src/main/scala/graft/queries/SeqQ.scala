@@ -66,7 +66,45 @@ object SeqQ extends QueryPack {
                 AS BIGINT) AS active
        FROM d ORDER BY day"""
 
+  /** Per-customer spend trend: 4-tap exponential smoothing
+    * ([[Sequences.expSmooth]], weights 8/4/2/1) of the order totals in
+    * exact cents, ordered by (o_orderdate, o_orderkey) so the sequence
+    * is total and engine-independent. One keyed window per customer —
+    * partitions are per-entity, never global — and pure integer
+    * arithmetic: the oracle replays the three lags and the floor
+    * divide bit-for-bit. */
+  private def eEwma(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        (graft.util.Exact.dec2(col("o_totalprice")) * 100)
+          .cast("long").as("cents"))
+    Sequences.expSmooth(o, "o_custkey", Seq("o_orderdate", "o_orderkey"),
+        "cents", taps = 4)
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val eEwmaSql =
+    """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS cents
+              FROM orders),
+       l AS (SELECT o_custkey, o_orderdate, o_orderkey, cents,
+               LAG(cents, 1) OVER w AS c1,
+               LAG(cents, 2) OVER w AS c2,
+               LAG(cents, 3) OVER w AS c3
+             FROM o WINDOW w AS (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey))
+       SELECT o_custkey, o_orderdate, o_orderkey, cents,
+              CAST((8 * cents + COALESCE(4 * c1, 0) + COALESCE(2 * c2, 0)
+                    + COALESCE(c3, 0))
+                   // (8 + CASE WHEN c1 IS NULL THEN 0 ELSE 4 END
+                        + CASE WHEN c2 IS NULL THEN 0 ELSE 2 END
+                        + CASE WHEN c3 IS NULL THEN 0 ELSE 1 END)
+                   AS BIGINT) AS ewma
+       FROM l ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
   override def queries: Seq[Q] = Seq(
     Q("e_transitions", eTransitions, Some(eTransitionsSql)),
-    Q("iv_open_lines", ivOpenLines, Some(ivOpenLinesSql)))
+    Q("iv_open_lines", ivOpenLines, Some(ivOpenLinesSql)),
+    Q("e_ewma", eEwma, Some(eEwmaSql)))
 }

@@ -204,9 +204,56 @@ object SketchQ extends QueryPack {
               exact
        FROM s JOIN ex USING (g) ORDER BY 1"""
 
+  /** Log₂-histogram quantiles of the order totals (in exact cents —
+    * the [[graft.util.Exact]] decimal discipline): the p25/p50/p75/p90/
+    * p99/p99.99 buckets with their value bounds. The sketch is ≤ 66
+    * (bucket, cnt) rows at ANY corpus size and merges across shards by
+    * summing counts ([[Sketch.logHistogram]]) — the fixed-state answer
+    * to "what does the price distribution look like at 100 TB", where
+    * an exact percentile would distribute a full sort. The quantile
+    * sweep crosses the tiny histogram with the ONE-row total only. */
+  private def skQhist(spark: SparkSession, d: String): DataFrame = {
+    val cents = Tables.orders(spark, d)
+      .select((graft.util.Exact.dec2(col("o_totalprice")) * 100)
+        .cast("long").as("v"))
+    Sketch.histQuantiles(Sketch.logHistogram(cents, "v"),
+        Seq(2500, 5000, 7500, 9000, 9900, 9999))
+      .orderBy("q_bp")
+  }
+
+  private val skQhistSql =
+    """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v FROM orders),
+       h AS (SELECT CAST(CASE WHEN v < 0 THEN -1 WHEN v = 0 THEN 0
+                         ELSE length(bin(v)) END AS INTEGER) AS bucket,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM v GROUP BY 1),
+       c AS (SELECT bucket, cnt,
+                    CAST(SUM(cnt) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum,
+                    CAST((SELECT SUM(cnt) FROM h) AS BIGINT) AS n
+             FROM h),
+       q(q_bp) AS (VALUES (2500), (5000), (7500), (9000), (9900), (9999)),
+       r AS (SELECT q_bp, bucket, cum, n,
+                    CAST((n * q_bp + 9999) // 10000 AS BIGINT) AS rnk
+             FROM c CROSS JOIN q
+             WHERE cum >= (n * q_bp + 9999) // 10000),
+       sel AS (SELECT q_bp, MIN(bucket) AS bucket, MIN(rnk) AS rnk,
+                      MIN(n) AS n
+               FROM r GROUP BY 1)
+       SELECT q_bp, bucket,
+              CASE WHEN bucket <= 0 THEN 0
+                   ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS lo,
+              CASE WHEN bucket <= 0 THEN 0
+                   ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS hi,
+              rnk, n
+       FROM sel ORDER BY q_bp"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_cms_point", tCmsPoint, Some(tCmsPointSql)),
     Q("t_hll_distinct", tHllDistinct, Some(tHllDistinctSql)),
     Q("t_hll_grouped", tHllGrouped, Some(tHllGroupedSql)),
-    Q("t_bloom_decontam", tBloomDecontam, Some(tBloomDecontamSql)))
+    Q("t_bloom_decontam", tBloomDecontam, Some(tBloomDecontamSql)),
+    Q("sk_qhist", skQhist, Some(skQhistSql)))
 }

@@ -1,6 +1,7 @@
 package graft.sketch
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable frequency / cardinality sketches, relationally.
@@ -174,6 +175,55 @@ object Sketch {
         (lit(alpha) * lit(m.toDouble * m.toDouble) *
           lit(math.pow(2.0, (wBits + 1).toDouble)) / col("s").cast("double"))
           .as("estimate"))
+  }
+
+  /** Log₂-bucket histogram of a LONG column: bucket(v) = −1 for v < 0,
+    * 0 for v = 0, else the bit length of v (= ⌊log₂v⌋ + 1), computed
+    * EXACTLY via the binary-string length — the [[hllRegisters]] `bin`
+    * trick, no float log2. At most 66 (bucket, cnt) rows REGARDLESS of
+    * input size: per-partition partial aggregation collapses each
+    * partition before the shuffle, and two shards' histograms merge by
+    * summing counts per bucket (spec-verified) — the mergeable
+    * quantile summary a 100 TB pipeline keeps where an exact
+    * distributed sort per percentile probe is unaffordable. */
+  def logHistogram(vals: DataFrame, valCol: String): DataFrame =
+    vals.select(col(valCol).cast("long").as("v"))
+      .select(when(col("v") < 0L, lit(-1))
+        .when(col("v") === 0L, lit(0))
+        .otherwise(length(bin(col("v")))).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a [[logHistogram]]: for each requested
+    * basis-point q, the first bucket whose cumulative count reaches
+    * rnk = ⌈n·q / 10000⌉ (the lower-quantile convention), reported
+    * with the bucket's value bounds lo = 2^(b−1), hi = 2^b − 1 (0/0
+    * for b ≤ 0) — bucket-resolution answers, approximate w.r.t. the
+    * TRUTH but exact w.r.t. the ALGORITHM, which is what the oracle
+    * gate checks. The cumulative window and the quantile probe run
+    * over the ≤ 66 aggregated buckets crossed with the ONE-row total —
+    * never the data (the [[graft.etl.Drift]] dim-sized-series
+    * boundary). Returns (q_bp, bucket, lo, hi, rnk, n). */
+  def histQuantiles(hist: DataFrame, qBps: Seq[Int]): DataFrame = {
+    require(qBps.nonEmpty && qBps.forall(q => q >= 1 && q <= 10000),
+      s"quantiles must be basis points in [1, 10000], got $qBps")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(hist.agg(sum(col("cnt")).as("n")))
+    cum
+      .select(col("bucket"), col("cum"), col("n"),
+        explode(array(qBps.map(lit(_)): _*)).as("q_bp"))
+      .withColumn("rnk", expr("(n * q_bp + 9999) div 10000"))
+      .filter(col("cum") >= col("rnk"))
+      .groupBy("q_bp")
+      .agg(min(col("bucket")).as("bucket"), min(col("rnk")).as("rnk"),
+        min(col("n")).as("n"))
+      .select(col("q_bp"), col("bucket"),
+        when(col("bucket") <= 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")).as("lo"),
+        when(col("bucket") <= 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")).as("hi"),
+        col("rnk"), col("n"))
   }
 
   /** The raw HLL estimate α_m·m²/Σ 2^(−register) from a register table,

@@ -708,5 +708,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ppr == pr, "all-sources PPR must equal global PageRank")
   }
 
+  test("linkPredictRA: wedge scores replay by hand; adjacency excluded; cap drops hub wedges") {
+    import spark.implicits._
+    // path 1-2-3 (wedge through 2, deg 2) + hub 9 over leaves 4..7
+    val e = Seq((1L, 2L), (2L, 3L), (9L, 4L), (9L, 5L), (9L, 6L), (9L, 7L))
+      .toDF("src", "dst")
+    def run(cap: Int) = graft.graph.Graph.linkPredictRA(e, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // cap 3 excludes the deg-4 hub: only (1,3) via 2, score ⌊10⁶/2⌋
+    assert(run(3) == Map((1L, 3L) -> ((1L, 500000L))))
+    // cap 10 admits the hub: its 6 leaf pairs each score ⌊10⁶/4⌋
+    val wide = run(10)
+    assert(wide.size == 7)
+    assert(wide((1L, 3L)) == ((1L, 500000L)))
+    for (p <- Seq((4L, 5L), (4L, 6L), (4L, 7L), (5L, 6L), (5L, 7L), (6L, 7L)))
+      assert(wide(p) == ((1L, 250000L)), s"hub pair $p drifted")
+    // an existing edge never re-predicts: closing 1-3 removes the pair
+    val closed = graft.graph.Graph.linkPredictRA(
+      e.union(Seq((3L, 1L)).toDF("src", "dst")), 3)
+      .collect()
+    assert(closed.isEmpty, "adjacent pair must be anti-joined away")
+  }
+
+  test("expSmooth: hand-computed taps; partial head windows; null values carry no weight") {
+    import spark.implicits._
+    val df = Seq((1L, 1, Some(10L)), (1L, 2, Some(20L)), (1L, 3, None),
+      (1L, 4, Some(40L)), (2L, 1, Some(7L))).toDF("k", "t", "x")
+    val got = graft.etl.Sequences.expSmooth(df, "k", Seq("t"), "x", taps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    // (1,1): 80/8 = 10; (1,2): (160+40)/12 = 16;
+    // (1,3): x null → (80+20)/6 = 16 (the null tap adds no weight);
+    // (1,4): (320+0+40+10)/11 = 33; (2,1): fresh key → 7
+    assert(got == Map((1L, 1) -> 10L, (1L, 2) -> 16L, (1L, 3) -> 16L,
+      (1L, 4) -> 33L, (2L, 1) -> 7L), s"expSmooth drifted: $got")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -50,7 +50,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "e_cat_drift",
     // hybrid fusion runs both rankers: bm25's ONE-row stats cross join
     // + the ANN broadcast-query-side join (sim_topk's shape)
-    "hr_rrf")
+    "hr_rrf",
+    // the quantile sweep crosses the ≤ 66-bucket histogram with its
+    // ONE-row total-count aggregate — fixed-size sides by construction
+    "sk_qhist")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -145,6 +145,35 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(whole == merged, "shard bit sets must OR into the whole filter")
   }
 
+  test("logHistogram: bit-length buckets; shards merge by cell-sum; quantiles hit known ranks") {
+    import spark.implicits._
+    // bucket(v) = bit length: 0→0, 1→1, {2,3}→2, {4..7}→3, 1000→10, −5→−1
+    val h = Sketch.logHistogram(
+        Seq(0L, 1L, 2L, 3L, 4L, 7L, 1000L, -5L).toDF("v"), "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h == Map(-1 -> 1L, 0 -> 1L, 1 -> 1L, 2 -> 2L, 3 -> 2L, 10 -> 1L))
+    // merge law: histogram(A ++ B) == per-bucket sum of shard histograms
+    val a = Seq(1L, 5L, 9L).toDF("v")
+    val b = Seq(2L, 5L, 100L).toDF("v")
+    val whole = Sketch.logHistogram(a.union(b), "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val merged = Sketch.logHistogram(a, "v")
+      .union(Sketch.logHistogram(b, "v"))
+      .groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(whole == merged, "shard histograms must merge by cell-sum")
+    // quantiles on 1..100: p50 rank 50 → first bucket with cum ≥ 50 is
+    // bucket 6 (cum(≤5) = 31, cum(≤6) = 63), bounds [32, 63] ∋ the true
+    // median 50; p99 rank 99 → bucket 7 (cum 100), bounds [64, 127]
+    val qs = Sketch.histQuantiles(
+        Sketch.logHistogram((1L to 100L).toDF("v"), "v"), Seq(5000, 9900))
+      .collect().map(r => r.getInt(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(qs(5000) == ((6, 32L, 63L, 50L, 100L)))
+    assert(qs(9900) == ((7, 64L, 127L, 99L, 100L)))
+  }
+
   test("streaming CMS: the sketch is a plain update-mode aggregation, ≡ batch") {
     import spark.implicits._
     // the sketch pipeline (explode → groupBy cell → count) runs UNCHANGED
