@@ -250,10 +250,59 @@ object SketchQ extends QueryPack {
               rnk, n
        FROM sel ORDER BY q_bp"""
 
+  /** Per-language document-length percentiles from SPARSE grouped
+    * histograms ([[Sketch.logHistogramBy]] — ≤ 66 rows per language at
+    * ANY corpus size): the p50/p95 whitespace-token-count buckets per
+    * lang, the "how long are my docs per language" curation dashboard
+    * that would otherwise distribute a per-group sort. The totals join
+    * and the cumulative window are |langs|-sized — dims, not data. */
+  private def skQhistLang(spark: SparkSession, d: String): DataFrame = {
+    val lens = Tables.documents(spark, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    Sketch.histQuantilesBy(
+        Sketch.logHistogramBy(lens, "toks", "lang"), "lang",
+        Seq(5000, 9500))
+      .orderBy("lang", "q_bp")
+  }
+
+  private val skQhistLangSql =
+    """WITH lens AS (SELECT lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+              FROM documents),
+       h AS (SELECT lang,
+                    CAST(CASE WHEN toks < 0 THEN -1 WHEN toks = 0 THEN 0
+                         ELSE length(bin(toks)) END AS INTEGER) AS bucket,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM lens GROUP BY 1, 2),
+       t AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+       c AS (SELECT h.lang, h.bucket,
+                    CAST(SUM(h.cnt) OVER (PARTITION BY h.lang ORDER BY h.bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum,
+                    t.n
+             FROM h JOIN t USING (lang)),
+       q(q_bp) AS (VALUES (5000), (9500)),
+       r AS (SELECT lang, q_bp, bucket, cum, n,
+                    CAST((n * q_bp + 9999) // 10000 AS BIGINT) AS rnk
+             FROM c CROSS JOIN q
+             WHERE cum >= (n * q_bp + 9999) // 10000),
+       sel AS (SELECT lang, q_bp, MIN(bucket) AS bucket, MIN(rnk) AS rnk,
+                      MIN(n) AS n
+               FROM r GROUP BY 1, 2)
+       SELECT lang, q_bp, bucket,
+              CASE WHEN bucket <= 0 THEN 0
+                   ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS lo,
+              CASE WHEN bucket <= 0 THEN 0
+                   ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS hi,
+              rnk, n
+       FROM sel ORDER BY lang, q_bp"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_cms_point", tCmsPoint, Some(tCmsPointSql)),
     Q("t_hll_distinct", tHllDistinct, Some(tHllDistinctSql)),
     Q("t_hll_grouped", tHllGrouped, Some(tHllGroupedSql)),
     Q("t_bloom_decontam", tBloomDecontam, Some(tBloomDecontamSql)),
-    Q("sk_qhist", skQhist, Some(skQhistSql)))
+    Q("sk_qhist", skQhist, Some(skQhistSql)),
+    Q("sk_qhist_lang", skQhistLang, Some(skQhistLangSql)))
 }

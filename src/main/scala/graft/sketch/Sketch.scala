@@ -226,6 +226,51 @@ object Sketch {
         col("rnk"), col("n"))
   }
 
+  /** Per-group [[logHistogram]]: the same bit-length buckets keyed by
+    * `groupCol` — SPARSE (≤ 66 rows per group, only hit buckets), so
+    * per-group distribution tracking costs O(|groups|·66) shuffle rows
+    * at ANY corpus size, merging across shards by per-(group, bucket)
+    * count sum exactly like the global form (spec-verified). */
+  def logHistogramBy(vals: DataFrame, valCol: String,
+      groupCol: String): DataFrame =
+    vals.select(col(groupCol), col(valCol).cast("long").as("v"))
+      .select(col(groupCol), when(col("v") < 0L, lit(-1))
+        .when(col("v") === 0L, lit(0))
+        .otherwise(length(bin(col("v")))).cast("int").as("bucket"))
+      .groupBy(groupCol, "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-group quantiles from a [[logHistogramBy]] table: the
+    * [[histQuantiles]] sweep with every window/aggregate keyed by
+    * `groupCol` — the per-group totals join is a dim-sized equi-join
+    * (|groups| rows a side), not a cross join, and the cumulative
+    * window partitions by group. Returns (groupCol, q_bp, bucket, lo,
+    * hi, rnk, n). */
+  def histQuantilesBy(hist: DataFrame, groupCol: String,
+      qBps: Seq[Int]): DataFrame = {
+    require(qBps.nonEmpty && qBps.forall(q => q >= 1 && q <= 10000),
+      s"quantiles must be basis points in [1, 10000], got $qBps")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(groupCol).orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(hist.groupBy(groupCol).agg(sum(col("cnt")).as("n")),
+        Seq(groupCol))
+    cum
+      .select(col(groupCol), col("bucket"), col("cum"), col("n"),
+        explode(array(qBps.map(lit(_)): _*)).as("q_bp"))
+      .withColumn("rnk", expr("(n * q_bp + 9999) div 10000"))
+      .filter(col("cum") >= col("rnk"))
+      .groupBy(col(groupCol), col("q_bp"))
+      .agg(min(col("bucket")).as("bucket"), min(col("rnk")).as("rnk"),
+        min(col("n")).as("n"))
+      .select(col(groupCol), col("q_bp"), col("bucket"),
+        when(col("bucket") <= 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")).as("lo"),
+        when(col("bucket") <= 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")).as("hi"),
+        col("rnk"), col("n"))
+  }
+
   /** The raw HLL estimate α_m·m²/Σ 2^(−register) from a register table,
     * as one fixed expression tree: the harmonic sum is computed as the
     * INTEGER Σ 2^(wBits+1−register) (≤ m·2^(wBits+1), safely BIGINT),

@@ -172,6 +172,24 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(qs(5000) == ((6, 32L, 63L, 50L, 100L)))
     assert(qs(9900) == ((7, 64L, 127L, 99L, 100L)))
+    // grouped form ≡ the global sweep run per group
+    val grouped = Seq.concat((1L to 100L).map(("g1", _)),
+      (1L to 10L).map(("g2", _))).toDF("g", "v")
+    val byG = Sketch.histQuantilesBy(
+        Sketch.logHistogramBy(grouped, "v", "g"), "g", Seq(5000, 9900))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(byG(("g1", 5000)) == ((6, 32L, 63L, 50L, 100L)))
+    assert(byG(("g1", 9900)) == ((7, 64L, 127L, 99L, 100L)))
+    val soloG2 = Sketch.histQuantiles(
+        Sketch.logHistogram((1L to 10L).toDF("v"), "v"), Seq(5000, 9900))
+      .collect().map(r => r.getInt(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(byG(("g2", 5000)) == soloG2(5000) &&
+      byG(("g2", 9900)) == soloG2(9900),
+      "grouped sweep must equal the global sweep per group")
   }
 
   test("streaming CMS: the sketch is a plain update-mode aggregation, ≡ batch") {
