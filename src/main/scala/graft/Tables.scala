@@ -28,17 +28,32 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * refuses to read natively; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.Sessions]])
-    * so it arrives as a long. Truncating integer division to micros matches
-    * DuckDB's nanos→micros truncation exactly. */
-  def events(spark: SparkSession, d: String): DataFrame = {
-    val raw = load(spark, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+  /** Canonicalize an events-shaped frame's `ts` to session-zone TIMESTAMP,
+    * whatever physical type the parquet writer chose:
+    *  - TIMESTAMP(NANOS) arrives as a long (sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, [[graft.Sessions]]);
+    *    truncating integer division to micros matches DuckDB's
+    *    nanos→micros truncation exactly;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    *    TIMESTAMP_NTZ; the session timezone is pinned to UTC, so the
+    *    cast re-labels the same wall-clock micros as the same instant —
+    *    bit-identical to what the nanos path produced;
+    *  - TIMESTAMP passes through.
+    * Works on batch and streaming frames alike (pure schema dispatch). */
+  def canonEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
+
+  def events(spark: SparkSession, d: String): DataFrame =
+    canonEventTs(load(spark, d, "events"))
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }

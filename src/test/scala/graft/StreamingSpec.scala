@@ -125,8 +125,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       java.nio.file.Paths.get(s"$srcDir/events.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = Relay.readStreamPath(spark, srcDir, schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.canonEventTs(Relay.readStreamPath(spark, srcDir, schema))
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sumExact(col("value")).as("sum_value"))
@@ -216,8 +215,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       java.nio.file.Paths.get(s"$srcDir/events.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = Relay.readStreamPath(spark, srcDir, schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.canonEventTs(Relay.readStreamPath(spark, srcDir, schema))
       .select("user_id", "ts", "event_id", "event_type")
       .as[Relay.Scd2Event]
     val q = Relay.scd2Stream(stream)
@@ -245,8 +243,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       java.nio.file.Paths.get(s"$srcDir/events.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = Relay.readStreamPath(spark, srcDir, schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.canonEventTs(Relay.readStreamPath(spark, srcDir, schema))
       .select(col("user_id"), col("ts"), col("event_id"),
         when(col("event_type") === "error", lit(null)).otherwise(col("value"))
           .as("reading"))
@@ -410,8 +407,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val types = Seq("click", "error", "purchase", "signup", "view")
     val stream = Relay.pivotStream(
-      Relay.readStreamPath(spark, srcDir, schema)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+      Tables.canonEventTs(Relay.readStreamPath(spark, srcDir, schema)),
       date_trunc("day", col("ts")), col("event_type"), types)
     val q = stream.writeStream.format("memory").queryName("pivot_mem")
       .outputMode("complete")
@@ -434,8 +430,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(s"$srcDir/events.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     def stream(eventType: String, idAs: String) =
-      Relay.readStreamPath(spark, srcDir, schema)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      Tables.canonEventTs(Relay.readStreamPath(spark, srcDir, schema))
         .filter(col("event_type") === eventType)
         .select(col("user_id"), col("ts"), col("event_id").as(idAs))
     val joined = Relay.intervalJoinStream(
