@@ -27,7 +27,8 @@ object SparkEntry {
     // r7+ additions go in NEW trailing groups: round-over-round bench
     // rows for the established groups stay apples-to-apples.
     Seq(GraphQ), Seq(PrepQ), Seq(CurateQ), Seq(SketchQ), Seq(MonitorQ),
-    Seq(SeqQ), Seq(MineQ))
+    Seq(SeqQ), Seq(MineQ),
+    Seq(RetrievalQ), Seq(TimelineQ), Seq(OverlapQ), Seq(Corpus2Q))
 
   /** Bench iteration order: group by group, queries name-sorted within
     * their group — fixed across rounds so per-query deltas are meaningful.

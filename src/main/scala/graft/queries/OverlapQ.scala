@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Set-overlap dedup extensions: asymmetric containment (the
+  * small-doc-inside-big-doc case symmetric Jaccard misses) and a
+  * MinHash-estimate accuracy harness (estimated vs exact Jaccard per
+  * near-dup pair — the quality dial for choosing k).
+  */
+object OverlapQ extends QueryPack {
+
+  /** Shared shingle explosion: distinct 3-gram shingles per doc,
+    * repartitioned on the doc id so Spark's ReusedExchange computes the
+    * explosion once across its multiple consumers (the jaccardPairs
+    * pattern, Dedup.scala). */
+  private def sh(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id").as("id"),
+        explode(Dedup.shinglesFast(col("text"), 3)).as("sh"))
+      .repartition(col("id"))
+      .select("id", "sh")
+
+  /** Directional containment pairs: cont(a→b) = |Sa∩Sb| / |Sa| in basis
+    * points, kept at ≥ 9000. The intersection is computed ONCE per
+    * unordered pair (id_a < id_b self-join on the shingle — the
+    * jaccardPairs candidate shape, with [[Dedup.jaccardPairsPrefix]] as
+    * the documented duplicate-heavy-corpus variant), then BOTH directed
+    * rows are emitted from it (a union of two projections, no second
+    * join). Integer bp arithmetic — engine-exact. */
+  private[graft] def containmentPairs(docs: DataFrame,
+      thresholdBp: Long): DataFrame = {
+    val s = sh(docs)
+    val sizes = s.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = s.as("a").join(s.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_s"), col("b.id").as("id_t"))
+      .agg(count(lit(1)).as("n_inter"))
+    val both = inter
+      .join(sizes.select(col("id").as("id_s"), col("n_sh").as("n_s")), Seq("id_s"))
+      .join(sizes.select(col("id").as("id_t"), col("n_sh").as("n_t")), Seq("id_t"))
+    both.select(col("id_s").as("id_a"), col("id_t").as("id_b"),
+        col("n_inter"), col("n_s").as("n_a"))
+      .unionByName(both.select(col("id_t").as("id_a"), col("id_s").as("id_b"),
+        col("n_inter"), col("n_t").as("n_a")))
+      .withColumn("cont_bp", expr("(n_inter * 10000) div n_a"))
+      .filter(col("cont_bp") >= thresholdBp)
+      .select("id_a", "id_b", "n_a", "n_inter", "cont_bp")
+      .orderBy("id_a", "id_b")
+  }
+
+  private def dContainment(spark: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.documents(spark, d), 9000L)
+
+  private val dContainmentSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM toks WHERE len(t) >= 3),
+       sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS id_s, b.doc_id AS id_t,
+                        CAST(COUNT(*) AS BIGINT) AS n_inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       both_dir AS (
+         SELECT id_s AS id_a, id_t AS id_b, n_inter, sa.n_sh AS n_a
+         FROM inter JOIN sizes sa ON id_s = sa.doc_id
+         UNION ALL
+         SELECT id_t, id_s, n_inter, sb.n_sh
+         FROM inter JOIN sizes sb ON id_t = sb.doc_id)
+       SELECT id_a, id_b, n_a, n_inter,
+              (n_inter * 10000) // n_a AS cont_bp
+       FROM both_dir WHERE (n_inter * 10000) // n_a >= 9000
+       ORDER BY id_a, id_b"""
+
+  /** MinHash accuracy harness: for every pair with exact Jaccard ≥ 0.5
+    * (integer gate 2·|∩| ≥ |∪|), the k=16 MinHash estimate (matching
+    * slots · 10000/16) against the exact value in bp, plus the absolute
+    * error. The estimate replays the EXACT md5 signature minima the LSH
+    * pipeline uses ([[Dedup.minhashSigFast]]), so this measures the
+    * production estimator, not a stand-in. Signatures are a fixed-width
+    * per-doc projection (k strings); the pair join touches the
+    * exact-filtered pair set only. */
+  private[graft] def minhashEstPairs(docs: DataFrame): DataFrame = {
+    val s = sh(docs)
+    val sizes = s.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = s.as("a").join(s.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * 2 >= col("uni"))
+      .withColumn("exact_bp", expr("(n_inter * 10000) div uni"))
+      .select("id_a", "id_b", "exact_bp")
+    val sigs = docs
+      .select(col("doc_id").as("id"),
+        Dedup.minhashSigFast(Dedup.shinglesFast(col("text"), 3), 16).as("sig"))
+    val est = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("matches",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
+      .withColumn("est_bp", col("matches") * 625)
+    est.withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
+      .select("id_a", "id_b", "exact_bp", "est_bp", "err_bp")
+      .orderBy("id_a", "id_b")
+  }
+
+  private def dMinhashEst(spark: SparkSession, d: String): DataFrame =
+    minhashEstPairs(Tables.documents(spark, d))
+
+  private val dMinhashEstSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM toks WHERE len(t) >= 3),
+       sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        CAST(COUNT(*) AS BIGINT) AS n_inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT id_a, id_b,
+                        (n_inter * 10000) // (sa.n_sh + sb.n_sh - n_inter) AS exact_bp
+                 FROM inter
+                 JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+                 WHERE n_inter * 2 >= sa.n_sh + sb.n_sh - n_inter),
+       mh AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '|' || sh)) AS m
+              FROM sh CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+       sl AS (SELECT p.id_a, p.id_b,
+                     CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT)
+                       AS matches
+              FROM pairs p
+              JOIN mh ma ON ma.doc_id = p.id_a
+              JOIN mh mb ON mb.doc_id = p.id_b AND ma.i = mb.i
+              GROUP BY 1, 2)
+       SELECT p.id_a, p.id_b, CAST(exact_bp AS BIGINT) AS exact_bp,
+              matches * 625 AS est_bp,
+              ABS(matches * 625 - exact_bp) AS err_bp
+       FROM pairs p JOIN sl ON p.id_a = sl.id_a AND p.id_b = sl.id_b
+       ORDER BY p.id_a, p.id_b"""
+
+  def queries: Seq[Q] = Seq(
+    Q("d_containment", dContainment, Some(dContainmentSql)),
+    Q("d_minhash_est", dMinhashEst, Some(dMinhashEstSql)))
+}

@@ -195,6 +195,46 @@ object Similarity {
         col("col.score").as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training data: for each query
+    * row, the k most-similar corpus rows whose `labelCol` DIFFERS from the
+    * query's — the classic "nearest wrong-class example" selection. Same
+    * scale shape as [[bruteForceTopKAgg]]: the (small) query side is
+    * broadcast, the corpus streams once, and the typed
+    * [[graft.plans.TopKAggregator]] prunes every map task's candidates to
+    * k BEFORE the shuffle — only k·partitions rows per query move. The
+    * label ride-along is a pure projection (no extra join): normalization
+    * and label selection happen in one pass over each side. Self-pairs
+    * are excluded for free (same row ⇒ same label). At production scale
+    * the corpus side would be the IVF-probed candidate set instead of the
+    * full scan ([[ivfTopKWithCentroids]]); the selection logic is
+    * unchanged. */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    def withNv(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), col(labelCol).as("lab"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.L2NormalizeExpr(
+            org.apache.spark.sql.GraftBridge.expression(
+              asDouble(col(vecCol))))).as("nv"))
+    val q = withNv(queries)
+      .select(col("id").as("query_id"), col("lab").as("qlab"), col("nv").as("qv"))
+    val c = withNv(corpus)
+      .select(col("id").as("neighbor_id"), col("lab").as("clab"), col("nv").as("cv"))
+    val sims = c.crossJoin(broadcast(q))
+      .filter(col("clab") =!= col("qlab"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotFast(col("qv"), col("cv")), 4).as("sim"))
+    sims.groupBy("query_id")
+      .agg(graft.plans.TopKAggregator.topK(k)(
+        col("sim"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"))
+  }
+
   /** Deterministic pseudo-random ±1 hyperplane component for (plane p,
     * dim d): parity of the first md5 hex nibble of "p_d". Computed ONCE
     * driver-side per (plane, dim) — an earlier per-row-per-element md5

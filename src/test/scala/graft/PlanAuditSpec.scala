@@ -53,7 +53,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "hr_rrf",
     // the quantile sweep crosses the ≤ 66-bucket histogram with its
     // ONE-row total-count aggregate — fixed-size sides by construction
-    "sk_qhist")
+    "sk_qhist",
+    // hard-negative mining broadcasts the (small) query side — the
+    // sim_topk ANN shape with a label-disequality filter
+    "sim_hard_neg",
+    // temperature mixing crosses the |sources| weight table with its
+    // ONE-row max aggregate — dim/scalar sides by construction
+    "c_mix_temp")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
