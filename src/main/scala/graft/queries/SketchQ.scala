@@ -298,7 +298,26 @@ object SketchQ extends QueryPack {
               rnk, n
        FROM sel ORDER BY lang, q_bp"""
 
+  /** Exact heavy hitters (tokens above 1/30 of the stream) through the
+    * Misra-Gries candidate pre-filter, k=64: the output is the exact
+    * HAVING-gate answer (which is all the oracle states) — the MG pass
+    * only bounds the recount shuffle to ≤ k candidates per partition,
+    * and freqDiv=30 ≤ k+1 makes the candidate set a provable superset
+    * of the true heavy hitters (SketchSpec equality law). */
+  private def tHeavy(spark: SparkSession, d: String): DataFrame =
+    Sketch.heavyHitters(toks(spark, d), "tok", k = 64, freqDiv = 30L)
+      .orderBy("tok")
+
+  private val tHeavySql =
+    """WITH t AS (SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents) WHERE tok <> ''),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t)
+       SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM t, tot GROUP BY tok, total HAVING COUNT(*) * 30 > total
+       ORDER BY tok"""
+
   override def queries: Seq[Q] = Seq(
+    Q("t_heavy", tHeavy, Some(tHeavySql)),
     Q("t_cms_point", tCmsPoint, Some(tCmsPointSql)),
     Q("t_hll_distinct", tHllDistinct, Some(tHllDistinctSql)),
     Q("t_hll_grouped", tHllGrouped, Some(tHllGroupedSql)),

@@ -292,4 +292,62 @@ object Sketch {
         lit(math.pow(2.0, (wBits + 1).toDouble)) / col("s").cast("double"))
         .as("estimate"))
   }
+
+  /** Misra-Gries candidate pass: ≤ k surviving keys PER PARTITION from
+    * O(k) memory, with the classic guarantee that every key whose GLOBAL
+    * frequency exceeds n/(k+1) survives in at least one partition (if it
+    * exceeds the global fraction, it exceeds the per-partition fraction
+    * somewhere, and MG(k) never evicts a key above n_p/(k+1)). The
+    * decrement-all step is amortized O(1) per input row. This is the
+    * bounded-memory half of [[heavyHitters]]; exposed for the spec's
+    * superset-law check. Input must be a single non-null string column
+    * named `tok`. */
+  def mgCandidates(toks: DataFrame, k: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.select(col("tok")).as[String].mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]
+      it.foreach { s =>
+        if (counts.contains(s)) counts(s) += 1L
+        else if (counts.size < k) counts(s) = 1L
+        else {
+          val dead = List.newBuilder[String]
+          counts.foreach { case (key, c) =>
+            if (c == 1L) dead += key else counts(key) = c - 1L
+          }
+          dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("tok")
+  }
+
+  /** EXACT heavy hitters over an unbounded key domain with bounded
+    * shuffle: keys whose count strictly exceeds total/freqDiv.
+    *
+    * The naive plan shuffles every distinct key's count; at open-domain
+    * scale (tokens, URLs, ids) that shuffle is the bottleneck. Here the
+    * [[mgCandidates]] pass collapses each partition to ≤ k candidate
+    * keys in O(k) memory — `freqDiv ≤ k+1` makes the MG guarantee cover
+    * the query threshold, so the candidate set provably contains every
+    * true heavy hitter — and only candidates are re-counted: the
+    * recount semi-join's build side is ≤ k·partitions rows BY
+    * CONSTRUCTION (broadcast-safe at any corpus size), and the final
+    * gate compares against the ONE-row total aggregate. Output is
+    * bit-identical to the naive exact plan (the spec's equality law);
+    * the MG pass changes cost, never results. */
+  def heavyHitters(toks: DataFrame, tokCol: String, k: Int,
+      freqDiv: Long): DataFrame = {
+    require(freqDiv <= k + 1L,
+      s"freqDiv=$freqDiv needs k >= ${freqDiv - 1} for the MG guarantee")
+    val t = toks.select(col(tokCol).cast("string").as("tok"))
+      .filter(col("tok").isNotNull)
+    val cand = mgCandidates(t, k).distinct()
+    val total = t.agg(count(lit(1)).as("total"))
+    t.join(broadcast(cand), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * freqDiv > col("total"))
+      .select("tok", "cnt")
+  }
 }

@@ -469,6 +469,68 @@ object Relay {
       .toDF()
   }
 
+  /** One event for the streaming funnel tracker. */
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+
+  /** Per-user funnel progress in event-time micros; -1 = step not yet
+    * reached. O(1) regardless of the user's event volume. */
+  final case class FunnelState(sTs: Long, cTs: Long, pTs: Long)
+
+  final case class FunnelOut(user_id: Long, step: Int,
+      ts: java.sql.Timestamp)
+
+  /** Streaming windowed-funnel twin of
+    * [[graft.queries.TimelineQ.funnelWindowed]]: signup → first click
+    * within `windowSec` → first purchase within `windowSec` of that
+    * click, emitted as (user, step, event-time) EXACTLY ONCE as each
+    * step first completes. State per user is three event-time micros —
+    * O(1) however many events the user produces — so a step whose
+    * qualifying event arrives in a later micro-batch than the previous
+    * step still fires exactly once. Same per-key in-order contract as
+    * [[transitionStream]] (within a batch rows sort by event time
+    * before folding): under it, "first in order" ≡ the batch side's
+    * MIN-within-window, so streamed step counts equal the batch funnel
+    * (StreamingSpec). Micros precision is preserved (`getTime` ms +
+    * sub-ms nanos), matching the batch side's full-timestamp
+    * comparisons bit-for-bit. */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      windowSec: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wMicros = windowSec * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, batch, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
+          batch.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val t = micros(e.ts)
+            e.event_type match {
+              case "signup" if st.sTs < 0 =>
+                st = st.copy(sTs = t)
+                out += FunnelOut(uid, 1, e.ts)
+              case "click" if st.sTs >= 0 && st.cTs < 0 &&
+                  t >= st.sTs && t <= st.sTs + wMicros =>
+                st = st.copy(cTs = t)
+                out += FunnelOut(uid, 2, e.ts)
+              case "purchase" if st.cTs >= 0 && st.pTs < 0 &&
+                  t >= st.cTs && t <= st.cTs + wMicros =>
+                st = st.copy(pTs = t)
+                out += FunnelOut(uid, 3, e.ts)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** One event for the streaming transition tracker. */
   final case class SeqEvent(ent: Long, ord: Long, state: String)
 

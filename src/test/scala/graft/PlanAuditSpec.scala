@@ -59,7 +59,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "sim_hard_neg",
     // temperature mixing crosses the |sources| weight table with its
     // ONE-row max aggregate — dim/scalar sides by construction
-    "c_mix_temp")
+    "c_mix_temp",
+    // heavy hitters: the MG candidate broadcast is ≤ k·partitions rows
+    // by construction and the gate crosses the ONE-row total aggregate
+    "t_heavy")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

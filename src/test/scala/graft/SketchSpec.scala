@@ -220,4 +220,41 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == batch, "streaming sketch must equal the batch sketch")
   }
+
+  test("heavyHitters equals the naive exact plan; strict threshold boundary") {
+    import spark.implicits._
+    // hot 400/1000 qualifies at freqDiv=10 (>100); warm sits EXACTLY at
+    // the boundary (100·10 = 1000, not >) and must be excluded; 500
+    // singletons stress MG evictions. 7 partitions, k=16 ≥ freqDiv-1.
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(100)("warm") ++
+      (1 to 500).map(i => s"one_$i")
+    val toks = rows.toDF("tok").repartition(7)
+    val out = Sketch.heavyHitters(toks, "tok", k = 16, freqDiv = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("hot", 400L)), s"got $out")
+    // equality law vs the naive plan at a permissive threshold: the MG
+    // pre-filter must change cost, never results
+    val naive = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 10L > lit(rows.size.toLong))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val mg = Sketch.heavyHitters(toks, "tok", k = 9, freqDiv = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(mg == naive, "minimal k for the guarantee still exact")
+  }
+
+  test("mgCandidates is a superset of the true heavy hitters per the MG law") {
+    import spark.implicits._
+    val rows = Seq.fill(300)("a") ++ Seq.fill(150)("b") ++
+      (1 to 550).map(i => s"x_$i")
+    val toks = rows.toDF("tok").repartition(5)
+    val k = 9
+    val cand = Sketch.mgCandidates(toks, k)
+      .collect().map(_.getString(0)).toSet
+    val heavy = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > lit(rows.size.toLong))
+      .collect().map(_.getString(0)).toSet
+    assert(heavy.subsetOf(cand),
+      s"MG(k=$k) candidates must contain every key above n/(k+1): " +
+        s"missing ${heavy.diff(cand)}")
+  }
 }

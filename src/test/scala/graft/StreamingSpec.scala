@@ -584,5 +584,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.values.sum == 20L)
   }
 
+  test("streaming funnel step counts equal the batch windowed funnel") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type")
+    // split at the median day so later funnel steps straddle the
+    // micro-batch boundary (per-user in-order arrival is preserved:
+    // batch 1 holds strictly earlier events than batch 2)
+    val cut = "2024-01-15"
+    val srcDir = tmp() + "/funnel_src"
+    ev.filter(col("ts") < lit(cut)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    ev.filter(col("ts") >= lit(cut)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val stream = Relay.funnelStream(
+      Relay.readStreamPath(spark, srcDir, ev.schema,
+          options = Map("maxFilesPerTrigger" -> "1"))
+        .as[Relay.FunnelEvent],
+      windowSec = 86400L)
+    val q = stream.writeStream.format("memory").queryName("funnel_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("funnel_mem")
+      .groupBy("step").agg(count(lit(1)).as("users"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = graft.queries.TimelineQ.funnelWindowed(Tables.events(spark, sf))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streaming/batch divergence: streamed=$streamed batch=$batch")
+    // each step fires at most once per user
+    val dup = spark.table("funnel_mem")
+      .groupBy("user_id", "step").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dup == 0, "a funnel step must fire exactly once per user")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
