@@ -92,7 +92,97 @@ object RetrievalQ extends QueryPack {
          FROM pairs) t
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Proximity search (the IR NEAR/n operator): all (pos_a, pos_b)
+    * co-occurrences of two terms within distance 3 inside a doc. The
+    * postings for each term collapse out of the exploded token stream
+    * BEFORE the shuffle (scan-fused equality filters); the pairing is
+    * an EQUI-join on doc_id with the distance predicate as a residual —
+    * per-doc postings bound the pair fan-out, never a cartesian. With a
+    * positional index persisted (the [[graft.text.Bm25]] manifest
+    * shape), the same plan reads two pruned posting ranges instead of
+    * the corpus. */
+  private[graft] def proximityPairs(docs: DataFrame, termA: String,
+      termB: String, maxDist: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val a = toks.filter(col("tok") === termA)
+      .select(col("doc_id"), col("pos").as("pos_a"))
+    val b = toks.filter(col("tok") === termB)
+      .select(col("doc_id"), col("pos").as("pos_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pos_a") - col("pos_b")) <= maxDist)
+      .select(col("doc_id"), col("pos_a").cast("int").as("pos_a"),
+        col("pos_b").cast("int").as("pos_b"))
+      .orderBy("doc_id", "pos_a", "pos_b")
+  }
+
+  private def tProximity(spark: SparkSession, d: String): DataFrame =
+    proximityPairs(Tables.documents(spark, d), "vector", "window", 3)
+
+  private val tProximitySql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+       toks AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, tl[i] AS tok
+                FROM t, unnest(range(1, len(tl) + 1)) u(i)),
+       a AS (SELECT doc_id, pos AS pos_a FROM toks WHERE tok = 'vector'),
+       b AS (SELECT doc_id, pos AS pos_b FROM toks WHERE tok = 'window')
+       SELECT doc_id, pos_a, pos_b
+       FROM a JOIN b USING (doc_id)
+       WHERE ABS(pos_a - pos_b) <= 3
+       ORDER BY doc_id, pos_a, pos_b"""
+
+  /** Class-separability audit: the cosine between every pair of
+    * per-label centroid embeddings. Centroids pool in the exact
+    * fixed-point domain (floor(x·2²⁰) BIGINT sums through
+    * [[graft.plans.VecSum]] — order-independent, engine-exact; the
+    * e_pool recipe), then the |labels|-row centroid table normalizes
+    * through the [[Similarity.normalized]] kernel and pairs via a
+    * broadcast inequality self-join — dim-sized sides by construction,
+    * and the dot is the sequential in-row [[Similarity.dotFast]] fold
+    * (never a cross-row double sum, whose addition order is
+    * engine-dependent). The audit a training pipeline runs before
+    * trusting labels for hard-negative mining
+    * ([[Similarity.hardNegativeTopK]]). */
+  private def simCentroids(spark: SparkSession, d: String): DataFrame = {
+    val cents = Tables.embeddings(spark, d)
+      .select(col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+          .as("v"))
+      .groupBy("label")
+      .agg(graft.plans.VecSum.sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"),
+        expr("transform(s, x -> (CAST(x AS DOUBLE) / 1048576.0) / n)").as("c"))
+    val unit = Similarity.normalized(cents, "label", "c")
+    unit.as("a").join(broadcast(unit.as("b")), col("a.id") < col("b.id"))
+      .select(col("a.id").as("label_a"), col("b.id").as("label_b"),
+        round(Similarity.dotFast(col("a.nv"), col("b.nv")), 4).as("sim"))
+      .orderBy("label_a", "label_b")
+  }
+
+  private val simCentroidsSql =
+    """WITH sv AS (SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+           FROM embeddings),
+       e AS (SELECT label, u.dim, u.q
+             FROM sv, UNNEST(list_transform(v,
+               (x, i) -> {'dim': i - 1, 'q': x})) AS r(u)),
+       agg AS (SELECT label, dim, SUM(q) AS sq, COUNT(*) AS n
+               FROM e GROUP BY 1, 2),
+       cent AS (SELECT label,
+                  list((CAST(sq AS DOUBLE) / 1048576.0) / n ORDER BY dim) AS c
+                FROM agg GROUP BY label),
+       nrm AS (SELECT label,
+                 list_transform(c, x -> x / sqrt(list_dot_product(c, c))) AS nv
+               FROM cent)
+       SELECT a.label AS label_a, b.label AS label_b,
+              ROUND(list_dot_product(a.nv, b.nv), 4) AS sim
+       FROM nrm a JOIN nrm b ON a.label < b.label
+       ORDER BY label_a, label_b"""
+
   def queries: Seq[Q] = Seq(
     Q("t_phrase", tPhrase, Some(tPhraseSql)),
-    Q("sim_hard_neg", simHardNeg, Some(simHardNegSql)))
+    Q("t_proximity", tProximity, Some(tProximitySql)),
+    Q("sim_hard_neg", simHardNeg, Some(simHardNegSql)),
+    Q("sim_centroids", simCentroids, Some(simCentroidsSql)))
 }

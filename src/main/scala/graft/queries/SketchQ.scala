@@ -316,8 +316,76 @@ object SketchQ extends QueryPack {
        FROM t, tot GROUP BY tok, total HAVING COUNT(*) * 30 > total
        ORDER BY tok"""
 
+  /** Sketch-driven winsorization: clip event values (exact cents) to
+    * the [p5 bucket lo, p95 bucket hi] bounds derived from the log2
+    * histogram — outlier clamping WITHOUT a global sort: the bounds
+    * come from the ≤ 66-bucket mergeable sketch, broadcast as ONE row
+    * into a scan-fused clamp, and the output is the per-type clipped
+    * aggregate. Bucket-resolution bounds are the sketch trade-off; the
+    * oracle replays them exactly. */
+  private def eWinsor(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"),
+        (graft.util.Exact.dec2(col("value")) * 100).cast("long").as("c"))
+    val qs = Sketch.histQuantiles(Sketch.logHistogram(ev, "c"),
+      Seq(500, 9500))
+    val bounds = qs.agg(
+      min(when(col("q_bp") === 500, col("lo"))).as("lo_clip"),
+      max(when(col("q_bp") === 9500, col("hi"))).as("hi_clip"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("w", least(greatest(col("c"), col("lo_clip")), col("hi_clip")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("w")).as("sum_clipped"),
+        sum(when(col("c") < col("lo_clip"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("c") > col("hi_clip"), 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+  }
+
+  private val eWinsorSql =
+    """WITH v AS (SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events),
+       h AS (SELECT CAST(CASE WHEN c < 0 THEN -1 WHEN c = 0 THEN 0
+                         ELSE length(bin(c)) END AS INTEGER) AS bucket,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM v GROUP BY 1),
+       cm AS (SELECT bucket, cnt,
+                    CAST(SUM(cnt) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum,
+                    CAST((SELECT SUM(cnt) FROM h) AS BIGINT) AS n
+             FROM h),
+       q(q_bp) AS (VALUES (500), (9500)),
+       r AS (SELECT q_bp, bucket,
+                    CAST((n * q_bp + 9999) // 10000 AS BIGINT) AS rnk
+             FROM cm CROSS JOIN q
+             WHERE cum >= (n * q_bp + 9999) // 10000),
+       sel AS (SELECT q_bp, MIN(bucket) AS bucket FROM r GROUP BY 1),
+       b AS (SELECT
+               MIN(CASE WHEN q_bp = 500 THEN
+                     CASE WHEN bucket <= 0 THEN 0
+                          ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END END)
+                 AS lo_clip,
+               MAX(CASE WHEN q_bp = 9500 THEN
+                     CASE WHEN bucket <= 0 THEN 0
+                          ELSE (CAST(1 AS BIGINT) << bucket) - 1 END END)
+                 AS hi_clip
+             FROM sel),
+       w AS (SELECT event_type, c, lo_clip, hi_clip,
+                    LEAST(GREATEST(c, lo_clip), hi_clip) AS w
+             FROM v, b)
+       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(w) AS BIGINT) AS sum_clipped,
+              CAST(SUM(CASE WHEN c < lo_clip THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_low,
+              CAST(SUM(CASE WHEN c > hi_clip THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_high
+       FROM w GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_heavy", tHeavy, Some(tHeavySql)),
+    Q("e_winsor", eWinsor, Some(eWinsorSql)),
     Q("t_cms_point", tCmsPoint, Some(tCmsPointSql)),
     Q("t_hll_distinct", tHllDistinct, Some(tHllDistinctSql)),
     Q("t_hll_grouped", tHllGrouped, Some(tHllGroupedSql)),

@@ -62,7 +62,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "c_mix_temp",
     // heavy hitters: the MG candidate broadcast is ≤ k·partitions rows
     // by construction and the gate crosses the ONE-row total aggregate
-    "t_heavy")
+    "t_heavy",
+    // centroid separability pairs the |labels|-row centroid table with
+    // itself via a broadcast inequality join — dim-sized by construction
+    "sim_centroids",
+    // winsorization crosses the ≤66-bucket histogram sweep (sk_qhist's
+    // shape) and broadcasts the ONE-row clip bounds into the clamp
+    "e_winsor")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
