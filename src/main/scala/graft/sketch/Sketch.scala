@@ -311,11 +311,11 @@ object Sketch {
         if (counts.contains(s)) counts(s) += 1L
         else if (counts.size < k) counts(s) = 1L
         else {
-          val dead = List.newBuilder[String]
-          counts.foreach { case (key, c) =>
-            if (c == 1L) dead += key else counts(key) = c - 1L
-          }
-          dead.result().foreach(counts.remove)
+          // In-place bulk ops (not foreach-with-mutation, which is
+          // undefined on mutable.HashMap): decrement every key, then
+          // drop the ones that hit zero. Still amortized O(1)/row.
+          counts.mapValuesInPlace((_, c) => c - 1L)
+          counts.filterInPlace((_, c) => c > 0L)
         }
       }
       counts.keysIterator

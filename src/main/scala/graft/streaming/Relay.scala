@@ -500,15 +500,23 @@ object Relay {
     val spark = events.sparkSession
     import spark.implicits._
     val wMicros = windowSec * 1000000L
+    // floorDiv so the seconds component floors for pre-epoch instants
+    // (plain / truncates toward zero and would double-count sub-seconds).
     def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    // Same-timestamp events fold in funnel-step order (signup < click <
+    // purchase) so a click at exactly the signup's ts still counts,
+    // matching the batch side's ts >= s_ts MIN-within-window semantics.
+    def stepOrd(e: FunnelEvent): Int = e.event_type match {
+      case "signup" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
+    }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid, batch, state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
-          batch.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+          batch.toSeq.sortBy(e => (micros(e.ts), stepOrd(e))).foreach { e =>
             val t = micros(e.ts)
             e.event_type match {
               case "signup" if st.sTs < 0 =>
