@@ -102,22 +102,47 @@ object Bench {
         s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    // `extraFold` = how many of the cheapest queries to additionally fold
-    // into a "rest" sum; the compact line grows it until the line fits.
+    // Fold rotation: the compact line cannot name every query (the
+    // 120 shortest names alone cost ~2 k chars against the ~1.9 k
+    // budget), so WHICH cheap queries get named rotates round-over-round
+    // via the tracked BENCHROT.txt counter — across consecutive rounds
+    // every query gets a named row, so a tail regression can hide for at
+    // most one rotation cycle (and never from tools/benchdiff.py, which
+    // gates on the full-precision BENCHFULL.json). Queries at or above
+    // `ProtectedSec` are ALWAYS named: that's where an absolute
+    // regression is material.
+    val rotOffset: Int =
+      try Integer.parseInt(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCHROT.txt")).trim)
+      catch { case _: Throwable => 0 }
+    val ProtectedSec = 0.8
+    // `extraFold` = how many of the rotating tail queries to additionally
+    // fold into a "rest" sum; the compact line grows it until it fits.
     def line(fmt: Double => String, compact: Boolean, extraFold: Int,
              foldErrors: Boolean = false): String = {
       // Compact space-savers, lossless because BENCHFULL.json carries
       // every query at full precision: the fd_* flight-domain queries
       // fold into one "fd_all" sum; when the line still would not fit
-      // (e.g. long error messages in a failing round), the cheapest
-      // queries fold into a "rest" sum.
+      // (e.g. long error messages in a failing round), tail queries
+      // fold into a "rest" sum in rotated order.
       val entries =
         if (!compact) ok.map { case (k, v, _, _) => (k, v) }
         else {
           val (fd, named) = ok.partition(_._1.startsWith("fd_"))
-          val (folded, kept) =
-            named.sortBy(_._2).splitAt(math.min(extraFold, math.max(named.size - 1, 0)))
-          kept.sortBy(r => named.indexOf(r)).map { case (k, v, _, _) => (k, v) } ++
+          val (prot, tail) = named.partition(_._2 >= ProtectedSec)
+          // Rotate the name-sorted tail by the persisted offset, then
+          // fold from the back — the kept window slides each round.
+          val rotated =
+            if (tail.isEmpty) tail
+            else {
+              val sortedTail = tail.sortBy(_._1)
+              val off = ((rotOffset % sortedTail.size) + sortedTail.size) % sortedTail.size
+              sortedTail.drop(off) ++ sortedTail.take(off)
+            }
+          val (kept, folded) =
+            rotated.splitAt(math.max(rotated.size - extraFold, 0))
+          val shown = prot ++ kept
+          shown.sortBy(r => named.indexOf(r)).map { case (k, v, _, _) => (k, v) } ++
             (if (folded.isEmpty) Nil
              else Seq((s"rest${folded.size}", folded.map(_._2).sum))) ++
             (if (fd.isEmpty) Nil else Seq(("fd_all", fd.map(_._2).sum)))
@@ -167,17 +192,24 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCHFULL.json"),
         line(_.toString, compact = false, extraFold = 0))
-    val compactLine = {
-      val folded = Iterator.from(0)
-        .map(n => line(fmt2, compact = true, extraFold = n))
-        .zipWithIndex
-        .collectFirst { case (l, n) if l.length <= MaxLine || n >= ok.size => l }
+    val (compactLine, foldedCount) = {
+      val (folded, n) = Iterator.from(0)
+        .map(n => (line(fmt2, compact = true, extraFold = n), n))
+        .collectFirst { case (l, n) if l.length <= MaxLine || n >= ok.size => (l, n) }
         .get
       // Query folding alone cannot bound the line when many queries fail
       // (error entries are never folded) — collapse errors to a count so
       // the compact line is unconditionally inside the driver's tail.
-      if (folded.length <= MaxLine) folded
-      else line(fmt2, compact = true, extraFold = ok.size, foldErrors = true)
+      if (folded.length <= MaxLine) (folded, n)
+      else (line(fmt2, compact = true, extraFold = ok.size, foldErrors = true), ok.size)
+    }
+    // Advance the rotation so next round's kept window starts where this
+    // round's ended: over ceil(tail/kept) rounds every query gets named.
+    if (only.isEmpty) {
+      val tailSize = ok.count(r => !r._1.startsWith("fd_") && r._2 < ProtectedSec)
+      val kept = math.max(tailSize - foldedCount, 1)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCHROT.txt"), (rotOffset + kept).toString)
     }
     spark.stop()
     // Printed last + compact: with the build.sbt output settings this is

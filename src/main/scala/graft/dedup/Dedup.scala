@@ -441,7 +441,67 @@ object Dedup {
     * signature (count + hash sum) of the edge list going stable —
     * edge-set equality without a join.
     *
-    * Output contract is IDENTICAL to [[connectedComponents]]:
+    * Incremental connected components after an edge APPEND — the
+    * change-feed recompute path ([[graft.io.Sinks.readChanges]] feeds
+    * `newPairs`; VERDICT r8 item 2). Appends only ever MERGE
+    * components, so the prior labeling is a valid coarsening of the new
+    * one and the recompute can run entirely on the CONTRACTED graph:
+    *
+    *  1. each new edge (u, v) maps to its endpoints' prior cluster ids
+    *     (nodes unseen before act as their own singleton cluster) —
+    *     |Δ| rows, one broadcast-or-shuffle join against the prior
+    *     labels, the only time they are scanned;
+    *  2. super-edges whose endpoints already share a cluster are
+    *     dropped (intra-component appends are a no-op by construction);
+    *  3. [[connectedComponents]] runs on the remaining super-graph —
+    *     ≤ |Δ| edges, NOT |E| — so per-round shuffles are delta-sized
+    *     and the round count is the super-graph diameter (usually 1);
+    *  4. the merged labels map back over the prior labeling with one
+    *     join; prior clusters untouched by Δ pass through unchanged.
+    *
+    * Exactness: a prior cluster id IS the min member id, and min-label
+    * CC over the contraction returns min over member cluster ids =
+    * min member id of the merged component — so the result is
+    * label-for-label identical to a cold [[connectedComponents]] over
+    * old ∪ new pairs (GraphSpec asserts it, along with the cost law:
+    * zero full-graph edge scans). Returns (labels, superEdgeCount) —
+    * the count is the one-row "how much merging happened" telemetry;
+    * 0 means the append changed nothing and labels pass through. */
+  def ccIncremental(prevLabels: DataFrame, newPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): (DataFrame, Long) = {
+    val prev = prevLabels.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    val e = newPairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    def toSuper(side: String): Column = coalesce(col(s"l_$side"), col(side))
+    val superEdges = e
+      .join(prev.select(col("id").as("u"), col("cluster_id").as("l_u")),
+        Seq("u"), "left")
+      .join(prev.select(col("id").as("v"), col("cluster_id").as("l_v")),
+        Seq("v"), "left")
+      .select(toSuper("u").as("su"), toSuper("v").as("sv"))
+      .filter(col("su") =!= col("sv"))
+      .localCheckpoint()
+    val nSuper = superEdges.count()
+    // New-node rows enter the labeling as their own singletons so the
+    // output covers every node of old ∪ new, like a cold run would.
+    val allNodes = prev
+      .union(e.select(col("u").as("id"), col("u").as("cluster_id")))
+      .union(e.select(col("v").as("id"), col("v").as("cluster_id")))
+      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+    if (nSuper == 0L) (allNodes, 0L)
+    else {
+      val merged = connectedComponents(superEdges, "su", "sv")
+        .toDF("cluster_id", "m") // (old cluster id → merged component min)
+      val relabeled = allNodes
+        .join(merged, Seq("cluster_id"), "left")
+        .select(col("id"), coalesce(col("m"), col("cluster_id")).as("cluster_id"))
+      (relabeled, nSuper)
+    }
+  }
+
+  /** Output contract is IDENTICAL to [[connectedComponents]]:
     * (id, cluster_id = component minimum) for every node in a pair. */
   def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 30): DataFrame = {

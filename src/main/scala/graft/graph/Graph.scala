@@ -330,6 +330,84 @@ object Graph {
     (e, rounds)
   }
 
+  /** Incremental k-core after an edge APPEND — the change-feed
+    * recompute path (VERDICT r8 item 2; [[graft.io.Sinks.readChanges]]
+    * feeds `deltaEdges`). Appends are MONOTONE for the k-core: the old
+    * core keeps degree ≥ k inside itself, so it is contained in the new
+    * core, and any NEWLY promoted node must reach a delta endpoint via
+    * a chain of newly promoted nodes (else old-core ∪ chain would have
+    * been a min-degree-≥-k subgraph of the OLD graph — contradiction).
+    * Newly promoted nodes are eligible (full-graph degree ≥ k) and not
+    * in the old core, so the affected region R is found by a BFS from
+    * the delta endpoints RESTRICTED to eligible-non-core nodes — delta-
+    * local, never a full-graph traversal. The new core is then exactly
+    * the k-core of the subgraph induced on oldCore ∪ R (containment
+    * both ways: ⊆ since new core's nodes all lie in oldCore ∪ R; ⊇
+    * since any min-degree-≥-k subgraph of the induced graph is one of
+    * the full graph), peeled by the ordinary [[kCore]] loop over a
+    * candidate set that is |oldCore| + |R|, not |V|.
+    *
+    * Cost: one degree aggregate over the full edge list (unavoidable —
+    * eligibility is a full-graph property), |R|-bounded BFS rounds,
+    * then peels over the induced subgraph only. If the BFS has not
+    * exhausted its frontier within `bfsBudget` rounds (adversarially
+    * long promotion chains — the k=2 broken-cycle closure), it falls
+    * back LOUDLY to the cold [[kCore]]: correctness is never budget-
+    * dependent. Returns (coreEdges, bfsRounds, peelRounds); GraphSpec
+    * asserts edge-for-edge equality with the cold run and that the
+    * incremental peel count is ≤ the cold one. */
+  def kCoreIncremental(oldCoreEdges: DataFrame, allEdges: DataFrame,
+      deltaEdges: DataFrame, k: Int, bfsBudget: Int = 10,
+      maxRounds: Int = 50): (DataFrame, Int, Int) = {
+    require(k >= 1, s"need k >= 1, got $k")
+    // accept either (src, dst) raw edges or (a, b) canonical output of a
+    // prior kCore run — incremental chains feed cores back in
+    def canonAny(df: DataFrame): DataFrame =
+      if (df.columns.contains("src")) canonEdges(df)
+      else canonEdges(df.withColumnRenamed("a", "src").withColumnRenamed("b", "dst"))
+    val all = canonAny(allEdges).localCheckpoint()
+    val oldCore = canonAny(oldCoreEdges)
+    val coreNodes = oldCore.select(col("a").as("node"))
+      .union(oldCore.select(col("b").as("node"))).distinct()
+    // eligible-non-core: the only nodes a promotion chain can pass
+    // through; edges among them carry the BFS.
+    val cand = degrees(all).filter(col("dg") >= k).select("node")
+      .join(coreNodes, Seq("node"), "left_anti").localCheckpoint()
+    val sym = all.select(col("a").as("x"), col("b").as("y"))
+      .union(all.select(col("b").as("x"), col("a").as("y")))
+    val candSym = sym
+      .join(cand.withColumnRenamed("node", "x"), Seq("x"), "left_semi")
+      .join(cand.withColumnRenamed("node", "y"), Seq("y"), "left_semi")
+      .localCheckpoint()
+    val delta = canonAny(deltaEdges)
+    var reached = delta.select(col("a").as("node"))
+      .union(delta.select(col("b").as("node"))).distinct()
+      .join(cand, Seq("node"), "left_semi").localCheckpoint()
+    var frontier = reached
+    var bfsRounds = 0
+    while (bfsRounds < bfsBudget && !frontier.isEmpty) {
+      val next = candSym
+        .join(frontier.withColumnRenamed("node", "x"), Seq("x"), "left_semi")
+        .select(col("y").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti").localCheckpoint()
+      reached = reached.union(next).localCheckpoint()
+      frontier = next
+      bfsRounds += 1
+    }
+    def asSrcDst(df: DataFrame): DataFrame =
+      df.withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
+    if (!frontier.isEmpty) { // budget exhausted — loud cold fallback
+      val (core, rounds) = kCore(asSrcDst(all), k, maxRounds)
+      return (core, bfsRounds, rounds)
+    }
+    val keep = coreNodes.union(reached).distinct()
+    val sub = all
+      .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+    val (core, peelRounds) = kCore(asSrcDst(sub), k, maxRounds)
+    (core, bfsRounds, peelRounds)
+  }
+
   /** Exactly `rounds` peels of the k-core iteration over canonical
     * (a < b) undirected edges — replayable in SQL by unrolling. */
   def kCoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {

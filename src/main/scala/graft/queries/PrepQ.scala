@@ -177,6 +177,83 @@ object PrepQ extends QueryPack {
       .orderBy("query_id")
   }
 
+  /** Recall@5 of an approximate ANN path at TWO probe settings against
+    * the exact brute-force top-5 — the accuracy/nprobe dial measured,
+    * not asserted: nprobe=1 is the cheapest (single-cell) probe,
+    * nprobe=4 the production default. Shared shape for the IVF and
+    * IVF-PQ harnesses: per query, hit counts and integer-bp recall for
+    * both settings side by side. The grading joins are |queries|·k rows;
+    * the corpus-side work is the ANN plans' own (already audited). */
+  private def recallAt2(exact: DataFrame,
+      approxAt: Int => DataFrame): DataFrame = {
+    val ex = exact.select("query_id", "neighbor_id")
+    def hits(nprobe: Int, as: String): DataFrame =
+      ex.join(approxAt(nprobe).select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(as))
+    ex.select("query_id").distinct()
+      .join(hits(1, "hits_n1"), Seq("query_id"), "left")
+      .join(hits(4, "hits_n4"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_n1"), lit(0L)).as("hits_n1"),
+        coalesce(col("hits_n4"), lit(0L)).as("hits_n4"))
+      .select(col("query_id"), col("hits_n1"), col("hits_n4"),
+        expr("(hits_n1 * 10000) div 5").as("recall_bp_n1"),
+        expr("(hits_n4 * 10000) div 5").as("recall_bp_n4"))
+      .orderBy("query_id")
+  }
+
+  private def recallSqlFrom(approxSqlAt: Int => String): String =
+    s"""WITH exact AS (${SimQ.simTopkSql}),
+       a1 AS (${approxSqlAt(1)}),
+       a4 AS (${approxSqlAt(4)}),
+       h1 AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits_n1
+              FROM exact e JOIN a1
+                ON e.query_id = a1.query_id AND e.neighbor_id = a1.neighbor_id
+              GROUP BY e.query_id),
+       h4 AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits_n4
+              FROM exact e JOIN a4
+                ON e.query_id = a4.query_id AND e.neighbor_id = a4.neighbor_id
+              GROUP BY e.query_id)
+       SELECT q.query_id,
+         CAST(COALESCE(h1.hits_n1, 0) AS BIGINT) AS hits_n1,
+         CAST(COALESCE(h4.hits_n4, 0) AS BIGINT) AS hits_n4,
+         CAST((COALESCE(h1.hits_n1, 0) * 10000) // 5 AS BIGINT) AS recall_bp_n1,
+         CAST((COALESCE(h4.hits_n4, 0) * 10000) // 5 AS BIGINT) AS recall_bp_n4
+       FROM (SELECT DISTINCT query_id FROM exact) q
+       LEFT JOIN h1 ON q.query_id = h1.query_id
+       LEFT JOIN h4 ON q.query_id = h4.query_id
+       ORDER BY q.query_id"""
+
+  /** Recall@5 of the IVF path at nprobe ∈ {1, 4} (VERDICT r8 item 5). */
+  private def simRecallIvf(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    val q = e.filter(col("vec_id") % 25 === 0)
+    recallAt2(
+      Similarity.bruteForceTopKAgg(q, e, k = 5),
+      nprobe => Similarity.ivfTopK(q, e, k = 5,
+        centroidStride = 50, nprobe = nprobe))
+  }
+
+  private val simRecallIvfSql = recallSqlFrom(SimQ.simIvfSqlAt)
+
+  /** Recall@5 of the IVF-PQ path at nprobe ∈ {1, 4}: grades the full
+    * compressed-domain chain (coarse cells + ADC shortlist + exact
+    * rerank), so it prices BOTH the probe dial and the PQ shortlist's
+    * rerank=20 truncation against exact search. */
+  private def simRecallIvfpq(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    val q = e.filter(col("vec_id") % 25 === 0)
+    recallAt2(
+      Similarity.bruteForceTopKAgg(q, e, k = 5),
+      nprobe => graft.sim.PQ.ivfpqTopK(q, e, k = 5,
+        centroidStride = 50, nprobe = nprobe,
+        subspaces = 4, subDim = 16, ksub = 4, iters = 1, rerank = 20,
+        trainBuckets = 2))
+  }
+
+  private val simRecallIvfpqSql = recallSqlFrom(SimQ.simIvfPqSqlAt)
+
   private val simRecallLshSql =
     s"""WITH exact AS (${SimQ.simTopkSql}),
        approx AS (${SimQ.simLshSql}),
@@ -347,5 +424,7 @@ object PrepQ extends QueryPack {
     Q("t_bpe_merges", tBpeMerges, Some(tBpeMergesSql)),
     Q("t_bpe_apply", tBpeApply, Some(tBpeApplySql)),
     Q("t_decontam_span", tDecontamSpan, Some(tDecontamSpanSql)),
-    Q("sim_recall_lsh", simRecallLsh, Some(simRecallLshSql)))
+    Q("sim_recall_lsh", simRecallLsh, Some(simRecallLshSql)),
+    Q("sim_recall_ivf", simRecallIvf, Some(simRecallIvfSql)),
+    Q("sim_recall_ivfpq", simRecallIvfpq, Some(simRecallIvfpqSql)))
 }

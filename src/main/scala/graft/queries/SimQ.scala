@@ -136,8 +136,10 @@ object SimQ extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  private val simIvfSql =
-    """WITH v AS (SELECT vec_id,
+  /** IVF oracle parameterized by nprobe — the recall harness
+    * (`sim_recall_ivf`, PrepQ) replays it at nprobe ∈ {1, 4}. */
+  private[queries] def simIvfSqlAt(nprobe: Int): String =
+    s"""WITH v AS (SELECT vec_id,
                 list_transform(embedding::DOUBLE[],
                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
                   AS nv
@@ -153,7 +155,7 @@ object SimQ extends QueryPack {
          SELECT query_id, cent_id,
                 ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY round(list_dot_product(qv, cv), 4) DESC, cent_id) AS r
-         FROM q CROSS JOIN cent) t WHERE r <= 4),
+         FROM q CROSS JOIN cent) t WHERE r <= $nprobe),
        cand AS (SELECT query_id, id AS neighbor_id
                 FROM probes JOIN assigned USING (cent_id)
                 WHERE id != query_id),
@@ -167,6 +169,8 @@ object SimQ extends QueryPack {
                         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
          FROM sims) t
        WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val simIvfSql = simIvfSqlAt(4)
 
   /** Same semantics as sim_topk through the custom TopKAggregator
     * (map-side partial top-k, no window shuffle) — same oracle. */
@@ -358,8 +362,9 @@ object SimQ extends QueryPack {
 
   /** Generated oracle: one `sim_kmeans`-style training block per
     * subspace (slice bounds substituted), then codes / distance table /
-    * ADC / rerank as plain SQL. */
-  private val simIvfPqSql: String = {
+    * ADC / rerank as plain SQL. Parameterized by nprobe for the
+    * `sim_recall_ivfpq` harness (PrepQ). */
+  private[queries] def simIvfPqSqlAt(nprobe: Int): String = {
     val M = 4; val L = 16; val ksub = 4
     def kv(m: Int) =
       s"""kv$m AS (SELECT vec_id AS id,
@@ -422,7 +427,7 @@ object SimQ extends QueryPack {
          SELECT query_id, cent_id,
                 ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY round(list_dot_product(qv, cv), 4) DESC, cent_id) AS r
-         FROM q CROSS JOIN cent) t WHERE r <= 4),
+         FROM q CROSS JOIN cent) t WHERE r <= $nprobe),
        cand AS (SELECT query_id, id AS neighbor_id
                 FROM probes JOIN assigned USING (cent_id)
                 WHERE id != query_id),
@@ -447,6 +452,8 @@ object SimQ extends QueryPack {
          FROM sims) t
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
+
+  private val simIvfPqSql: String = simIvfPqSqlAt(4)
 
   /** SemDeDup-style semantic dedup: k-means cells bound candidate pairs,
     * within-cell cosine ≥ 0.4 edges, connected components, min-id

@@ -578,6 +578,66 @@ object Relay {
       .toDF()
   }
 
+  /** One token routed to an MG shard — `pk` is any deterministic
+    * partition of the stream (e.g. `pmod(hash(tok), P)`); all
+    * occurrences of a token need NOT share a shard for the superset
+    * law, but hashing by token keeps per-shard vocabularies disjoint. */
+  final case class MgTok(pk: Int, tok: String)
+
+  /** Per-shard carried MG summary + how many rows it has absorbed. */
+  final case class MgShardState(counts: Map[String, Long], seen: Long)
+
+  final case class MgCand(pk: Int, tok: String, seen: Long)
+
+  /** Streaming Misra-Gries candidate state — the incremental twin of
+    * [[graft.sketch.Sketch.mgCandidates]] (VERDICT r8 item 3): each
+    * shard `pk` folds its tokens into an O(k) MG(k) summary carried in
+    * `GroupState` across micro-batches, and after every batch re-emits
+    * its current ≤ k survivors stamped with `seen` (rows absorbed so
+    * far) — update semantics, so a shard's LATEST emission (max `seen`)
+    * is its live candidate set. The classic MG guarantee is
+    * ORDER-INDEPENDENT, so it holds across any micro-batch arrival
+    * order: a key with global count > n/(k+1) exceeds the fraction in
+    * at least one shard and MG(k) never evicts a key above
+    * n_pk/(k+1) there — the streamed candidate union is a provable
+    * superset of the true heavy hitters of everything seen, exactly
+    * like the batch per-partition pass (SketchSpec's superset law,
+    * re-asserted across a micro-batch boundary in StreamingSpec).
+    * Downstream, the same recount-and-gate join as
+    * [[graft.sketch.Sketch.heavyHitters]] turns candidates into EXACT
+    * heavy hitters — the candidate set changes cost, never results.
+    * State is O(k) per shard; nothing grows with the stream. */
+  def mgCandidateStream(toks: org.apache.spark.sql.Dataset[MgTok],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.groupByKey(_.pk)
+      .flatMapGroupsWithState[MgShardState, MgCand](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (pk, batch, state: GroupState[MgShardState]) =>
+          val prior = state.getOption.getOrElse(MgShardState(Map.empty, 0L))
+          val counts = scala.collection.mutable.HashMap.from(prior.counts)
+          var seen = prior.seen
+          batch.foreach { t =>
+            seen += 1L
+            val s = t.tok
+            if (counts.contains(s)) counts(s) += 1L
+            else if (counts.size < k) counts(s) = 1L
+            else {
+              // same in-place bulk decrement as the batch kernel
+              counts.mapValuesInPlace((_, c) => c - 1L)
+              counts.filterInPlace((_, c) => c > 0L)
+            }
+          }
+          state.update(MgShardState(counts.toMap, seen))
+          val snap = seen
+          counts.keysIterator.map(MgCand(pk, _, snap)).toList.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming pivot — the incremental twin of the batch `pv_daily`
     * query: wide per-group counts over a PINNED value set.
     *

@@ -595,6 +595,62 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.dedup.Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("ccIncremental: manifest change-feed append merges label-for-label with delta-sized work") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccinc").toString + "/edges"
+    // v1: chain 1-2-3, pair 10-11, pair 20-21
+    val e1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    graft.io.Sinks.writeWithManifest(spark, e1, dir, "id_a", nFiles = 2)
+    val prev = graft.dedup.Dedup.connectedComponents(e1).localCheckpoint()
+    // v2 append: a bridge 3-10 (merges two components), a brand-new
+    // component 30-31, and a repeat of 20-21 (must be a no-op)
+    val delta = Seq((3L, 10L), (30L, 31L), (20L, 21L)).toDF("id_a", "id_b")
+    graft.io.Sinks.appendWithManifest(spark, delta, dir, "id_a", nFiles = 1)
+    val inserted = graft.io.Sinks.readChanges(spark, dir, fromVersion = 1L)
+      .filter(col("_change_type") === "insert").select("id_a", "id_b")
+    val (inc, nSuper) = graft.dedup.Dedup.ccIncremental(prev, inserted)
+    // bounded recompute: CC re-ran on 2 super-edges (the bridge between
+    // prior clusters + the new pair), never the 7-edge full graph
+    assert(nSuper == 2L, s"expected 2 super-edges, got $nSuper")
+    val cold = graft.dedup.Dedup
+      .connectedComponents(e1.union(delta))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = inc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == cold, s"incremental must equal cold label-for-label: $got vs $cold")
+    // an intra-component append (no merging) passes labels through
+    val (same, zero) = graft.dedup.Dedup
+      .ccIncremental(inc, Seq((1L, 3L)).toDF("id_a", "id_b"))
+    assert(zero == 0L)
+    assert(same.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == cold)
+  }
+
+  test("kCoreIncremental: change-feed append recomputes the core on the delta-local region only") {
+    import spark.implicits._
+    // old graph: K4 clique {1..4} (the 3-core) + a tail 4-5-6
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val oldE = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val (oldCore, _) = graft.graph.Graph.kCore(oldE, k = 3, maxRounds = 20)
+    // append completes a second K4 on {4,5,6,7}: 5,6,7 get promoted
+    val delta = Seq((4L, 6L), (4L, 7L), (5L, 7L), (6L, 7L)).toDF("src", "dst")
+    val all = oldE.union(delta)
+    val (inc, bfsR, peelR) =
+      graft.graph.Graph.kCoreIncremental(oldCore, all, delta, k = 3)
+    val (cold, coldR) = graft.graph.Graph.kCore(all, k = 3, maxRounds = 20)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(inc) == edgeSet(cold),
+      "incremental k-core must equal the cold recompute edge-for-edge")
+    assert(peelR <= coldR, s"incremental peels $peelR must not exceed cold $coldR")
+    assert(bfsR <= 3, s"promotion region is one hop of the delta, BFS ran $bfsR")
+    // a no-op append far from the core (degree-1 leaves are ineligible):
+    // the affected region is empty and the core passes through unchanged
+    val leaf = Seq((8L, 9L)).toDF("src", "dst")
+    val (inc2, _, peel2) = graft.graph.Graph
+      .kCoreIncremental(inc, all.union(leaf), leaf, k = 3)
+    assert(edgeSet(inc2) == edgeSet(cold))
+    assert(peel2 == 0, s"nothing eligible changed — expected 0 peels, ran $peel2")
+  }
+
   test("associationRules: basket stats floor to bp; dup lines collapse; min support filters") {
     import spark.implicits._
     // b1:{x,y} (x twice — must collapse), b2:{x,y}, b3:{x,z}, b4:{x}

@@ -624,5 +624,104 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dup == 0, "a funnel step must fire exactly once per user")
   }
 
+  test("streaming grouped HLL registers equal the batch sketch across a batch boundary") {
+    import spark.implicits._
+    // hllRegistersBy is select → groupBy(group, bucket) → max(rho): a
+    // plain aggregation whose incremental maintenance IS the engine's
+    // agg state (the CMS discipline, SketchSpec) — the max-merge law
+    // per (group, bucket) is exactly what update/complete mode replays.
+    val dir = tmp() + "/hll_src"
+    val rows = (1 to 400).map(i => (s"lang_${i % 3}", s"tok_${i % 97}"))
+      .toDF("lang", "tok")
+    rows.filter(md5(col("tok")).substr(1, 1) < "8")
+      .coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    rows.filter(md5(col("tok")).substr(1, 1) >= "8")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val streamIn = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.sketch.Sketch.hllRegistersBy(streamIn, "tok", "lang", m = 16)
+      .writeStream.format("memory").queryName("hll_mem")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val streamed = keyed(spark.table("hll_mem"))
+    val batch = keyed(graft.sketch.Sketch.hllRegistersBy(rows, "tok", "lang", m = 16))
+    assert(streamed == batch,
+      "streamed grouped-HLL registers must equal the batch sketch")
+    // and the register-table equality carries to the estimates
+    val se = graft.sketch.Sketch
+      .hllEstimateBy(spark.table("hll_mem"), "lang", m = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val be = graft.sketch.Sketch
+      .hllEstimateBy(graft.sketch.Sketch.hllRegistersBy(rows, "tok", "lang", m = 16),
+        "lang", m = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(se == be)
+  }
+
+  test("streaming MG candidate state keeps the superset law across micro-batches") {
+    import spark.implicits._
+    // hot appears 300/1000 rows, warm 100; the rest are singletons. With
+    // freqDiv=10 the true heavy hitters of the WHOLE stream are {hot}.
+    val all = Seq.fill(300)("hot") ++ Seq.fill(100)("warm") ++
+      (1 to 600).map(i => s"one_$i")
+    val P = 4
+    val rows = all.zipWithIndex
+      .map { case (t, i) => (math.floorMod(t.hashCode, P), t, i) }
+    val dir = tmp() + "/mg_src"
+    // two micro-batches: hot is split across the boundary so the MG
+    // state must carry partial counts between batches
+    rows.filter(_._3 % 2 == 0).toDF("pk", "tok", "i").drop("i")
+      .coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    rows.filter(_._3 % 2 == 1).toDF("pk", "tok", "i").drop("i")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val k = 16
+    val q = Relay.mgCandidateStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(dir).as[Relay.MgTok], k)
+      .writeStream.format("memory").queryName("mg_mem")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a shard's LIVE candidates are its latest (max seen) emission
+    val emittedRows = spark.table("mg_mem")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val maxSeen = emittedRows.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val latestPairs = emittedRows
+      .filter { case (pk, _, s) => s == maxSeen(pk) }
+      .map { case (pk, tok, _) => (pk, tok) }.distinct
+    val cands = latestPairs.map(_._2).toSet
+    val latest = latestPairs.toSeq.toDF("pk", "tok")
+    // O(k) state: no shard may carry more than k survivors
+    val perShard = latestPairs.groupBy(_._1).view.mapValues(_.size)
+    assert(perShard.values.forall(_ <= k), s"a shard exceeded k=$k candidates")
+    // superset law over EVERYTHING seen, exactly like the batch pass
+    val toksDf = all.toDF("tok")
+    val truth = toksDf.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 10L > lit(all.size.toLong))
+      .collect().map(_.getString(0)).toSet
+    assert(truth == Set("hot"))
+    assert(truth.subsetOf(cands),
+      s"streamed candidates must contain every true heavy hitter; missing ${truth -- cands}")
+    // end-to-end: the batch recount-and-gate over the streamed candidate
+    // set yields the EXACT heavy hitters — candidates change cost, never
+    // results (the heavyHitters equality law, now across a stream)
+    val exact = toksDf
+      .join(broadcast(latest.select("tok").distinct()), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 10L > lit(all.size.toLong))
+      .collect().map(_.getString(0)).toSet
+    assert(exact == truth)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
