@@ -278,6 +278,11 @@ object PrepQ extends QueryPack {
     graft.text.Bpe.learnMerges(Tables.documents(spark, d), "text",
       rounds = 3)
 
+  // MATERIALIZED: top$i and v$i are each referenced twice per chained
+  // round — left to DuckDB's inliner the 20-round unroll expands the
+  // tree 2^N-fold (the sf0.001 "too many open files" failure mode);
+  // materializing pins each round to one evaluation, like the engine's
+  // per-round localCheckpoint.
   private def bpeRoundCtes(i: Int): String = {
     val prev = s"v${i - 1}"
     s"""p$i AS (SELECT t[j] AS sym_a, t[j+1] AS sym_b,
@@ -285,9 +290,9 @@ object PrepQ extends QueryPack {
          FROM (SELECT string_split(sym, ' ') AS t, freq FROM $prev),
               LATERAL unnest(generate_series(1, len(t) - 1)) g(j)
          GROUP BY 1, 2),
-       top$i AS (SELECT sym_a, sym_b, pair_count FROM p$i
+       top$i AS MATERIALIZED (SELECT sym_a, sym_b, pair_count FROM p$i
            ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
-       v$i AS (SELECT trim(regexp_replace(
+       v$i AS MATERIALIZED (SELECT trim(regexp_replace(
            replace(' ' || replace(sym, ' ', '  ') || ' ',
                    ' ' || t.sym_a || '  ' || t.sym_b || ' ',
                    ' ' || t.sym_a || t.sym_b || ' '),
@@ -295,20 +300,37 @@ object PrepQ extends QueryPack {
          FROM $prev CROSS JOIN top$i t)"""
   }
 
-  private val tBpeMergesSql =
+  /** N-round unrolled BPE-training oracle: the same doubled-space
+    * string algebra as [[bpeRoundCtes]], chained v0 → vN with one
+    * (pair-count, top-1, rewrite) CTE triple per round — mechanical in
+    * N, so the 20-merge harness reuses the 3-merge algebra verbatim
+    * (VERDICT r8 item 4). */
+  private def bpeMergesSqlAt(n: Int): String =
     s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
            FROM (SELECT unnest(string_split(text, ' ')) AS word
                  FROM documents) u
            WHERE word <> '' GROUP BY word),
        v0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
                      freq FROM w),
-       ${bpeRoundCtes(1)},
-       ${bpeRoundCtes(2)},
-       ${bpeRoundCtes(3)}
-       SELECT 1 AS round, sym_a, sym_b, pair_count FROM top1
-       UNION ALL SELECT 2, sym_a, sym_b, pair_count FROM top2
-       UNION ALL SELECT 3, sym_a, sym_b, pair_count FROM top3
+       ${(1 to n).map(bpeRoundCtes).mkString(",\n       ")}
+       ${(1 to n).map(i =>
+          s"SELECT $i AS round, sym_a, sym_b, pair_count FROM top$i")
+         .mkString("\n       UNION ALL ")}
        ORDER BY round"""
+
+  private val tBpeMergesSql = bpeMergesSqlAt(3)
+
+  /** Tokenizer training past the toy count: 20 merge rounds through the
+    * SAME |vocab|-row iteration (each round one pair aggregate + a
+    * 1-row winner broadcast into the rewrite, lineage truncated per
+    * round) — the per-round cost curve lands as its own bench row next
+    * to the 3-round `t_bpe_merges`. Real tokenizers run thousands of
+    * rounds of exactly this loop; rounds are corpus-size-independent
+    * after the first word-frequency aggregate, so the 20-round timing
+    * measures the marginal round cost directly. */
+  private def tBpeMerges20(spark: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.learnMerges(Tables.documents(spark, d), "text",
+      rounds = 20)
 
   /** Span-level decontamination: corpus docs (doc_id % 25 != 0) reported
     * against the benchmark set (doc_id % 25 == 0 — the same split as the
@@ -422,6 +444,7 @@ object PrepQ extends QueryPack {
     Q("d_span_scrub", dSpanScrub, Some(dSpanScrubSql)),
     Q("t_quality_pctl", tQualityPctl, Some(tQualityPctlSql)),
     Q("t_bpe_merges", tBpeMerges, Some(tBpeMergesSql)),
+    Q("t_bpe_merges20", tBpeMerges20, Some(bpeMergesSqlAt(20))),
     Q("t_bpe_apply", tBpeApply, Some(tBpeApplySql)),
     Q("t_decontam_span", tDecontamSpan, Some(tDecontamSpanSql)),
     Q("sim_recall_lsh", simRecallLsh, Some(simRecallLshSql)),
