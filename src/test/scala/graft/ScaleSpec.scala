@@ -129,6 +129,16 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(etl.Skew.saltFrom(8, col("payload")).as("s"))
       .distinct().count()
     assert(saltSpread == 8)
+    // …and BOUNDS each sub-key: the planted hot key (9000 rows) must
+    // split into (key, salt) groups no bigger than 2x the fair share,
+    // so no single reducer sees the whole key — the partition-size law
+    // the sf1 SkewStress record re-asserts at 6 M rows (README).
+    val hotRows = big.filter(col("k") === 1).count()
+    val maxSub = big.filter(col("k") === 1)
+      .groupBy(etl.Skew.saltFrom(8, col("payload")).as("s"))
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxSub <= 2L * hotRows / 8L,
+      s"hot-key sub-group $maxSub exceeds 2x fair share ${2L * hotRows / 8L}")
   }
 
   test("ORC round-trips via the same sinks and keeps predicate pushdown") {
