@@ -30,9 +30,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ONE-row corpus n_docs/total-length stats aggregate — a scalar side
     // by construction
     "t_bm25", "t_bm25_batch",
-    // the recall harness replays the ANN cross-join shape on its exact
-    // (brute-force) side — the same broadcast-query-side join as sim_topk
-    "sim_recall_lsh",
+    // the recall harnesses replay the ANN cross-join shapes: the exact
+    // (brute-force) side is sim_topk's broadcast-query-side join, and
+    // the IVF/IVF-PQ sides cross the broadcast CODEBOOK (|centroids|
+    // rows by construction) into assignment/probing — dim-sized sides
+    "sim_recall_lsh", "sim_recall_ivf", "sim_recall_ivfpq",
     // each BPE round cross-joins the ONE-row winning-pair aggregate into
     // the vocab rewrite (and the encode fold) — scalar sides by
     // construction

@@ -9,9 +9,19 @@ testdata parquet tables, and compares:
   - exact values (columns sorted by name, rows sorted by all columns)
 
 Usage: python3 tools/compare.py <sfDir> <outDir>
+       python3 tools/compare.py --timeout 120 --jobs 4 <sfDir> <outDir>
+       python3 tools/compare.py --one <query> <sfDir> <outDir>
+
+With --timeout, each query compare runs in its own subprocess (its own
+DuckDB) and is killed at the deadline, printed as `TIMEOUT <name>` —
+that's the oracle-bound classification for the sf1 record: the ENGINE
+result is already on disk from Verify; only DuckDB replaying the oracle
+exceeded the budget. --jobs parallelizes the sweep.
 """
 import json
+import subprocess as sp
 import sys
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import duckdb
@@ -30,7 +40,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     out = Path(out_dir)
     con = duckdb.connect()
     for t in TABLES:
@@ -38,6 +48,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((out / "oracle_sql.json").read_text())
+    if only is not None:
+        oracle = {only: oracle[only]}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -66,9 +78,59 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {e}")
             n_fail += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    if only is None:
+        print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+def main_parallel(sf_dir: str, out_dir: str, timeout: float, jobs: int) -> int:
+    """Per-query child subprocesses with a kill deadline (DuckDB can't be
+    reliably interrupted in-process)."""
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+
+    def one(name: str) -> tuple[str, str]:
+        cmd = [sys.executable, __file__, "--one", name, sf_dir, out_dir]
+        try:
+            r = sp.run(cmd, capture_output=True, text=True, timeout=timeout)
+            line = (r.stdout.strip() or r.stderr.strip().splitlines()[-1:]
+                    or [f"ERROR {name}: no output"])
+            return name, line if isinstance(line, str) else "\n".join(
+                line if isinstance(line, list) else [line])
+        except sp.TimeoutExpired:
+            return name, f"TIMEOUT {name} (oracle-bound after {timeout:.0f}s)"
+
+    with ThreadPoolExecutor(max_workers=jobs) as ex:
+        results = dict(ex.map(one, sorted(oracle)))
+    n_pass = n_to = n_fail = 0
+    for name in sorted(oracle):
+        line = results[name]
+        print(line)
+        if line.startswith("PASS"):
+            n_pass += 1
+        elif line.startswith("TIMEOUT"):
+            n_to += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail / {n_to} oracle-bound timeout ==")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    timeout = None
+    jobs = 1
+    only = None
+    pos = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--timeout":
+            timeout = float(argv[i + 1]); i += 2
+        elif argv[i] == "--jobs":
+            jobs = int(argv[i + 1]); i += 2
+        elif argv[i] == "--one":
+            only = argv[i + 1]; i += 2
+        else:
+            pos.append(argv[i]); i += 1
+    if timeout is not None:
+        sys.exit(main_parallel(pos[0], pos[1], timeout, jobs))
+    sys.exit(main(pos[0], pos[1], only))
