@@ -28,7 +28,8 @@ object SparkEntry {
     // rows for the established groups stay apples-to-apples.
     Seq(GraphQ), Seq(PrepQ), Seq(CurateQ), Seq(SketchQ), Seq(MonitorQ),
     Seq(SeqQ), Seq(MineQ),
-    Seq(RetrievalQ), Seq(TimelineQ), Seq(OverlapQ), Seq(Corpus2Q))
+    Seq(RetrievalQ), Seq(TimelineQ), Seq(OverlapQ), Seq(Corpus2Q),
+    Seq(StatsQ), Seq(TokenizeQ))
 
   /** Bench iteration order: group by group, queries name-sorted within
     * their group — fixed across rounds so per-query deltas are meaningful.

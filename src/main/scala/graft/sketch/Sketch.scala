@@ -293,6 +293,114 @@ object Sketch {
         .as("estimate"))
   }
 
+  /** KMV (bottom-k / k-minimum-values) distinct-value sketch over
+    * `tokCol` (Bar-Yossef et al. 2002; Beyer et al. 2007): the k
+    * smallest DISTINCT 60-bit md5 hash values seen. Fixed-size state
+    * like [[hllRegisters]] — exactly ≤ k (h) rows at ANY corpus size —
+    * but unlike HLL the sketch supports set operations (two shards'
+    * sketches merge by union-distinct → re-take bottom k, which the
+    * spec verifies equals the sketch of the union), and degrades to
+    * the EXACT distinct set whenever true cardinality < k.
+    *
+    * Shuffle discipline: a naive `distinct().orderBy().limit(k)` plan
+    * shuffles every distinct hash; here a bounded-memory per-partition
+    * pass (the [[mgCandidates]] shape — an O(k) TreeSet per partition)
+    * collapses each partition to ≤ k candidate hashes first, so the
+    * shuffle is O(partitions·k) BY CONSTRUCTION. The global bottom-k
+    * distinct set is provably contained in the union of per-partition
+    * bottom-k sets (a hash among the k smallest globally is among the
+    * k smallest of its own partition), so the final distinct-sort-limit
+    * over candidates is bit-identical to the naive plan — the MG
+    * cost-not-results discipline, and what lets the DuckDB oracle
+    * replay the NAIVE plan and still hash-match. */
+  def kmvSketch(toks: DataFrame, tokCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val hashed = toks
+      .select(conv(substring(md5(col(tokCol).cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .filter(col("h").isNotNull)
+    val cand = hashed.as[Long].mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { v =>
+        val boxed = java.lang.Long.valueOf(v)
+        if (set.size < k) set.add(boxed)
+        else if (v < set.last() && set.add(boxed)) set.pollLast()
+      }
+      import scala.jdk.CollectionConverters._
+      set.iterator().asScala.map(Long.unbox)
+    }.toDF("h")
+    cand.distinct().orderBy("h").limit(k)
+  }
+
+  /** Cardinality estimate from a [[kmvSketch]]: the classic unbiased
+    * (k−1)·H / h₍ₖ₎ with H = 2⁶⁰ (the hash domain), degrading to the
+    * EXACT kept-row count when fewer than k distinct hashes exist (the
+    * sketch then IS the distinct set). The only float arithmetic is
+    * (k−1)·H / h₍ₖ₎ on literal doubles — three IEEE ops any engine
+    * evaluates identically, the [[hllEstimate]] exactness discipline.
+    * Returns ONE row (n_kept, kth, estimate). */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .select(col("n_kept"), col("kth"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            col("kth").cast("double"))
+          .as("estimate"))
+
+  /** Per-group [[kmvSketch]]: bottom-k distinct hashes PER `groupCol`
+    * value, from ONE bounded-memory pass — the per-partition state is a
+    * HashMap(group → O(k) TreeSet), so memory is O(|groups|·k) per
+    * partition and the shuffle O(partitions·|groups|·k) regardless of
+    * corpus size; the same containment argument as the global form
+    * makes the result bit-identical to the naive per-group
+    * distinct-rank plan the oracle replays. Intended for dim-sized
+    * group domains (languages, sources, dates) — an open-domain group
+    * key would need the group itself sketched first. Input must be two
+    * columns (g: string, tok: string); returns (g, h) with ≤ k rows
+    * per group. */
+  def kmvSketchBy(toks: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val hashed = toks
+      .select(col("g").cast("string").as("g"),
+        conv(substring(md5(col("tok").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .filter(col("g").isNotNull && col("h").isNotNull)
+    val cand = hashed.as[(String, Long)].mapPartitions { it =>
+      val m = new scala.collection.mutable.HashMap[String, java.util.TreeSet[java.lang.Long]]
+      it.foreach { case (g, v) =>
+        val set = m.getOrElseUpdate(g, new java.util.TreeSet[java.lang.Long]())
+        val boxed = java.lang.Long.valueOf(v)
+        if (set.size < k) set.add(boxed)
+        else if (v < set.last() && set.add(boxed)) set.pollLast()
+      }
+      import scala.jdk.CollectionConverters._
+      m.iterator.flatMap { case (g, set) =>
+        set.iterator().asScala.map(h => (g, Long.unbox(h)))
+      }
+    }.toDF("g", "h")
+    import org.apache.spark.sql.expressions.Window
+    cand.distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy("g").orderBy("h")))
+      .filter(col("r") <= k)
+      .select("g", "h")
+  }
+
+  /** Per-group estimates from a [[kmvSketchBy]] table — [[kmvEstimate]]
+    * keyed by g. Returns (g, n_kept, kth, estimate). */
+  def kmvEstimateBy(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy("g")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .select(col("g"), col("n_kept"), col("kth"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            col("kth").cast("double"))
+          .as("estimate"))
+
   /** Misra-Gries candidate pass: ≤ k surviving keys PER PARTITION from
     * O(k) memory, with the classic guarantee that every key whose GLOBAL
     * frequency exceeds n/(k+1) survives in at least one partition (if it

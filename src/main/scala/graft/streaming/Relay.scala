@@ -638,6 +638,60 @@ object Relay {
       .toDF()
   }
 
+  /** One pre-hashed value routed to a KMV shard — `h` is the house
+    * 60-bit md5 hash computed RELATIONALLY upstream (the
+    * [[graft.sketch.Sketch.kmvSketch]] kernel:
+    * `conv(substring(md5(tok), 1, 15), 16, 10)`), so the stateful op
+    * never re-implements the hash. */
+  final case class KmvTok(pk: Int, h: Long)
+
+  /** Per-shard carried bottom-k set + rows absorbed. */
+  final case class KmvShardState(bottom: List[Long], seen: Long)
+
+  final case class KmvOut(pk: Int, h: Long, seen: Long)
+
+  /** Streaming KMV bottom-k state — the incremental twin of
+    * [[graft.sketch.Sketch.kmvSketch]], the [[mgCandidateStream]]
+    * pattern applied to the distinct-count sketch: each shard folds its
+    * hashes into an O(k) bounded TreeSet carried in `GroupState` across
+    * micro-batches and re-emits its current ≤ k smallest distinct
+    * hashes stamped with `seen` (update semantics — a shard's latest
+    * emission is its live sketch). Bottom-k is ORDER-INDEPENDENT, so
+    * the containment law survives any arrival order: a hash among the
+    * k smallest distinct globally is among the k smallest of its own
+    * shard, hence the union of live shard sketches re-limited to k IS
+    * the batch sketch of everything seen, bit for bit (StreamingSpec
+    * asserts streaming ≡ batch across a micro-batch boundary). State
+    * is O(k) per shard; nothing grows with the stream. */
+  def kmvStream(toks: org.apache.spark.sql.Dataset[KmvTok],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 2, s"need k >= 2, got $k")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.groupByKey(_.pk)
+      .flatMapGroupsWithState[KmvShardState, KmvOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (pk, batch, state: GroupState[KmvShardState]) =>
+          val prior = state.getOption.getOrElse(KmvShardState(Nil, 0L))
+          val set = new java.util.TreeSet[java.lang.Long]()
+          prior.bottom.foreach(h => set.add(java.lang.Long.valueOf(h)))
+          var seen = prior.seen
+          batch.foreach { t =>
+            seen += 1L
+            val boxed = java.lang.Long.valueOf(t.h)
+            if (set.size < k) set.add(boxed)
+            else if (t.h < set.last() && set.add(boxed)) set.pollLast()
+          }
+          import scala.jdk.CollectionConverters._
+          val bottom = set.iterator().asScala.map(Long.unbox).toList
+          state.update(KmvShardState(bottom, seen))
+          val snap = seen
+          bottom.map(KmvOut(pk, _, snap)).iterator
+      }
+      .toDF()
+  }
+
   /** Streaming pivot — the incremental twin of the batch `pv_daily`
     * query: wide per-group counts over a PINNED value set.
     *

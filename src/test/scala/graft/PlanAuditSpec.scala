@@ -70,7 +70,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "sim_centroids",
     // winsorization crosses the ≤66-bucket histogram sweep (sk_qhist's
     // shape) and broadcasts the ONE-row clip bounds into the clamp
-    "e_winsor")
+    "e_winsor",
+    // the KMV output row crosses the ONE-row estimate with the ONE-row
+    // exact countDistinct — both scalar by construction (t_hll_distinct's
+    // shape)
+    "sk_kmv")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

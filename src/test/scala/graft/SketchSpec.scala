@@ -257,4 +257,76 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"MG(k=$k) candidates must contain every key above n/(k+1): " +
         s"missing ${heavy.diff(cand)}")
   }
+
+  test("KMV equals the naive bottom-k distinct plan and merges by union") {
+    import spark.implicits._
+    val keys = (1L to 3000L).map(k => s"k$k") ++ (1L to 500L).map(k => s"k$k")
+    val toks = keys.toDF("tok").repartition(7)
+    val k = 64
+    // bit-identity vs the naive plan the oracle replays
+    val naive = toks
+      .select(conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val kmv = Sketch.kmvSketch(toks, "tok", k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kmv == naive, "bounded-pass KMV must match the naive plan")
+    // union-merge law: bottom-k of (sketch(A) ∪ sketch(B)) == sketch(A ∪ B)
+    val a = toks.filter(md5(col("tok")).substr(1, 1) < "8")
+    val b = toks.filter(md5(col("tok")).substr(1, 1) >= "8")
+    val merged = Sketch.kmvSketch(a, "tok", k)
+      .union(Sketch.kmvSketch(b, "tok", k))
+      .distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == kmv, "union-merge must equal the whole-corpus sketch")
+  }
+
+  test("KMV estimate lands near truth; degrades to exact below k") {
+    import spark.implicits._
+    val keys = (1L to 3000L).map(k => s"k$k").toDF("tok")
+    val est = Sketch.kmvEstimate(Sketch.kmvSketch(keys, "tok", 128), 128)
+      .collect().head.getDouble(2)
+    // k=128 → relative std error ~ 1/sqrt(k-2) ≈ 9%; allow 4 sigma
+    assert(math.abs(est - 3000.0) / 3000.0 < 0.36, s"estimate $est off truth 3000")
+    val tiny = (1L to 40L).map(k => s"k$k").toDF("tok")
+    val row = Sketch.kmvEstimate(Sketch.kmvSketch(tiny, "tok", 128), 128)
+      .collect().head
+    assert(row.getLong(0) == 40L && row.getDouble(2) == 40.0,
+      "below-k input must degrade to the exact distinct count")
+  }
+
+  test("grouped KMV matches per-group naive bottom-k") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (if (i % 2 == 0) "even" else "odd", s"k$i"))
+    val toks = rows.toDF("g", "tok").repartition(5)
+    val k = 32
+    val got = Sketch.kmvSketchBy(toks, k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val naive = toks
+      .select(col("g"), conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("h")))
+      .filter(col("r") <= k).select("g", "h")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == naive, "bounded per-group pass must match the naive plan")
+  }
+
+  test("profiler matches per-column SQL facts in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("alpha"), 10L),
+      (2L, None, 20L),
+      (3L, Some("beta"), 10L),
+      (4L, Some("alpha"), 30L)).toDF("id", "name", "v")
+    val got = graft.etl.Profile.profile(df, Seq("id", "name", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5)))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("name") == ((4L, 1L, 2L, "alpha", "beta")))
+    assert(got("v") == ((4L, 0L, 3L, "10", "30")))
+  }
 }

@@ -723,5 +723,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact == truth)
   }
 
+  test("streaming KMV bottom-k equals the batch sketch across micro-batches") {
+    import spark.implicits._
+    val all = (1 to 2000).map(i => s"k$i")
+    val P = 4
+    val k = 64
+    // pre-hash relationally with the house kernel, route to P shards
+    def hashed(df: org.apache.spark.sql.DataFrame) =
+      df.select(
+        pmod(hash(col("tok")), lit(P)).cast("int").as("pk"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val dir = tmp() + "/kmv_src"
+    // two micro-batches: the global bottom-k straddles the boundary
+    val rows = all.zipWithIndex
+    rows.filter(_._2 % 2 == 0).map(_._1).toDF("tok")
+      .coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    rows.filter(_._2 % 2 == 1).map(_._1).toDF("tok")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = Relay.kmvStream(
+        hashed(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+          .as[Relay.KmvTok], k)
+      .writeStream.format("memory").queryName("kmv_mem")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a shard's LIVE sketch is its latest (max seen) emission; the
+    // union re-limited to k must equal the batch sketch bit for bit
+    val emitted = spark.table("kmv_mem")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val maxSeen = emitted.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val live = emitted
+      .filter { case (pk, _, s) => s == maxSeen(pk) }
+      .map(_._2).distinct.sorted.take(k).toSeq
+    // O(k) state: no shard may carry more than k hashes
+    val perShard = emitted
+      .filter { case (pk, _, s) => s == maxSeen(pk) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    assert(perShard.values.forall(_ <= k), s"a shard exceeded k=$k hashes")
+    val batch = graft.sketch.Sketch
+      .kmvSketch(all.toDF("tok"), "tok", k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(live == batch,
+      "streamed KMV union re-limited to k must equal the batch sketch")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
