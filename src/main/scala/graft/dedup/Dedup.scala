@@ -164,36 +164,64 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    // The repartitions are deliberate exchange boundaries. Catalyst's
-    // project-collapsing would otherwise inline the shingle-construction
-    // tree into the k-hash signature lambda (k× recompute per doc) and the
-    // signature tree into every band slice (another bands×) — measured 26s
-    // vs ~2s at sf0.1. Materializing each stage costs one tiny shuffle of
-    // (id, small array); the shArr exchange is additionally REUSED by the
-    // verification explode below (ReusedExchange), so shingling runs once
-    // for the whole pipeline.
-    val shArr = docs.select(col(idCol).as("id"),
-        shinglesFast(col(textCol), n).as("sh"))
-      .repartition(col("id"))
-    val withSig = shArr
-      .select(col("id"), minhashSigFast(col("sh"), k).as("sig"))
-      .repartition(col("id"))
-    val banded = withSig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          md5(concat_ws("|", slice(col("sig"), b * lit(r) + lit(1), lit(r)))).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // The repartitions (inside the helpers) are deliberate exchange
+    // boundaries. Catalyst's project-collapsing would otherwise inline the
+    // shingle-construction tree into the k-hash signature lambda (k×
+    // recompute per doc) and the signature tree into every band slice
+    // (another bands×) — measured 26s vs ~2s at sf0.1. Materializing each
+    // stage costs one tiny shuffle of (id, small array); the shArr
+    // exchange is additionally REUSED by the verification explode
+    // (ReusedExchange), so shingling runs once for the whole pipeline.
+    val shArr = shingleArrays(docs, idCol, textCol, n)
+    val banded = lshBandIndexFromShingles(shArr, k, bands)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Exact verification on candidates only, reusing the materialized
-    // shingle arrays (one cheap explode; shared by both join sides and
-    // sizes via its own exchange).
+    verifyJaccardPairs(candidates, shArr, threshold)
+  }
+
+  /** Materialized per-doc shingle arrays (id, sh) — the shared first
+    * stage of the LSH pipeline and of candidate verification. */
+  private def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shinglesFast(col(textCol), n).as("sh"))
+      .repartition(col("id"))
+
+  /** Band-bucket rows (id, band, bucket) from materialized shingle
+    * arrays. Banding is PER-DOC deterministic — a doc's buckets depend
+    * only on its own text, never on the rest of the corpus — which is
+    * exactly what makes the index append-mergeable:
+    * index(A ∪ B) = index(A) ∪ index(B), row for row. */
+  private def lshBandIndexFromShingles(shArr: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    shArr
+      .select(col("id"), minhashSigFast(col("sh"), k).as("sig"))
+      .repartition(col("id"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            md5(concat_ws("|", slice(col("sig"), b * lit(r) + lit(1), lit(r)))).as("bucket"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** The persisted LSH artifact for [[minhashLshPairsIncremental]]:
+    * (id, band, bucket) rows for a corpus, buildable once and appended
+    * per ingest batch (the [[graft.io.Sinks.appendWithManifest]]
+    * discipline applied to the dedup index). */
+  def lshBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    lshBandIndexFromShingles(shingleArrays(docs, idCol, textCol, n), k, bands)
+
+  /** Exact-Jaccard verification of candidate pairs against materialized
+    * shingle arrays: one explode + two candidate-sided joins + a pair
+    * partial-agg — touches candidates, never n². */
+  private def verifyJaccardPairs(candidates: DataFrame, shArr: DataFrame,
+      threshold: Double): DataFrame = {
     val sh = shArr.select(col("id"), explode(col("sh")).as("sh"))
       .repartition(col("id"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
@@ -209,6 +237,36 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Incremental near-dup detection after a corpus APPEND — the
+    * continuous-ingest path: with index(A) already on disk, a new batch B
+    * needs only index(B) built (|B| docs shingled, not |A∪B|) and the
+    * band join run NEW-sided: newIndex ⋈ (oldIndex ∪ newIndex). The A×A
+    * side — the quadratically dominant part of a cold rerun — is never
+    * recomputed.
+    *
+    * Exactness law (spec-asserted): banding is per-doc deterministic, so
+    * a pair collides in the incremental run iff it collides in a cold run
+    * of A∪B; hence pairs(A∪B) = pairs(A) ∪ incremental(B), with the
+    * identical exact-Jaccard verification on the shared shingle arrays of
+    * `allDocs` (only candidate-pair docs are ever exploded).
+    * Returns (updatedIndex, newPairs): the index to persist for the next
+    * batch and the pairs touching ≥ 1 new doc. */
+  def minhashLshPairsIncremental(oldIndex: DataFrame, newDocs: DataFrame,
+      allDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val newIndex = lshBandIndex(newDocs, idCol, textCol, n, k, bands)
+    val full = oldIndex.unionByName(newIndex)
+    val candidates = newIndex.as("a").join(full.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val shArr = shingleArrays(allDocs, idCol, textCol, n)
+    (full, verifyJaccardPairs(candidates, shArr, threshold))
   }
 
   /** 64-bit md5-derived token hash (first 16 hex chars → long, bit 63 in

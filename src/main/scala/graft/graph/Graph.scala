@@ -1,6 +1,7 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph ranking — the companion to the dedup module's
@@ -592,6 +593,111 @@ object Graph {
     * linear in edges for fixed cap; one self-equi-join on the mid
     * vertex, one (a, b) partial-agg, one left-anti against the edge
     * list. No driver collect. Returns (a, b, cn, score), a < b. */
+  /** Landmark harmonic-closeness centrality: exact harmonic centrality
+    * restricted to a deterministic landmark sample — the standard
+    * large-graph estimator (Eppstein & Wang 2004 use random samples;
+    * here the sample is the md5-bottom-L node set so any engine picks
+    * the identical landmarks and the result stays oracle-replayable).
+    * Harmonic (Σ 1/d) rather than classic closeness (1/Σd) because it
+    * handles unreached landmarks gracefully AND each per-landmark term
+    * ⌊10⁴/d⌋ is an exact integer — no float sum, no libm.
+    *
+    * One simultaneous multi-source BFS carries ALL landmarks: state is
+    * (node, lm, dist) — at most |V|·L rows — and each round is one
+    * |edges|⋈state equi-join plus a (node, lm) partial-agg MIN, the
+    * [[bfsHops]] shape widened by the landmark column. L and `rounds`
+    * are the explicit scale dials: shuffle ≤ |E|·L per round. Returns
+    * (node, n_reached, harm_bp) for nodes reaching ≥ 1 landmark in
+    * `rounds` hops, the landmark itself (dist 0) excluded. */
+  def harmonicCloseness(edges: DataFrame, landmarks: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      lmCol: String = "node"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var dist = landmarks
+      .select(col(lmCol).cast("long").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("lm"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lm"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node", "lm").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.filter(col("dist") > 0L)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("10000 div dist")).as("harm_bp"))
+  }
+
+  /** Deterministic negative-edge sampling for link-prediction training:
+    * up to `k` non-neighbors per node, drawn pseudo-uniformly by md5
+    * hashing — no RNG, so the sample is bit-identical on any engine and
+    * replayable by the oracle (the [[graft.text.Corpus]] md5-sampling
+    * discipline applied to graphs).
+    *
+    * Scheme: every node owns the hash-ring bucket `h60("n|"+node) mod N`
+    * (N = node count, a ONE-row aggregate); each bucket's representative
+    * is its arg-min-hash node. A probe (u, i) targets bucket
+    * `h60("s|"+u+"|"+i) mod N` — an EQUI-join of |V|·trials probe rows
+    * against ≤ N 1-row buckets, so the intermediate stays
+    * O(|V|·trials) at any scale (never the |V|²/B blow-up of
+    * range-searching coarse buckets). ~1/e of buckets are empty, so
+    * `trials` should be ~2k·e/(e−1) ≈ 3k; misses just thin the sample.
+    * Real edges and self-pairs are anti-joined away, duplicates keep
+    * their earliest trial, and a per-node rank keeps the first `k` by
+    * trial order. Returns (src, neg_dst). */
+  def negativeEdgeSample(edges: DataFrame, k: Int, trials: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1 && trials >= k, s"need k >= 1 and trials >= k")
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val nCnt = nodes.agg(count(lit(1)).as("n_nodes"))
+    // bucket representative: the arg-min-hash node of each owned bucket
+    val ring = nodes.crossJoin(nCnt)
+      .select(col("node"),
+        pmod(h60(concat(lit("n|"), col("node").cast("string"))),
+          col("n_nodes")).as("b"),
+        h60(concat(lit("n|"), col("node").cast("string"))).as("h"))
+      .groupBy("b")
+      .agg(min(struct(col("h"), col("node"))).getField("node").as("cand"))
+    val probes = nodes.crossJoin(nCnt)
+      .select(col("node").as("src"),
+        explode(sequence(lit(0), lit(trials - 1))).as("i"),
+        col("n_nodes"))
+      .select(col("src"), col("i"),
+        pmod(h60(concat_ws("|", lit("s"), col("src").cast("string"),
+          col("i").cast("string"))), col("n_nodes")).as("b"))
+    val hits = probes.join(ring, Seq("b"))
+      .filter(col("cand") =!= col("src"))
+      .join(e.select(col("src"), col("dst").as("cand")),
+        Seq("src", "cand"), "left_anti")
+      .groupBy("src", "cand").agg(min(col("i")).as("i"))
+    hits
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("i"), col("cand"))))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("cand").as("neg_dst"))
+  }
+
   def linkPredictRA(edges: DataFrame, degCap: Int): DataFrame = {
     require(degCap >= 1, s"degCap must be >= 1, got $degCap")
     val e = canonEdges(edges).localCheckpoint()

@@ -1,0 +1,112 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Integer-exact grouped statistics: closed-form OLS trend slopes and
+  * 3-sigma outlier detection, both as pure DECIMAL(38,0) rational
+  * arithmetic so the result is bit-identical in any engine (the
+  * [[graft.graph.Graph]] / [[graft.sim.KMeans]] fixed-point discipline
+  * applied to classical statistics).
+  *
+  * Why not `regr_slope` / `stddev`: both are float aggregates whose
+  * partial-merge order differs across engines/partitionings, so the low
+  * bits — and with them threshold decisions — flip. Here every moment is
+  * an exact integer sum (mergeable in any order → map-side combine safe
+  * at 100 TB), and the only divisions are integer floor divisions applied
+  * sign-safely (Spark's `div` truncates toward zero while DuckDB's `//`
+  * floors, so negative numerators divide as |num| with the sign re-applied
+  * — identical on both engines).
+  */
+object Stats {
+
+  private val D = DecimalType(38, 0)
+
+  /** Per-group OLS slope of y on x in basis points:
+    * slope_bp = 10⁴·(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), floor-divided
+    * sign-safely. One groupBy over (x, y, x·y, x²) partial sums — a
+    * single shuffle with map-side combine; per-row products stay in
+    * BIGINT range (caller guarantees |x·y| < 2⁶³), cross-row sums are
+    * DECIMAL(38,0). Returns groupCols + (n, slope_bp); slope_bp is NULL
+    * when x is constant within the group (den = 0). */
+  def olsSlopeBp(df: DataFrame, groupCols: Seq[String],
+      xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(
+      groupCols.map(col) ++
+        Seq(xCol.cast("long").as("x"), yCol.cast("long").as("y")): _*)
+    base.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(D)).as("sx"),
+        sum(col("y").cast(D)).as("sy"),
+        sum((col("x") * col("y")).cast(D)).as("sxy"),
+        sum((col("x") * col("x")).cast(D)).as("sxx"))
+      .withColumn("num",
+        expr("cast(n as decimal(38,0)) * sxy - sx * sy"))
+      .withColumn("den",
+        expr("cast(n as decimal(38,0)) * sxx - sx * sx"))
+      .withColumn("slope_bp", expr(
+        """CASE WHEN den = 0 THEN NULL
+                WHEN num < 0 THEN -((10000 * (-num)) div den)
+                ELSE (10000 * num) div den END"""))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("slope_bp")): _*)
+  }
+
+  /** Robust outliers by median absolute deviation: flag rows with
+    * |x − median| > k·MAD, where median is the LOWER median (the value at
+    * row_number (n+1) div 2 ordered by x — deterministic without
+    * interpolation, so pure integers end to end) and MAD is the lower
+    * median of |x − median|. Robust where [[sigmaOutliers]] is not: a
+    * heavy tail inflates σ and hides its own outliers, but leaves the
+    * medians untouched.
+    *
+    * Shape: two rank-window passes (each one shuffle on the group key)
+    * plus two dim-sided joins of the per-group medians (group-cardinality
+    * rows — broadcast-sized by construction). Returns the flagged input
+    * rows plus (med, mad, dev). */
+  def madOutliers(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gc = groupCols.map(col)
+    def lowerMedian(in: DataFrame, vCol: String, outCol: String): DataFrame =
+      in.withColumn("rn",
+          row_number().over(Window.partitionBy(gc: _*).orderBy(col(vCol))))
+        .withColumn("grp_n", count(lit(1)).over(Window.partitionBy(gc: _*)))
+        .filter(col("rn") === expr("(grp_n + 1) div 2"))
+        .select(gc :+ col(vCol).as(outCol): _*)
+    val base = df.withColumn("x", valueCol.cast("long"))
+    val med = lowerMedian(base.select(gc :+ col("x"): _*), "x", "med")
+    val withD = base.join(broadcast(med), groupCols)
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = lowerMedian(withD.select(gc :+ col("dev"): _*), "dev", "mad")
+    withD.join(broadcast(mad), groupCols)
+      .filter(col("dev") > lit(k.toLong) * col("mad"))
+      .drop("x")
+  }
+
+  /** Rows more than `sigmas` POPULATION standard deviations from their
+    * group mean, decided exactly in integers: (x−μ)² > k²σ² multiplied
+    * through by n² gives (n·x − S)² > k²·(n·Q − S²) with S = Σx,
+    * Q = Σx² — no square root, no division, no floats. One window
+    * shuffle on the group key (count/sum/sum-of-squares over the same
+    * partition — a single exchange); per-row x² stays in BIGINT, the
+    * window sums and the comparison run in DECIMAL(38,0). Keeps the
+    * input columns of `df`. */
+  def sigmaOutliers(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, sigmas: Int): DataFrame = {
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("x", valueCol.cast("long"))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .withColumn("grp_s", sum(col("x").cast(D)).over(w))
+      .withColumn("grp_q", sum((col("x") * col("x")).cast(D)).over(w))
+      .filter(expr(
+        s"""(cast(grp_n as decimal(38,0)) * x - grp_s) *
+            (cast(grp_n as decimal(38,0)) * x - grp_s) >
+            ${sigmas * sigmas} *
+            (cast(grp_n as decimal(38,0)) * grp_q - grp_s * grp_s)"""))
+      .drop("x", "grp_n", "grp_s", "grp_q")
+  }
+}

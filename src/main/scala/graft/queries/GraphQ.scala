@@ -515,8 +515,49 @@ object GraphQ extends QueryPack {
        WHERE e0.a IS NULL
        ORDER BY score DESC, cn DESC, s.a, s.b LIMIT 20"""
 
+  /** Landmark harmonic-closeness centrality over the trade graph
+    * ([[Graph.harmonicCloseness]]): 8 landmarks chosen as the md5-bottom
+    * nodes (any engine re-derives the identical sample — the
+    * deterministic stand-in for Eppstein–Wang random sampling), 4 BFS
+    * rounds carried simultaneously for all landmarks in one (node, lm,
+    * dist) state. Output per node: landmarks reached and the integer
+    * harmonic sum Σ⌊10⁴/d⌋. Oracle unrolls the 4 min-relaxations. */
+  private def grCloseness(spark: SparkSession, d: String): DataFrame = {
+    val e = tradeEdges(spark, d)
+    val landmarks = e.select(col("src").as("node")).distinct()
+      .orderBy(md5(concat(lit("lm|"), col("node").cast("string"))))
+      .limit(8)
+    Graph.harmonicCloseness(e, landmarks, rounds = 4).orderBy("node")
+  }
+
+  private val grClosenessSql = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (SELECT node, lm, MIN(dist) AS dist FROM (
+                SELECT node, lm, dist FROM $prev
+                UNION ALL
+                SELECT e.dst, $prev.lm, $prev.dist + 1 FROM e
+                JOIN $prev ON $prev.node = e.src) GROUP BY 1, 2)"""
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+                              l_suppkey * 2 + 1 AS supp_node
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT cust_node AS src, supp_node AS dst FROM pairs
+             UNION
+             SELECT supp_node, cust_node FROM pairs),
+       lms AS (SELECT src AS node FROM (SELECT DISTINCT src FROM e)
+               ORDER BY md5('lm|' || CAST(src AS VARCHAR)) LIMIT 8),
+       d0 AS (SELECT node, node AS lm, CAST(0 AS BIGINT) AS dist FROM lms),
+       ${round("d0", "d1")},
+       ${round("d1", "d2")},
+       ${round("d2", "d3")},
+       ${round("d3", "d4")}
+       SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+              CAST(SUM(10000 // dist) AS BIGINT) AS harm_bp
+       FROM d4 WHERE dist > 0 GROUP BY 1 ORDER BY node"""
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("gr_pagerank", grPagerank, Some(grPagerankSql)),
+    Q("gr_closeness", grCloseness, Some(grClosenessSql)),
     Q("gr_ppr", grPpr, Some(grPprSql)),
     Q("gr_hits", grHits, Some(grHitsSql)),
     Q("gr_pagerank_directed", grPagerankDirected, Some(grPagerankDirectedSql)),

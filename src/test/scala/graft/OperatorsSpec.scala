@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.dedup.Dedup
 import graft.operators.{AsOf, RangeJoin}
 
 /** As-of / range-join semantics on hand-built frames (edge cases the
@@ -798,6 +799,88 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (1,4): (320+0+40+10)/11 = 33; (2,1): fresh key → 7
     assert(got == Map((1L, 1) -> 10L, (1L, 2) -> 16L, (1L, 3) -> 16L,
       (1L, 4) -> 33L, (2L, 1) -> 7L), s"expSmooth drifted: $got")
+  }
+
+  test("minhashLshPairsIncremental: append run equals cold rerun pair-for-pair") {
+    import spark.implicits._
+    // three near-dup families + singletons; B holds a dup of an A doc
+    // (the cross-batch pair the incremental path must find), an intra-B
+    // dup pair, and an unrelated doc
+    val mk = (id: Long, t: String) => (id, t)
+    val a = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog today"),
+      mk(2L, "the quick brown fox jumps over the lazy dog today"),
+      mk(3L, "an entirely different document about spark shuffles"),
+      mk(4L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      mk(5L, "the quick brown fox jumps over the lazy dog today"),
+      mk(6L, "completely novel content mentioning catalyst expression codegen"),
+      mk(7L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed")
+    ).toDF("doc_id", "text")
+    val all = a.unionByName(b)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cold = pairSet(Dedup.minhashLshPairs(all, "doc_id", "text"))
+    val coldA = pairSet(Dedup.minhashLshPairs(a, "doc_id", "text"))
+    val oldIndex = Dedup.lshBandIndex(a, "doc_id", "text")
+    val (updated, incPairs) = Dedup.minhashLshPairsIncremental(
+      oldIndex, b, all, "doc_id", "text")
+    // the law: pairs(A∪B) = pairs(A) ∪ incremental(B), values included
+    assert(coldA ++ pairSet(incPairs) == cold,
+      s"incremental union drifted from cold: ${coldA ++ pairSet(incPairs)} vs $cold")
+    // every incremental pair touches a new doc (B side actually new-sided)
+    assert(pairSet(incPairs).forall { case (x, y, _) => x >= 5L || y >= 5L })
+    // the persisted artifact equals a cold index build row-for-row
+    val coldIdx = Dedup.lshBandIndex(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val gotIdx = updated
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(gotIdx == coldIdx, "updated index must equal cold index build")
+  }
+
+  test("harmonicCloseness: hand-computed path graph; landmark self-distance excluded") {
+    import spark.implicits._
+    // path 1-2-3-4 (symmetric edges), landmarks {1, 4}, 3 rounds
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lms = Seq(1L, 4L).toDF("node")
+    val got = graft.graph.Graph.harmonicCloseness(e, lms, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // node 1: d(1,4)=3 → 3333; node 2: d(2,1)=1, d(2,4)=2 → 15000;
+    // node 3 symmetric to 2; node 4 symmetric to 1 — dist-0 self rows drop
+    assert(got == Map(
+      1L -> (1L, 3333L), 2L -> (2L, 15000L),
+      3L -> (2L, 15000L), 4L -> (1L, 3333L)), s"closeness drifted: $got")
+  }
+
+  test("olsSlopeBp: exact positive/negative/constant-x slopes, sign-safe floor division") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 12L), ("up", 3L, 14L),     // slope 2
+      ("down", 1L, 9L), ("down", 2L, 6L), ("down", 3L, 3L),  // slope -3
+      ("third", 1L, 1L), ("third", 2L, 2L), ("third", 3L, 2L), // slope 1/2
+      ("flat", 5L, 1L), ("flat", 5L, 9L)                     // den = 0
+    ).toDF("g", "x", "y")
+    val got = graft.ml.Stats.olsSlopeBp(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == Map("up" -> Some(20000L), "down" -> Some(-30000L),
+      "third" -> Some(5000L), "flat" -> None), s"slopes drifted: $got")
+  }
+
+  test("sigmaOutliers: only the far point trips the integer 3-sigma gate") {
+    import spark.implicits._
+    // group g: fifteen 100s and one 1000 — the 1000 sits √15 ≈ 3.9σ out
+    // (with nine ties it would be EXACTLY 3σ and the strict > gate
+    // rightly excludes it); group h is tight (all equal → variance 0,
+    // (nx−S)² = 0 not > 0, no flags)
+    val rows = (1L to 15L).map(i => ("g", i, 100L)) ++ Seq(("g", 16L, 1000L)) ++
+      (1L to 4L).map(i => ("h", i, 7L))
+    val got = graft.ml.Stats.sigmaOutliers(rows.toDF("g", "id", "x"),
+        Seq("g"), col("x"), sigmas = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("g", 16L)), s"outliers drifted: $got")
   }
 
   override def afterAll(): Unit = spark.stop()
