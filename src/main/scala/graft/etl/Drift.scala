@@ -118,4 +118,30 @@ object Drift {
                   div ((CAST(a AS DECIMAL(38,0)) + b) * (c + d)
                        * (a + c) * (b + d)) END""").as("chi2_micro"))
       .withColumn("significant", (col("chi2_micro") >= 3841459L).cast("int"))
+
+  /** Per-dimension embedding drift between two vector populations — the
+    * monitor an embedding-backed pipeline runs when the encoder or the
+    * upstream corpus changes: each float component is fixed-pointed
+    * (⌊x·10⁴⌋ — floor, not round: round-half ties are the one step
+    * engines disagree on), per-dimension counts and exact integer sums
+    * are one posexplode + partial-agg per side (shuffle key = the
+    * |dims|-sized dimension id), and the mean gap
+    * (Σa·n_b − Σb·n_a)/(n_a·n_b) is a sign-safe DECIMAL(38,0) floor
+    * division. Returns one row per dimension:
+    * (dim, n_a, n_b, sum_a, sum_b, mdiff_fx). */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    def moments(df: DataFrame, nCol: String, sCol: String): DataFrame =
+      df.select(posexplode(col(vecCol)).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          floor(col("e").cast("double") * 10000).cast("long").as("fx"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as(nCol), sum(col("fx")).as(sCol))
+    moments(a, "n_a", "sum_a").join(moments(b, "n_b", "sum_b"), Seq("dim"))
+      .withColumn("num", expr(
+        "cast(sum_a as decimal(38,0)) * n_b - cast(sum_b as decimal(38,0)) * n_a"))
+      .withColumn("den", expr("cast(n_a as decimal(38,0)) * n_b"))
+      .withColumn("mdiff_fx", expr(
+        "CASE WHEN num < 0 THEN -((-num) div den) ELSE num div den END"))
+      .select("dim", "n_a", "n_b", "sum_a", "sum_b", "mdiff_fx")
+  }
 }

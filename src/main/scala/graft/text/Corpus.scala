@@ -105,6 +105,35 @@ object Corpus {
     df.orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc).limit(k)
   }
 
+  /** Sliding-window chunking WITHIN a document — the RAG/embedding prep
+    * cut ([[chunkByTokenBudget]] groups documents ACROSS a stream; this
+    * splits one document into overlapping windows of `window` tokens at
+    * `stride`-token steps, stride < window ⇒ the standard overlap that
+    * keeps a fact spanning a boundary inside at least one chunk whole).
+    * Pure per-row expression work — token split, a start-position
+    * sequence explode, an array slice — no shuffle at all; output rows
+    * ≈ n_tokens/stride per doc. Chunk text is carried as its md5 (the
+    * downstream join key) plus (start_tok, n_tok) so the caller can
+    * re-slice the original lazily instead of duplicating window/stride
+    * copies of the corpus through the shuffle. */
+  def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol), Text.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), greatest(size(col("__t")) - 1, lit(0)),
+          lit(stride))).as("__start"))
+      .select(col(idCol),
+        expr(s"CAST(__start div $stride AS BIGINT)").as("chunk_id"),
+        col("__start").cast("long").as("start_tok"),
+        slice(col("__t"), col("__start") + 1, lit(window)).as("__ct"))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        size(col("__ct")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("__ct"))).as("chunk_md5"))
+  }
+
   /** Token-budget chunking for batch building: contiguous (by `orderCol`,
     * per `partCol`) documents are grouped into chunks of ~`budget` tokens
     * via chunk = floor(exclusive-prefix-sum / budget). A document that

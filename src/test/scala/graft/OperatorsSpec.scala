@@ -883,5 +883,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("g", 16L)), s"outliers drifted: $got")
   }
 
+  test("chunkSliding: window/stride offsets, short tail chunk, single-chunk tiny doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val got = graft.text.Corpus.chunkSliding(docs, "doc_id", "text",
+        window = 3, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1 (5 tokens): starts 0,2,4 → 3-token, 3-token, 1-token chunks;
+    // doc 2 (1 token): single chunk of 1
+    assert(got == Set((1L, 0L, 0L, 3L), (1L, 1L, 2L, 3L), (1L, 2L, 4L, 1L),
+      (2L, 0L, 0L, 1L)), s"chunks drifted: $got")
+  }
+
+  test("embeddingDrift: hand-computed per-dim mean gaps; zero gap stays zero") {
+    import spark.implicits._
+    val a = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((3L, Seq(2.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = graft.etl.Drift.embeddingDrift(a, b, "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    // dim 1: means 2.0 vs 2.0 → 0; dim 2: means 3.0 vs 2.0 → +10000 fx
+    assert(got == Map(1L -> 0L, 2L -> 10000L), s"drift drifted: $got")
+  }
+
+  test("negativeEdgeSample: never a real edge or self, at most k per node, deterministic") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (8L, 1L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val edgeSet = und.flatMap(p => Seq(p, p.swap)).toSet
+    def sample() = graft.graph.Graph.negativeEdgeSample(e, k = 2, trials = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s1 = sample()
+    assert(s1.nonEmpty, "sample must not be empty on an 8-cycle")
+    assert(s1.forall { case (u, v) => u != v && !edgeSet((u, v)) },
+      s"sampled a self-pair or real edge: $s1")
+    assert(s1.groupBy(_._1).values.forall(_.size <= 2), "k bound violated")
+    assert(s1.toSet == sample().toSet, "sampling must be deterministic")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

@@ -74,7 +74,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the KMV output row crosses the ONE-row estimate with the ONE-row
     // exact countDistinct — both scalar by construction (t_hll_distinct's
     // shape)
-    "sk_kmv")
+    "sk_kmv",
+    // negative sampling crosses the ONE-row node-count aggregate into
+    // the ring/probe hash arithmetic — scalar side by construction
+    "gr_negsample")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
