@@ -452,4 +452,66 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) greedy
+    * diversified top-k: pick k vectors maximizing
+    * λ·rel(v,query) − (1−λ)·max_{s∈picked} sim(v,s) — the selection a
+    * RAG context builder or a diversity-aware eval-set sampler runs so
+    * the k slots aren't spent on k near-copies of the best hit.
+    *
+    * Execution: the greedy loop is k passes over the corpus — the
+    * algorithm's inherent shape, NOT an artifact. Relevance is computed
+    * once ([[normalized]] + one [[dotFast]] per vector, 4dp-rounded as
+    * everywhere in this file) and localCheckpoint'd; each round then
+    * scans it with the penalty term as a literal expression over the
+    * ≤ k−1 ALREADY-PICKED vectors (k·dims literal doubles — parameter-
+    * bounded, never data-bounded) and takes a 1-row argmax via
+    * TakeOrderedAndProject. The per-round 1-row collect is the same
+    * driver discipline as the BPE winner and the CC convergence delta:
+    * O(k·dims) total driver bytes, no data-sized collect. λ is fixed-
+    * point basis points; the mmr score (λbp·rel − (10000−λbp)·pen)/10⁴
+    * is three IEEE ops on 4dp-rounded inputs, engine-identical.
+    *
+    * Returns (rank, vec_id, rel, mmr) — k rows, rank 1..k in pick
+    * order. */
+  def mmrSelect(corpus: DataFrame, queryId: Long, k: Int, lambdaBp: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaBp >= 0 && lambdaBp <= 10000, s"lambdaBp in [0,10000], got $lambdaBp")
+    val spark = corpus.sparkSession
+    val nv = normalized(corpus, idCol, vecCol)
+    val qv = nv.filter(col("id") === queryId)
+      .select(col("nv").as("qv"))
+    val cand = nv.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("id"), col("nv"), round(dotFast(col("nv"), col("qv")), 4).as("rel"))
+      .localCheckpoint()
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Double], Double, Double)] // id, nv, rel, mmr
+    while (picked.size < k) {
+      val pen: Column =
+        if (picked.isEmpty) lit(0.0)
+        else {
+          val sims = picked.toSeq.map(p =>
+            round(dotFast(col("nv"), typedLit(p._2)), 4))
+          if (sims.size == 1) sims.head else greatest(sims: _*)
+        }
+      val remaining =
+        if (picked.isEmpty) cand
+        else cand.filter(!col("id").isin(picked.toSeq.map(_._1): _*))
+      val top = remaining
+        .withColumn("mmr",
+          (lit(lambdaBp.toDouble) * col("rel") -
+            lit((10000 - lambdaBp).toDouble) * pen) / lit(10000.0))
+        .orderBy(col("mmr").desc, col("id").asc)
+        .limit(1)
+        .collect()(0) // 1-row argmax — the per-round winner, BPE-style
+      picked += ((top.getLong(0), top.getSeq[Double](1),
+        top.getDouble(2), top.getDouble(3)))
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, _, rel, mmr), i) => (i + 1, id, rel, mmr) }
+      .toDF("rank", "vec_id", "rel", "mmr")
+  }
 }

@@ -458,4 +458,33 @@ object Sketch {
       .filter(col("cnt") * freqDiv > col("total"))
       .select("tok", "cnt")
   }
+
+  /** KMV set-algebra Jaccard (Beyer et al. 2007): estimate
+    * J(A, B) = |A∩B| / |A∪B| of two token SETS from their bottom-k
+    * sketches alone — the cross-corpus overlap dial (two crawl
+    * snapshots, two sources, train-vs-eval) at O(k) state per side
+    * however large the corpora. The estimator: merge the two sketches
+    * (union-distinct, re-take bottom k — exactly the [[kmvSketch]]
+    * merge law the spec verifies), then count merged hashes present in
+    * BOTH input sketches; J ≈ matches / |merged|. Every step is
+    * integer/hash arithmetic on ≤ 2k rows, so the DuckDB oracle replays
+    * it bit-exactly, and when both true cardinalities are < k the
+    * sketches ARE the distinct sets and the estimate is EXACT.
+    *
+    * Returns ONE row (k_eff, n_inter, jacc_bp): k_eff = |merged sketch|
+    * (= min(k, |A∪B|)), n_inter = merged hashes in both sketches,
+    * jacc_bp = n_inter·10⁴ div k_eff. */
+  def kmvJaccard(a: DataFrame, b: DataFrame, tokCol: String,
+      k: Int): DataFrame = {
+    val ska = kmvSketch(a, tokCol, k)
+    val skb = kmvSketch(b, tokCol, k)
+    val merged = ska.union(skb).distinct().orderBy("h").limit(k)
+    val inter = merged
+      .join(ska, Seq("h"), "left_semi")
+      .join(skb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_inter"))
+    merged.agg(count(lit(1)).as("k_eff"))
+      .crossJoin(inter)
+      .withColumn("jacc_bp", expr("(n_inter * 10000) div k_eff"))
+  }
 }

@@ -202,4 +202,58 @@ object Corpus {
       }
       .toDF("doc_id", "shard", "bin", "n_tokens")
   }
+
+  /** Shard plan with balance accounting — the pre-flight a training run
+    * does before writing N output shards: every document is assigned a
+    * deterministic [[hashBucket]] shard, and the plan reports per-shard
+    * document and token mass plus two balance dials, `share_bp`
+    * (shard's share of total tokens, basis points) and `skew_bp`
+    * (shard mass vs the perfectly-even share, 10000 = exactly fair).
+    * A shard whose skew_bp drifts far above 10000 is the one that
+    * finishes last — the signal to re-key or raise N BEFORE the
+    * multi-hour write, not after.
+    *
+    * Scale shape: one narrow projection (key hash + weight), one
+    * partial-agg shuffle of N-bounded groups, then a 1-row total
+    * broadcast onto N rows. No data-sized shuffle, no window over the
+    * corpus; works identically at 500 docs and 10¹⁰. */
+  def shardPlan(df: DataFrame, keyCol: String, weightCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val per = df
+      .select(hashBucket(col(keyCol), shards).as("shard"),
+        col(weightCol).cast("long").as("__w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_tok"))
+    per.crossJoin(broadcast(per.agg(sum(col("n_tok")).as("__tot"))))
+      .withColumn("share_bp", expr("(n_tok * 10000) div __tot"))
+      .withColumn("skew_bp", expr(s"(n_tok * 10000 * $shards) div __tot"))
+      .select("shard", "n_docs", "n_tok", "share_bp", "skew_bp")
+  }
+
+  /** Deterministic WEIGHTED k-of-n sample — [[sampleUniform]]'s biased
+    * sibling for quality- or length-weighted corpus selection: keep the
+    * k rows with the smallest priority h div w, where h is the row's
+    * 60-bit md5 key hash (uniform, data-independent) and w ≥ 1 the
+    * integer weight. Doubling a row's weight halves its priority scale,
+    * so selection odds grow monotonically with weight (the integer-
+    * exact stand-in for the u^(1/w) exponential-clocks scheme, whose
+    * pow/log have engine-dependent last ulps); weight-1 rows degrade to
+    * exactly [[sampleUniform]]'s order. Same engine guarantees as the
+    * uniform path: no RNG, reproducible across engines/partitionings/
+    * reruns, TakeOrderedAndProject (per-partition partial top-k — no
+    * global sort), and nested samples (k' > k keeps the old pick as a
+    * prefix). Rows with NULL or sub-1 weight are excluded LOUDLY by
+    * filter rather than silently sampled at weight 0.
+    * Returns the input columns plus `prio`. */
+  def sampleWeighted(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.filter(col(weightCol).isNotNull && col(weightCol) >= 1)
+      .withColumn("prio", expr(
+        s"cast(conv(substring(md5(cast($keyCol as string)), 1, 15), 16, 10) " +
+          s"as bigint) div cast($weightCol as bigint)"))
+      .orderBy(col("prio").asc, col(keyCol).asc)
+      .limit(k)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.text.{Importance, Privacy}
+import graft.text.{Corpus, Importance, Privacy}
 
 /** Privacy + importance-selection semantics on hand-built rows — the PII
   * shapes the synthetic corpus cannot carry (emails, SSNs, phones, IPs),
@@ -115,5 +115,71 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.toSeq === wide.toSeq)
     // top-1/3 of the 3 raw docs = the single most target-like (doc 2)
     assert(full.map(_._1).toSeq === Seq(2L))
+  }
+
+  test("shardPlan: masses sum to the corpus, skew_bp centers on 10000") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, 10L + i % 7)).toDF("id", "w")
+    val plan = graft.text.Corpus.shardPlan(docs, "id", "w", 8).collect()
+    assert(plan.map(_.getLong(0)).forall(s => s >= 0 && s < 8))
+    assert(plan.map(_.getLong(1)).sum === 200L)
+    val totW = docs.agg(sum("w")).head().getLong(0)
+    assert(plan.map(_.getLong(2)).sum === totW)
+    // every shard's skew is the integer ratio vs the fair share
+    plan.foreach { r =>
+      assert(r.getLong(4) === r.getLong(2) * 10000L * 8L / totW)
+    }
+  }
+
+  test("sampleWeighted: nested samples, partitioning-independent, " +
+      "weight-1 degrades to sampleUniform") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, 1L + i % 5)).toDF("id", "w")
+    val s10 = Corpus.sampleWeighted(docs, "id", "w", 10)
+      .collect().map(_.getLong(0)).toSeq
+    val s25 = Corpus.sampleWeighted(docs, "id", "w", 25)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s25.take(10) === s10, "growing k must keep the old sample as a prefix")
+    val rep = Corpus.sampleWeighted(docs.repartition(13), "id", "w", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rep === s10, "sample must not depend on partitioning")
+    val ones = docs.withColumn("w", lit(1L))
+    val wOne = Corpus.sampleWeighted(ones, "id", "w", 10)
+      .collect().map(_.getLong(0)).toSeq
+    val uni = Corpus.sampleUniform(docs, "id", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(wOne === uni, "weight 1 must reproduce the uniform sample")
+  }
+
+  test("mmrSelect: first pick is pure relevance; low lambda prefers a " +
+      "diverse vector over an exact duplicate of the first pick") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),  // the query
+      (1L, Array(1.0f, 0.0f)),  // identical direction: rel 1
+      (2L, Array(1.0f, 0.0f)),  // duplicate of 1: rel 1, sim(1,2)=1
+      (3L, Array(0.0f, 1.0f))   // orthogonal: rel 0
+    ).toDF("vec_id", "embedding")
+    val picks = graft.sim.Similarity
+      .mmrSelect(vecs, queryId = 0L, k = 3, lambdaBp = 3000)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // rank1 = argmax rel (id tiebreak) = 1; rank2: dup 2 scores
+    // 0.3·1 − 0.7·1 = −0.4 < orthogonal 3's 0.3·0 − 0.7·0 = 0 → 3 wins
+    assert(picks === Seq(1L, 3L, 2L))
+    val greedy = graft.sim.Similarity
+      .mmrSelect(vecs, queryId = 0L, k = 2, lambdaBp = 10000)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // λ=1 disables the penalty: pure relevance order, dup included
+    assert(greedy === Seq(1L, 2L))
+  }
+
+  test("kmvJaccard: exact when both sides fit inside k") {
+    import spark.implicits._
+    val a = Seq("a", "b", "c", "d", "a").toDF("tok") // {a b c d}
+    val b = Seq("c", "d", "e", "f").toDF("tok")      // {c d e f}
+    val r = graft.sketch.Sketch.kmvJaccard(a, b, "tok", k = 256).head()
+    assert(r.getAs[Long]("k_eff") === 6L)   // |union| < k → sketch IS the set
+    assert(r.getAs[Long]("n_inter") === 2L) // {c, d}
+    assert(r.getAs[Long]("jacc_bp") === 2L * 10000L / 6L)
   }
 }

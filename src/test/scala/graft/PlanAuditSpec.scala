@@ -77,7 +77,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "sk_kmv",
     // negative sampling crosses the ONE-row node-count aggregate into
     // the ring/probe hash arithmetic — scalar side by construction
-    "gr_negsample")
+    "gr_negsample",
+    // the shard plan crosses the ≤|shards|-row per-shard table with its
+    // ONE-row token-total aggregate — dim/scalar sides by construction
+    "c_shard_plan",
+    // KMV Jaccard's output row crosses ONE-row sketch-side aggregates
+    // (k_eff, n_inter) with the ONE-row exact inter/union counts —
+    // all scalar by construction (sk_kmv's shape)
+    "sk_kmv_jaccard",
+    // MRR rides bm25's ONE-row corpus-stats cross join
+    // (t_bm25_batch's shape); the grading joins are |queries|-bounded
+    "t_mrr")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -43,6 +43,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     out = Path(out_dir)
     con = duckdb.connect()
+    # Per-process spill dir: parallel --jobs children otherwise share the
+    # cwd-relative ".tmp" and race on each other's temp files (observed as
+    # spurious IO crashes on big-spill oracles, not real mismatches).
+    import os
+    tmp = f"/tmp/duckdb_spill_{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
