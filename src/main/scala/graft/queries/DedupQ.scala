@@ -246,8 +246,48 @@ object DedupQ extends QueryPack {
        WHERE rk = 1 ORDER BY cluster_id"""
   }
 
+  /** Dedup-debt accounting — the business report the cluster assignment
+    * feeds: per SOURCE, how many documents and tokens would deduplication
+    * reclaim if each near-dup cluster kept only its largest member
+    * (max n_tok, doc_id tiebreak — the keep-the-most-data policy;
+    * `d_cc_keep` is the keep-the-best-quality sibling). Removable docs
+    * are attributed to THEIR OWN source, so a source whose content is
+    * mostly copies of another's shows its true debt. Shuffle shape: the
+    * cluster labels join tokens on |clustered docs| rows and the argmax
+    * is a window over tiny per-cluster groups — the corpus itself is
+    * never re-shuffled. */
+  private def dDedupDebt(spark: SparkSession, d: String): DataFrame = {
+    val cc = ccLabels(spark, d)
+    val toks = Tables.documents(spark, d).select(col("doc_id"),
+      col("source"), Text.tokenCount(col("text")).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_tok").desc, col("doc_id").asc)
+    cc.join(toks, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_dup_docs"), sum(col("n_tok")).as("tok_removable"))
+      .orderBy("source")
+  }
+
+  private val dDedupDebtSql =
+    s"""$dCcCtes,
+       labels AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+                  FROM reach GROUP BY u),
+       tl AS (SELECT doc_id, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+       mm AS (SELECT l.cluster_id, t.doc_id, t.source, t.n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                       ORDER BY t.n_tok DESC, t.doc_id) AS rk
+              FROM labels l JOIN tl t USING (doc_id))
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS tok_removable
+       FROM mm WHERE rk > 1 GROUP BY source ORDER BY source"""
+
   override def queries: Seq[Q] = Seq(
     Q("d_cc_keep", dCcKeep, Some(dCcKeepSql)),
+    Q("d_dedup_debt", dDedupDebt, Some(dDedupDebtSql)),
     Q("d_exact", dExact, Some(dExactSql)),
     Q("d_jaccard_pairs", dJaccard, Some(dJaccardSql)),
     Q("d_minhash_lsh", dMinhashLsh, Some(dMinhashSql)),

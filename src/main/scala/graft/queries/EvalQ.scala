@@ -138,7 +138,8 @@ object EvalQ extends QueryPack {
     val queries = Seq(
       (1L, "vector"), (1L, "hash"), (1L, "merge"),
       (2L, "join"), (2L, "scan"),
-      (3L, "stream"), (3L, "window"), (3L, "sort"))
+      (3L, "stream"), (3L, "window"), (3L, "sort"),
+      (4L, "zzz_unseen_term")) // matches nothing: the rr_bp=0 path
       .toDF("query_id", "term")
     val docs = Tables.documents(spark, d)
     val ranked = Bm25.scoreBatchFromIndex(
@@ -176,7 +177,8 @@ object EvalQ extends QueryPack {
        q(query_id, tok) AS (VALUES
          (CAST(1 AS BIGINT), 'vector'), (1, 'hash'), (1, 'merge'),
          (2, 'join'), (2, 'scan'),
-         (3, 'stream'), (3, 'window'), (3, 'sort')),
+         (3, 'stream'), (3, 'window'), (3, 'sort'),
+         (4, 'zzz_unseen_term')),
        dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
                WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
        tf AS (SELECT doc_id, tok, COUNT(*) AS tfreq FROM toks
