@@ -142,11 +142,12 @@ object EvalQ extends QueryPack {
       (4L, "zzz_unseen_term")) // matches nothing: the rr_bp=0 path
       .toDF("query_id", "term")
     val docs = Tables.documents(spark, d)
-    val ranked = Bm25.scoreBatchFromIndex(
-      Bm25.buildIndex(docs), queries, k = Int.MaxValue)
-    val dtoks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
+    val index = Bm25.buildIndex(docs)
+    val ranked = Bm25.scoreBatchFromIndex(index, queries, k = Int.MaxValue)
+    // The index's postings ARE the distinct (doc_id, tok) pairs — derive
+    // the relevance oracle from them instead of re-tokenizing the corpus
+    // (drops a second corpus-sized explode+distinct shuffle).
+    val dtoks = index.select("doc_id", "tok")
     val q = queries.select(col("query_id"), col("term").as("tok")).distinct()
     val qn = q.groupBy("query_id").agg(count(lit(1)).as("nt"))
     val rel = dtoks.join(q, Seq("tok"))

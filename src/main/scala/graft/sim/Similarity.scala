@@ -488,7 +488,8 @@ object Similarity {
       .localCheckpoint()
     val picked = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Seq[Double], Double, Double)] // id, nv, rel, mmr
-    while (picked.size < k) {
+    var exhausted = false
+    while (picked.size < k && !exhausted) {
       val pen: Column =
         if (picked.isEmpty) lit(0.0)
         else {
@@ -505,9 +506,13 @@ object Similarity {
             lit((10000 - lambdaBp).toDouble) * pen) / lit(10000.0))
         .orderBy(col("mmr").desc, col("id").asc)
         .limit(1)
-        .collect()(0) // 1-row argmax — the per-round winner, BPE-style
-      picked += ((top.getLong(0), top.getSeq[Double](1),
-        top.getDouble(2), top.getDouble(3)))
+        .collect() // 1-row argmax — the per-round winner, BPE-style
+      // Candidates exhausted (k > |corpus|−1, or queryId absent so the
+      // relevance join produced nothing): return the picks that exist
+      // rather than throwing from an empty argmax.
+      if (top.isEmpty) exhausted = true
+      else picked += ((top(0).getLong(0), top(0).getSeq[Double](1),
+        top(0).getDouble(2), top(0).getDouble(3)))
     }
     import spark.implicits._
     picked.toSeq.zipWithIndex

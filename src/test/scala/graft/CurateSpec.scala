@@ -173,6 +173,23 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(greedy === Seq(1L, 2L))
   }
 
+  test("mmrSelect: exhaustion returns existing picks; absent query returns empty") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.6f, 0.8f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val over = graft.sim.Similarity
+      .mmrSelect(vecs, queryId = 0L, k = 5, lambdaBp = 7000)
+      .collect()
+    assert(over.length === 2, "k past the candidate count returns what exists")
+    assert(over.map(_.getInt(0)).toSeq === Seq(1, 2))
+    val none = graft.sim.Similarity
+      .mmrSelect(vecs, queryId = 99L, k = 3, lambdaBp = 7000)
+      .collect()
+    assert(none.isEmpty, "a queryId absent from the corpus yields no picks")
+  }
+
   test("kmvJaccard: exact when both sides fit inside k") {
     import spark.implicits._
     val a = Seq("a", "b", "c", "d", "a").toDF("tok") // {a b c d}

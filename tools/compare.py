@@ -46,9 +46,15 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     # Per-process spill dir: parallel --jobs children otherwise share the
     # cwd-relative ".tmp" and race on each other's temp files (observed as
     # spurious IO crashes on big-spill oracles, not real mismatches).
-    import os
-    tmp = f"/tmp/duckdb_spill_{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
+    # Removed on exit (including the error path) so repeated sweeps — and
+    # children killed at the --timeout deadline mid-spill, whose leftovers
+    # the NEXT run's atexit of the same prefix won't cover but a fresh
+    # mkdtemp name won't collide with — don't accumulate in /tmp.
+    import atexit
+    import shutil
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="duckdb_spill_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
