@@ -29,7 +29,8 @@ object SparkEntry {
     Seq(GraphQ), Seq(PrepQ), Seq(CurateQ), Seq(SketchQ), Seq(MonitorQ),
     Seq(SeqQ), Seq(MineQ),
     Seq(RetrievalQ), Seq(TimelineQ), Seq(OverlapQ), Seq(Corpus2Q),
-    Seq(StatsQ), Seq(TokenizeQ), Seq(Prep2Q), Seq(EvalQ))
+    Seq(StatsQ), Seq(TokenizeQ), Seq(Prep2Q), Seq(EvalQ),
+    Seq(RankQ), Seq(Curate2Q), Seq(QualityQ))
 
   /** Bench iteration order: group by group, queries name-sorted within
     * their group — fixed across rounds so per-query deltas are meaningful.

@@ -172,7 +172,10 @@ object GraphQ extends QueryPack {
       .orderBy(col("size").desc, col("label").asc)
       .limit(20)
 
-  private val grLabelpropSql = {
+  /** The 2-round LPA CTE chain (edges `e` → labels `s2`), shared with
+    * the `gr_modularity` quality dial (QualityQ) so both oracles replay
+    * the IDENTICAL community assignment. */
+  private[queries] val lpaChainSql: String = {
     // one synchronous round: label_{t+1}(v) = arg max over in-neighbor
     // labels by (count desc, label asc), keep own label if no in-edges
     def round(prev: String, cur: String) =
@@ -187,7 +190,7 @@ object GraphQ extends QueryPack {
        $cur AS (SELECT $prev.node,
                        COALESCE(p$cur.label, $prev.label) AS label
               FROM $prev LEFT JOIN p$cur ON $prev.node = p$cur.node)"""
-    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+    s"""pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
                               l_suppkey * 2 + 1 AS supp_node
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        e AS (SELECT cust_node AS src, supp_node AS dst FROM pairs
@@ -198,16 +201,19 @@ object GraphQ extends QueryPack {
                  SELECT DISTINCT dst FROM e),
        s0 AS (SELECT node, node AS label FROM nodes),
        ${round("s0", "s1")},
-       ${round("s1", "s2")}
+       ${round("s1", "s2")}"""
+  }
+
+  private val grLabelpropSql =
+    s"""WITH $lpaChainSql
        SELECT label, CAST(COUNT(*) AS BIGINT) AS size
        FROM s2 GROUP BY 1
        ORDER BY size DESC, label LIMIT 20"""
-  }
 
   /** The customer↔supplier trade edge list (both directions; parity
     * namespace keeps the bipartite id spaces disjoint) — shared by the
     * PageRank / label-propagation / BFS queries. */
-  private def tradeEdges(spark: SparkSession, d: String): DataFrame = {
+  private[queries] def tradeEdges(spark: SparkSession, d: String): DataFrame = {
     val pairs = Tables.orders(spark, d)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),

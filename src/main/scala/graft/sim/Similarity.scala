@@ -519,4 +519,82 @@ object Similarity {
       .map { case ((id, _, rel, mmr), i) => (i + 1, id, rel, mmr) }
       .toDF("rank", "vec_id", "rel", "mmr")
   }
+
+  /** ColBERT-style late-interaction MaxSim retrieval (Khattab &
+    * Zaharia 2020): both queries and documents are MULTI-vector — a
+    * document's score is Σ over query vectors of the MAX dot product
+    * against any of the document's vectors. Here the multi-vector
+    * grouping is `id div groupSize` (the chunk-vectors-of-a-doc layout
+    * [[graft.text.Corpus.chunkSliding]] produces), `queryGroup` names
+    * the query's group.
+    *
+    * Scale shape: the query group is ≤ groupSize vectors — broadcast by
+    * construction. The corpus streams ONCE through one pairwise-dot
+    * projection; the per-(doc, query-vector) MAX and the per-doc SUM are
+    * both map-side-combinable partial aggregates on keys that shrink the
+    * data (|corpus| → |docs|·|q| → |docs|), and the final top-k is
+    * TakeOrderedAndProject, never a global sort. Scores are integer
+    * ten-thousandths (each dot rounded to 4dp then scaled), so the sum
+    * is BIGINT-exact and engine-identical.
+    *
+    * Returns (rank, group_id, n_q, maxsim_tt) — k rows. */
+  def maxSimTopK(corpus: DataFrame, queryGroup: Long, groupSize: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+    val nv = normalized(corpus, idCol, vecCol)
+      .withColumn("gid", expr(s"id div $groupSize"))
+    val q = nv.filter(col("gid") === queryGroup)
+      .select(col("id").as("q_id"), col("nv").as("qv"))
+    val c = nv.filter(col("gid") =!= queryGroup)
+      .select(col("gid"), col("nv").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("gid"), col("q_id"),
+        round(dotFast(col("qv"), col("cv")) * 10000, 0).cast("long").as("dot_tt"))
+      .groupBy("gid", "q_id").agg(max(col("dot_tt")).as("m_tt"))
+      .groupBy("gid").agg(count(lit(1)).as("n_q"), sum(col("m_tt")).as("maxsim_tt"))
+      .orderBy(col("maxsim_tt").desc, col("gid").asc)
+      .limit(k)
+    // rank over the k surviving rows only (single tiny partition).
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("maxsim_tt").desc, col("gid").asc)))
+      .select(col("rank"), col("gid").as("group_id"), col("n_q"), col("maxsim_tt"))
+  }
+
+  /** Per-dimension symmetric int8 scalar quantization of an L2-normalized
+    * vector: q_i = round(nv_i · 127) ∈ [−127, 127]. The SQ8 compression
+    * every production vector store offers (4 B float → 1 B int per dim);
+    * ranking then uses the INTEGER dot product of the quantized vectors —
+    * exact, engine-identical arithmetic with no float drift. */
+  def sq8Quantize(nv: Column): Column =
+    transform(nv, x => round(x * 127, 0).cast("int"))
+
+  /** Top-k by int8-quantized dot product ([[sq8Quantize]]) — the
+    * accuracy/footprint dial [[graft.queries.RankQ]]'s `sim_sq8` grades
+    * against the exact top-k, the same measured-not-asserted discipline
+    * as `sim_recall_lsh`. Same scale shape as [[bruteForceTopKAgg]]:
+    * queries broadcast, corpus streamed once, and the typed
+    * [[graft.plans.TopKAggregator]] prunes each map task's candidates to
+    * k BEFORE the shuffle. The quantized integer dot (≤ 127²·dims ≈ 10⁶)
+    * is exact in the aggregator's Double score. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qn = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), sq8Quantize(col("nv")).as("qq"))
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), sq8Quantize(col("nv")).as("cq"))
+    val qdot = aggregate(
+      zip_with(col("qq"), col("cq"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val sims = c.crossJoin(broadcast(qn))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), qdot.as("qdot"))
+    sims.groupBy("query_id")
+      .agg(graft.plans.TopKAggregator.topK(k)(
+        col("qdot").cast("double"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").cast("long").as("qdot"))
+  }
 }

@@ -256,4 +256,93 @@ object Corpus {
       .orderBy(col("prio").asc, col(keyCol).asc)
       .limit(k)
   }
+
+  /** Length-bucketed batching audit — the padding-waste accounting a
+    * training pipeline runs before choosing its batching strategy.
+    * Sequences are padded to the longest row in their batch, so batching
+    * by length bucket (`len div width`) instead of arbitrarily turns
+    * per-batch pad waste from (global_max − len) into (bucket_max − len).
+    * Per bucket: row count, true token mass, the bucket's pad-to-max
+    * mass, `waste_bp` (pad overhead within the bucket, basis points) and
+    * `save_bp` (tokens saved vs padding the same rows to the GLOBAL max
+    * — the win length-bucketing buys).
+    *
+    * Scale shape: one narrow projection, one partial-agg shuffle of
+    * (max_len div width)-bounded groups, then a 1-row global-max
+    * broadcast onto those groups. Integer arithmetic throughout. */
+  def lengthBuckets(df: DataFrame, lenCol: String, width: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val per = df
+      .filter(col(lenCol).isNotNull && col(lenCol) >= 0)
+      .select(expr(s"cast($lenCol as bigint) div $width").as("bucket"),
+        col(lenCol).cast("long").as("__len"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("sum_len"),
+        max(col("__len")).as("bucket_max"))
+    per.crossJoin(broadcast(per.agg(max(col("bucket_max")).as("__gmax"))))
+      .select(col("bucket"), col("n_docs"), col("sum_len"), col("bucket_max"),
+        expr("n_docs * bucket_max").as("padded"),
+        expr("((n_docs * bucket_max - sum_len) * 10000) " +
+          "div (n_docs * bucket_max)").as("waste_bp"),
+        expr("((n_docs * __gmax - n_docs * bucket_max) * 10000) " +
+          "div (n_docs * __gmax)").as("save_bp"))
+  }
+
+  /** Token-budget allocation across sources — the "how much of each
+    * source fits in this training run" waterfall. Every source's fair
+    * target is an equal share of `budget`; a source with less data than
+    * its share is capped at what it has, and the leftover is
+    * redistributed equally across the uncapped sources in a SECOND round
+    * (two rounds documented and fixed — the greedy waterfall converges
+    * for the common one-tier-of-small-sources case; remaining slack
+    * after round two is reported, not silently lost, via the final
+    * `alloc_tok` sum). Per source: available tokens, round-1 target,
+    * final allocation, and `fill_bp` (allocation as basis points of
+    * available — 10000 means the source is fully consumed; a source
+    * repeatedly at 10000 across runs is the one to go collect more of).
+    *
+    * Scale shape: one partial-agg shuffle to |sources| rows, then 1-row
+    * aggregates broadcast back onto those rows. Integer-exact. */
+  def tokenBudget(df: DataFrame, srcCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val per = df
+      .select(col(srcCol).as("source"), col(weightCol).cast("long").as("__w"))
+      .groupBy("source").agg(sum(col("__w")).as("avail_tok"))
+    val n = per.agg(count(lit(1)).as("__n"))
+    val r1 = per.crossJoin(broadcast(n))
+      .withColumn("want_tok", expr(s"cast($budget as bigint) div __n"))
+      .withColumn("a1", expr("least(avail_tok, want_tok)"))
+    val left = r1.agg(
+      (lit(budget) - sum(col("a1"))).as("__left"),
+      sum(when(col("avail_tok") > col("a1"), 1L).otherwise(0L)).as("__open"))
+    r1.crossJoin(broadcast(left))
+      .withColumn("a2", expr(
+        "CASE WHEN avail_tok > a1 AND __open > 0 " +
+          "THEN least(avail_tok, a1 + __left div __open) ELSE a1 END"))
+      .select(col("source"), col("avail_tok"), col("want_tok"),
+        col("a2").as("alloc_tok"),
+        expr("CASE WHEN avail_tok = 0 THEN cast(0 as bigint) " +
+          "ELSE (a2 * 10000) div avail_tok END").as("fill_bp"))
+  }
+
+  /** Curriculum phase assignment by a per-row integer difficulty score:
+    * equal-width `phases` bands between the observed global [min, max]
+    * (1-row agg broadcast — never a global sort or percentile pass, so
+    * the banding is scale-free; exact-quantile phasing would need the
+    * sort this deliberately avoids). Returns the input plus `phase`
+    * (0-based, 0 = lowest score band). Typical use: score = a quality
+    * or rarity proxy, train phase 0 → phases−1 (easy → hard). */
+  def curriculumPhase(df: DataFrame, scoreCol: String,
+      phases: Int): DataFrame = {
+    require(phases >= 1, s"phases must be >= 1, got $phases")
+    val bounds = df.agg(min(col(scoreCol)).cast("long").as("__mn"),
+      max(col(scoreCol)).cast("long").as("__mx"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("phase", expr(
+        s"cast(least($phases - 1, ((cast($scoreCol as bigint) - __mn) * $phases) " +
+          "div (__mx - __mn + 1)) as int)"))
+      .drop("__mn", "__mx")
+  }
 }

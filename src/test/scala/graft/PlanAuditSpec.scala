@@ -96,7 +96,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sim_topk (code-identical normalized+dotFast shape) and its
     // behavior is spec'd in CurateSpec; listed here so the audit's
     // coverage claim stays honest.
-    "sim_mmr")
+    "sim_mmr",
+    // MaxSim broadcasts the ≤groupSize-vector query GROUP into the
+    // corpus scan — the sim_topk broadcast-query-side shape with a
+    // multi-vector query
+    "sim_maxsim",
+    // SQ8 recall harness: both the exact side and the quantized side are
+    // sim_topk's broadcast-query-side cross join
+    "sim_sq8",
+    // rank eval rides bm25's ONE-row corpus-stats cross join
+    // (t_mrr's shape); the grading joins are |queries|-bounded
+    "t_rank_eval",
+    // length buckets cross the ≤(max_len/width)-row bucket table with
+    // its ONE-row global-max aggregate — dim/scalar by construction
+    "c_length_buckets",
+    // the budget waterfall crosses the |sources|-row table with ONE-row
+    // count/leftover aggregates — dim/scalar by construction
+    "c_token_budget",
+    // curriculum banding crosses the ONE-row min/max bounds into the
+    // doc scan, then the |phases|-row table with its ONE-row total
+    "c_curriculum",
+    // modularity crosses the per-community sums with the ONE-row edge
+    // count — scalar by construction (LPA itself is gr_labelprop's
+    // audited per-round join+agg)
+    "gr_modularity")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
