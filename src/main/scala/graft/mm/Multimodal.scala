@@ -87,6 +87,104 @@ object Multimodal {
       .withColumn("resized_w", least(col("width"), lit(targetW)))
       .withColumn("resized_h", least(col("height"), lit(targetH)))
 
+  /** Per-media average-hash (aHash) from the sampled frame checksums:
+    * bit i = 1 iff frame i's checksum exceeds the per-media mean —
+    * the classic perceptual-hash recipe (mean-threshold bits) applied
+    * to whatever the codec emits per frame. The comparison is a strict
+    * integer cross-multiplication (c·nf > Σc), no float division, so
+    * the bits are engine-identical. One partial-agg pass over the
+    * frame rows, then a second to pack the bits. */
+  def aHash(frames: DataFrame): DataFrame = {
+    val ag = frames.groupBy("media_id").agg(
+      count(lit(1)).as("nf"),
+      sum(col("frame_checksum").cast("long")).as("s"))
+    frames.join(ag, Seq("media_id"))
+      .select(col("media_id"),
+        when(col("frame_checksum").cast("long") * col("nf") > col("s"),
+          expr("shiftleft(CAST(1 AS BIGINT), frame_idx)"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy("media_id").agg(sum(col("bit")).as("ahash"))
+  }
+
+  /** Banded aHash near-dup pairs — LSH-style media dedup on the hash
+    * bits: split the `frames`-bit hash into `bands` equal slices,
+    * candidate any two media sharing a slice value (pigeonhole: a pair
+    * within Hamming distance `bands − 1` ALWAYS shares a band, so the
+    * banding is lossless for maxHamming < bands), then verify with the
+    * exact popcount of the XOR. The candidate join touches buckets, not
+    * all pairs — the [[graft.dedup.Dedup.simhashPairs]] scale shape on
+    * a multimodal column. Returns (id_a, id_b, hamming). */
+  def aHashNearDupPairs(media: DataFrame, frames: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming < bands, got $maxHamming/$bands")
+    val b = aHashBandIndex(media, frames, bands)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** The persisted aHash banding artifact — (media_id, ahash, band, bv)
+    * rows, buildable once per corpus and appended per ingest batch (the
+    * [[graft.io.Sinks.appendWithManifest]] discipline applied to the
+    * multimodal dedup index, mirroring
+    * [[graft.dedup.Dedup.lshBandIndex]] on the text side). */
+  def aHashBandIndex(media: DataFrame, frames: Int = 32,
+      bands: Int = 4): DataFrame = {
+    require(frames % bands == 0, s"bands must divide frames")
+    val bpb = frames / bands
+    val mask = (1L << bpb) - 1
+    aHash(sampleFrames(media, frames))
+      .select(col("media_id"), col("ahash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bv", expr(s"shiftright(ahash, band * $bpb) & $mask"))
+  }
+
+  /** Incremental media near-dup after a corpus APPEND — the
+    * continuous-ingest path on the multimodal column: with index(A) on
+    * disk, a new batch B needs only index(B) built (|B| payloads hashed,
+    * not |A∪B|) and the band join run NEW-sided against old ∪ new. The
+    * A×A side — the quadratically dominant part of a cold rerun — is
+    * never recomputed.
+    *
+    * Exactness law (spec-asserted, the
+    * [[graft.dedup.Dedup.minhashLshPairsIncremental]] law): the aHash
+    * and its band slices are per-payload deterministic, so
+    * pairs(A∪B) = pairs(A) ∪ incremental(B) exactly. Returns
+    * (updatedIndex, newPairs): the index to persist for the next batch
+    * and the verified pairs touching ≥ 1 new payload. */
+  def aHashNearDupPairsIncremental(oldIndex: DataFrame, newMedia: DataFrame,
+      frames: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3): (DataFrame, DataFrame) = {
+    require(maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming < bands, got $maxHamming/$bands")
+    val newIndex = aHashBandIndex(newMedia, frames, bands)
+    val full = oldIndex.unionByName(newIndex)
+    val cand = newIndex.as("x").join(full.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") =!= col("y.media_id"))
+      .select(least(col("x.media_id"), col("y.media_id")).as("id_a"),
+        greatest(col("x.media_id"), col("y.media_id")).as("id_b"),
+        // ha/hb ride the band rows; re-order to match (id_a, id_b)
+        when(col("x.media_id") < col("y.media_id"), col("x.ahash"))
+          .otherwise(col("y.ahash")).as("ha"),
+        when(col("x.media_id") < col("y.media_id"), col("y.ahash"))
+          .otherwise(col("x.ahash")).as("hb"))
+      .distinct()
+    val pairs = cand
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    (full, pairs)
+  }
+
   /** Batch decode stage: mapPartitions so the (stub) codec amortizes any
     * per-batch init across the partition — the same batch shape a Pandas
     * UDF / mapInPandas stage has in PySpark. Output schema is fixed and

@@ -195,9 +195,121 @@ object Curate2Q extends QueryPack {
                         THEN 1 ELSE 0 END) AS BIGINT) AS kept
        FROM f"""
 
+  /** Per-source curation league table — the dashboard a curation team
+    * reviews before renegotiating a data source: per source, doc/token
+    * mass, mean stopword-density score (integer bp, floored per doc
+    * BEFORE averaging — both engines pure-integer), and the
+    * [[tGopherAudit]] five-rule rejection rate. A source whose
+    * reject_bp is an outlier is the one to resample or drop. Shuffle
+    * shape: the same (doc, token) partial-agg cascade as the audit,
+    * then ONE |sources|-bounded group. */
+  private def tSourceQuality(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val st = tf.groupBy("doc_id").agg(
+      sum(col("c")).as("wc"), count(lit(1)).as("ndist"),
+      max(col("c")).as("maxtf"))
+    val pr = docs.select(col("doc_id"), col("source"),
+      (length(col("text")) - (size(split(col("text"), " ")) - 1))
+        .cast("long").as("nonspace"),
+      (array_contains(split(col("text"), " "), "the") ||
+        array_contains(split(col("text"), " "), "a")).as("has_stop"),
+      size(filter(split(col("text"), " "),
+        t => t === "the" || t === "a")).cast("long").as("sw"))
+    st.join(pr, Seq("doc_id"))
+      .withColumn("sw_bp", expr("(sw * 10000) div wc"))
+      .withColumn("rejected",
+        col("wc") < 20 || col("wc") > 90 ||
+          !(col("nonspace") >= col("wc") * 3 &&
+            col("nonspace") <= col("wc") * 8) ||
+          col("maxtf") * 5 > col("wc") ||
+          col("ndist") * 10 < col("wc") * 3 ||
+          !col("has_stop"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("wc")).as("n_tok"),
+        sum(col("sw_bp")).as("ssw"),
+        sum(when(col("rejected"), 1L).otherwise(0L)).as("n_rejected"))
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        expr("ssw div n_docs").as("mean_sw_bp"),
+        col("n_rejected"),
+        expr("(n_rejected * 10000) div n_docs").as("reject_bp"))
+      .orderBy("source")
+  }
+
+  private val tSourceQualitySql =
+    """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                    FROM documents),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       st AS (SELECT doc_id, SUM(c) AS wc, COUNT(*) AS ndist,
+                     MAX(c) AS maxtf
+              FROM tf GROUP BY 1),
+       pr AS (SELECT doc_id, source,
+                     CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                          AS BIGINT) AS nonspace,
+                     (list_contains(string_split(text, ' '), 'the') OR
+                      list_contains(string_split(text, ' '), 'a')) AS has_stop,
+                     CAST(len(list_filter(string_split(text, ' '),
+                       t -> t = 'the' OR t = 'a')) AS BIGINT) AS sw
+              FROM documents),
+       f AS (SELECT source, wc, (sw * 10000) // wc AS sw_bp,
+                    (wc < 20 OR wc > 90
+                     OR NOT (nonspace >= wc * 3 AND nonspace <= wc * 8)
+                     OR maxtf * 5 > wc
+                     OR ndist * 10 < wc * 3
+                     OR NOT has_stop) AS rejected
+             FROM st JOIN pr USING (doc_id))
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(wc) AS BIGINT) AS n_tok,
+              CAST(SUM(sw_bp) // COUNT(*) AS BIGINT) AS mean_sw_bp,
+              CAST(SUM(CASE WHEN rejected THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_rejected,
+              CAST((SUM(CASE WHEN rejected THEN 1 ELSE 0 END) * 10000)
+                   // COUNT(*) AS BIGINT) AS reject_bp
+       FROM f GROUP BY source ORDER BY source"""
+
+  /** Deterministic round-robin source interleave — the training ORDER a
+    * mixed corpus ships in: within each source docs are shuffled by
+    * their md5 (RNG-free, partitioning-independent), and the global
+    * order is (within-source rank, source), so consecutive positions
+    * rotate through the sources — the "no long single-source runs"
+    * guarantee data-order-sensitive training wants, without a global
+    * RNG pass. First 40 positions shown; the pick is
+    * TakeOrderedAndProject (per-partition top-k), never a global sort,
+    * and the within-source window partitions BY source — no global
+    * window at any size. */
+  private def cInterleave(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val ranked = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .orderBy(col("rk").asc, col("source").asc)
+      .limit(40)
+    ranked
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("rk").asc, col("source").asc)))
+      .select(col("pos").cast("int").as("pos"), col("doc_id"),
+        col("source"), col("rk").cast("long").as("rk"))
+  }
+
+  private val cInterleaveSql =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY rk, source) AS INT) AS pos,
+              doc_id, source, CAST(rk AS BIGINT) AS rk
+       FROM (SELECT doc_id, source,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             FROM documents)
+       ORDER BY rk, source LIMIT 40"""
+
   def queries: Seq[Q] = Seq(
+    Q("c_interleave", cInterleave, Some(cInterleaveSql)),
     Q("c_length_buckets", cLengthBuckets, Some(cLengthBucketsSql)),
     Q("c_token_budget", cTokenBudget, Some(cTokenBudgetSql)),
     Q("c_curriculum", cCurriculum, Some(cCurriculumSql)),
-    Q("t_gopher_audit", tGopherAudit, Some(tGopherAuditSql)))
+    Q("t_gopher_audit", tGopherAudit, Some(tGopherAuditSql)),
+    Q("t_source_quality", tSourceQuality, Some(tSourceQualitySql)))
 }

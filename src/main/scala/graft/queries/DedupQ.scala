@@ -285,8 +285,46 @@ object DedupQ extends QueryPack {
               CAST(SUM(n_tok) AS BIGINT) AS tok_removable
        FROM mm WHERE rk > 1 GROUP BY source ORDER BY source"""
 
+  /** Cluster-size histogram — the first chart in every dedup report:
+    * how many near-dup clusters of each size exist, with the
+    * un-clustered singleton mass as the csize=1 row (a CC label set
+    * only contains docs that had at least one edge, so size-1 "real"
+    * clusters cannot occur and the row is unambiguous). Shuffle shape:
+    * two partial-agg cascades over the (cached) label set — cluster →
+    * size, size → count — plus two 1-row aggregates broadcast onto the
+    * ≤|distinct sizes| rows. */
+  private def dClusterHist(spark: SparkSession, d: String): DataFrame = {
+    val cc = ccLabels(spark, d)
+    val hist = cc.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+    val tot = Tables.documents(spark, d).agg(count(lit(1)).as("n_docs"))
+    val clustered = cc.agg(count(lit(1)).as("n_clustered"))
+    hist.unionByName(
+      tot.crossJoin(clustered)
+        .select(lit(1L).as("csize"),
+          (col("n_docs") - col("n_clustered")).as("n_clusters")))
+      .orderBy("csize")
+  }
+
+  private val dClusterHistSql =
+    s"""$dCcCtes,
+       cc AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+              FROM reach GROUP BY u),
+       cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+              FROM cc GROUP BY 1),
+       hist AS (SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+                FROM cs GROUP BY 1),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clustered FROM cc)
+       SELECT csize, n_clusters FROM hist
+       UNION ALL
+       SELECT CAST(1 AS BIGINT), n_docs - n_clustered
+       FROM tot CROSS JOIN cl
+       ORDER BY csize"""
+
   override def queries: Seq[Q] = Seq(
     Q("d_cc_keep", dCcKeep, Some(dCcKeepSql)),
+    Q("d_cluster_hist", dClusterHist, Some(dClusterHistSql)),
     Q("d_dedup_debt", dDedupDebt, Some(dDedupDebtSql)),
     Q("d_exact", dExact, Some(dExactSql)),
     Q("d_jaccard_pairs", dJaccard, Some(dJaccardSql)),

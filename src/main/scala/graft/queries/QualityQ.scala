@@ -29,7 +29,10 @@ object QualityQ extends QueryPack {
     // Materialize the deduped directed edge set ONCE: LPA's internal
     // distinct() is then a no-op re-group on checkpointed rows, and the
     // undirected set derives from the same materialization instead of
-    // re-running the orders⨝lineitem join (measured: −2.4 s at sf0.1).
+    // re-running the orders⨝lineitem join. (Bench note: the saving at
+    // sf0.1 is modest — the row's cost is dominated by the ~8 extra
+    // scheduler round-trips of the post-LPA join/agg stages, which is
+    // local-mode overhead, not data volume.)
     val e = GraphQ.tradeEdges(spark, d)
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -62,19 +65,20 @@ object QualityQ extends QueryPack {
 
   private val grModularitySql =
     s"""WITH ${GraphQ.lpaChainSql},
-       und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+       s2m AS MATERIALIZED (SELECT node, label FROM s2),
+       und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
                       GREATEST(src, dst) AS b FROM e),
        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
        lbl AS (SELECT und.a, und.b, sa.label AS la, sb.label AS lb
-               FROM und JOIN s2 sa ON und.a = sa.node
-                        JOIN s2 sb ON und.b = sb.node),
+               FROM und JOIN s2m sa ON und.a = sa.node
+                        JOIN s2m sb ON und.b = sb.node),
        ec AS (SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS e_in
               FROM lbl WHERE la = lb GROUP BY 1),
        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
                FROM (SELECT a AS node FROM und
                      UNION ALL SELECT b FROM und) GROUP BY 1),
-       dc AS (SELECT s2.label, CAST(SUM(dg) AS BIGINT) AS d_c
-              FROM deg JOIN s2 ON deg.node = s2.node GROUP BY 1),
+       dc AS (SELECT s2m.label, CAST(SUM(dg) AS BIGINT) AS d_c
+              FROM deg JOIN s2m ON deg.node = s2m.node GROUP BY 1),
        parts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
                         CAST(SUM(COALESCE(e_in, 0)) AS BIGINT) AS s_ein,
                         CAST(SUM(d_c * d_c) AS BIGINT) AS s_d2
@@ -115,7 +119,68 @@ object QualityQ extends QueryPack {
                          FROM range(1, 20) r(i))))
        ORDER BY s_bp"""
 
+  /** Degree assortativity (Newman 2002) of the trade graph — do
+    * high-degree nodes link to high-degree nodes? Pearson correlation of
+    * the endpoint degrees over the DIRECTED edge list (each undirected
+    * edge counted both ways, so the x/y marginals coincide and the
+    * denominator is the single integer m₂·Σx² − (Σx)² — no sqrt):
+    * r = (m₂·Σxy − (Σx)²) / (m₂·Σx² − (Σx)²). The three sums are
+    * BIGINT-exact (≤ 10¹⁴ at sf1, within double's 2⁵³ integer range);
+    * the final ratio is ONE fixed IEEE multiply/subtract/divide tree —
+    * bit-identical on both engines — rounded to basis points. A strongly
+    * negative r_bp is the bipartite-hub signature this cust↔supp graph
+    * should show. 1-row output: m₂ and the sums (auditable), r_bp. */
+  private def grAssortativity(spark: SparkSession, d: String): DataFrame = {
+    val e = GraphQ.tradeEdges(spark, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+    val j = e
+      .join(deg.select(col("node").as("src"), col("dg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("dg").as("dy")), Seq("dst"))
+    j.agg(count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"),
+        sum(expr("dx * dy")).as("sxy"),
+        sum(expr("dx * dx")).as("sx2"))
+      .select(col("m2"), col("sx"), col("sxy"), col("sx2"),
+        expr("CAST(round(10000.0 * " +
+          "(CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+          "(CAST(m2 AS DOUBLE) * CAST(sx2 AS DOUBLE) " +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0) AS BIGINT)")
+          .as("r_bp"))
+  }
+
+  private val grAssortativitySql =
+    """WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+                              l_suppkey * 2 + 1 AS supp_node
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT cust_node AS src, supp_node AS dst FROM pairs
+             UNION
+             SELECT supp_node, cust_node FROM pairs),
+       deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS dg
+               FROM e GROUP BY 1),
+       j AS (SELECT dx.dg AS dx, dy.dg AS dy
+             FROM e JOIN deg dx ON e.src = dx.node
+                    JOIN deg dy ON e.dst = dy.node),
+       s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                    CAST(SUM(dx) AS BIGINT) AS sx,
+                    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                    CAST(SUM(dx * dx) AS BIGINT) AS sx2
+             FROM j)
+       SELECT m2, sx, sxy, sx2,
+              CAST(round(10000.0 *
+                (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                (CAST(m2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0) AS BIGINT)
+                AS r_bp
+       FROM s"""
+
   def queries: Seq[Q] = Seq(
     Q("gr_modularity", grModularity, Some(grModularitySql)),
+    Q("gr_assortativity", grAssortativity, Some(grAssortativitySql)),
     Q("d_lsh_scurve", dLshScurve, Some(dLshScurveSql)))
 }

@@ -212,8 +212,85 @@ object RankQ extends QueryPack {
        FROM (SELECT DISTINCT query_id FROM qs) qq
        LEFT JOIN h USING (query_id) ORDER BY query_id"""
 
+  /** Pseudo-relevance-feedback query expansion (RM3-lite): score the
+    * seed terms, take the top-10 feedback docs, promote the 3 heaviest
+    * non-seed/non-stopword terms from THEIR postings (tf-desc, term-asc
+    * tie-break), and re-score with the expanded term set — the classic
+    * two-pass recall booster a retrieval stack layers on BM25. Fully
+    * relational end to end: the expansion terms never touch the driver
+    * (they stay a 3-row relation unioned into the second pass's query
+    * TABLE), so the same plan runs at any corpus size. Both passes ride
+    * the audited one-postings-scan batch scorer; the feedback-doc join
+    * is 10 rows, the expansion pick a TakeOrderedAndProject. */
+  private def tPrfExpand(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val seeds = Seq("vector", "hash")
+    val stop = Seq("the", "a")
+    val docs = Tables.documents(spark, d)
+    val index = Bm25.buildIndex(docs)
+    val q1 = seeds.map(t => (1L, t)).toDF("query_id", "term")
+    val fb = Bm25.scoreBatchFromIndex(index, q1, k = 10)
+      .select("doc_id")
+    val exp = index
+      .join(fb, Seq("doc_id"), "left_semi")
+      .filter(!col("tok").isin(seeds ++ stop: _*))
+      .groupBy("tok").agg(sum(col("tfreq")).as("w"))
+      .orderBy(col("w").desc, col("tok").asc)
+      .limit(3)
+      .select(lit(1L).as("query_id"), col("tok").as("term"))
+    val q2 = q1.unionByName(exp)
+    Bm25.scoreBatchFromIndex(index, q2, k = 10)
+      .select("doc_id", "rank", "score")
+      .orderBy("rank")
+  }
+
+  private val tPrfExpandSql = {
+    // One BM25 batch pass over a term-set CTE (the t_bm25_batch chain
+    // with the term set as a relation instead of literals).
+    def pass(termsCte: String, out: String) =
+      s"""dft_$out AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+               WHERE tok IN (SELECT term FROM $termsCte) GROUP BY 1),
+       tf_$out AS (SELECT doc_id, tok, COUNT(*) AS tfreq FROM toks
+              WHERE tok IN (SELECT term FROM $termsCte) GROUP BY 1, 2),
+       sc_$out AS (SELECT doc_id,
+             CAST(round(
+               ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(tfreq AS DOUBLE) * 2.2)
+                  / (CAST(tfreq AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dlen AS DOUBLE)
+                         / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+               6) AS DECIMAL(18,6)) AS contrib
+           FROM tf_$out JOIN dft_$out USING (tok) JOIN dl USING (doc_id)
+           CROSS JOIN stats),
+       rk_$out AS (SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score,
+                     ROW_NUMBER() OVER (
+                       ORDER BY CAST(SUM(contrib) AS DOUBLE) DESC, doc_id)
+                       AS rnk
+              FROM sc_$out GROUP BY doc_id)"""
+    s"""WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                    FROM documents),
+       dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY 1),
+       stats AS (SELECT COUNT(*) AS n_docs, SUM(dlen) AS tot FROM dl),
+       seeds(term) AS (VALUES ('vector'), ('hash')),
+       ${pass("seeds", "p1")},
+       fb AS (SELECT doc_id FROM rk_p1 WHERE rnk <= 10),
+       exp AS (SELECT tok AS term
+               FROM (SELECT tok, SUM(c) AS w FROM (
+                       SELECT t.tok, COUNT(*) AS c FROM toks t
+                       JOIN fb ON t.doc_id = fb.doc_id
+                       WHERE t.tok NOT IN ('vector', 'hash', 'the', 'a')
+                       GROUP BY t.doc_id, t.tok) GROUP BY tok)
+               ORDER BY w DESC, term LIMIT 3),
+       q2(term) AS (SELECT term FROM seeds UNION ALL SELECT term FROM exp),
+       ${pass("q2", "p2")}
+       SELECT doc_id, CAST(rnk AS INT) AS rank, score
+       FROM rk_p2 WHERE rnk <= 10 ORDER BY rank"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("t_rank_eval", tRankEval, Some(tRankEvalSql)),
+    Q("t_prf_expand", tPrfExpand, Some(tPrfExpandSql)),
     Q("sim_maxsim", simMaxsim, Some(simMaxsimSql)),
     Q("sim_sq8", simSq8, Some(simSq8Sql)))
 }

@@ -119,7 +119,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // modularity crosses the per-community sums with the ONE-row edge
     // count — scalar by construction (LPA itself is gr_labelprop's
     // audited per-round join+agg)
-    "gr_modularity")
+    "gr_modularity",
+    // the singleton row crosses the ONE-row doc count with the ONE-row
+    // clustered count — both scalar by construction
+    "d_cluster_hist",
+    // both PRF passes ride bm25's ONE-row corpus-stats cross join
+    // (t_bm25_batch's shape); the feedback and expansion relations are
+    // 10- and 3-row by construction
+    "t_prf_expand")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -130,6 +130,65 @@ class RankCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(_._1 > 75).forall(_._2 == 3))
   }
 
+  test("aHashNearDupPairs: identical payloads collide at hamming 0; " +
+    "banding never reports a pair beyond maxHamming") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"), // dup
+      (3L, "completely different content with other words and letters " +
+        "spread over enough bytes to fill all thirty two hash frames"))
+      .toDF("doc_id", "text")
+    val media = graft.mm.Multimodal.asMedia(docs, "doc_id", "text", "t")
+    val pairs = graft.mm.Multimodal.aHashNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L))) // exact dup found at distance 0
+    assert(pairs.forall(_._3 <= 3L))
+  }
+
+  test("aHashNearDupPairsIncremental: cold(A ∪ B) ≡ pairs(A) ∪ " +
+    "incremental(B), and the updated index matches a cold index build") {
+    import spark.implicits._
+    def t(seed: String) =
+      s"$seed lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val a = Seq((1L, t("one")), (2L, t("two")), (3L, t("three")))
+      .toDF("doc_id", "text")
+    val b = Seq((101L, t("one") + " x"), (102L, t("four")))
+      .toDF("doc_id", "text") // 101 = near-twin of 1; 102 = fresh
+    val mA = graft.mm.Multimodal.asMedia(a, "doc_id", "text", "t")
+    val mB = graft.mm.Multimodal.asMedia(b, "doc_id", "text", "t")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cold = pairSet(graft.mm.Multimodal.aHashNearDupPairs(mA.unionByName(mB)))
+    val idxA = graft.mm.Multimodal.aHashBandIndex(mA)
+    val (full, newPairs) =
+      graft.mm.Multimodal.aHashNearDupPairsIncremental(idxA, mB)
+    val oldPairs = pairSet(graft.mm.Multimodal.aHashNearDupPairs(mA))
+    assert(cold === oldPairs ++ pairSet(newPairs))
+    // the incremental run actually found the cross-batch twin
+    assert(pairSet(newPairs).exists(p => p._1 == 1L && p._2 == 101L))
+    val coldIdx = graft.mm.Multimodal
+      .aHashBandIndex(mA.unionByName(mB))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val incIdx = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(coldIdx === incIdx)
+  }
+
+  test("aHash: bit i set exactly when frame i's checksum exceeds the mean") {
+    import spark.implicits._
+    val frames = Seq(
+      (7L, 0, 10), (7L, 1, 20), (7L, 2, 30), (7L, 3, 100))
+      .toDF("media_id", "frame_idx", "frame_checksum")
+    // mean = 40 → only frame 3 (checksum 100) exceeds it → hash = 1<<3.
+    val h = graft.mm.Multimodal.aHash(frames)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(h === Array((7L, 8L)))
+  }
+
   test("curriculumPhase: single phase and constant score degrade to " +
     "all-zero phases") {
     import spark.implicits._
