@@ -227,7 +227,10 @@ object RankQ extends QueryPack {
     val seeds = Seq("vector", "hash")
     val stop = Seq("the", "a")
     val docs = Tables.documents(spark, d)
-    val index = Bm25.buildIndex(docs)
+    // Four consumers read the index (feedback scoring, expansion pick,
+    // df/stats, final scoring) — materialize the tokenize+tf build ONCE
+    // instead of letting Catalyst inline it into every consumer.
+    val index = Bm25.buildIndex(docs).localCheckpoint()
     val q1 = seeds.map(t => (1L, t)).toDF("query_id", "term")
     val fb = Bm25.scoreBatchFromIndex(index, q1, k = 10)
       .select("doc_id")

@@ -582,9 +582,12 @@ object Similarity {
       .select(col("id").as("query_id"), sq8Quantize(col("nv")).as("qq"))
     val c = normalized(corpus, idCol, vecCol)
       .select(col("id").as("neighbor_id"), sq8Quantize(col("nv")).as("cq"))
-    val qdot = aggregate(
-      zip_with(col("qq"), col("cq"), (a, b) => (a * b).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    // The integer dot runs through the codegen'd DotExpr kernel on the
+    // codes cast to double — EXACT (|q_i| ≤ 127 ⇒ |dot| ≤ 127²·dims ≪ 2⁵³,
+    // every intermediate an integer-valued double) and one JVM loop per
+    // pair instead of ~2·dims interpreted HOF lambda dispatches.
+    val qdot = dotFast(col("qq").cast("array<double>"),
+      col("cq").cast("array<double>")).cast("long")
     val sims = c.crossJoin(broadcast(qn))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), qdot.as("qdot"))
