@@ -147,8 +147,10 @@ object DedupQ extends QueryPack {
   /** Cluster assignment, shared by the assignment report and the survivor
     * selection. checkpointCache: the fixpoint loop already truncates
     * lineage internally, and the cache keeps the SECOND consumer from
-    * re-running the whole iteration. */
-  private def ccLabels(spark: SparkSession, d: String): DataFrame =
+    * re-running the whole iteration. (private[queries]: Curate3Q's
+    * leakage-free split consumes the same labels — rebuilt in its own
+    * bench group, so DedupQ's rows keep their r8 attribution.) */
+  private[queries] def ccLabels(spark: SparkSession, d: String): DataFrame =
     graft.util.ManagedCaches.checkpointCache(ccCache, spark, d)(
       Dedup.connectedComponents(lshPairs(spark, d))
         .select(col("id").as("doc_id"), col("cluster_id")))
@@ -157,8 +159,9 @@ object DedupQ extends QueryPack {
     ccLabels(spark, d).orderBy("doc_id")
 
   /** The recursive pair-set + transitive-closure CTE chain, shared by the
-    * cluster-assignment oracle and the survivor-selection oracle. */
-  private val dCcCtes =
+    * cluster-assignment oracle and the survivor-selection oracle (and
+    * Curate3Q's leakage-free-split oracle). */
+  private[queries] val dCcCtes =
     """WITH RECURSIVE
        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT DISTINCT doc_id,

@@ -487,4 +487,43 @@ object Sketch {
       .crossJoin(inter)
       .withColumn("jacc_bp", expr("(n_inter * 10000) div k_eff"))
   }
+
+  /** All-pairs [[kmvJaccard]] matrix over the groups of a (g, tok)
+    * relation — the cross-source contamination dial: which sources are
+    * re-crawls / mirrors of each other BEFORE paying for pairwise dedup
+    * between them. Each group's token set collapses to a bottom-k
+    * sketch ([[kmvSketchBy]] — one bounded-memory pass); every pairwise
+    * Jaccard then runs the KMV set algebra on ≤2k rows per pair, so the
+    * |groups|²/2 matrix costs O(pairs·k) — independent of corpus size,
+    * where exact pairwise overlap is |corpus|²-shaped. The pair grid is
+    * a dim×dim inequality join (groups are a catalog, not data; the
+    * [[kmvSketchBy]] contract already requires a dim-sized group
+    * domain). Exact (per the [[kmvJaccard]] law) whenever both groups'
+    * true distinct counts are < k.
+    *
+    * Returns (src_a, src_b, k_eff, n_inter, jacc_bp), src_a < src_b. */
+  def kmvJaccardMatrix(toks: DataFrame, k: Int): DataFrame = {
+    val sk = kmvSketchBy(toks, k)
+    val srcs = sk.select("g").distinct()
+    val pairs = srcs.as("a")
+      .join(broadcast(srcs.as("b")), col("a.g") < col("b.g"))
+      .select(col("a.g").as("src_a"), col("b.g").as("src_b"))
+    val ea = pairs.join(sk.withColumnRenamed("g", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+    val eb = pairs.join(sk.withColumnRenamed("g", "src_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0L).as("ia"), lit(1L).as("ib"))
+    import org.apache.spark.sql.expressions.Window
+    val merged = ea.unionByName(eb)
+      .groupBy("src_a", "src_b", "h")
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("h")))
+      .filter(col("r") <= k)
+    merged.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("k_eff"),
+        sum(col("ia") * col("ib")).as("n_inter"))
+      .withColumn("jacc_bp", expr("(n_inter * 10000) div k_eff"))
+  }
 }

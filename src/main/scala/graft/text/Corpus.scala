@@ -134,6 +134,44 @@ object Corpus {
         md5(concat_ws(" ", col("__ct"))).as("chunk_md5"))
   }
 
+  /** Content-defined chunking (CDC) WITHIN a document: a chunk boundary
+    * falls AFTER any token whose local bigram (previous token + token)
+    * md5-buckets to 0 mod `modulus` — boundaries are a pure function of
+    * a 2-token content window, never of position. Insert a paragraph at
+    * the top and every chunk below keeps its hash (only ids shift);
+    * fixed-stride chunking ([[chunkSliding]]) instead invalidates every
+    * downstream chunk — which is why CDC is the chunk-level dedup shape
+    * at scale: edited/re-crawled pages re-chunk to mostly-identical
+    * hashes (Muthitacharoen et al., SOSP 2001 — LBFS, re-expressed
+    * relationally). Expected chunk length ≈ `modulus` tokens.
+    *
+    * Scale shape: ONE hash partition by `idCol` drives both window
+    * passes (lag + running boundary count share the window spec) and
+    * the chunk group-by; per-doc work is linear, docs are the parallel
+    * unit. Curate3Spec asserts the shift-invariance law. */
+  def chunkCdc(docs: DataFrame, idCol: String, textCol: String,
+      modulus: Int): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("bnd",
+        when(lag(col("tok"), 1).over(w).isNotNull &&
+          hashBucket(
+            concat_ws(" ", lag(col("tok"), 1).over(w), col("tok")),
+            modulus) === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id",
+        sum(col("bnd")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_tok"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("chunk_hash"))
+  }
+
   /** Token-budget chunking for batch building: contiguous (by `orderCol`,
     * per `partCol`) documents are grouped into chunks of ~`budget` tokens
     * via chunk = floor(exclusive-prefix-sum / budget). A document that

@@ -126,7 +126,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // both PRF passes ride bm25's ONE-row corpus-stats cross join
     // (t_bm25_batch's shape); the feedback and expansion relations are
     // 10- and 3-row by construction
-    "t_prf_expand")
+    "t_prf_expand",
+    // nDCG rides bm25's ONE-row corpus-stats cross join (t_rank_eval's
+    // shape); the discount/IDCG tables are ≤11-row broadcast literals
+    // joined EQUI
+    "t_ndcg",
+    // the source-overlap pair grid is a dim×dim inequality join —
+    // |sources| rows a side by construction (a catalog, not data); all
+    // downstream work is O(pairs·k) sketch rows
+    "sk_source_overlap")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
