@@ -276,9 +276,214 @@ object Curate3Q extends QueryPack {
        FROM c GROUP BY doc_id, chunk_id
        ORDER BY doc_id, chunk_id"""
 
+  // ------------------------------------------------------------ d_cdc_dedup
+
+  /** Chunk-level dedup report over the CDC chunking — the ACTION
+    * [[Corpus.chunkCdc]] exists for: per SOURCE, how many chunk
+    * occurrences are duplicates of a chunk seen earlier (first
+    * occurrence by (doc_id, start_pos) — global, cross-doc AND
+    * within-doc) and the token mass chunk-level dedup would reclaim.
+    * This is strictly finer-grained than doc-level near-dup
+    * (`d_dedup_debt`): boilerplate headers/footers shared across
+    * otherwise-distinct pages show up here and nowhere else.
+    *
+    * Scale shape: the CDC pass (one partition by doc), ONE shuffle on
+    * chunk_hash for the first-occurrence window, and a |chunks|-row
+    * equi-join back to (doc_id, source). Duplicate attribution goes to
+    * the occurrence's OWN source (the `d_dedup_debt` discipline). */
+  private def dCdcDedup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val cdc = Corpus.chunkCdc(docs, "doc_id", "text", modulus = 17)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_hash")
+      .orderBy(col("doc_id").asc, col("start_pos").asc)
+    cdc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_dup_chunks"),
+        sum(col("n_tok")).as("tok_removable"))
+      .orderBy("source")
+  }
+
+  private val dCdcDedupSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       p AS (SELECT doc_id, t, UNNEST(range(1, len(t) + 1)) AS pos FROM toks),
+       tok AS (SELECT doc_id, pos, t[pos] AS tok,
+                      CASE WHEN pos > 1 THEN t[pos - 1] ELSE NULL END AS prev
+               FROM p),
+       b AS (SELECT doc_id, pos, tok,
+                    CASE WHEN prev IS NOT NULL AND
+                      CAST(('0x' || substr(md5(prev || ' ' || tok), 1, 8))
+                        AS BIGINT) % 17 = 0
+                    THEN 1 ELSE 0 END AS bnd
+             FROM tok),
+       c AS (SELECT doc_id, pos, tok,
+                    SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS chunk_id
+             FROM b),
+       ch AS (SELECT doc_id, chunk_id,
+                     CAST(MIN(pos) - 1 AS BIGINT) AS start_pos,
+                     CAST(COUNT(*) AS BIGINT) AS n_tok,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+              FROM c GROUP BY doc_id, chunk_id),
+       rk AS (SELECT doc_id, n_tok, chunk_hash,
+                     ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                       ORDER BY doc_id, start_pos) AS rk
+              FROM ch)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup_chunks,
+              CAST(SUM(n_tok) AS BIGINT) AS tok_removable
+       FROM rk JOIN documents USING (doc_id)
+       WHERE rk.rk > 1 GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------------------ t_distinct_n
+
+  /** Corpus diversity per source: distinct-n ratios for n ∈ {1,2,3} —
+    * the templated-content dial (a source whose bigram diversity
+    * collapses is boilerplate/spam even when its unigram mix looks
+    * healthy; Li et al. 2016's distinct-n, applied to sources instead
+    * of generations). n_grams totals come from LENGTH ARITHMETIC on one
+    * scan (Σ max(len−n+1, 0) — the occurrence stream is never
+    * exploded); distinct counts ride the per-doc distinct shingle
+    * arrays ([[graft.dedup.Dedup.shinglesFast]], codegen'd) into a
+    * per-source exact countDistinct — one (source, shingle) shuffle per
+    * n, partial-agg collapsed. */
+  private def tDistinctN(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("source"), col("text"))
+    val tot = base
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("len"))
+      .groupBy("source")
+      .agg(sum(col("len")).as("g1"),
+        sum(greatest(col("len") - 1, lit(0L))).as("g2"),
+        sum(greatest(col("len") - 2, lit(0L))).as("g3"))
+    val totN = tot.select(col("source"), lit(1L).as("n"), col("g1").as("n_grams"))
+      .unionByName(tot.select(col("source"), lit(2L).as("n"), col("g2").as("n_grams")))
+      .unionByName(tot.select(col("source"), lit(3L).as("n"), col("g3").as("n_grams")))
+    def dn(n: Int): DataFrame = base
+      .select(col("source"),
+        explode(graft.dedup.Dedup.shinglesFast(col("text"), n)).as("sh"))
+      .groupBy("source").agg(countDistinct(col("sh")).as("n_distinct"))
+      .withColumn("n", lit(n.toLong))
+    totN.join(dn(1).unionByName(dn(2)).unionByName(dn(3)), Seq("source", "n"))
+      .withColumn("distinct_bp", expr("(n_distinct * 10000) div n_grams"))
+      .orderBy("source", "n")
+  }
+
+  private val tDistinctNSql =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+       tot AS (SELECT source,
+                      CAST(SUM(len(t)) AS BIGINT) AS g1,
+                      CAST(SUM(GREATEST(len(t) - 1, 0)) AS BIGINT) AS g2,
+                      CAST(SUM(GREATEST(len(t) - 2, 0)) AS BIGINT) AS g3
+               FROM toks GROUP BY 1),
+       totn AS (SELECT source, CAST(1 AS BIGINT) AS n, g1 AS n_grams FROM tot
+                UNION ALL
+                SELECT source, 2, g2 FROM tot
+                UNION ALL
+                SELECT source, 3, g3 FROM tot),
+       d1 AS (SELECT source, CAST(1 AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct
+              FROM (SELECT source, UNNEST(t) AS sh FROM toks) g GROUP BY 1),
+       d2 AS (SELECT source, CAST(2 AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct
+              FROM (SELECT source,
+                      UNNEST(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1])) AS sh
+                    FROM toks WHERE len(t) >= 2) g GROUP BY 1),
+       d3 AS (SELECT source, CAST(3 AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct
+              FROM (SELECT source,
+                      UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                    FROM toks WHERE len(t) >= 3) g GROUP BY 1),
+       dist AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+                UNION ALL SELECT * FROM d3)
+       SELECT source, n, n_grams, n_distinct,
+              CAST((n_distinct * 10000) // n_grams AS BIGINT) AS distinct_bp
+       FROM totn JOIN dist USING (source, n)
+       ORDER BY source, n"""
+
+  // ----------------------------------------------------------- e_attribution
+
+  /** Multi-touch revenue attribution over the events stream — the
+    * marketing-analytics twin of the funnel: each purchase's value is
+    * attributed to the view/click/signup touches of the SAME user in
+    * the hour before it, under the three standard models at once:
+    * first-touch (earliest touch gets 100%), last-touch (latest), and
+    * linear (value split equally; integer micro-cents with the
+    * remainder dropped identically on both engines). A purchase with no
+    * touch in the window is a 'direct' row — the unattributable mass
+    * stays visible instead of vanishing.
+    *
+    * Scale shape: one equi-join on user_id (range predicate applied
+    * post-join, per-user row counts bounded), per-purchase windows over
+    * ≤|touches-in-hour| rows, and a |channels|-row final agg. Money is
+    * integer cents throughout (CAST(round(value·100))). */
+  private def eAttribution(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("tchannel"))
+    val j = p.as("p").join(t.as("t"),
+        col("p.user_id") === col("t.user_id") &&
+          col("t.tts") <= col("p.pts") &&
+          col("t.tts") > col("p.pts") - expr("INTERVAL 1 HOUR"),
+        "left")
+      .select(col("p.pid"), col("p.cents"), col("t.tts"), col("t.tid"),
+        col("t.tchannel"))
+    val wN = Window.partitionBy("pid")
+    val wA = Window.partitionBy("pid").orderBy(col("tts").asc, col("tid").asc)
+    val wD = Window.partitionBy("pid").orderBy(col("tts").desc, col("tid").desc)
+    j.withColumn("n", count(col("tid")).over(wN))
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rd", row_number().over(wD))
+      .groupBy(coalesce(col("tchannel"), lit("direct")).as("channel"))
+      .agg(
+        sum(when(col("ra") === 1, col("cents")).otherwise(0L)).as("ft_cents"),
+        sum(when(col("rd") === 1, col("cents")).otherwise(0L)).as("lt_cents"),
+        sum(when(col("n") === 0, col("cents") * 1000000L)
+          .otherwise(expr("(cents * 1000000) div n"))).as("lin_micro"))
+      .orderBy("channel")
+  }
+
+  private val eAttributionSql =
+    """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'),
+       t AS (SELECT user_id, ts AS tts, event_id AS tid,
+                    event_type AS tchannel
+             FROM events WHERE event_type IN ('view', 'click', 'signup')),
+       j AS (SELECT p.pid, p.cents, t.tts, t.tid, t.tchannel
+             FROM p LEFT JOIN t ON p.user_id = t.user_id
+               AND t.tts <= p.pts AND t.tts > p.pts - INTERVAL 1 HOUR),
+       r AS (SELECT pid, cents, tchannel,
+                    COUNT(tid) OVER (PARTITION BY pid) AS n,
+                    ROW_NUMBER() OVER (PARTITION BY pid
+                      ORDER BY tts ASC, tid ASC) AS ra,
+                    ROW_NUMBER() OVER (PARTITION BY pid
+                      ORDER BY tts DESC, tid DESC) AS rd
+             FROM j)
+       SELECT COALESCE(tchannel, 'direct') AS channel,
+              CAST(SUM(CASE WHEN ra = 1 THEN cents ELSE 0 END) AS BIGINT)
+                AS ft_cents,
+              CAST(SUM(CASE WHEN rd = 1 THEN cents ELSE 0 END) AS BIGINT)
+                AS lt_cents,
+              CAST(SUM(CASE WHEN n = 0 THEN cents * 1000000
+                            ELSE (cents * 1000000) // n END) AS BIGINT)
+                AS lin_micro
+       FROM r GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_ndcg", tNdcg, Some(tNdcgSql)),
     Q("c_split_leakfree", cSplitLeakfree, Some(cSplitLeakfreeSql)),
     Q("sk_source_overlap", skSourceOverlap, Some(skSourceOverlapSql)),
-    Q("c_chunk_cdc", cChunkCdc, Some(cChunkCdcSql)))
+    Q("c_chunk_cdc", cChunkCdc, Some(cChunkCdcSql)),
+    Q("d_cdc_dedup", dCdcDedup, Some(dCdcDedupSql)),
+    Q("t_distinct_n", tDistinctN, Some(tDistinctNSql)),
+    Q("e_attribution", eAttribution, Some(eAttributionSql)))
 }

@@ -107,6 +107,41 @@ class Curate3Spec extends AnyFunSuite with BeforeAndAfterAll {
       "corpus no longer shows naive-split leakage; premise changed")
   }
 
+  test("e_attribution: first/last-touch conserve total purchase value; " +
+    "linear loses only sub-micro-cent remainders") {
+    import spark.implicits._
+    val out = SparkEntry.queries("e_attribution")(spark, sf).collect()
+    val totalCents = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")))
+      .as[Long].head()
+    assert(out.map(_.getLong(1)).sum == totalCents, "first-touch leaks value")
+    assert(out.map(_.getLong(2)).sum == totalCents, "last-touch leaks value")
+    val lin = out.map(_.getLong(3)).sum
+    // each purchase drops < n_touches micro-cents of remainder; bound
+    // loosely by purchases × max-touches-per-hour being far under 1 cent
+    // per purchase at this SF
+    assert(lin <= totalCents * 1000000L)
+    assert(totalCents * 1000000L - lin < totalCents * 1000L,
+      s"linear model lost more than rounding: $lin vs ${totalCents * 1000000L}")
+    assert(out.map(_.getString(0)).toSet ==
+      Set("view", "click", "signup", "direct"))
+  }
+
+  test("chunkCdc dedup: planted doc copy is fully reclaimable at the " +
+    "chunk level") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"tok${i % 31}q$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val cdc = Corpus.chunkCdc(df, "doc_id", "text", modulus = 7)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_hash").orderBy(col("doc_id"), col("start_pos"))
+    val removable = cdc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .agg(sum("n_tok")).as[Long].head()
+    assert(removable == 150L, s"expected the full copy (150 tok), got $removable")
+  }
+
   test("t_ndcg: bounded by 10000 bp, zero on the no-relevance query, " +
     "and IDCG prefix sums are internally consistent") {
     val rows = SparkEntry.queries("t_ndcg")(spark, sf).collect()
