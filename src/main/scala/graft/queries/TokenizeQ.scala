@@ -30,6 +30,25 @@ object TokenizeQ extends QueryPack {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** The segmentation map feeds BOTH the map report and the corpus
+    * encoder, and its Viterbi DP is the pack's whole cost — build it
+    * once per (session, sfDir) as a managed checkpoint cache (the
+    * DedupQ ccLabels discipline; checkpoint because the DP loop's
+    * lineage is per-round). Bench times the build as its own warm row
+    * so member rows measure query cost against the warm map. */
+  private val segCache = graft.util.ManagedCaches.register()
+
+  private def segMap(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.checkpointCache(segCache, spark, d) {
+      val wf = wordFreq(spark, d)
+      Unigram.segmentWords(wf,
+        Unigram.pieceVocab(wf, MaxPieceLen, MinCount),
+        MaxPieceLen, MaxWordLen)
+    }
+
+  override def warms: Seq[Q] = Seq(
+    Q("unigram_seg_build", (s, d) => segMap(s, d), None))
+
   /** Shared oracle CTE prelude: word frequencies → substring pieces →
     * surviving vocabulary with integer costs. */
   private val vocabCtes =
@@ -82,13 +101,8 @@ object TokenizeQ extends QueryPack {
   /** Per-word Viterbi segmentation (word, cost, n_pieces, pieces):
     * |distinct words| rows — the segmentation MAP, computed once and
     * broadcast for corpus encoding. */
-  private def tUnigramSegments(spark: SparkSession, d: String): DataFrame = {
-    val wf = wordFreq(spark, d)
-    Unigram.segmentWords(wf,
-        Unigram.pieceVocab(wf, MaxPieceLen, MinCount),
-        MaxPieceLen, MaxWordLen)
-      .orderBy("word")
-  }
+  private def tUnigramSegments(spark: SparkSession, d: String): DataFrame =
+    segMap(spark, d).orderBy("word")
 
   private val tUnigramSegmentsSql =
     s"""WITH RECURSIVE $segmentCtes
@@ -102,10 +116,7 @@ object TokenizeQ extends QueryPack {
     * total_cost, total_pieces) — ONE corpus scan, one broadcast join,
     * one aggregate; the DP never touches the corpus. */
   private def tUnigramEncode(spark: SparkSession, d: String): DataFrame = {
-    val wf = wordFreq(spark, d)
-    val seg = Unigram.segmentWords(wf,
-      Unigram.pieceVocab(wf, MaxPieceLen, MinCount),
-      MaxPieceLen, MaxWordLen)
+    val seg = segMap(spark, d)
     Tables.documents(spark, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
