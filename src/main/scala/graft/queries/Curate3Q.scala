@@ -478,6 +478,107 @@ object Curate3Q extends QueryPack {
                 AS lin_micro
        FROM r GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------- t_vocab_growth
+
+  /** Heaps-law vocabulary growth per source: distinct types vs tokens
+    * at the 25/50/75/100% document checkpoints (doc_id order) — a
+    * source whose type curve flattens early is templated/repetitive; a
+    * near-linear curve is open vocabulary (URLs, ids, code). The
+    * measured growth CURVE, not a fitted exponent — no transcendental
+    * ever runs (the `t_ndcg` discipline).
+    *
+    * Scale shape: one (source, type) shuffle for first-occurrence ranks
+    * (min over a per-source window rank), a 20-row checkpoint dim
+    * broadcast into two conditional aggs, and a 4-row-per-source melt.
+    * The corpus is scanned twice (token mass; type first-ranks) and
+    * never sorted globally. */
+  private def tVocabGrowth(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val ck = ranked.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .select(col("source"),
+        expr("n_docs div 4").as("c1"),
+        expr("(n_docs * 2) div 4").as("c2"),
+        expr("(n_docs * 3) div 4").as("c3"),
+        col("n_docs").as("c4"))
+    def tokSums(qc: String) =
+      sum(when(col("rank") <= col(qc), col("n_tok")).otherwise(0L))
+    val tokAt = ranked.join(broadcast(ck), Seq("source"))
+      .groupBy("source")
+      .agg(tokSums("c1").as("tok1"), tokSums("c2").as("tok2"),
+        tokSums("c3").as("tok3"), tokSums("c4").as("tok4"))
+    def tySums(qc: String) =
+      sum(when(col("first_rank") <= col(qc), 1L).otherwise(0L))
+    val tyAt = ranked
+      .select(col("source"), col("rank"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok").agg(min(col("rank")).as("first_rank"))
+      .join(broadcast(ck), Seq("source"))
+      .groupBy("source")
+      .agg(tySums("c1").as("ty1"), tySums("c2").as("ty2"),
+        tySums("c3").as("ty3"), tySums("c4").as("ty4"))
+    val wide = tokAt.join(tyAt, Seq("source")).join(ck, Seq("source"))
+    def qrow(q: Int) = wide.select(col("source"), lit(q.toLong).as("q"),
+      col(s"c$q").cast("long").as("ckpt_docs"),
+      col(s"tok$q").as("n_tokens"), col(s"ty$q").as("n_types"),
+      expr(s"CASE WHEN tok$q = 0 THEN cast(0 as bigint) " +
+        s"ELSE (ty$q * 10000) div tok$q END").as("types_per_tok_bp"))
+    qrow(1).unionByName(qrow(2)).unionByName(qrow(3)).unionByName(qrow(4))
+      .orderBy("source", "q")
+  }
+
+  private val tVocabGrowthSql =
+    """WITH ranked AS (SELECT doc_id, source, text,
+                ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS rank,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+       ck AS (SELECT source,
+                     COUNT(*) // 4 AS c1,
+                     (COUNT(*) * 2) // 4 AS c2,
+                     (COUNT(*) * 3) // 4 AS c3,
+                     COUNT(*) AS c4
+              FROM ranked GROUP BY 1),
+       tokat AS (SELECT r.source,
+                   SUM(CASE WHEN rank <= c1 THEN n_tok ELSE 0 END) AS tok1,
+                   SUM(CASE WHEN rank <= c2 THEN n_tok ELSE 0 END) AS tok2,
+                   SUM(CASE WHEN rank <= c3 THEN n_tok ELSE 0 END) AS tok3,
+                   SUM(CASE WHEN rank <= c4 THEN n_tok ELSE 0 END) AS tok4
+                 FROM ranked r JOIN ck USING (source) GROUP BY 1),
+       fr AS (SELECT source, tok, MIN(rank) AS first_rank
+              FROM (SELECT source, rank, UNNEST(string_split(text, ' ')) AS tok
+                    FROM ranked) t
+              WHERE tok <> '' GROUP BY 1, 2),
+       tyat AS (SELECT f.source,
+                  SUM(CASE WHEN first_rank <= c1 THEN 1 ELSE 0 END) AS ty1,
+                  SUM(CASE WHEN first_rank <= c2 THEN 1 ELSE 0 END) AS ty2,
+                  SUM(CASE WHEN first_rank <= c3 THEN 1 ELSE 0 END) AS ty3,
+                  SUM(CASE WHEN first_rank <= c4 THEN 1 ELSE 0 END) AS ty4
+                FROM fr f JOIN ck USING (source) GROUP BY 1),
+       wide AS (SELECT * FROM tokat JOIN tyat USING (source)
+                JOIN ck USING (source))
+       SELECT source, CAST(q AS BIGINT) AS q,
+              CAST(CASE q WHEN 1 THEN c1 WHEN 2 THEN c2
+                          WHEN 3 THEN c3 ELSE c4 END AS BIGINT) AS ckpt_docs,
+              CAST(CASE q WHEN 1 THEN tok1 WHEN 2 THEN tok2
+                          WHEN 3 THEN tok3 ELSE tok4 END AS BIGINT) AS n_tokens,
+              CAST(CASE q WHEN 1 THEN ty1 WHEN 2 THEN ty2
+                          WHEN 3 THEN ty3 ELSE ty4 END AS BIGINT) AS n_types,
+              CAST(CASE WHEN (CASE q WHEN 1 THEN tok1 WHEN 2 THEN tok2
+                                     WHEN 3 THEN tok3 ELSE tok4 END) = 0 THEN 0
+                   ELSE ((CASE q WHEN 1 THEN ty1 WHEN 2 THEN ty2
+                                 WHEN 3 THEN ty3 ELSE ty4 END) * 10000)
+                        // (CASE q WHEN 1 THEN tok1 WHEN 2 THEN tok2
+                                   WHEN 3 THEN tok3 ELSE tok4 END)
+                   END AS BIGINT) AS types_per_tok_bp
+       FROM wide CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS q) qs
+       ORDER BY source, q"""
+
   override def queries: Seq[Q] = Seq(
     Q("t_ndcg", tNdcg, Some(tNdcgSql)),
     Q("c_split_leakfree", cSplitLeakfree, Some(cSplitLeakfreeSql)),
@@ -485,5 +586,6 @@ object Curate3Q extends QueryPack {
     Q("c_chunk_cdc", cChunkCdc, Some(cChunkCdcSql)),
     Q("d_cdc_dedup", dCdcDedup, Some(dCdcDedupSql)),
     Q("t_distinct_n", tDistinctN, Some(tDistinctNSql)),
-    Q("e_attribution", eAttribution, Some(eAttributionSql)))
+    Q("e_attribution", eAttribution, Some(eAttributionSql)),
+    Q("t_vocab_growth", tVocabGrowth, Some(tVocabGrowthSql)))
 }

@@ -142,8 +142,44 @@ object TokenizeQ extends QueryPack {
        FROM toks t JOIN seg s ON t.tok = s.word
        GROUP BY 1 ORDER BY 1"""
 
+  /** Tokenizer fertility per source — pieces emitted per input word
+    * under the unigram-LM tokenizer: the cost-of-tokenization dial that
+    * decides which sources eat the token budget (code/URL-heavy sources
+    * fragment worst). Rides the SAME broadcast segmentation map as the
+    * encoder; one corpus scan, per-source partial aggs. fertility_bp =
+    * total_pieces·10⁴ div total words. */
+  private def tFertility(spark: SparkSession, d: String): DataFrame = {
+    val seg = segMap(spark, d)
+    Tables.documents(spark, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(seg), Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("cost")).as("total_cost"))
+      .withColumn("fertility_bp", expr("(n_pieces * 10000) div n_words"))
+      .orderBy("source")
+  }
+
+  private val tFertilitySql =
+    s"""WITH RECURSIVE $segmentCtes,
+       seg AS (SELECT word, cost,
+                 CAST(len(string_split(path, ' ')) AS BIGINT) AS np
+               FROM best WHERE r = 1),
+       toks AS (SELECT source, tok FROM
+                  (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents) WHERE tok <> '')
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM(s.np) AS BIGINT) AS n_pieces,
+              CAST(SUM(s.cost) AS BIGINT) AS total_cost,
+              CAST((SUM(s.np) * 10000) // COUNT(*) AS BIGINT) AS fertility_bp
+       FROM toks t JOIN seg s ON t.tok = s.word
+       GROUP BY 1 ORDER BY 1"""
+
   def queries: Seq[Q] = Seq(
     Q("t_unigram_vocab", tUnigramVocab, Some(tUnigramVocabSql)),
     Q("t_unigram_segments", tUnigramSegments, Some(tUnigramSegmentsSql)),
-    Q("t_unigram_encode", tUnigramEncode, Some(tUnigramEncodeSql)))
+    Q("t_unigram_encode", tUnigramEncode, Some(tUnigramEncodeSql)),
+    Q("t_fertility", tFertility, Some(tFertilitySql)))
 }
