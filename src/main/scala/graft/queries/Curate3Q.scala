@@ -15,6 +15,19 @@ import graft.text.{Bm25, Corpus}
   */
 object Curate3Q extends QueryPack {
 
+  /** The CDC chunk table feeds three queries (the dedup-debt report,
+    * the pair generator, and the heavy-chunk audit) — built once per
+    * (session, sfDir), timed by Bench as its own warm row. */
+  private val cdcCache = graft.util.ManagedCaches.register()
+
+  private def cdcChunks(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.cache(cdcCache, spark, d)(
+      Corpus.chunkCdc(Tables.documents(spark, d), "doc_id", "text",
+        modulus = 17))
+
+  override def warms: Seq[Q] = Seq(
+    Q("cdc_chunk_build", (s, d) => cdcChunks(s, d), None))
+
   // ---------------------------------------------------------------- t_ndcg
 
   /** Rank discounts for nDCG@10 in basis points: disc(i) =
@@ -249,9 +262,7 @@ object Curate3Q extends QueryPack {
     * argument and the one-partition scale shape; Curate3Spec asserts
     * the shift-invariance law). */
   private def cChunkCdc(spark: SparkSession, d: String): DataFrame =
-    Corpus.chunkCdc(Tables.documents(spark, d), "doc_id", "text",
-        modulus = 17)
-      .orderBy("doc_id", "chunk_id")
+    cdcChunks(spark, d).orderBy("doc_id", "chunk_id")
 
   private val cChunkCdcSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -293,7 +304,7 @@ object Curate3Q extends QueryPack {
     * the occurrence's OWN source (the `d_dedup_debt` discipline). */
   private def dCdcDedup(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val cdc = Corpus.chunkCdc(docs, "doc_id", "text", modulus = 17)
+    val cdc = cdcChunks(spark, d)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("chunk_hash")
       .orderBy(col("doc_id").asc, col("start_pos").asc)
@@ -405,51 +416,15 @@ object Curate3Q extends QueryPack {
 
   // ----------------------------------------------------------- e_attribution
 
-  /** Multi-touch revenue attribution over the events stream — the
-    * marketing-analytics twin of the funnel: each purchase's value is
-    * attributed to the view/click/signup touches of the SAME user in
-    * the hour before it, under the three standard models at once:
-    * first-touch (earliest touch gets 100%), last-touch (latest), and
-    * linear (value split equally; integer micro-cents with the
-    * remainder dropped identically on both engines). A purchase with no
-    * touch in the window is a 'direct' row — the unattributable mass
-    * stays visible instead of vanishing.
-    *
-    * Scale shape: one equi-join on user_id (range predicate applied
-    * post-join, per-user row counts bounded), per-purchase windows over
-    * ≤|touches-in-hour| rows, and a |channels|-row final agg. Money is
-    * integer cents throughout (CAST(round(value·100))). */
-  private def eAttribution(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, d)
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("pid"), col("user_id"),
-        col("ts").as("pts"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
-      .select(col("user_id"), col("ts").as("tts"),
-        col("event_id").as("tid"), col("event_type").as("tchannel"))
-    val j = p.as("p").join(t.as("t"),
-        col("p.user_id") === col("t.user_id") &&
-          col("t.tts") <= col("p.pts") &&
-          col("t.tts") > col("p.pts") - expr("INTERVAL 1 HOUR"),
-        "left")
-      .select(col("p.pid"), col("p.cents"), col("t.tts"), col("t.tid"),
-        col("t.tchannel"))
-    val wN = Window.partitionBy("pid")
-    val wA = Window.partitionBy("pid").orderBy(col("tts").asc, col("tid").asc)
-    val wD = Window.partitionBy("pid").orderBy(col("tts").desc, col("tid").desc)
-    j.withColumn("n", count(col("tid")).over(wN))
-      .withColumn("ra", row_number().over(wA))
-      .withColumn("rd", row_number().over(wD))
-      .groupBy(coalesce(col("tchannel"), lit("direct")).as("channel"))
-      .agg(
-        sum(when(col("ra") === 1, col("cents")).otherwise(0L)).as("ft_cents"),
-        sum(when(col("rd") === 1, col("cents")).otherwise(0L)).as("lt_cents"),
-        sum(when(col("n") === 0, col("cents") * 1000000L)
-          .otherwise(expr("(cents * 1000000) div n"))).as("lin_micro"))
+  /** Multi-touch revenue attribution ([[graft.etl.Attribution.report]],
+    * 1-hour lookback) — first/last-touch/linear per channel with the
+    * unattributable mass as a 'direct' row; integer cents throughout.
+    * The kernel's scaladoc carries the join shape;
+    * [[graft.streaming.Relay.attributionStream]] is the incremental
+    * twin, and Curate3Spec holds the conservation laws. */
+  private def eAttribution(spark: SparkSession, d: String): DataFrame =
+    graft.etl.Attribution.report(Tables.events(spark, d))
       .orderBy("channel")
-  }
 
   private val eAttributionSql =
     """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts,
@@ -477,6 +452,101 @@ object Curate3Q extends QueryPack {
                             ELSE (cents * 1000000) // n END) AS BIGINT)
                 AS lin_micro
        FROM r GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------- d_cdc_pairs / d_cdc_heavy
+
+  /** The CDC chunk-table oracle chain (documents → boundaries → chunk
+    * hashes → per-doc presence → per-hash doc counts), shared by the
+    * pair generator and the heavy-chunk audit. */
+  private val cdcPresCtes =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       p AS (SELECT doc_id, t, UNNEST(range(1, len(t) + 1)) AS pos FROM toks),
+       tok AS (SELECT doc_id, pos, t[pos] AS tok,
+                      CASE WHEN pos > 1 THEN t[pos - 1] ELSE NULL END AS prev
+               FROM p),
+       b AS (SELECT doc_id, pos, tok,
+                    CASE WHEN prev IS NOT NULL AND
+                      CAST(('0x' || substr(md5(prev || ' ' || tok), 1, 8))
+                        AS BIGINT) % 17 = 0
+                    THEN 1 ELSE 0 END AS bnd
+             FROM tok),
+       c AS (SELECT doc_id, pos, tok,
+                    SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS chunk_id
+             FROM b),
+       ch AS (SELECT doc_id, chunk_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tok,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+              FROM c GROUP BY doc_id, chunk_id),
+       pres AS (SELECT DISTINCT chunk_hash, doc_id FROM ch),
+       cnt AS (SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM pres GROUP BY 1)"""
+
+  /** CDC-based near-dup candidate pairs: doc pairs sharing ≥ 2 distinct
+    * duplicate chunks — an independent near-dup signal that catches
+    * partial-overlap pages (a shared section, not a whole-doc
+    * paraphrase) that MinHash-LSH's whole-doc Jaccard threshold misses.
+    * Chunks present in MORE than `maxDocs`=8 documents are EXCLUDED
+    * from pair generation (they are boilerplate, and would generate
+    * C(n_docs, 2) pairs each — the classic stop-shingle blowup); the
+    * exclusion is NOT silent: `d_cdc_heavy` reports exactly the dropped
+    * hashes (the no-silent-caps discipline). Per eligible hash the pair
+    * fan-out is ≤ C(8,2)=28 BY CONSTRUCTION, so pair volume is
+    * O(|dup chunks|), never |docs|². */
+  private def dCdcPairs(spark: SparkSession, d: String): DataFrame = {
+    val present = cdcChunks(spark, d)
+      .select("chunk_hash", "doc_id").distinct()
+    val counts = present.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_docs"))
+    val elig = counts.filter(col("n_docs").between(2, 8))
+      .select("chunk_hash")
+    val e = present.join(elig, Seq("chunk_hash"), "left_semi")
+    e.as("a").join(e.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dCdcPairsSql =
+    s"""$cdcPresCtes,
+       elig AS (SELECT chunk_hash FROM cnt WHERE n_docs BETWEEN 2 AND 8),
+       e AS (SELECT p.chunk_hash, p.doc_id FROM pres p
+             WHERE p.chunk_hash IN (SELECT chunk_hash FROM elig))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM e a JOIN e b
+         ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       ORDER BY id_a, id_b"""
+
+  /** The heavy-chunk audit: every chunk hash `d_cdc_pairs` EXCLUDED
+    * (present in > 8 docs), with its spread and token size — the
+    * boilerplate catalog (headers, footers, license blocks) that a
+    * scrubbing pass would target directly. Keeping the cap visible is
+    * the point: pair generation bounded + exclusions enumerated =
+    * nothing silently dropped. */
+  private def dCdcHeavy(spark: SparkSession, d: String): DataFrame = {
+    val cdc = cdcChunks(spark, d)
+    val present = cdc.select("chunk_hash", "doc_id").distinct()
+    val heavy = present.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 8)
+    // identical hash ⇒ identical content ⇒ identical n_tok: min = the value
+    val size = cdc.groupBy("chunk_hash").agg(min(col("n_tok")).as("n_tok"))
+    heavy.join(size, Seq("chunk_hash"))
+      .select("chunk_hash", "n_docs", "n_tok")
+      .orderBy("chunk_hash")
+  }
+
+  private val dCdcHeavySql =
+    s"""$cdcPresCtes,
+       sz AS (SELECT chunk_hash, MIN(n_tok) AS n_tok FROM ch GROUP BY 1)
+       SELECT chunk_hash, n_docs, CAST(n_tok AS BIGINT) AS n_tok
+       FROM cnt JOIN sz USING (chunk_hash)
+       WHERE n_docs > 8 ORDER BY chunk_hash"""
 
   // ---------------------------------------------------------- t_vocab_growth
 
@@ -587,5 +657,7 @@ object Curate3Q extends QueryPack {
     Q("d_cdc_dedup", dCdcDedup, Some(dCdcDedupSql)),
     Q("t_distinct_n", tDistinctN, Some(tDistinctNSql)),
     Q("e_attribution", eAttribution, Some(eAttributionSql)),
-    Q("t_vocab_growth", tVocabGrowth, Some(tVocabGrowthSql)))
+    Q("t_vocab_growth", tVocabGrowth, Some(tVocabGrowthSql)),
+    Q("d_cdc_pairs", dCdcPairs, Some(dCdcPairsSql)),
+    Q("d_cdc_heavy", dCdcHeavy, Some(dCdcHeavySql)))
 }

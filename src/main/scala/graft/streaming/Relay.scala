@@ -578,6 +578,86 @@ object Relay {
       .toDF()
   }
 
+  /** One event for the streaming attribution tracker. */
+  final case class AttEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String, value: Double)
+
+  /** One in-window touch carried per user (micros, event_id, channel). */
+  final case class AttTouch(tts: Long, tid: Long, channel: String)
+
+  /** Per-user carried state: the touches still inside any future
+    * purchase's lookback window — O(touches per window) per user, pruned
+    * on every event. */
+  final case class AttState(touches: Seq[AttTouch])
+
+  /** One attribution row: mirrors [[graft.etl.Attribution.touchRows]]'s
+    * schema (null channel = touch-less 'direct' purchase). */
+  final case class AttRow(pid: Long, cents: Long, channel: String,
+      n: Long, is_first: Boolean, is_last: Boolean)
+
+  /** Streaming multi-touch attribution — the incremental twin of
+    * [[graft.etl.Attribution.touchRows]]: per user, the in-window
+    * touches ride `GroupState` across micro-batches (pruned to the
+    * `windowSec` horizon on every event, so state is bounded by the
+    * touch rate, never the history), and each arriving purchase emits
+    * its per-touch rows immediately. Same in-order contract as
+    * [[funnelStream]]: per user the feed is ordered by `ts` across
+    * batches; within a batch rows sort by (ts, kind, event_id) with
+    * touches BEFORE purchases at equal ts — matching the batch side's
+    * `tts <= pts` inclusive window — and first/last ties break by
+    * (tts, tid) exactly as the batch windows do. Downstream,
+    * [[graft.etl.Attribution.channelReport]] over the emitted rows is
+    * the live channel report (StreamingSpec: ≡ batch across a
+    * micro-batch boundary). */
+  def attributionStream(events: org.apache.spark.sql.Dataset[AttEvent],
+      windowSec: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wMicros = windowSec * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def kindOrd(e: AttEvent): Int =
+      if (e.event_type == "purchase") 1 else 0
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttState, AttRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, batch, state: GroupState[AttState]) =>
+          var touches = state.getOption.map(_.touches.toVector)
+            .getOrElse(Vector.empty[AttTouch])
+          val out = scala.collection.mutable.ListBuffer.empty[AttRow]
+          batch.toSeq
+            .sortBy(e => (micros(e.ts), kindOrd(e), e.event_id))
+            .foreach { e =>
+              val t = micros(e.ts)
+              touches = touches.filter(_.tts > t - wMicros)
+              e.event_type match {
+                case "view" | "click" | "signup" =>
+                  touches :+= AttTouch(t, e.event_id, e.event_type)
+                case "purchase" =>
+                  val cents = math.round(e.value * 100)
+                  if (touches.isEmpty)
+                    out += AttRow(e.event_id, cents, null, 0L,
+                      is_first = true, is_last = true)
+                  else {
+                    val first = touches.minBy(x => (x.tts, x.tid))
+                    val last = touches.maxBy(x => (x.tts, x.tid))
+                    touches.foreach { x =>
+                      out += AttRow(e.event_id, cents, x.channel,
+                        touches.size.toLong,
+                        is_first = x.tts == first.tts && x.tid == first.tid,
+                        is_last = x.tts == last.tts && x.tid == last.tid)
+                    }
+                  }
+                case _ => ()
+              }
+            }
+          state.update(AttState(touches))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** One token routed to an MG shard — `pk` is any deterministic
     * partition of the stream (e.g. `pmod(hash(tok), P)`); all
     * occurrences of a token need NOT share a shard for the superset

@@ -584,6 +584,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.values.sum == 20L)
   }
 
+  test("streaming attribution report equals the batch report across a " +
+    "micro-batch boundary") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    // split at the median day: many 1-hour lookback windows straddle the
+    // boundary (per-user in-order arrival preserved — batch 1 is
+    // strictly earlier than batch 2)
+    val cut = "2024-01-15"
+    val srcDir = tmp() + "/att_src"
+    ev.filter(col("ts") < lit(cut)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    ev.filter(col("ts") >= lit(cut)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val stream = Relay.attributionStream(
+      Relay.readStreamPath(spark, srcDir, ev.schema,
+          options = Map("maxFilesPerTrigger" -> "1"))
+        .as[Relay.AttEvent])
+    val q = stream.writeStream.format("memory").queryName("att_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val streamed = keyed(
+      graft.etl.Attribution.channelReport(spark.table("att_mem")))
+    val batch = keyed(graft.etl.Attribution.report(Tables.events(spark, sf)))
+    assert(streamed == batch,
+      s"streaming/batch attribution divergence:\n  s=$streamed\n  b=$batch")
+    // every purchase emits rows exactly once
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    val streamedPids = spark.table("att_mem").select("pid").distinct().count()
+    assert(streamedPids == purchases,
+      "each purchase must appear exactly once in the streamed rows")
+  }
+
   test("streaming funnel step counts equal the batch windowed funnel") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
