@@ -109,4 +109,38 @@ object Stats {
             (cast(grp_n as decimal(38,0)) * grp_q - grp_s * grp_s)"""))
       .drop("x", "grp_n", "grp_s", "grp_q")
   }
+
+  /** Spearman rank correlation of two integer metrics in basis points,
+    * one output row (n, sum_d2, rho_bp): ranks are `row_number` ordered
+    * by (metric, tiebreakCol) — the deterministic tie-break makes the
+    * statistic a defined algorithm both engines replay exactly (true
+    * tie-averaged Spearman needs Pearson-on-ranks; with a keyed
+    * tie-break the classical ρ = 1 − 6Σd²/(n(n²−1)) closed form stays
+    * pure integers). NULL when n ≤ 1.
+    *
+    * Shape: two rank windows over the input — intended for
+    * ALREADY-AGGREGATED entity metrics (per-customer, per-source), so
+    * the windowed relation is entity-sized, not corpus-sized. At 100 TB
+    * the same statistic over raw rows would sample or
+    * range-partition-rank first; this helper is the exact form for the
+    * entity tables where exactness is cheap. */
+  def spearmanBp(df: DataFrame, xCol: Column, yCol: Column,
+      tiebreakCol: Column): DataFrame = {
+    val base = df.select(xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"), tiebreakCol.as("tb"))
+    base
+      .withColumn("rx",
+        row_number().over(Window.orderBy(col("x"), col("tb"))))
+      .withColumn("ry",
+        row_number().over(Window.orderBy(col("y"), col("tb"))))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(((col("rx") - col("ry")) * (col("rx") - col("ry"))).cast(D))
+          .cast("long").as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        when(col("n") <= 1, lit(null))
+          .otherwise(lit(10000) -
+            graft.util.Exact.idiv(col("sum_d2").cast(D) * 60000,
+              col("n").cast(D) * col("n") * col("n") - col("n")))
+          .cast("long").as("rho_bp"))
+  }
 }

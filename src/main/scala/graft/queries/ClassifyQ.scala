@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ml.{Eval, Stats}
+import graft.util.Exact
+
+/** Round-9 classifier-evaluation pack: the measurement half of the
+  * model-based curation loop. A nearest-centroid classifier scores every
+  * embedding by its integer dot product with the label-0 centroid, and
+  * the [[graft.ml.Eval]] evaluators grade that score against the true
+  * label four ways — ROC AUC, average precision, a calibration curve,
+  * and the thresholded confusion matrix. Plus Spearman rank correlation
+  * ([[graft.ml.Stats.spearmanBp]]) between two per-customer metrics.
+  *
+  * Exactness: the score is PURE INTEGERS end to end — the house 2²⁰
+  * fixed-point quantization (floor(x·2²⁰), the `sim_centroids`
+  * convention), an integer-floored centroid, an integer dot product
+  * (|dot| ≤ 64·2²⁰·2²⁰ = 2⁴⁶, BIGINT-safe at ANY corpus size because
+  * the centroid is a MEAN — bounded by the coordinate range, not the
+  * row count), then a +2⁴⁷ offset before the ÷2³⁰ floor so the
+  * numerator is never negative (Spark's `div` truncates toward zero,
+  * DuckDB's `//` floors — identical only for non-negative operands).
+  * The resulting score domain is a BOUNDED [0, ~2¹⁷] integer range at
+  * any scale, which is what makes the Eval histogram plans safe: the
+  * cumulative windows sort ≤ |domain| rows, never the corpus.
+  *
+  * Scale shape: one partial-agg vector-sum for the centroid
+  * ([[graft.plans.VecSum]] — k rows through the shuffle, not k·dims),
+  * a ONE-row centroid broadcast cross join into the scoring scan
+  * (PlanAuditSpec-listed, the `t_hll_distinct` scalar-side shape), one
+  * groupBy(score) histogram. AUC at 100 TB is therefore: scan + two
+  * bounded aggregations.
+  */
+object ClassifyQ extends QueryPack {
+
+  /** Integer nearest-centroid score per embedding + binary label.
+    * Shared scan for all four evaluators. */
+  private def scored(spark: SparkSession, d: String): DataFrame = {
+    val sv = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+          .as("q"))
+    val cent = sv.filter(col("label") === 0)
+      .agg(graft.plans.VecSum.sum(col("q")).as("s"),
+        count(lit(1)).as("n"))
+      .select(expr("transform(s, x -> x div n)").as("c"))
+    sv.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"),
+        expr("""(aggregate(zip_with(q, c, (a, b) -> a * b),
+                           CAST(0 AS BIGINT), (acc, x) -> acc + x)
+                 + 140737488355328) div 1073741824""").as("score"))
+  }
+
+  /** The same scored relation in DuckDB: list_sum over the integer
+    * products (NOT list_dot_product, which is a float kernel). */
+  private val scoredSql =
+    """sv AS (SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+       FROM embeddings),
+       ce AS (SELECT u.dim, u.q AS qv
+              FROM sv, UNNEST(list_transform(q,
+                (x, i) -> {'dim': i - 1, 'q': x})) AS r(u)
+              WHERE label = 0),
+       cagg AS (SELECT dim, SUM(qv) AS s, COUNT(*) AS n
+                FROM ce GROUP BY 1),
+       cent AS (SELECT list(CAST(s // n AS BIGINT) ORDER BY dim) AS c
+                FROM cagg),
+       scored AS (SELECT vec_id,
+           CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+           CAST((list_sum(list_transform(q, (x, i) -> x * c[i]))
+                 + 140737488355328) // 1073741824 AS BIGINT) AS score
+         FROM sv, cent)"""
+
+  private def mlAuc(spark: SparkSession, d: String): DataFrame =
+    Eval.aucBp(scored(spark, d), col("score"), col("y"))
+
+  private val mlAucSql =
+    s"""WITH $scoredSql,
+       h AS (SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
+             FROM scored GROUP BY 1),
+       w AS (SELECT pos, neg,
+               COALESCE(SUM(neg) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS neg_below
+             FROM h),
+       a AS (SELECT CAST(SUM(pos) AS BIGINT) AS pos_n,
+                    CAST(SUM(neg) AS BIGINT) AS neg_n,
+                    SUM(CAST(pos AS HUGEINT) * (2 * neg_below + neg)) AS u2
+             FROM w)
+       SELECT pos_n, neg_n,
+              CASE WHEN pos_n = 0 OR neg_n = 0 THEN NULL
+                   ELSE CAST((u2 * 10000) //
+                     (CAST(pos_n AS HUGEINT) * neg_n * 2) AS BIGINT)
+              END AS auc_bp
+       FROM a"""
+
+  private def mlAvgPrecision(spark: SparkSession, d: String): DataFrame =
+    Eval.avgPrecisionBp(scored(spark, d), col("score"), col("y"))
+
+  private val mlAvgPrecisionSql =
+    s"""WITH $scoredSql,
+       h AS (SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
+             FROM scored GROUP BY 1),
+       w AS (SELECT pos,
+               SUM(pos) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+               SUM(pos + neg) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+             FROM h),
+       t AS (SELECT CAST(SUM(pos) AS BIGINT) AS pos_n,
+                    SUM((CAST(pos AS HUGEINT) * cum_pos * 10000) // cum_n)
+                      AS term_sum
+             FROM w)
+       SELECT pos_n,
+              CASE WHEN pos_n = 0 THEN NULL
+                   ELSE CAST(term_sum // pos_n AS BIGINT) END AS ap_bp
+       FROM t"""
+
+  private def mlCalibration(spark: SparkSession, d: String): DataFrame =
+    Eval.calibration(scored(spark, d), col("score"), col("y"),
+        bucketWidth = 16L)
+      .orderBy("bucket")
+
+  private val mlCalibrationSql =
+    s"""WITH $scoredSql,
+       c AS (SELECT score // 16 AS bucket, COUNT(*) AS n,
+                    SUM(y) AS pos, SUM(score) AS score_sum
+             FROM scored GROUP BY 1)
+       SELECT bucket, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+              CAST((pos * 10000) // n AS BIGINT) AS pos_rate_bp,
+              CAST((score_sum * 100) // n AS BIGINT) AS mean_score_c
+       FROM c ORDER BY bucket"""
+
+  private def mlConfusion(spark: SparkSession, d: String): DataFrame =
+    Eval.confusion(scored(spark, d), col("score"), col("y"),
+      threshold = 131090L)
+
+  private val mlConfusionSql =
+    s"""WITH $scoredSql,
+       a AS (SELECT
+           CAST(SUM(CASE WHEN score >= 131090 AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score >= 131090 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score < 131090 AND y = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN score < 131090 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+         FROM scored)
+       SELECT tp, fp, fn, tn,
+              CASE WHEN tp + fp = 0 THEN NULL
+                   ELSE CAST((tp * 10000) // (tp + fp) AS BIGINT)
+              END AS precision_bp,
+              CASE WHEN tp + fn = 0 THEN NULL
+                   ELSE CAST((tp * 10000) // (tp + fn) AS BIGINT)
+              END AS recall_bp,
+              CASE WHEN tp * 2 + fp + fn = 0 THEN NULL
+                   ELSE CAST((tp * 20000) // (tp * 2 + fp + fn) AS BIGINT)
+              END AS f1_bp
+       FROM a"""
+
+  /** Spearman ρ between per-customer total spend and order count —
+    * do bigger spenders order more often, as a rank statistic. The
+    * metrics aggregate first (one groupBy on the customer key), so the
+    * rank windows sort the CUSTOMER table, not orders. */
+  private def stSpearman(spark: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(spark, d)
+      .groupBy("o_custkey")
+      .agg(sum((Exact.dec2(col("o_totalprice")) * 100).cast("long"))
+          .cast("long").as("spend_c"),
+        count(lit(1)).cast("long").as("n_orders"))
+    Stats.spearmanBp(perCust, col("spend_c"), col("n_orders"),
+      col("o_custkey"))
+  }
+
+  private val stSpearmanSql =
+    """WITH pc AS (SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS spend_c,
+         COUNT(*) AS n_orders
+       FROM orders GROUP BY 1),
+       r AS (SELECT
+               ROW_NUMBER() OVER (ORDER BY spend_c, o_custkey) AS rx,
+               ROW_NUMBER() OVER (ORDER BY n_orders, o_custkey) AS ry
+             FROM pc),
+       a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(rx - ry AS HUGEINT) * (rx - ry))
+                      AS BIGINT) AS sum_d2
+             FROM r)
+       SELECT n, sum_d2,
+              CASE WHEN n <= 1 THEN NULL
+                   ELSE CAST(10000 - (CAST(sum_d2 AS HUGEINT) * 60000) //
+                     (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+              END AS rho_bp
+       FROM a"""
+
+  def queries: Seq[Q] = Seq(
+    Q("ml_auc", mlAuc, Some(mlAucSql)),
+    Q("ml_avg_precision", mlAvgPrecision, Some(mlAvgPrecisionSql)),
+    Q("ml_calibration", mlCalibration, Some(mlCalibrationSql)),
+    Q("ml_confusion", mlConfusion, Some(mlConfusionSql)),
+    Q("st_spearman", stSpearman, Some(stSpearmanSql)))
+}

@@ -92,4 +92,20 @@ object Privacy {
       .agg(count(lit(1)).as("group_size"))
       .withColumn("meets_k",
         when(col("group_size") >= k, 1L).otherwise(0L))
+
+  /** l-diversity audit — the complement k-anonymity misses: a class can
+    * be large (meets k) yet expose everyone in it because the SENSITIVE
+    * attribute is constant within it. One row per quasi-identifier
+    * equivalence class with its size, the count of DISTINCT sensitive
+    * values, and a 0/1 `meets_l` flag (distinct-l-diversity). Same
+    * single partial-agg groupBy shape as [[kAnonymityAudit]] —
+    * count_distinct keeps per-group state bounded by the sensitive
+    * domain, so the audit scales with the class count, not the corpus. */
+  def lDiversityAudit(df: DataFrame, quasi: Seq[String],
+      sensitive: String, l: Long): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        count_distinct(col(sensitive)).as("l_distinct"))
+      .withColumn("meets_l",
+        when(col("l_distinct") >= l, 1L).otherwise(0L))
 }

@@ -28,6 +28,19 @@ object Exact {
   /** Exact 2-decimal view of a monetary double column. */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Integral (floor-toward-zero) division as a Column — SQL's `div`,
+    * which the Scala Column API does not expose as an operator. Exact on
+    * BIGINT/DECIMAL operands where `floor(a / b)` on decimals could hit
+    * the 38-digit division precision cap and round. Both engines define
+    * `div`/`//` identically for non-negative operands; for possibly
+    * negative numerators apply the sign outside (Spark truncates toward
+    * zero, DuckDB floors). */
+  def idiv(num: Column, den: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(num),
+        org.apache.spark.sql.GraftBridge.expression(den)))
+
   /** Order-independent SUM of a 2-decimal double column, as double. */
   def sumExact(c: Column): Column = sum(dec2(c)).cast("double")
 

@@ -134,7 +134,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the source-overlap pair grid is a dim×dim inequality join —
     // |sources| rows a side by construction (a catalog, not data); all
     // downstream work is O(pairs·k) sketch rows
-    "sk_source_overlap")
+    "sk_source_overlap",
+    // the classifier evaluators score against a ONE-row label-0
+    // centroid broadcast cross-joined into the embedding scan — scalar
+    // side by construction (t_hll_distinct's shape); everything
+    // downstream is the bounded-domain score histogram
+    "ml_auc", "ml_avg_precision", "ml_calibration", "ml_confusion")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
