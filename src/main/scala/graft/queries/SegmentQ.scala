@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.Privacy
+import graft.util.Exact
+import graft.util.Exact.idiv
+
+/** Round-9 segmentation / temporal-analytics pack: RFM customer
+  * segmentation, a multiplicative seasonal index, the interval-overlap
+  * join, and the l-diversity privacy audit. All pure-integer outputs
+  * under the house exactness discipline (cents via DECIMAL(18,2), basis
+  * points via integral division on non-negative numerators).
+  */
+object SegmentQ extends QueryPack {
+
+  /** RFM (recency / frequency / monetary) segmentation: per customer the
+    * last order day, order count and exact spend aggregate first (ONE
+    * groupBy on the customer key), then each metric ranks into quintiles
+    * — quintile = ((rank−1)·5) div n + 1 with the customer key as the
+    * deterministic tie-break — and the output is the SEGMENT GRID
+    * (r,f,m) → customer count + spend, ≤125 rows at any scale.
+    *
+    * Recency needs no "as of" anchor: ranking last-order days ascending
+    * makes quintile 5 the most recent fifth directly. The rank windows
+    * sort the aggregated CUSTOMER relation (not orders); at 100 TB the
+    * same grid would come from approx-quantile thresholds broadcast into
+    * the scan — the documented t_quality_pctl trade — but the exact rank
+    * form is the oracle-replayable ground truth. */
+  private def eRfm(spark: SparkSession, d: String): DataFrame = {
+    val pc = Tables.orders(spark, d)
+      .groupBy("o_custkey")
+      .agg(
+        datediff(max(col("o_orderdate")), lit("1970-01-01")).as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum((Exact.dec2(col("o_totalprice")) * 100).cast("long"))
+          .cast("long").as("spend_c"))
+    val n = count(lit(1)).over(Window.partitionBy())
+    def quintile(rank: org.apache.spark.sql.Column) =
+      idiv((rank - 1) * 5, col("n")) + 1
+    pc.withColumn("rr", row_number().over(
+          Window.orderBy(col("last_day"), col("o_custkey"))))
+      .withColumn("rf", row_number().over(
+          Window.orderBy(col("n_orders"), col("o_custkey"))))
+      .withColumn("rm", row_number().over(
+          Window.orderBy(col("spend_c"), col("o_custkey"))))
+      .withColumn("n", n)
+      .select(quintile(col("rr")).cast("long").as("r_q"),
+        quintile(col("rf")).cast("long").as("f_q"),
+        quintile(col("rm")).cast("long").as("m_q"),
+        col("spend_c"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum("spend_c").cast("long").as("spend_c_sum"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  private val eRfmSql =
+    """WITH pc AS (SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(MAX(o_orderdate) AS DATE))
+           AS last_day,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS spend_c
+       FROM orders GROUP BY 1),
+       r AS (SELECT spend_c,
+               ROW_NUMBER() OVER (ORDER BY last_day, o_custkey) AS rr,
+               ROW_NUMBER() OVER (ORDER BY n_orders, o_custkey) AS rf,
+               ROW_NUMBER() OVER (ORDER BY spend_c, o_custkey) AS rm,
+               COUNT(*) OVER () AS n
+             FROM pc),
+       q AS (SELECT ((rr - 1) * 5) // n + 1 AS r_q,
+                    ((rf - 1) * 5) // n + 1 AS f_q,
+                    ((rm - 1) * 5) // n + 1 AS m_q, spend_c
+             FROM r)
+       SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+              CAST(m_q AS BIGINT) AS m_q,
+              CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(SUM(spend_c) AS BIGINT) AS spend_c_sum
+       FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** Multiplicative seasonal index by month-of-year: monthly revenue
+    * aggregates per calendar month (year, month), months-of-year average
+    * over the years they appear in, and the index is that average over
+    * the grand monthly average in basis points —
+    * idx_bp = ⌊10⁴·(rev_mo/n_mo)·(n_all/rev_all)⌋, rearranged to a single
+    * integral division so nothing is ever a float. 12 output rows; the
+    * cross-month totals are windows over the 12-row relation, so the
+    * whole plan after the one calendar-month groupBy is constant-sized
+    * at any corpus scale. */
+  private def gSeasonalIdx(spark: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val monthly = Tables.orders(spark, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("ym"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum((Exact.dec2(col("o_totalprice")) * 100).cast("long"))
+        .cast("long").as("rev"))
+    val s = monthly.groupBy("mo")
+      .agg(count(lit(1)).cast("long").as("n_ym"),
+        sum("rev").cast("long").as("rev_c"))
+    val all = Window.partitionBy()
+    s.withColumn("tot", sum("rev_c").over(all))
+      .withColumn("n_tot", sum("n_ym").over(all))
+      .select(col("mo").cast("long").as("month"), col("n_ym"), col("rev_c"),
+        idiv(lit(10000) * col("rev_c").cast(D) * col("n_tot"),
+          col("n_ym").cast(D) * col("tot")).cast("long").as("idx_bp"))
+      .orderBy("month")
+  }
+
+  private val gSeasonalIdxSql =
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS ym,
+            month(o_orderdate) AS mo,
+            SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS rev
+          FROM orders GROUP BY 1, 2),
+       s AS (SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_ym,
+                    CAST(SUM(rev) AS BIGINT) AS rev_c
+             FROM m GROUP BY 1),
+       w AS (SELECT *, SUM(rev_c) OVER () AS tot, SUM(n_ym) OVER () AS n_tot
+             FROM s)
+       SELECT CAST(mo AS BIGINT) AS month, n_ym, rev_c,
+              CAST((10000 * CAST(rev_c AS HUGEINT) * n_tot) //
+                   (CAST(n_ym AS HUGEINT) * tot) AS BIGINT) AS idx_bp
+       FROM w ORDER BY month"""
+
+  /** Interval-overlap join, keyed: each order's "awaiting first
+    * shipment" window [orderdate, min shipdate] (orders whose first
+    * shipment predates the order are data noise and drop via s ≤ e),
+    * then the pairs of SAME-CUSTOMER orders whose windows overlap, with
+    * the overlap length in days.
+    *
+    * Scale shape: the overlap self-join is EQUI on the customer key —
+    * both sides shuffle once on o_custkey and pairs only ever form
+    * within a customer's order list (bounded per key), never across the
+    * corpus; the range predicates apply inside the co-partition. The
+    * keyless variant of this operator is the classic bucketed interval
+    * join (map each interval to its covered time buckets, equi-join on
+    * bucket, dedup) — same idea with a synthetic co-partition key; the
+    * date-spine machinery in [[TimelineQ]] supplies the bucket spine
+    * when that form is needed. */
+  private def ijOrderOverlap(spark: SparkSession, d: String): DataFrame = {
+    val iv = Tables.lineitem(spark, d)
+      .groupBy("l_orderkey")
+      .agg(min(to_date(col("l_shipdate"))).as("e"))
+    val oi = Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("s"))
+      .join(iv, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("s") <= col("e"))
+      .select("o_custkey", "o_orderkey", "s", "e")
+    oi.alias("a").join(oi.alias("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+        col("a.o_orderkey") < col("b.o_orderkey") &&
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.o_custkey").cast("long").as("custkey"),
+        col("a.o_orderkey").as("o1"), col("b.o_orderkey").as("o2"),
+        (datediff(least(col("a.e"), col("b.e")),
+          greatest(col("a.s"), col("b.s"))) + 1).cast("long")
+          .as("overlap_days"))
+      .orderBy("custkey", "o1", "o2")
+  }
+
+  private val ijOrderOverlapSql =
+    """WITH iv AS (SELECT l_orderkey, CAST(MIN(l_shipdate) AS DATE) AS e
+         FROM lineitem GROUP BY 1),
+       oi AS (SELECT o_custkey, o_orderkey,
+                CAST(o_orderdate AS DATE) AS s, e
+              FROM orders JOIN iv ON o_orderkey = l_orderkey
+              WHERE CAST(o_orderdate AS DATE) <= e)
+       SELECT CAST(a.o_custkey AS BIGINT) AS custkey,
+              a.o_orderkey AS o1, b.o_orderkey AS o2,
+              CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1
+                AS BIGINT) AS overlap_days
+       FROM oi a JOIN oi b
+         ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        AND a.s <= b.e AND b.s <= a.e
+       ORDER BY custkey, o1, o2"""
+
+  /** l-diversity audit over (lang, 500-char length band) → source: the
+    * release-safety complement of `t_kanon_audit` ([[Privacy]] scaladoc)
+    * — one partial-agg groupBy, flag classes whose sensitive attribute
+    * has fewer than 3 distinct values. */
+  private def tLdivAudit(spark: SparkSession, d: String): DataFrame =
+    Privacy.lDiversityAudit(
+        Tables.documents(spark, d)
+          .withColumn("chars_band", Privacy.band(col("n_chars"), 500L)),
+        Seq("lang", "chars_band"), "source", l = 3L)
+      .select(col("lang"), col("chars_band"), col("group_size"),
+        col("l_distinct"), col("meets_l"))
+      .orderBy("lang", "chars_band")
+
+  private val tLdivAuditSql =
+    """SELECT lang, (n_chars // 500) * 500 AS chars_band,
+              CAST(COUNT(*) AS BIGINT) AS group_size,
+              CAST(COUNT(DISTINCT source) AS BIGINT) AS l_distinct,
+              CAST(CASE WHEN COUNT(DISTINCT source) >= 3 THEN 1 ELSE 0 END
+                AS BIGINT) AS meets_l
+       FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  def queries: Seq[Q] = Seq(
+    Q("e_rfm", eRfm, Some(eRfmSql)),
+    Q("g_seasonal_idx", gSeasonalIdx, Some(gSeasonalIdxSql)),
+    Q("ij_order_overlap", ijOrderOverlap, Some(ijOrderOverlapSql)),
+    Q("t_ldiv_audit", tLdivAudit, Some(tLdivAuditSql)))
+}
