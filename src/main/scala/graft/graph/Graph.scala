@@ -714,4 +714,52 @@ object Graph {
         sum(expr(s"${Scale}L div dg")).as("score"))
       .join(e, Seq("a", "b"), "left_anti")
   }
+
+  /** Katz centrality, integer fixed point: node importance as the
+    * damped count of incoming walks of every length —
+    *
+    *   c_0(v)     = 0
+    *   c_{t+1}(v) = Σ_{u→v} (Scale + c_t(u)) div 16
+    *
+    * i.e. attenuation α = 1/16 applied per hop with the unit basis
+    * folded into each edge's contribution (the β·1 term of the
+    * classical recurrence x = α·Aᵀ(x + 1)). Unlike PageRank there is
+    * NO out-degree normalization — a node with many out-edges
+    * contributes its full attenuated mass along every edge, which is
+    * Katz's defining difference.
+    *
+    * Per round: ONE |edges| equi-join + one partial-agg sum, lineage
+    * truncated ([[pageRank]]'s shape). The 1/16 attenuation bounds the
+    * scores: c_t ≤ (maxdeg/16)^t·Scale, which keeps 3 rounds of the
+    * sf1 planted-hub graph (deg ≈ 10⁵) inside BIGINT with ×100
+    * headroom; a graph with maxdeg ≫ 10⁶ would switch the score column
+    * to DECIMAL(38,0) — same plan, wider type. Every per-edge term
+    * floors BEFORE the sum, so the recurrence replays bit-exact in any
+    * engine. */
+  def katz(edges: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var c = nodes.withColumn("score", lit(0L))
+    for (_ <- 1 to rounds) {
+      val contrib = e.join(c.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr(s"(${Scale}L + score) div 16").as("t"))
+        .groupBy("node").agg(sum(col("t")).as("in_sum"))
+      c = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("in_sum"), lit(0L)).as("score"))
+        .localCheckpoint()
+    }
+    c
+  }
 }

@@ -199,8 +199,117 @@ object ClassifyQ extends QueryPack {
               END AS rho_bp
        FROM a"""
 
+  /** Cohen's kappa between TWO deterministic classifiers over the same
+    * embeddings — chance-corrected agreement, the metric behind
+    * inter-annotator / model-vs-model audits. Annotator A is
+    * `ml_confusion`'s thresholded centroid-0 score; annotator B is the
+    * two-centroid nearest-of rule (dot₀ > dot₁). One scan with BOTH
+    * one-row centroids broadcast in, one 4-cell agreement aggregate,
+    * then κ = (N·(n₁₁+n₀₀) − E) / (N² − E) with
+    * E = (n₁₁+n₁₀)(n₁₁+n₀₁) + (n₀₁+n₀₀)(n₁₀+n₀₀), floor-divided
+    * sign-safely into basis points (κ can be negative). The cross-row
+    * products run in DECIMAL(38,0)/HUGEINT — N² overflows BIGINT long
+    * before the scan becomes the bottleneck. */
+  private def mlKappa(spark: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sv = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+          .as("q"))
+    def cent(label: Int, out: String) =
+      sv.filter(col("label") === label)
+        .agg(graft.plans.VecSum.sum(col("q")).as("s"),
+          count(lit(1)).as("n"))
+        .select(expr("transform(s, x -> x div n)").as(out))
+    val dot = (c: String) =>
+      s"""aggregate(zip_with(q, $c, (a, b) -> a * b),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+    val cells = sv.crossJoin(broadcast(cent(0, "c0")))
+      .crossJoin(broadcast(cent(1, "c1")))
+      .select(
+        expr(s"""CASE WHEN (${dot("c0")} + 140737488355328)
+                   div 1073741824 >= 131090 THEN 1 ELSE 0 END""").as("a"),
+        expr(s"""CASE WHEN ${dot("c0")} > ${dot("c1")}
+                   THEN 1 ELSE 0 END""").as("b"))
+      .agg(
+        sum(col("a") * col("b")).cast("long").as("n11"),
+        sum(col("a") * (lit(1) - col("b"))).cast("long").as("n10"),
+        sum((lit(1) - col("a")) * col("b")).cast("long").as("n01"),
+        sum((lit(1) - col("a")) * (lit(1) - col("b"))).cast("long")
+          .as("n00"))
+    cells
+      .withColumn("nn",
+        (col("n11") + col("n10") + col("n01") + col("n00")).cast(D))
+      .withColumn("ee", expr(
+        """(CAST(n11 AS DECIMAL(38,0)) + n10) * (CAST(n11 AS DECIMAL(38,0)) + n01)
+           + (CAST(n01 AS DECIMAL(38,0)) + n00) * (CAST(n10 AS DECIMAL(38,0)) + n00)"""))
+      .withColumn("num", expr(
+        "nn * (CAST(n11 AS DECIMAL(38,0)) + n00) - ee"))
+      .withColumn("den", expr("nn * nn - ee"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        Exact.idiv((col("n11") + col("n00")) * 10000,
+          col("n11") + col("n10") + col("n01") + col("n00"))
+          .cast("long").as("po_bp"),
+        expr("""CASE WHEN den = 0 THEN NULL
+                     WHEN num < 0 THEN -((10000 * (-num)) div den)
+                     ELSE (10000 * num) div den END""")
+          .cast("long").as("kappa_bp"))
+  }
+
+  private val mlKappaSql =
+    """WITH sv AS (SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+       FROM embeddings),
+       ce0 AS (SELECT u.dim, u.q AS qv
+               FROM sv, UNNEST(list_transform(q,
+                 (x, i) -> {'dim': i - 1, 'q': x})) AS r(u)
+               WHERE label = 0),
+       cent0 AS (SELECT list(CAST(s // n AS BIGINT) ORDER BY dim) AS c0
+                 FROM (SELECT dim, SUM(qv) AS s, COUNT(*) AS n
+                       FROM ce0 GROUP BY 1)),
+       ce1 AS (SELECT u.dim, u.q AS qv
+               FROM sv, UNNEST(list_transform(q,
+                 (x, i) -> {'dim': i - 1, 'q': x})) AS r(u)
+               WHERE label = 1),
+       cent1 AS (SELECT list(CAST(s // n AS BIGINT) ORDER BY dim) AS c1
+                 FROM (SELECT dim, SUM(qv) AS s, COUNT(*) AS n
+                       FROM ce1 GROUP BY 1)),
+       ab AS (SELECT
+           CASE WHEN (list_sum(list_transform(q, (x, i) -> x * c0[i]))
+                      + 140737488355328) // 1073741824 >= 131090
+                THEN 1 ELSE 0 END AS a,
+           CASE WHEN list_sum(list_transform(q, (x, i) -> x * c0[i])) >
+                     list_sum(list_transform(q, (x, i) -> x * c1[i]))
+                THEN 1 ELSE 0 END AS b
+         FROM sv, cent0, cent1),
+       cells AS (SELECT
+           CAST(SUM(a * b) AS BIGINT) AS n11,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+           CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+         FROM ab),
+       k AS (SELECT *,
+               CAST(n11 + n10 + n01 + n00 AS HUGEINT) AS nn,
+               (CAST(n11 AS HUGEINT) + n10) * (CAST(n11 AS HUGEINT) + n01)
+                 + (CAST(n01 AS HUGEINT) + n00) * (CAST(n10 AS HUGEINT) + n00)
+                 AS ee
+             FROM cells)
+       SELECT n11, n10, n01, n00,
+              CAST(((n11 + n00) * 10000) // (n11 + n10 + n01 + n00)
+                AS BIGINT) AS po_bp,
+              CASE WHEN nn * nn - ee = 0 THEN NULL
+                   WHEN nn * (CAST(n11 AS HUGEINT) + n00) - ee < 0
+                   THEN CAST(-((10000 * (ee - nn * (CAST(n11 AS HUGEINT) + n00)))
+                     // (nn * nn - ee)) AS BIGINT)
+                   ELSE CAST((10000 * (nn * (CAST(n11 AS HUGEINT) + n00) - ee))
+                     // (nn * nn - ee) AS BIGINT)
+              END AS kappa_bp
+       FROM k"""
+
   def queries: Seq[Q] = Seq(
     Q("ml_auc", mlAuc, Some(mlAucSql)),
+    Q("ml_kappa", mlKappa, Some(mlKappaSql)),
     Q("ml_avg_precision", mlAvgPrecision, Some(mlAvgPrecisionSql)),
     Q("ml_calibration", mlCalibration, Some(mlCalibrationSql)),
     Q("ml_confusion", mlConfusion, Some(mlConfusionSql)),

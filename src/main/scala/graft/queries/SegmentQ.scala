@@ -200,8 +200,55 @@ object SegmentQ extends QueryPack {
                 AS BIGINT) AS meets_l
        FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Per-source quantile normalization of an integer quality score —
+    * the cross-source calibration step before a GLOBAL quality
+    * threshold: each document ranks within its source and maps to its
+    * source-local decile, so "keep decile ≥ 8" selects the same
+    * fraction from every source regardless of how the sources' raw
+    * score distributions differ (a web crawl scores lower than curated
+    * text everywhere; thresholding raw scores would silently drop the
+    * crawl). Score = stopword hits per 1000 tokens (pure integers);
+    * decile = ((rank−1)·10) div n_source + 1 with doc_id tie-break.
+    * One window per source partition — co-partitioned by construction,
+    * no global sort. */
+  private def tQualityQnorm(spark: SparkSession, d: String): DataFrame = {
+    import graft.text.Text
+    val en = Text.langStopwords.head._2
+    val b = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        idiv(Text.stopwordHits(col("text"), en).cast("long") * 1000,
+          size(Text.tokens(col("text"))).cast("long")).as("score_i"))
+    val bySrc = Window.partitionBy("source")
+    b.withColumn("rn", row_number().over(
+        bySrc.orderBy(col("score_i"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .select(col("doc_id"), col("source"), col("score_i"),
+        (idiv((col("rn") - 1) * 10, col("n")) + 1).cast("long")
+          .as("decile"))
+      .orderBy("doc_id")
+  }
+
+  private val tQualityQnormSql = {
+    val en = graft.text.Text.langStopwords.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT doc_id, source,
+         (1000 * len(list_filter(string_split(text, ' '),
+            x -> list_contains($en, x))))
+           // len(string_split(text, ' ')) AS score_i
+       FROM documents),
+       r AS (SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score_i, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+             FROM b)
+       SELECT doc_id, source, CAST(score_i AS BIGINT) AS score_i,
+              CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS decile
+       FROM r ORDER BY doc_id"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("e_rfm", eRfm, Some(eRfmSql)),
+    Q("t_quality_qnorm", tQualityQnorm, Some(tQualityQnormSql)),
     Q("g_seasonal_idx", gSeasonalIdx, Some(gSeasonalIdxSql)),
     Q("ij_order_overlap", ijOrderOverlap, Some(ijOrderOverlapSql)),
     Q("t_ldiv_audit", tLdivAudit, Some(tLdivAuditSql)))

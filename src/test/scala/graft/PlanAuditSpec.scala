@@ -139,7 +139,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // centroid broadcast cross-joined into the embedding scan — scalar
     // side by construction (t_hll_distinct's shape); everything
     // downstream is the bounded-domain score histogram
-    "ml_auc", "ml_avg_precision", "ml_calibration", "ml_confusion")
+    "ml_auc", "ml_avg_precision", "ml_calibration", "ml_confusion",
+    // kappa broadcasts BOTH one-row centroids into the same scan —
+    // two scalar sides by construction
+    "ml_kappa")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
