@@ -9,11 +9,13 @@ import graft.text.Privacy
 import graft.util.Exact
 import graft.util.Exact.idiv
 
-/** Round-9 segmentation / temporal-analytics pack: RFM customer
+/** Round-9 segmentation / temporal / audit analytics pack: RFM customer
   * segmentation, a multiplicative seasonal index, the interval-overlap
-  * join, and the l-diversity privacy audit. All pure-integer outputs
-  * under the house exactness discipline (cents via DECIMAL(18,2), basis
-  * points via integral division on non-negative numerators).
+  * join, per-source quality quantile normalization, a rolling robust
+  * median, Benford's-law forensics, and the l-diversity privacy audit.
+  * All pure-integer outputs under the house exactness discipline (cents
+  * via DECIMAL(18,2), basis points via integral division on
+  * non-negative numerators).
   */
 object SegmentQ extends QueryPack {
 
@@ -246,8 +248,92 @@ object SegmentQ extends QueryPack {
        FROM r ORDER BY doc_id"""
   }
 
+  /** 7-day rolling LOWER median of daily revenue — the robust trend
+    * line a rolling mean can't give (one outlier day drags a mean for a
+    * week; the median shrugs it off). Daily revenue aggregates first
+    * (ONE groupBy to a |days|-sized relation), then the median comes
+    * from an explicit sorted-frame pick: collect the 7-row frame, sort,
+    * take element (len+1) div 2 — pure integers, deterministic in both
+    * engines, and the window input is calendar-sized (~2.4k rows for
+    * the 6½-year testdata) at ANY corpus scale, so the single-partition
+    * ordered window is domain-bounded, not data-bounded. */
+  private def gRollingMedian(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(spark, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((Exact.dec2(col("o_totalprice")) * 100).cast("long"))
+        .cast("long").as("rev_c"))
+    val frame = Window.orderBy("day").rowsBetween(-6, 0)
+    daily.withColumn("win", collect_list("rev_c").over(frame))
+      .select(col("day"), col("rev_c"),
+        element_at(sort_array(col("win")),
+          (idiv(size(col("win")) + 1, lit(2))).cast("int"))
+          .cast("long").as("med7_c"))
+      .orderBy("day")
+  }
+
+  private val gRollingMedianSql =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS rev_c
+       FROM orders GROUP BY 1),
+       w AS (SELECT day, rev_c,
+               list(rev_c) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+             FROM daily)
+       SELECT day, rev_c,
+              CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT) AS med7_c
+       FROM w ORDER BY day"""
+
+  /** Benford's-law first-digit audit over order totals (in cents): the
+    * classic forensic screen for fabricated or artificially-generated
+    * numeric columns — organic multiplicative data leads with digit 1
+    * ~30.1% of the time; uniform synthetic data (like this testdata's
+    * price column, which the audit duly flags) does not. Output: per
+    * leading digit the count, observed share, the hardcoded Benford
+    * expectation log₁₀(1+1/d) in basis points, and the absolute
+    * deviation. One groupBy to a 9-row histogram; the total is a window
+    * over those 9 rows, and the expectation table is a 9-row broadcast
+    * literal — everything after the scan is constant-sized. */
+  private def stBenford(spark: SparkSession, d: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val exp = Seq((1L, 3010L), (2L, 1760L), (3L, 1249L), (4L, 969L),
+      (5L, 791L), (6L, 669L), (7L, 579L), (8L, 511L), (9L, 457L))
+      .toDF("digit", "exp_bp")
+    val h = Tables.orders(spark, d)
+      .filter(col("o_totalprice") > 0)
+      .select(substring((Exact.dec2(col("o_totalprice")) * 100)
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).cast("long").as("n"))
+    h.withColumn("tot", sum("n").over(Window.partitionBy()))
+      .join(broadcast(exp), Seq("digit"))
+      .select(col("digit"), col("n"),
+        idiv(col("n") * 10000, col("tot")).as("obs_bp"), col("exp_bp"),
+        abs(idiv(col("n") * 10000, col("tot")) - col("exp_bp"))
+          .as("dev_bp"))
+      .orderBy("digit")
+  }
+
+  private val stBenfordSql =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+            AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+            AS BIGINT) AS digit
+       FROM orders WHERE o_totalprice > 0),
+       h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+             FROM d GROUP BY 1),
+       w AS (SELECT digit, n, SUM(n) OVER () AS tot FROM h),
+       exp_t(digit, exp_bp) AS (VALUES
+         (1, 3010), (2, 1760), (3, 1249), (4, 969), (5, 791),
+         (6, 669), (7, 579), (8, 511), (9, 457))
+       SELECT w.digit, n, CAST((n * 10000) // tot AS BIGINT) AS obs_bp,
+              CAST(exp_bp AS BIGINT) AS exp_bp,
+              CAST(abs((n * 10000) // tot - exp_bp) AS BIGINT) AS dev_bp
+       FROM w JOIN exp_t ON w.digit = exp_t.digit ORDER BY w.digit"""
+
   def queries: Seq[Q] = Seq(
     Q("e_rfm", eRfm, Some(eRfmSql)),
+    Q("g_rolling_median", gRollingMedian, Some(gRollingMedianSql)),
+    Q("st_benford", stBenford, Some(stBenfordSql)),
     Q("t_quality_qnorm", tQualityQnorm, Some(tQualityQnormSql)),
     Q("g_seasonal_idx", gSeasonalIdx, Some(gSeasonalIdxSql)),
     Q("ij_order_overlap", ijOrderOverlap, Some(ijOrderOverlapSql)),
