@@ -115,6 +115,32 @@ object Eval {
         idiv(col("score_sum") * 100, col("n")).as("mean_score_c"))
   }
 
+  /** Full precision–recall curve: one row per DISTINCT score value s,
+    * treating s as the threshold (predict positive when score ≥ s) —
+    * tp = cumPos from the top, fp/fn derived, precision/recall/F1 in
+    * basis points. The curve [[avgPrecisionBp]] summarizes, laid out
+    * row by row; |score-domain| output rows from the same histogram
+    * plan, so the whole curve costs one groupBy + one bounded window at
+    * any corpus size. */
+  def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column)
+      : DataFrame = {
+    val h = scoreHistogram(df, scoreCol, labelCol)
+    val fromTop = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    h.withColumn("tp", sum("pos").over(fromTop).cast("long"))
+      .withColumn("npred", sum(col("pos") + col("neg")).over(fromTop)
+        .cast("long"))
+      .withColumn("pos_n", sum("pos").over(all).cast("long"))
+      .select(col("score").as("threshold"), col("tp"),
+        (col("npred") - col("tp")).as("fp"),
+        (col("pos_n") - col("tp")).as("fn"),
+        idiv(col("tp") * 10000, col("npred")).as("precision_bp"),
+        when(col("pos_n") === 0, lit(null))
+          .otherwise(idiv(col("tp") * 10000, col("pos_n")))
+          .cast("long").as("recall_bp"))
+  }
+
   /** Confusion matrix at `threshold` (predict positive when
     * score ≥ threshold), one row: tp/fp/fn/tn plus precision, recall
     * and F1 in basis points (F1 = 2tp / (2tp + fp + fn), floored; NULL

@@ -136,6 +136,30 @@ object ClassifyQ extends QueryPack {
               CAST((score_sum * 100) // n AS BIGINT) AS mean_score_c
        FROM c ORDER BY bucket"""
 
+  private def mlPrCurve(spark: SparkSession, d: String): DataFrame =
+    Eval.prCurve(scored(spark, d), col("score"), col("y"))
+      .orderBy(col("threshold").desc)
+
+  private val mlPrCurveSql =
+    s"""WITH $scoredSql,
+       h AS (SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
+             FROM scored GROUP BY 1),
+       w AS (SELECT score,
+               SUM(pos) OVER ft AS tp_h,
+               SUM(pos + neg) OVER ft AS npred,
+               SUM(pos) OVER () AS pos_n
+             FROM h
+             WINDOW ft AS (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT score AS threshold, CAST(tp_h AS BIGINT) AS tp,
+              CAST(npred - tp_h AS BIGINT) AS fp,
+              CAST(pos_n - tp_h AS BIGINT) AS fn,
+              CAST((tp_h * 10000) // npred AS BIGINT) AS precision_bp,
+              CASE WHEN pos_n = 0 THEN NULL
+                   ELSE CAST((tp_h * 10000) // pos_n AS BIGINT)
+              END AS recall_bp
+       FROM w ORDER BY threshold DESC"""
+
   private def mlConfusion(spark: SparkSession, d: String): DataFrame =
     Eval.confusion(scored(spark, d), col("score"), col("y"),
       threshold = 131090L)
@@ -312,6 +336,7 @@ object ClassifyQ extends QueryPack {
     Q("ml_kappa", mlKappa, Some(mlKappaSql)),
     Q("ml_avg_precision", mlAvgPrecision, Some(mlAvgPrecisionSql)),
     Q("ml_calibration", mlCalibration, Some(mlCalibrationSql)),
+    Q("ml_pr_curve", mlPrCurve, Some(mlPrCurveSql)),
     Q("ml_confusion", mlConfusion, Some(mlConfusionSql)),
     Q("st_spearman", stSpearman, Some(stSpearmanSql)))
 }

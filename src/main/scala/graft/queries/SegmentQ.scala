@@ -330,8 +330,117 @@ object SegmentQ extends QueryPack {
               CAST(abs((n * 10000) // tot - exp_bp) AS BIGINT) AS dev_bp
        FROM w JOIN exp_t ON w.digit = exp_t.digit ORDER BY w.digit"""
 
+  /** percent_rank and cume_dist as exact integers: per market segment,
+    * each customer's account-balance percent rank
+    * ((rank−1)·10⁴ div (n−1), ties sharing the rank) and cumulative
+    * distribution (rows ≤ current value over n — the default RANGE
+    * frame of an ordered COUNT window counts ties in, which IS the
+    * cume_dist numerator). The float builtins compute the same ratios
+    * as doubles; the integer forms make the threshold decisions
+    * engine-exact. One window shuffle on the segment key. */
+  private def w11PctRank(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        (Exact.dec2(col("c_acctbal")) * 100).cast("long").as("bal_c"))
+    val ordered = Window.partitionBy("segment").orderBy("bal_c")
+    c.withColumn("rk", rank().over(ordered))
+      .withColumn("cnt_le", count(lit(1)).over(ordered))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("segment")))
+      .select(col("c_custkey"), col("segment"), col("bal_c"),
+        when(col("n") === 1, 0L)
+          .otherwise(idiv((col("rk") - 1) * 10000, col("n") - 1))
+          .cast("long").as("pr_bp"),
+        idiv(col("cnt_le") * 10000, col("n")).cast("long").as("cd_bp"))
+      .orderBy("c_custkey")
+  }
+
+  private val w11PctRankSql =
+    """WITH c AS (SELECT c_custkey, c_mktsegment AS segment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+       FROM customer),
+       w AS (SELECT *,
+               RANK() OVER (PARTITION BY segment ORDER BY bal_c) AS rk,
+               COUNT(*) OVER (PARTITION BY segment ORDER BY bal_c)
+                 AS cnt_le,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+             FROM c)
+       SELECT c_custkey, segment, bal_c,
+              CAST(CASE WHEN n = 1 THEN 0
+                        ELSE ((rk - 1) * 10000) // (n - 1) END AS BIGINT)
+                AS pr_bp,
+              CAST((cnt_le * 10000) // n AS BIGINT) AS cd_bp
+       FROM w ORDER BY c_custkey"""
+
+  /** Seasonal-expectation outliers: each calendar month's revenue vs
+    * what the seasonal index predicts for its month-of-year
+    * (expected = grand-monthly-mean · idx div 10⁴), deviation in basis
+    * points, flagged over 20%. The residual half of `g_seasonal_idx` —
+    * the index explains the recurring shape; what it can't explain is
+    * the anomaly list. Calendar-sized relations throughout after the
+    * one monthly groupBy; the 12-row index table broadcasts into the
+    * per-month join. */
+  private def eSeasonalOutliers(spark: SparkSession, d: String)
+      : DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val monthly = Tables.orders(spark, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("ym"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum((Exact.dec2(col("o_totalprice")) * 100).cast("long"))
+        .cast("long").as("rev"))
+    val all = Window.partitionBy()
+    val idx = monthly.groupBy("mo")
+      .agg(count(lit(1)).cast("long").as("n_ym"),
+        sum("rev").cast("long").as("rev_c"))
+      .withColumn("tot", sum("rev_c").over(all))
+      .withColumn("n_tot", sum("n_ym").over(all))
+      .select(col("mo"),
+        idiv(lit(10000) * col("rev_c").cast(D) * col("n_tot"),
+          col("n_ym").cast(D) * col("tot")).cast("long").as("idx_bp"),
+        idiv(col("tot"), col("n_tot")).cast("long").as("grand_c"))
+    monthly.join(broadcast(idx), Seq("mo"))
+      .withColumn("expected_c",
+        idiv(col("grand_c") * col("idx_bp"), lit(10000L)).cast("long"))
+      .select(to_date(col("ym")).as("ym"), col("mo").cast("long").as("month"),
+        col("rev"), col("expected_c"),
+        idiv(abs(col("rev") - col("expected_c")) * 10000,
+          col("expected_c")).cast("long").as("dev_bp"))
+      .withColumn("flag",
+        when(col("dev_bp") > 2000, 1L).otherwise(0L))
+      .orderBy("ym")
+  }
+
+  private val eSeasonalOutliersSql =
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS ym,
+            month(o_orderdate) AS mo,
+            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS BIGINT)) AS BIGINT) AS rev
+          FROM orders GROUP BY 1, 2),
+       s AS (SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_ym,
+                    CAST(SUM(rev) AS BIGINT) AS rev_c
+             FROM m GROUP BY 1),
+       w AS (SELECT *, SUM(rev_c) OVER () AS tot, SUM(n_ym) OVER () AS n_tot
+             FROM s),
+       i AS (SELECT mo,
+               CAST((10000 * CAST(rev_c AS HUGEINT) * n_tot) //
+                    (CAST(n_ym AS HUGEINT) * tot) AS BIGINT) AS idx_bp,
+               CAST(tot // n_tot AS BIGINT) AS grand_c
+             FROM w),
+       j AS (SELECT CAST(ym AS DATE) AS ym, CAST(m.mo AS BIGINT) AS month,
+               rev, CAST((grand_c * idx_bp) // 10000 AS BIGINT)
+                 AS expected_c
+             FROM m JOIN i ON m.mo = i.mo)
+       SELECT ym, month, rev, expected_c,
+              CAST((abs(rev - expected_c) * 10000) // expected_c AS BIGINT)
+                AS dev_bp,
+              CAST(CASE WHEN (abs(rev - expected_c) * 10000) // expected_c
+                             > 2000
+                        THEN 1 ELSE 0 END AS BIGINT) AS flag
+       FROM j ORDER BY ym"""
+
   def queries: Seq[Q] = Seq(
     Q("e_rfm", eRfm, Some(eRfmSql)),
+    Q("e_seasonal_outliers", eSeasonalOutliers, Some(eSeasonalOutliersSql)),
+    Q("w11_pct_rank", w11PctRank, Some(w11PctRankSql)),
     Q("g_rolling_median", gRollingMedian, Some(gRollingMedianSql)),
     Q("st_benford", stBenford, Some(stBenfordSql)),
     Q("t_quality_qnorm", tQualityQnorm, Some(tQualityQnormSql)),
