@@ -129,10 +129,13 @@ object Stats {
     val base = df.select(xCol.cast("long").as("x"),
       yCol.cast("long").as("y"), tiebreakCol.as("tb"))
     base
+      // row_number is INT — cast to long BEFORE the difference square,
+      // which overflows 32 bits as soon as n crosses ~46k (caught by
+      // the sf1 stress sweep)
       .withColumn("rx",
-        row_number().over(Window.orderBy(col("x"), col("tb"))))
+        row_number().over(Window.orderBy(col("x"), col("tb"))).cast("long"))
       .withColumn("ry",
-        row_number().over(Window.orderBy(col("y"), col("tb"))))
+        row_number().over(Window.orderBy(col("y"), col("tb"))).cast("long"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(((col("rx") - col("ry")) * (col("rx") - col("ry"))).cast(D))
           .cast("long").as("sum_d2"))

@@ -30,6 +30,11 @@ class VecSumAggregator extends Aggregator[Array[Long], Array[Long], Array[Long]]
 
   private def addInto(acc: Array[Long], v: Array[Long]): Array[Long] =
     if (acc.isEmpty) v.clone()
+    // an EMPTY v is another partition's untouched zero buffer (that
+    // partition had no rows for this group after filtering) — identity,
+    // not a length mismatch. Real input vectors are never empty at the
+    // call sites; a genuinely mismatched pair still fails below.
+    else if (v.isEmpty) acc
     else {
       require(acc.length == v.length,
         s"vec_sum: mismatched lengths ${acc.length} vs ${v.length}")
