@@ -143,7 +143,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ml_pr_curve",
     // kappa broadcasts BOTH one-row centroids into the same scan —
     // two scalar sides by construction
-    "ml_kappa")
+    "ml_kappa",
+    // the label-projection pass broadcasts the ONE-row power-iterated
+    // direction into the embedding scan — scalar side by construction
+    "sim_proj_label")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
