@@ -43,6 +43,40 @@ object Sequences {
         expr("n * 10000 div tot").as("p_bp"))
   }
 
+  /** Steady-state mass of the empirical Markov chain: power iteration
+    * over the [[transitionMatrix]] output — π_{t+1}(s) = Σ_from
+    * (π_t(from) · p_bp(from→s)) div 10⁴, each term floored before the
+    * sum (the Katz discipline), `rounds` rounds from a uniform 10⁶ per
+    * state. Mass leaks slightly each round (per-row floors and
+    * rows-sum-≤10⁴ truncation) — deterministic, and irrelevant to the
+    * RANKING the steady state is for. Every relation here is
+    * |states|-sized (the matrix is |states|² by construction), so past
+    * the transition count the whole iteration is dim-bounded at any
+    * corpus size; lineage still truncates per round out of uniform
+    * discipline. Returns (state, mass). */
+  def markovSteady(trans: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val tr = trans.select(col("from_state"), col("to_state"), col("p_bp"))
+      .localCheckpoint()
+    val states = tr.select(col("from_state").as("state"))
+      .union(tr.select(col("to_state").as("state")))
+      .distinct()
+      .localCheckpoint()
+    var pi = states.withColumn("mass", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val in = pi.withColumnRenamed("state", "from_state")
+        .join(tr, "from_state")
+        .select(col("to_state").as("state"),
+          expr("(mass * p_bp) div 10000").as("m"))
+        .groupBy("state").agg(sum(col("m")).as("in_mass"))
+      pi = states.join(in, Seq("state"), "left")
+        .select(col("state"),
+          coalesce(col("in_mass"), lit(0L)).as("mass"))
+        .localCheckpoint()
+    }
+    pi
+  }
+
   /** Sweep-line interval concurrency: how many [start, end) intervals
     * are active at each boundary day — +1 at each start, −1 at each
     * end, then a cumulative sum over the per-day deltas. An interval

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.Sequences
+import graft.util.Exact
+import graft.util.Exact.idiv
+
+/** Round-9 sequence/join extensions: the Markov steady state over the
+  * event-transition matrix, and the bucketed band join — the keyless
+  * |x−y| ≤ ε self-join done as an equi-join on value buckets instead
+  * of a cartesian.
+  */
+object Seq2Q extends QueryPack {
+
+  /** Steady-state visit mass of the user event chain: the transition
+    * matrix (e_transitions' exact integer form) power-iterated 5
+    * rounds ([[Sequences.markovSteady]]) — where the browsing process
+    * spends its time in the long run, which event types are
+    * transient. Everything after the one transition-count scan is
+    * |states|-sized. */
+  private def eMarkovSteady(spark: SparkSession, d: String): DataFrame =
+    Sequences.markovSteady(
+        Sequences.transitionMatrix(Tables.events(spark, d), "user_id",
+          Seq("ts", "event_id"), "event_type"),
+        rounds = 5)
+      .orderBy("state")
+
+  private val eMarkovSteadySql = {
+    def round(prev: String, cur: String) =
+      s"""i$cur AS (SELECT to_state AS state,
+                SUM(($prev.mass * p_bp) // 10000) AS m
+              FROM $prev JOIN tr ON $prev.state = tr.from_state
+              GROUP BY 1),
+       $cur AS (SELECT s.state, CAST(COALESCE(m, 0) AS BIGINT) AS mass
+              FROM states s LEFT JOIN i$cur USING (state))"""
+    s"""WITH p AS (SELECT user_id, event_type AS from_state,
+              LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS to_state
+            FROM events),
+       c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+             FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot
+             FROM c GROUP BY 1),
+       tr AS (SELECT c.from_state, c.to_state, n * 10000 // tot AS p_bp
+              FROM c JOIN t USING (from_state)),
+       states AS (SELECT DISTINCT from_state AS state FROM tr
+                  UNION SELECT DISTINCT to_state FROM tr),
+       pi0 AS (SELECT state, CAST(1000000 AS BIGINT) AS mass FROM states),
+       ${round("pi0", "pi1")},
+       ${round("pi1", "pi2")},
+       ${round("pi2", "pi3")},
+       ${round("pi3", "pi4")},
+       ${round("pi4", "pi5")}
+       SELECT state, mass FROM pi5 ORDER BY state"""
+  }
+
+  /** Bucketed band join: supplier pairs whose account balances sit
+    * within $10 of each other — the |x−y| ≤ ε theta self-join
+    * re-expressed as an EQUI join so it scales: each left row explodes
+    * to its bucket and the two adjacent buckets (ε-wide buckets ⇒ a
+    * qualifying pair's buckets differ by at most 1, and each pair
+    * matches on exactly ONE exploded key — no dedup needed), the join
+    * runs on the bucket key, and the exact band predicate filters
+    * inside the co-partition. Balances shift by +10⁵ before the bucket
+    * floor so the numerator is never negative (truncate-vs-floor
+    * engine divergence). 3×|rows| exploded keys vs an n² cartesian —
+    * the standard similarity-band shape at any scale. */
+  private def j12BandJoin(spark: SparkSession, d: String): DataFrame = {
+    val eps = 1000L // cents
+    val s = Tables.supplier(spark, d)
+      .select(col("s_suppkey"),
+        (Exact.dec2(col("s_acctbal")) * 100).cast("long").as("bal_c"))
+    def bucket(c: org.apache.spark.sql.Column) =
+      idiv(c + 100000L, lit(eps))
+    val a = s.select(col("s_suppkey").as("sk_a"),
+        col("bal_c").as("bal_a"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+      .select(col("sk_a"), col("bal_a"),
+        (bucket(col("bal_a")) + col("off")).as("bkt"))
+    val b = s.select(col("s_suppkey").as("sk_b"),
+      col("bal_c").as("bal_b"), bucket(col("bal_c")).as("bkt"))
+    a.join(b, "bkt")
+      .filter(abs(col("bal_a") - col("bal_b")) <= eps &&
+        col("sk_a") < col("sk_b"))
+      .select(col("sk_a"), col("sk_b"), col("bal_a"), col("bal_b"),
+        abs(col("bal_a") - col("bal_b")).as("diff_c"))
+      .orderBy("sk_a", "sk_b")
+  }
+
+  private val j12BandJoinSql =
+    """WITH s AS (SELECT s_suppkey,
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+       FROM supplier)
+       SELECT a.s_suppkey AS sk_a, b.s_suppkey AS sk_b,
+              a.bal_c AS bal_a, b.bal_c AS bal_b,
+              abs(a.bal_c - b.bal_c) AS diff_c
+       FROM s a JOIN s b
+         ON a.s_suppkey < b.s_suppkey
+        AND abs(a.bal_c - b.bal_c) <= 1000
+       ORDER BY sk_a, sk_b"""
+
+  def queries: Seq[Q] = Seq(
+    Q("e_markov_steady", eMarkovSteady, Some(eMarkovSteadySql)),
+    Q("j12_band_join", j12BandJoin, Some(j12BandJoinSql)))
+}

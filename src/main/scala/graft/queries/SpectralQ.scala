@@ -76,7 +76,26 @@ object SpectralQ extends QueryPack {
                         ELSE SUM(p) // COUNT(*) END AS BIGINT) AS mean_proj
        FROM p GROUP BY 1 ORDER BY label"""
 
+  private def simRayleigh(spark: SparkSession, d: String): DataFrame =
+    Spectral.rayleighSummary(Tables.embeddings(spark, d), "embedding",
+      Dim, Rounds)
+
+  private val simRayleighSql =
+    s"""WITH $powerSql,
+       gv AS (SELECT g.j, SUM(g.g * v3.val) AS num
+              FROM g JOIN v3 ON g.k = v3.k GROUP BY 1),
+       nd AS (SELECT
+           (SELECT SUM(CAST(v3.val AS HUGEINT) * gv.num)
+            FROM v3 JOIN gv ON v3.k = gv.j) AS num,
+           (SELECT SUM(CAST(val AS HUGEINT) * val) FROM v3) AS den,
+           (SELECT SUM(g) FROM g WHERE j = k) AS trace)
+       SELECT CAST(trace AS BIGINT) AS trace,
+              CAST(num // den AS BIGINT) AS lambda1,
+              CAST((10000 * num) // (den * trace) AS BIGINT) AS share_bp
+       FROM nd"""
+
   def queries: Seq[Q] = Seq(
     Q("sim_power_dir", simPowerDir, Some(simPowerDirSql)),
-    Q("sim_proj_label", simProjLabel, Some(simProjLabelSql)))
+    Q("sim_proj_label", simProjLabel, Some(simProjLabelSql)),
+    Q("sim_rayleigh", simRayleigh, Some(simRayleighSql)))
 }

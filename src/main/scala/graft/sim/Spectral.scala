@@ -80,6 +80,42 @@ object Spectral {
       .select(col("dim").cast("long").as("dim"), col("v"))
   }
 
+  /** Rayleigh-quotient anisotropy summary, one row
+    * (trace, lambda1, share_bp): λ₁ ≈ vᵀGv / vᵀv at the power-iterated
+    * direction, and its share of trace(G) — the total variance — in
+    * basis points. A healthy embedding space spreads variance across
+    * components (low share); representation collapse concentrates it
+    * (share → 10⁴). This is the "embedding degeneration" audit as one
+    * exact scalar: vᵀGv accumulates in DECIMAL(38,0) (products reach
+    * 2⁶⁶ past sf1), the divisions floor. */
+  def rayleighSummary(embeddings: DataFrame, vecCol: String, dim: Int,
+      rounds: Int): DataFrame = {
+    val (g0, _) = gram(embeddings, vecCol)
+    var g = g0.withColumn("v0", expr(
+      s"transform(sequence(0, ${dim - 1}), j -> CAST(1024 AS BIGINT))"))
+    for (r <- 1 to rounds) g = round(g, s"v${r - 1}", s"v$r", dim)
+    g.withColumn("gv", expr(
+        s"""transform(sequence(0, ${dim - 1}), j ->
+              aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT),
+                (acc, k) -> acc + element_at(g, j * $dim + k + 1)
+                            * element_at(v$rounds, k + 1)))"""))
+      .withColumn("num", expr(
+        s"""aggregate(zip_with(v$rounds, gv, (a, b) -> a * b),
+             CAST(0 AS DECIMAL(38,0)),
+             (acc, x) -> CAST(acc + x AS DECIMAL(38,0)))"""))
+      .withColumn("den", expr(
+        s"""aggregate(zip_with(v$rounds, v$rounds, (a, b) -> a * b),
+             CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .withColumn("trace", expr(
+        s"""aggregate(sequence(0, ${dim - 1}), CAST(0 AS DECIMAL(38,0)),
+             (acc, j) -> CAST(acc + element_at(g, j * $dim + j + 1)
+               AS DECIMAL(38,0)))"""))
+      .select(col("trace").cast("long").as("trace"),
+        expr("num div den").cast("long").as("lambda1"),
+        expr("(10000 * num) div (den * trace)").cast("long")
+          .as("share_bp"))
+  }
+
   /** Per-label mean projection onto the dominant direction: the 1-D
     * spectral view of label structure — labels whose clusters sit at
     * opposite ends of the top component land far apart. One broadcast
