@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.Text
+import graft.util.Exact.idiv
+
+/** Round-9 fingerprinting pack: winnowing (Schleimer, Wilkerson &
+  * Aiken 2003 — the MOSS local document fingerprinting scheme) and an
+  * exact integer entropy proxy. Winnowing complements the existing
+  * dedup family: the bag-of-words md5 (`t_fingerprint`) catches
+  * reorderings, MinHash/SimHash catch near-duplicates, exact-substring
+  * spans (`d_span_ngram`) catch verbatim runs — winnowing GUARANTEES
+  * detection of any shared run of w+k−1 tokens while keeping only
+  * ~2/(w+1) of the k-gram hashes, the storage/recall contract the
+  * other schemes don't make.
+  *
+  * Algorithm (k = 4 token-grams, window w = 4, rightmost-min): each
+  * k-gram position joins the ≤w windows covering it (a 4× explode —
+  * bounded, shuffle-free), each window keeps its minimal (hash, −pos)
+  * struct (rightmost tie-break via the negated position — struct MIN
+  * is the same lexicographic comparison in both engines), and the
+  * DISTINCT selected (pos, hash) pairs are the document's fingerprint
+  * set. One partial-agg groupBy on (doc, window) + one distinct —
+  * never a window function over the corpus.
+  */
+object FingerprintQ extends QueryPack {
+
+  private val K = 4 // tokens per gram
+  private val W = 4 // windows per selection
+  private val DfCap = 8 // boilerplate cap for the pair join
+
+  /** (doc_id, pos, h): the winnowing fingerprint set. */
+  private def winnowed(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= K)
+    val kg = toks
+      .select(col("doc_id"), expr(
+        s"""explode(transform(sequence(0, size(t) - $K),
+              p -> struct(p AS p,
+                concat_ws(' ', slice(t, p + 1, $K)) AS g)))""").as("u"))
+      .select(col("doc_id"), col("u.p").as("p"),
+        conv(substring(md5(col("u.g")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+    val smax = kg.groupBy("doc_id")
+      .agg((max(col("p")) - (W - 1)).as("smax"))
+    kg.join(smax, "doc_id")
+      .select(col("doc_id"), col("p"), col("h"),
+        explode(sequence(lit(0), lit(W - 1))).as("off"))
+      .withColumn("s", col("p") - col("off"))
+      .filter(col("s") >= 0 && col("s") <= col("smax"))
+      .groupBy("doc_id", "s")
+      .agg(min(struct(col("h"), (-col("p")).as("np"))).as("m"))
+      .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("h"))
+      .distinct()
+  }
+
+  /** Shared oracle prefix computing the same fingerprint set `fp`. */
+  private val winnowSql =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents WHERE len(string_split(text, ' ')) >= $K),
+       kg AS (SELECT doc_id, u.p,
+                ('0x' || substr(md5(u.g), 1, 15))::BIGINT AS h
+              FROM toks, UNNEST(list_transform(range(len(t) - ${K - 1}),
+                p -> {'p': p, 'g': t[p+1] || ' ' || t[p+2] || ' ' ||
+                      t[p+3] || ' ' || t[p+4]})) AS r(u)),
+       nwin AS (SELECT doc_id, MAX(p) - ${W - 1} AS smax
+                FROM kg GROUP BY 1),
+       wx AS (SELECT kg.doc_id, kg.p - off AS s, kg.p, kg.h
+              FROM kg JOIN nwin USING (doc_id)
+                   CROSS JOIN UNNEST([0, 1, 2, 3]) AS o(off)
+              WHERE kg.p - off >= 0 AND kg.p - off <= smax),
+       sel AS (SELECT doc_id, s, MIN({'h': h, 'np': -p}) AS m
+               FROM wx GROUP BY 1, 2),
+       fp AS (SELECT DISTINCT doc_id, -(m.np) AS pos, m.h AS h
+              FROM sel)"""
+
+  /** Per-document fingerprint accounting: how many k-grams winnowing
+    * kept — the ~2/(w+1) density contract, measured. */
+  private def tWinnow(spark: SparkSession, d: String): DataFrame =
+    winnowed(spark, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_fp"),
+        min("pos").cast("long").as("first_pos"),
+        max("pos").cast("long").as("last_pos"))
+      .orderBy("doc_id")
+
+  private val tWinnowSql =
+    s"""WITH $winnowSql
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+              CAST(MIN(pos) AS BIGINT) AS first_pos,
+              CAST(MAX(pos) AS BIGINT) AS last_pos
+       FROM fp GROUP BY 1 ORDER BY doc_id"""
+
+  /** Copy-detection pairs: documents sharing ≥ 2 winnow fingerprints.
+    * The hash join is capped at df ≤ $DfCap docs per hash (the
+    * `d_cdc_pairs` boilerplate discipline — a corpus-wide boilerplate
+    * k-gram must not fan out quadratically; capped hashes simply don't
+    * generate candidates, and the shared-count reflects the capped
+    * set). */
+  private def dWinnowPairs(spark: SparkSession, d: String): DataFrame = {
+    val fp = winnowed(spark, d).select("doc_id", "h").distinct()
+    val rare = fp.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap)
+    val capped = fp.join(rare.select("h"), "h")
+    capped.alias("a").join(capped.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .filter(col("shared") >= 2)
+      .orderBy("d1", "d2")
+  }
+
+  private val dWinnowPairsSql =
+    s"""WITH $winnowSql,
+       fpd AS (SELECT DISTINCT doc_id, h FROM fp),
+       rare AS (SELECT h FROM fpd GROUP BY h
+                HAVING COUNT(*) <= $DfCap),
+       capped AS (SELECT fpd.doc_id, fpd.h FROM fpd JOIN rare USING (h))
+       SELECT a.doc_id AS d1, b.doc_id AS d2,
+              CAST(COUNT(*) AS BIGINT) AS shared
+       FROM capped a JOIN capped b
+         ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       ORDER BY d1, d2"""
+
+  /** Exact integer token-entropy proxy per document — the gibberish /
+    * degenerate-repetition signal the ratio filters miss: with token
+    * counts n_t of n, ent_m = ⌊10³·Σ_t n_t·(⌊log₂n⌋ − ⌊log₂n_t⌋)/n⌋,
+    * where ⌊log₂x⌋ = len(bin(x)) − 1 EXACTLY in both engines (no
+    * transcendental anywhere). A doc of one repeated token scores 0;
+    * all-distinct tokens score ⌊log₂n⌋·1000. Two partial-agg groupBys
+    * ((doc, token) then doc). */
+  private def tTokenEntropy(spark: SparkSession, d: String): DataFrame = {
+    def flog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+    val tc = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    tc.groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("cnt") * flog2(col("cnt"))).cast("long").as("sfl"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+        idiv((col("n") * flog2(col("n")) - col("sfl")) * 1000, col("n"))
+          .cast("long").as("ent_m"))
+      .orderBy("doc_id")
+  }
+
+  private val tTokenEntropySql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents),
+       tc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM toks, UNNEST(t) AS r(tok)
+              GROUP BY 1, 2),
+       d AS (SELECT doc_id, SUM(cnt) AS n,
+                    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                    SUM(cnt * (len(bin(cnt)) - 1)) AS sfl
+             FROM tc GROUP BY 1)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_distinct,
+              CAST(((n * (len(bin(n)) - 1) - sfl) * 1000) // n AS BIGINT)
+                AS ent_m
+       FROM d ORDER BY doc_id"""
+
+  def queries: Seq[Q] = Seq(
+    Q("t_winnow", tWinnow, Some(tWinnowSql)),
+    Q("d_winnow_pairs", dWinnowPairs, Some(dWinnowPairsSql)),
+    Q("t_token_entropy", tTokenEntropy, Some(tTokenEntropySql)))
+}
