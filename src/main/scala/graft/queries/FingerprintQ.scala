@@ -166,8 +166,77 @@ object FingerprintQ extends QueryPack {
                 AS ent_m
        FROM d ORDER BY doc_id"""
 
+  /** Order-independent whole-table content fingerprint, one row
+    * (n_rows, content_hash): the 60-bit md5 of every row's
+    * pipe-joined columns, SUMMED (associative/commutative — mergeable
+    * partials at any partitioning) modulo 2⁶⁰. The table-diff / cache-
+    * invalidation primitive: two relations share (n_rows, hash) iff
+    * their multisets of rows agree (up to the 2⁻⁶⁰ collision budget) —
+    * no sort, one aggregate over the scan. */
+  private def prContentHash(spark: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.documents(spark, d)
+      .select(conv(substring(md5(concat_ws("|",
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))), 1, 15), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("h").cast(D)).as("sh"))
+      .select(col("n_rows"),
+        expr("CAST(sh % 1152921504606846976 AS BIGINT)")
+          .as("content_hash"))
+  }
+
+  private val prContentHashSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(('0x' || substr(md5(doc_id || '|' || text || '|' ||
+                     lang || '|' || source || '|' || n_chars), 1, 15))::BIGINT)
+                   % 1152921504606846976 AS BIGINT) AS content_hash
+       FROM documents"""
+
+  /** Column-granular version of [[prContentHash]]: one (column_name,
+    * n_nonnull, content_hash) row per column, so when the whole-table
+    * hash diverges the offending COLUMN is named without a row-level
+    * diff. Still ONE scan and ONE mergeable aggregate (all 2·|cols|
+    * partials in a single 1-row agg), melted to rows by an explode of
+    * the aggregated struct — never a per-column rescan. */
+  private def prColumnHash(spark: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    def h(c: String) =
+      conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
+        .cast("long").cast(D)
+    val pre = Tables.documents(spark, d)
+      .select(cols.map(col) ++ cols.map(c => h(c).as(s"_h_$c")): _*)
+      .agg(count(cols.head).as(s"nn_${cols.head}"),
+        (cols.tail.map(c => count(c).as(s"nn_$c")) ++
+          cols.map(c => expr(
+            s"CAST(SUM(_h_$c) % 1152921504606846976 AS BIGINT)")
+            .as(s"h_$c"))): _*)
+    pre.select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col(s"nn_$c").cast("long").as("n_nonnull"),
+        col(s"h_$c").as("content_hash"))): _*)).as("r"))
+      .select(col("r.column_name"), col("r.n_nonnull"),
+        col("r.content_hash"))
+      .orderBy("column_name")
+  }
+
+  private val prColumnHashSql = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val aggs = cols.map(c =>
+      s"""COUNT($c) AS nn_$c,
+          CAST(SUM(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT)
+               % 1152921504606846976 AS BIGINT) AS h_$c""").mkString(", ")
+    val rows = cols.map(c =>
+      s"SELECT '$c' AS column_name, CAST(nn_$c AS BIGINT) AS n_nonnull, " +
+        s"h_$c AS content_hash FROM a").mkString(" UNION ALL ")
+    s"WITH a AS (SELECT $aggs FROM documents) $rows ORDER BY column_name"
+  }
+
   def queries: Seq[Q] = Seq(
     Q("t_winnow", tWinnow, Some(tWinnowSql)),
+    Q("pr_content_hash", prContentHash, Some(prContentHashSql)),
+    Q("pr_column_hash", prColumnHash, Some(prColumnHashSql)),
     Q("d_winnow_pairs", dWinnowPairs, Some(dWinnowPairsSql)),
     Q("t_token_entropy", tTokenEntropy, Some(tTokenEntropySql)))
 }

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.text.Text
+import graft.util.Exact.idiv
+
+/** Round-9 mining pack II: collocation mining and an ordering-bias
+  * monitor — both exact-integer so the DuckDB oracle replays them
+  * bit-for-bit.
+  *
+  * `t_colloc_lift` is the phrase-harvesting step of a corpus pipeline
+  * (Mikolov et al. 2013 §4 mine phrases with a count-ratio score; the
+  * classic association form is lift = P(xy)/(P(x)·P(y))). Log-free on
+  * purpose: lift is a pure count ratio, so both engines do integer
+  * arithmetic only — `lift_bp = N·c(xy)·10⁴ div (c(x)·c(y))` in
+  * DECIMAL(38,0)/HUGEINT, immune to libm drift (the same reason
+  * `mb_rules` reports lift not log-PMI).
+  *
+  * `st_runs_test` is the Wald–Wolfowitz runs test applied as a pipeline
+  * monitor: a daily-revenue series whose above/below-mean signs
+  * cluster into far fewer runs than expected is trending/shifted, far
+  * more is oscillating — either way not exchangeable, the cheap
+  * one-scalar complement to `e_cusum_drift`'s sequential detector.
+  */
+object Mine2Q extends QueryPack {
+
+  private val D38 = DecimalType(38, 0)
+  /** Min bigram support: below this, lift is count noise (a 1-in-N
+    * bigram of two 1-in-N words scores N·10⁴). */
+  private val MinC = 10
+  private val TopK = 50
+
+  // ----------------------------------------------------------- t_colloc_lift
+
+  /** Top-[[TopK]] bigram collocations by integer lift. Shape: one token
+    * scan feeds BOTH the unigram and the adjacent-bigram partial-agg
+    * counts (each collapsed map-side before its shuffle); the two
+    * |vocab|-sized joins hang the component counts back on the ≥[[MinC]]
+    * bigrams; the corpus token total N is a ONE-row aggregate cross join
+    * (scalar by construction, PlanAuditSpec-listed). Final top-k is
+    * TakeOrderedAndProject — (lift, w1, w2) is a total order because
+    * (w1, w2) is the group key, so the cut is deterministic. At 100 TB
+    * every relation after the scans is vocab- not corpus-sized. */
+  private def tCollocLift(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(Text.tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val n = uni.agg(sum(col("c1")).cast("long").as("n_tokens"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(expr(
+        """explode(transform(sequence(1, size(t) - 1),
+             i -> struct(t[i - 1] AS w1, t[i] AS w2)))""").as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= MinC)
+    big
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(n)
+      .select(col("w1"), col("w2"), col("c2").cast("long").as("n_pair"),
+        idiv(col("c2").cast(D38) * col("n_tokens") * 10000,
+          col("c1a").cast(D38) * col("c1b")).cast("long").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("w1"), col("w2"))
+      .limit(TopK)
+  }
+
+  private val tCollocLiftSql =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+       uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+               FROM (SELECT UNNEST(t) AS w FROM toks) g GROUP BY 1),
+       n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tokens FROM uni),
+       big AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+               FROM (SELECT UNNEST(list_transform(range(1, len(t)),
+                         i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+                     FROM toks WHERE len(t) >= 2) g
+               GROUP BY 1, 2
+               HAVING COUNT(*) >= $MinC)
+       SELECT big.w1, big.w2, big.c2 AS n_pair,
+              CAST(CAST(big.c2 AS HUGEINT) * n.n_tokens * 10000
+                   // (CAST(a.c1 AS HUGEINT) * b.c1) AS BIGINT) AS lift_bp
+       FROM big
+       JOIN uni a ON a.w = big.w1
+       JOIN uni b ON b.w = big.w2
+       CROSS JOIN n
+       ORDER BY lift_bp DESC, big.w1, big.w2
+       LIMIT $TopK"""
+
+  // ------------------------------------------------------------ st_runs_test
+
+  /** Wald–Wolfowitz runs test over the daily order-revenue series:
+    * daily totals in exact integer cents, signed against the integer
+    * mean (div — both engines truncate identically on the non-negative
+    * operands), runs counted with a lag over the DATE-ordered series.
+    * The global window runs on the post-agg CALENDAR-sized relation
+    * (|days|, same scale story as `w2_rolling`), never on orders; the
+    * mean is a ONE-row aggregate cross join. Output is one row:
+    * observed runs vs the exchangeability expectation
+    * E[R] = 1 + 2·n₊·n₋/n in basis points. */
+  private def stRunsTest(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("total_c"))
+    val mean = daily.agg(idiv(sum(col("total_c")), count(lit(1)))
+      .as("mean_c"))
+    val signed = daily.crossJoin(mean)
+      .select(col("day"),
+        (col("total_c") > col("mean_c")).cast("int").as("s"))
+    val w = Window.orderBy("day")
+    signed
+      .select(col("s"), lag(col("s"), 1).over(w).as("ps"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("s")).cast("long").as("n_above"),
+        sum(lit(1) - col("s")).cast("long").as("n_below"),
+        sum(when(col("ps").isNull || col("s") =!= col("ps"), 1L)
+          .otherwise(0L)).cast("long").as("runs"))
+      .select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
+        (lit(10000L) + idiv(col("n_above") * col("n_below") * 20000L,
+          col("n_days"))).as("expected_runs_bp"))
+  }
+
+  private val stRunsTestSql =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS total_c
+            FROM orders GROUP BY 1),
+       m AS (SELECT CAST(SUM(total_c) // COUNT(*) AS BIGINT) AS mean_c
+             FROM daily),
+       s AS (SELECT day, CAST(total_c > m.mean_c AS INT) AS s
+             FROM daily, m),
+       l AS (SELECT s, LAG(s) OVER (ORDER BY day) AS ps FROM s)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(SUM(s) AS BIGINT) AS n_above,
+              CAST(SUM(1 - s) AS BIGINT) AS n_below,
+              CAST(SUM(CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0 END)
+                   AS BIGINT) AS runs,
+              CAST(10000 + (SUM(s) * SUM(1 - s) * 20000) // COUNT(*)
+                   AS BIGINT) AS expected_runs_bp
+       FROM l"""
+
+  // ------------------------------------------- st_exact_median / st_exact_p90
+
+  /** Exact order statistics over the largest fact column
+    * ([[graft.util.Selection.exactRank]]: iterative range-narrowing, no
+    * global sort — log₆₄(value-range) filtered scans, each a B-row
+    * mergeable aggregate). Like `sim_mmr`/`d_cc` this is an
+    * iterative-query shape: the narrowing loop executes at
+    * construction and the audited plan is the driver-local 1-row
+    * result; the kernel's per-round plans are the scan + 64-row agg
+    * documented in its scaladoc. k is pinned by an explicit integer
+    * formula replayed verbatim by the oracle's rank-k window selection
+    * (lower median k = (n+1) div 2; p90 k = ⌈9n/10⌉). */
+  private def exactQuantile(num: Long, den: Long, ceil: Boolean)(
+      spark: SparkSession, d: String): DataFrame = {
+    val vals = Tables.lineitem(spark, d)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+    val n = vals.count()
+    val k = if (ceil) (num * n + den - 1) / den else (num * n + num) / den
+    val v = graft.util.Selection.exactRank(vals, col("c"), k)
+    import spark.implicits._
+    Seq((n, k, v)).toDF("n_rows", "k", "value_cents")
+  }
+
+  private def quantileSql(kExpr: String) =
+    s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                 FROM lineitem),
+       r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+                    COUNT(*) OVER () AS n
+             FROM v)
+       SELECT CAST(n AS BIGINT) AS n_rows, CAST($kExpr AS BIGINT) AS k,
+              CAST(c AS BIGINT) AS value_cents
+       FROM r WHERE rn = $kExpr"""
+
+  def queries: Seq[Q] = Seq(
+    Q("t_colloc_lift", tCollocLift, Some(tCollocLiftSql)),
+    Q("st_runs_test", stRunsTest, Some(stRunsTestSql)),
+    Q("st_exact_median", exactQuantile(1, 2, ceil = false),
+      Some(quantileSql("(n + 1) // 2"))),
+    Q("st_exact_p90", exactQuantile(9, 10, ceil = true),
+      Some(quantileSql("(9 * n + 9) // 10"))))
+}

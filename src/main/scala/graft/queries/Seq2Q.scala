@@ -102,7 +102,54 @@ object Seq2Q extends QueryPack {
         AND abs(a.bal_c - b.bal_c) <= 1000
        ORDER BY sk_a, sk_b"""
 
+  /** Next-event prediction from the transition matrix, with its own
+    * in-sample accuracy: per from-state the argmax next state (ties →
+    * lexicographically smallest, via struct MIN over (−n, state) — the
+    * same deterministic-tie-break trick as the winnowing selection),
+    * and hit/total/accuracy-bp counting how often the chain actually
+    * took the predicted edge. The model + eval pair in |states|²
+    * relations — the Markov family's measured-not-asserted row. */
+  private def eMarkovPredict(spark: SparkSession, d: String): DataFrame = {
+    val trans = Sequences.transitionMatrix(Tables.events(spark, d),
+      "user_id", Seq("ts", "event_id"), "event_type")
+    val pred = trans.groupBy("from_state")
+      .agg(min(struct((-col("n")).as("nn"), col("to_state").as("ts")))
+        .as("m"))
+      .select(col("from_state"), col("m.ts").as("predicted"))
+    trans.join(pred, "from_state")
+      .groupBy("from_state", "predicted")
+      .agg(
+        sum(when(col("to_state") === col("predicted"), col("n"))
+          .otherwise(0L)).cast("long").as("hits"),
+        sum("n").cast("long").as("total"))
+      .select(col("from_state"), col("predicted"), col("hits"),
+        col("total"),
+        idiv(col("hits") * 10000, col("total")).as("acc_bp"))
+      .orderBy("from_state")
+  }
+
+  private val eMarkovPredictSql =
+    """WITH p AS (SELECT user_id, event_type AS from_state,
+              LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS to_state
+            FROM events),
+       c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+             FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+       pred AS (SELECT from_state,
+                  MIN({'nn': -n, 'ts': to_state}) AS m
+                FROM c GROUP BY 1)
+       SELECT c.from_state, pred.m.ts AS predicted,
+              CAST(SUM(CASE WHEN c.to_state = pred.m.ts THEN c.n
+                            ELSE 0 END) AS BIGINT) AS hits,
+              CAST(SUM(c.n) AS BIGINT) AS total,
+              CAST((SUM(CASE WHEN c.to_state = pred.m.ts THEN c.n
+                             ELSE 0 END) * 10000) // SUM(c.n) AS BIGINT)
+                AS acc_bp
+       FROM c JOIN pred USING (from_state)
+       GROUP BY 1, 2 ORDER BY from_state"""
+
   def queries: Seq[Q] = Seq(
     Q("e_markov_steady", eMarkovSteady, Some(eMarkovSteadySql)),
+    Q("e_markov_predict", eMarkovPredict, Some(eMarkovPredictSql)),
     Q("j12_band_join", j12BandJoin, Some(j12BandJoinSql)))
 }

@@ -146,7 +146,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "ml_kappa",
     // the label-projection pass broadcasts the ONE-row power-iterated
     // direction into the embedding scan — scalar side by construction
-    "sim_proj_label")
+    "sim_proj_label",
+    // collocation lift crosses the ONE-row corpus-token-total aggregate
+    // into the |bigram-vocab| join — scalar side by construction
+    "t_colloc_lift",
+    // the runs test crosses the ONE-row integer-mean aggregate into the
+    // calendar-sized daily series — scalar side by construction
+    "st_runs_test")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
