@@ -173,18 +173,9 @@ object FingerprintQ extends QueryPack {
     * invalidation primitive: two relations share (n_rows, hash) iff
     * their multisets of rows agree (up to the 2⁻⁶⁰ collision budget) —
     * no sort, one aggregate over the scan. */
-  private def prContentHash(spark: SparkSession, d: String): DataFrame = {
-    val D = org.apache.spark.sql.types.DecimalType(38, 0)
-    Tables.documents(spark, d)
-      .select(conv(substring(md5(concat_ws("|",
-          col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))), 1, 15), 16, 10).cast("long").as("h"))
-      .agg(count(lit(1)).cast("long").as("n_rows"),
-        sum(col("h").cast(D)).as("sh"))
-      .select(col("n_rows"),
-        expr("CAST(sh % 1152921504606846976 AS BIGINT)")
-          .as("content_hash"))
-  }
+  private def prContentHash(spark: SparkSession, d: String): DataFrame =
+    graft.text.ContentHash.fingerprint(Tables.documents(spark, d),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
 
   private val prContentHashSql =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

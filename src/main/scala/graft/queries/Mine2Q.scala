@@ -45,7 +45,10 @@ object Mine2Q extends QueryPack {
     * TakeOrderedAndProject — (lift, w1, w2) is a total order because
     * (w1, w2) is the group key, so the cut is deterministic. At 100 TB
     * every relation after the scans is vocab- not corpus-sized. */
-  private def tCollocLift(spark: SparkSession, d: String): DataFrame = {
+  private def tCollocLift(spark: SparkSession, d: String): DataFrame =
+    collocTop(spark, d)
+
+  private def collocTop(spark: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(spark, d)
       .select(Text.tokens(col("text")).as("t"))
     val uni = toks.select(explode(col("t")).as("w"))
@@ -69,8 +72,10 @@ object Mine2Q extends QueryPack {
       .limit(TopK)
   }
 
-  private val tCollocLiftSql =
-    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+  /** The collocation CTE chain shared by the mining oracle and the
+    * apply-pass oracle. */
+  private val collocCtes =
+    s"""toks AS (SELECT string_split(text, ' ') AS t FROM documents),
        uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
                FROM (SELECT UNNEST(t) AS w FROM toks) g GROUP BY 1),
        n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tokens FROM uni),
@@ -79,8 +84,8 @@ object Mine2Q extends QueryPack {
                          i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
                      FROM toks WHERE len(t) >= 2) g
                GROUP BY 1, 2
-               HAVING COUNT(*) >= $MinC)
-       SELECT big.w1, big.w2, big.c2 AS n_pair,
+               HAVING COUNT(*) >= $MinC),
+       top50 AS (SELECT big.w1, big.w2, big.c2 AS n_pair,
               CAST(CAST(big.c2 AS HUGEINT) * n.n_tokens * 10000
                    // (CAST(a.c1 AS HUGEINT) * b.c1) AS BIGINT) AS lift_bp
        FROM big
@@ -88,7 +93,94 @@ object Mine2Q extends QueryPack {
        JOIN uni b ON b.w = big.w2
        CROSS JOIN n
        ORDER BY lift_bp DESC, big.w1, big.w2
-       LIMIT $TopK"""
+       LIMIT $TopK)"""
+
+  private val tCollocLiftSql =
+    s"""WITH $collocCtes
+       SELECT w1, w2, n_pair, lift_bp FROM top50
+       ORDER BY lift_bp DESC, w1, w2"""
+
+  // ----------------------------------------------------------- t_colloc_apply
+
+  /** The word2phrase APPLY pass: merge every non-overlapping, leftmost-
+    * greedy occurrence of a mined top-[[TopK]] collocation into a
+    * single token and account for the corpus-wide token-count change.
+    * Greedy non-overlap looks sequential, but is exactly a PARITY rule
+    * over runs of consecutive matches: within each maximal run of
+    * bigram matches at adjacent positions, the 1st, 3rd, 5th… merge
+    * and the even ones are consumed by their left neighbor ("a b c"
+    * with both ("a","b") and ("b","c") in the set merges only ("a","b")
+    * — word2phrase's scan order). So: per-doc match positions → run
+    * boundaries via lag — run-relative row_number — keep odd ranks.
+    * All windows are PARTITIONED by doc (match lists, ≤ doc length);
+    * the phrase set joins in as a broadcast [[TopK]]-row dim; the final
+    * accounting crosses two ONE-row aggregates (PlanAuditSpec-listed).
+    * Output: one row (n_matches, n_merges, tokens_before,
+    * tokens_after). */
+  private def tCollocApply(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    val before = toks.agg(sum(size(col("t"))).cast("long")
+      .as("tokens_before"))
+    val pos = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(1, size(t) - 1),
+             i -> struct(i AS p, t[i - 1] AS w1, t[i] AS w2)))""").as("b"))
+      .select(col("doc_id"), col("b.p").as("p"), col("b.w1").as("w1"),
+        col("b.w2").as("w2"))
+    val matches = pos
+      .join(broadcast(collocTop(spark, d).select("w1", "w2")), Seq("w1", "w2"))
+      .select("doc_id", "p")
+    val wDoc = Window.partitionBy("doc_id").orderBy("p")
+    val runs = matches
+      .withColumn("new_run",
+        when(col("p") - coalesce(lag(col("p"), 1).over(wDoc), lit(-1L))
+          =!= 1L, 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("new_run")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id", "run_id").orderBy("p")))
+    runs.agg(count(lit(1)).cast("long").as("n_matches"),
+        sum(when(col("rn") % 2 === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_merges"))
+      .crossJoin(before)
+      .select(col("n_matches"), col("n_merges"), col("tokens_before"),
+        (col("tokens_before") - col("n_merges")).as("tokens_after"))
+  }
+
+  private val tCollocApplySql =
+    s"""WITH $collocCtes,
+       tid AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       before AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS tokens_before
+                  FROM tid),
+       pos AS (SELECT doc_id, b.p AS p, b.w1 AS w1, b.w2 AS w2
+               FROM (SELECT doc_id,
+                       UNNEST(list_transform(range(1, len(t)),
+                         i -> {'p': i, 'w1': t[i], 'w2': t[i + 1]})) AS b
+                     FROM tid WHERE len(t) >= 2) g),
+       m AS (SELECT doc_id, p FROM pos JOIN top50 USING (w1, w2)),
+       r AS (SELECT doc_id, p,
+                    CASE WHEN p - COALESCE(LAG(p) OVER (PARTITION BY doc_id
+                         ORDER BY p), -1) <> 1 THEN 1 ELSE 0 END AS new_run
+             FROM m),
+       rr AS (SELECT doc_id, p,
+                     SUM(new_run) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM r),
+       rk AS (SELECT doc_id, p,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id, run_id
+                       ORDER BY p) AS rn
+              FROM rr)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+              CAST(SUM(CASE WHEN rn % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_merges,
+              before.tokens_before,
+              CAST(before.tokens_before
+                   - SUM(CASE WHEN rn % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS tokens_after
+       FROM rk CROSS JOIN before
+       GROUP BY before.tokens_before"""
 
   // ------------------------------------------------------------ st_runs_test
 
@@ -177,8 +269,77 @@ object Mine2Q extends QueryPack {
               CAST(c AS BIGINT) AS value_cents
        FROM r WHERE rn = $kExpr"""
 
+  // -------------------------------------------------------------- sim_knn_cc
+
+  /** Mutual-kNN embedding clustering
+    * ([[graft.sim.Similarity.mutualKnnClusters]], k=3 over the standard
+    * 16-plane/4-band LSH): reciprocal top-k edges → connected
+    * components — the density-free complement to `d_semantic`'s
+    * k-means cells (no codebook; hubs stripped by the mutuality
+    * filter). Deterministic end-to-end (md5 hyperplanes, 4dp rerank,
+    * id tie-breaks, min-id labels), so the oracle replays signatures,
+    * bands, top-3 lists, the reciprocity join, and the transitive
+    * closure. The reused CTEs are `AS MATERIALIZED` (the README's
+    * oracle-spill pattern): without the hints DuckDB re-derives the
+    * vector-carrying candidate join under the rank window and spills
+    * > 79 GB at sf1; with them the window sorts a 24-byte/row
+    * materialization and the sf1 replay passes. */
+  private def simKnnCc(spark: SparkSession, d: String): DataFrame =
+    graft.sim.Similarity.mutualKnnClusters(
+        Tables.embeddings(spark, d), k = 3)
+      .orderBy("vec_id")
+
+  private val simKnnCcSql: String = {
+    val planes = graft.sim.Similarity.planeSigns(16, 64)
+    val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(nv, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE
+       v AS (SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                 x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))) AS nv
+             FROM embeddings),
+       sigs AS MATERIALIZED (SELECT vec_id, nv, CAST($sigExpr AS BIGINT) AS sig FROM v),
+       bb AS (SELECT vec_id, band,
+                     (sig // CAST(pow(2, band * 4) AS BIGINT)) % 16 AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+       cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS u, b.vec_id AS v2
+                FROM bb a JOIN bb b USING (band, bucket)
+                WHERE a.vec_id != b.vec_id),
+       sims AS MATERIALIZED (SELECT u, v2, round(list_dot_product(x.nv, y.nv), 4) AS sim
+                FROM cand
+                JOIN sigs x ON x.vec_id = u
+                JOIN sigs y ON y.vec_id = v2),
+       knn AS MATERIALIZED (SELECT u, v2 FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+                           ORDER BY sim DESC, v2) AS rn FROM sims)
+               WHERE rn <= 3),
+       mutual AS (SELECT a.u AS id_a, a.v2 AS id_b
+                  FROM knn a JOIN knn b ON a.u = b.v2 AND a.v2 = b.u
+                  WHERE a.u < a.v2),
+       edges AS (SELECT id_a AS u, id_b AS v FROM mutual
+                 UNION ALL SELECT id_b, id_a FROM mutual),
+       reach AS (SELECT u, v FROM edges
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       groups AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+                  FROM reach GROUP BY u),
+       lab AS (SELECT e.vec_id,
+                      COALESCE(g.cluster_id, e.vec_id) AS cluster_id
+               FROM embeddings e LEFT JOIN groups g USING (vec_id)),
+       sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM lab GROUP BY 1)
+       SELECT lab.vec_id, lab.cluster_id, sz.n_members
+       FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id"""
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("sim_knn_cc", simKnnCc, Some(simKnnCcSql)),
     Q("t_colloc_lift", tCollocLift, Some(tCollocLiftSql)),
+    Q("t_colloc_apply", tCollocApply, Some(tCollocApplySql)),
     Q("st_runs_test", stRunsTest, Some(stRunsTestSql)),
     Q("st_exact_median", exactQuantile(1, 2, ceil = false),
       Some(quantileSql("(n + 1) // 2"))),

@@ -411,6 +411,65 @@ object Similarity {
     * k results when buckets are sparse — the standard ANN recall/latency
     * trade. Shift-by-column isn't in the Column API, so band buckets use
     * integer division: bucket = (sig div 2^(band*r)) & mask. */
+  /** Bucket-growth rule for banded LSH — the [[graft.dedup.Dedup
+    * .semanticCellCount]] discipline applied to band buckets: a band
+    * with r planes has 2^r buckets, so expected occupancy is n/2^r and
+    * the within-bucket candidate join degenerates quadratic if r is
+    * pinned while n grows 100×. r = ⌈log₂(n / targetOccupancy)⌉
+    * (clamped to [4, 16]) keeps occupancy ≈ targetOccupancy at every
+    * scale: n = 10⁶ → r = 10 (1024 buckets/band), n = 10⁹ → r = 16
+    * (the clamp — 65 536 buckets/band, occupancy ~15 k, still
+    * join-safe). Callers at scale pass `planes = bands *
+    * lshPlanesPerBand(n)`; the REGISTERED queries pin 16/4 because the
+    * oracle bakes the plane constants into generated SQL (same
+    * replayability trade as the pinned sample buckets elsewhere). */
+  def lshPlanesPerBand(n: Long, targetOccupancy: Long = 1024L): Int = {
+    val cells = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
+    val r =
+      if (cells <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
+    math.min(16, math.max(4, r))
+  }
+
+  /** Mutual-kNN graph clustering: LSH-banded candidates → per-vector
+    * top-k ([[lshTopK]] all-to-all) → keep an edge only when BOTH
+    * endpoints rank each other (the mutuality filter that strips hub
+    * vectors — a hub lands in many top-k lists but reciprocates few, so
+    * unlike single-linkage over raw kNN edges, one generic vector can't
+    * fuse unrelated clusters) → connected components. The density-free
+    * alternative to [[graft.dedup.Dedup.semanticDedup]]'s k-means
+    * cells: no codebook, no cell-size tuning — clusters emerge from
+    * reciprocal neighborhoods alone.
+    *
+    * Scale shape: candidates are band collisions (never all-pairs),
+    * the per-vector top-k is a window over per-query candidate groups,
+    * the mutuality filter is a self-join of the |V|·k edge list on the
+    * reversed key, and the closure is the shared CC kernel (bounded
+    * rounds, localCheckpoint lineage). Everything after the band join
+    * is O(|V|·k); the band join itself is occupancy-bounded ONLY if
+    * planes grow with the corpus — see [[lshPlanesPerBand]] (the
+    * registered query pins 16/4 for oracle replay; pass
+    * `planes = bands * lshPlanesPerBand(n)` at scale). */
+  def mutualKnnClusters(vecs: DataFrame, k: Int, planes: Int = 16,
+      bands: Int = 4, dims: Int = 64): DataFrame = {
+    val knn = lshTopK(vecs, vecs, k, planes, bands, dims)
+      .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+    val mutual = knn.as("a")
+      .join(knn.as("b"),
+        col("a.u") === col("b.v") && col("a.v") === col("b.u"))
+      .filter(col("a.u") < col("a.v"))
+      .select(col("a.u").as("id_a"), col("a.v").as("id_b"))
+    val cc = graft.dedup.Dedup.connectedComponents(mutual)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+    val labeled = vecs.select(col("vec_id")).join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    labeled.join(sizes, "cluster_id")
+      .select("vec_id", "cluster_id", "n_members")
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 16, bands: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -558,6 +558,18 @@ object Relay {
     * deterministic. Downstream the pair stream feeds the usual
     * update-mode count aggregate to form the live transition matrix —
     * counts, like the batch side's, never exceed |states|² rows. */
+  /** Streaming twin of the `pr_content_hash` corpus fingerprint
+    * ([[graft.text.ContentHash.fingerprint]]): because the fingerprint
+    * is (COUNT, SUM mod 2⁶⁰) — both mergeable — the SAME kernel runs
+    * unchanged as a streaming global aggregate; each micro-batch folds
+    * its rows into the running state and the emitted row always equals
+    * the batch fingerprint of everything ingested so far. The
+    * incremental table-diff primitive: a downstream consumer compares
+    * the live fingerprint against a snapshot's without rescanning
+    * either side. Run in complete (or update) output mode. */
+  def contentHashStream(docs: DataFrame, cols: Seq[String]): DataFrame =
+    graft.text.ContentHash.fingerprint(docs, cols)
+
   def transitionStream(events: org.apache.spark.sql.Dataset[SeqEvent]): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession

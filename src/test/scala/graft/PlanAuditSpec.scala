@@ -152,7 +152,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t_colloc_lift",
     // the runs test crosses the ONE-row integer-mean aggregate into the
     // calendar-sized daily series — scalar side by construction
-    "st_runs_test")
+    "st_runs_test",
+    // the apply-pass accounting crosses the ONE-row merge-count
+    // aggregate with the ONE-row corpus-token total — both scalar by
+    // construction (t_hll_distinct's shape)
+    "t_colloc_apply")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

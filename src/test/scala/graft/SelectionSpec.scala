@@ -37,6 +37,19 @@ class SelectionSpec extends AnyFunSuite {
     ranks(Seq.fill(10)(7L))
   }
 
+  test("lshPlanesPerBand: occupancy-bounded bucket growth with clamps") {
+    import graft.sim.Similarity.lshPlanesPerBand
+    assert(lshPlanesPerBand(1000L) === 4) // clamp floor
+    assert(lshPlanesPerBand(1000000L) === 10) // 1024 buckets/band
+    assert(lshPlanesPerBand(1000000000L) === 16) // clamp ceiling
+    // monotone in n: more data never means fewer buckets
+    val rs = Seq(1L, 10L, 100L, 10000L, 100000000L, Long.MaxValue / 2)
+      .map(lshPlanesPerBand(_))
+    assert(rs === rs.sorted)
+    // the rule keeps occupancy ≈ target at the unclamped points
+    assert(math.abs(1000000L / (1L << 10) - 1024L) < 1024L)
+  }
+
   test("median/p90 formulas against a known 6-element multiset") {
     val s = spark
     import s.implicits._

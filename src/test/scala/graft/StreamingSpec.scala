@@ -816,5 +816,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed KMV union re-limited to k must equal the batch sketch")
   }
 
+  test("streaming corpus fingerprint equals the batch fingerprint across " +
+    "a micro-batch boundary") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val srcDir = tmp() + "/hash_src"
+    // two files → two micro-batches with maxFilesPerTrigger=1
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = docs.schema
+    val q = Relay.contentHashStream(
+        Relay.readStreamPath(spark, srcDir, schema,
+          options = Map("maxFilesPerTrigger" -> "1")), cols)
+      .writeStream.format("memory").queryName("chash_mem")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("chash_mem")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val batch = graft.text.ContentHash.fingerprint(docs, cols)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(streamed == batch,
+      s"streaming/batch fingerprint divergence: $streamed vs $batch")
+    assert(streamed._1 == docs.count())
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

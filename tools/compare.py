@@ -96,10 +96,13 @@ def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     return 1 if n_fail else 0
 
 
-def main_parallel(sf_dir: str, out_dir: str, timeout: float, jobs: int) -> int:
+def main_parallel(sf_dir: str, out_dir: str, timeout: float, jobs: int,
+                  only: str | None = None) -> int:
     """Per-query child subprocesses with a kill deadline (DuckDB can't be
     reliably interrupted in-process)."""
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if only is not None:
+        oracle = {only: oracle[only]}
 
     def one(name: str) -> tuple[str, str]:
         cmd = [sys.executable, __file__, "--one", name, sf_dir, out_dir]
@@ -145,5 +148,5 @@ if __name__ == "__main__":
         else:
             pos.append(argv[i]); i += 1
     if timeout is not None:
-        sys.exit(main_parallel(pos[0], pos[1], timeout, jobs))
+        sys.exit(main_parallel(pos[0], pos[1], timeout, jobs, only))
     sys.exit(main(pos[0], pos[1], only))
