@@ -289,7 +289,9 @@ object Mine2Q extends QueryPack {
         Tables.embeddings(spark, d), k = 3)
       .orderBy("vec_id")
 
-  private val simKnnCcSql: String = {
+  /** Config-independent CTE prefix (signatures → banded candidates →
+    * rerank sims), shared by every (k, snn) chain in one statement. */
+  private val knnCommonCtes: String = {
     val planes = graft.sim.Similarity.planeSigns(16, 64)
     val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
       val arr = plane.map(v => if (v > 0) "1.0" else "-1.0")
@@ -312,32 +314,118 @@ object Mine2Q extends QueryPack {
        sims AS MATERIALIZED (SELECT u, v2, round(list_dot_product(x.nv, y.nv), 4) AS sim
                 FROM cand
                 JOIN sigs x ON x.vec_id = u
-                JOIN sigs y ON y.vec_id = v2),
-       knn AS MATERIALIZED (SELECT u, v2 FROM (
+                JOIN sigs y ON y.vec_id = v2)"""
+  }
+
+  /** One (k, snn) clustering chain, CTE names suffixed so several
+    * configs coexist in one WITH RECURSIVE. Mirrors
+    * [[graft.sim.Similarity.mutualKnnClusters]] exactly: top-k by
+    * (sim DESC, id), reciprocity, optional ≥snn shared-top-k-neighbor
+    * gate, min-label transitive closure, singletons self-labeled. */
+  private def knnChainCtes(k: Int, snn: Int, sfx: String): String = {
+    val mutualCte =
+      if (snn <= 0)
+        s"""mutual$sfx AS (SELECT a.u AS id_a, a.v2 AS id_b
+                  FROM knn$sfx a JOIN knn$sfx b ON a.u = b.v2 AND a.v2 = b.u
+                  WHERE a.u < a.v2)"""
+      else
+        s"""mutual0$sfx AS (SELECT a.u AS id_a, a.v2 AS id_b
+                  FROM knn$sfx a JOIN knn$sfx b ON a.u = b.v2 AND a.v2 = b.u
+                  WHERE a.u < a.v2),
+       snn$sfx AS (SELECT x.u AS id_a, y.u AS id_b
+                   FROM knn$sfx x JOIN knn$sfx y
+                     ON x.v2 = y.v2 AND x.u < y.u
+                   GROUP BY 1, 2 HAVING COUNT(*) >= $snn),
+       mutual$sfx AS (SELECT m.id_a, m.id_b FROM mutual0$sfx m
+                      JOIN snn$sfx USING (id_a, id_b))"""
+    s"""knn$sfx AS MATERIALIZED (SELECT u, v2 FROM (
                  SELECT *, ROW_NUMBER() OVER (PARTITION BY u
                            ORDER BY sim DESC, v2) AS rn FROM sims)
-               WHERE rn <= 3),
-       mutual AS (SELECT a.u AS id_a, a.v2 AS id_b
-                  FROM knn a JOIN knn b ON a.u = b.v2 AND a.v2 = b.u
-                  WHERE a.u < a.v2),
-       edges AS (SELECT id_a AS u, id_b AS v FROM mutual
-                 UNION ALL SELECT id_b, id_a FROM mutual),
-       reach AS (SELECT u, v FROM edges
+               WHERE rn <= $k),
+       $mutualCte,
+       edges$sfx AS (SELECT id_a AS u, id_b AS v FROM mutual$sfx
+                 UNION ALL SELECT id_b, id_a FROM mutual$sfx),
+       reach$sfx AS (SELECT u, v FROM edges$sfx
                  UNION
-                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-       groups AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
-                  FROM reach GROUP BY u),
-       lab AS (SELECT e.vec_id,
+                 SELECT r.u, e.v FROM reach$sfx r
+                 JOIN edges$sfx e ON r.v = e.u),
+       groups$sfx AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+                  FROM reach$sfx GROUP BY u),
+       lab$sfx AS (SELECT e.vec_id,
                       COALESCE(g.cluster_id, e.vec_id) AS cluster_id
-               FROM embeddings e LEFT JOIN groups g USING (vec_id)),
+               FROM embeddings e LEFT JOIN groups$sfx g USING (vec_id))"""
+  }
+
+  private val simKnnCcSql: String =
+    s"""$knnCommonCtes,
+       ${knnChainCtes(3, 0, "")},
        sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
               FROM lab GROUP BY 1)
        SELECT lab.vec_id, lab.cluster_id, sz.n_members
        FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id"""
+
+  // --------------------------------------------------------- sim_knn_purity
+
+  /** Clustering-quality harness for [[simKnnCc]] — purity against the
+    * generator's planted labels across the (k, snn) dial, measured not
+    * asserted (the `sim_recall_lsh` discipline applied to clustering):
+    * purity = Σ_clusters max_label |cluster ∩ label| / N in exact
+    * basis points (each max is an integer count — pure integer
+    * arithmetic in both engines). One row per config. The two configs
+    * bracket the dial's failure modes ON THIS CORPUS: plain mutual-3NN
+    * single-links into one giant component (purity ≈ chance), while
+    * k=8 + SNN≥1 recovers label-aligned granularity — singletons are
+    * reported alongside because an unclustered vector is its own
+    * majority and inflates naive purity. Everything after each
+    * clustering is (cluster × label)-sized. */
+  private val PurityConfigs = Seq((3, 0), (8, 1))
+
+  private def simKnnPurity(spark: SparkSession, d: String): DataFrame = {
+    val labels = Tables.embeddings(spark, d).select("vec_id", "label")
+    PurityConfigs.map { case (k, snn) =>
+      val cl = graft.sim.Similarity.mutualKnnClusters(
+        Tables.embeddings(spark, d), k = k, snnMin = snn)
+      cl.join(labels, "vec_id")
+        .groupBy("cluster_id", "label").agg(count(lit(1)).as("n"))
+        .groupBy("cluster_id")
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("sz"))
+        .agg(sum(col("sz")).cast("long").as("n_vectors"),
+          count(lit(1)).cast("long").as("n_clusters"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).cast("long")
+            .as("n_singletons"),
+          idiv(sum(col("mx")) * 10000, sum(col("sz"))).as("purity_bp"))
+        .select(lit(k.toLong).as("k"), lit(snn.toLong).as("snn_min"),
+          col("n_vectors"), col("n_clusters"), col("n_singletons"),
+          col("purity_bp"))
+    }.reduce(_ unionByName _).orderBy("k")
+  }
+
+  private val simKnnPuritySql: String = {
+    val chains = PurityConfigs.map { case (k, snn) =>
+      knnChainCtes(k, snn, s"_k$k")
+    }.mkString(",\n       ")
+    val rows = PurityConfigs.map { case (k, snn) =>
+      s"""SELECT CAST($k AS BIGINT) AS k, CAST($snn AS BIGINT) AS snn_min,
+              CAST(SUM(sz) AS BIGINT) AS n_vectors,
+              CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_singletons,
+              CAST((SUM(mx) * 10000) // SUM(sz) AS BIGINT) AS purity_bp
+       FROM (SELECT cluster_id, MAX(n) AS mx, SUM(n) AS sz
+             FROM (SELECT lab_k$k.cluster_id, e.label,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM lab_k$k JOIN embeddings e USING (vec_id)
+                   GROUP BY 1, 2) pl
+             GROUP BY 1) pc"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""$knnCommonCtes,
+       $chains
+       SELECT * FROM ($rows) ORDER BY k"""
   }
 
   def queries: Seq[Q] = Seq(
     Q("sim_knn_cc", simKnnCc, Some(simKnnCcSql)),
+    Q("sim_knn_purity", simKnnPurity, Some(simKnnPuritySql)),
     Q("t_colloc_lift", tCollocLift, Some(tCollocLiftSql)),
     Q("t_colloc_apply", tCollocApply, Some(tCollocApplySql)),
     Q("st_runs_test", stRunsTest, Some(stRunsTestSql)),

@@ -451,14 +451,35 @@ object Similarity {
     * registered query pins 16/4 for oracle replay; pass
     * `planes = bands * lshPlanesPerBand(n)` at scale). */
   def mutualKnnClusters(vecs: DataFrame, k: Int, planes: Int = 16,
-      bands: Int = 4, dims: Int = 64): DataFrame = {
+      bands: Int = 4, dims: Int = 64, snnMin: Int = 0): DataFrame = {
     val knn = lshTopK(vecs, vecs, k, planes, bands, dims)
       .select(col("query_id").as("u"), col("neighbor_id").as("v"))
-    val mutual = knn.as("a")
+    val mutual0 = knn.as("a")
       .join(knn.as("b"),
         col("a.u") === col("b.v") && col("a.v") === col("b.u"))
       .filter(col("a.u") < col("a.v"))
       .select(col("a.u").as("id_a"), col("a.v").as("id_b"))
+    // Shared-nearest-neighbor gate (Jarvis & Patrick 1973): a mutual
+    // edge additionally needs ≥ snnMin common top-k neighbors. CC
+    // single-linkage chains through ANY surviving edge, so on weakly
+    // separated corpora mutual-kNN alone collapses into one giant
+    // component (measured by `sim_knn_purity`); chain edges rarely
+    // close triangles, so the SNN gate is what makes the cluster
+    // granularity a dial rather than a cliff. Shape: one self-join of
+    // the |V|·k edge list on the shared endpoint + a count — never
+    // touches vectors.
+    val mutual =
+      if (snnMin <= 0) mutual0
+      else {
+        val shared = knn.as("x")
+          .join(knn.as("y"), col("x.v") === col("y.v"))
+          .filter(col("x.u") < col("y.u"))
+          .groupBy(col("x.u").as("id_a"), col("y.u").as("id_b"))
+          .agg(count(lit(1)).as("cn"))
+          .filter(col("cn") >= snnMin)
+          .select("id_a", "id_b")
+        mutual0.join(shared, Seq("id_a", "id_b"), "left_semi")
+      }
     val cc = graft.dedup.Dedup.connectedComponents(mutual)
       .select(col("id").as("vec_id"), col("cluster_id"))
     val labeled = vecs.select(col("vec_id")).join(cc, Seq("vec_id"), "left")
