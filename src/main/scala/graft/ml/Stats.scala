@@ -146,4 +146,80 @@ object Stats {
               col("n").cast(D) * col("n") * col("n") - col("n")))
           .cast("long").as("rho_bp"))
   }
+
+  /** Sample autocorrelation of an ordered series at lags 1..maxLag, in
+    * basis points: r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² (the biased
+    * estimator — denominator over all n), with every term scaled by n²
+    * so it stays integer: dev_t = n·x_t − S is an exact integer even
+    * when x̄ = S/n is not, num_k = Σ dev_t·dev_{t−k}, den = Σ dev_t².
+    * ONE window pass materializes all maxLag lag columns, ONE aggregate
+    * produces all numerators + the denominator, `stack` unpivots to
+    * maxLag rows (lag, n_pairs, acf_bp). acf_bp is NULL for a constant
+    * series (den = 0). The global window is intended for POST-AGG
+    * calendar-sized series (the st_runs_test scale contract);
+    * DECIMAL(38,0) products leave ~10³× headroom over sf1 daily cents. */
+  def acfBp(series: DataFrame, orderCol: Column, valueCol: Column,
+      maxLag: Int): DataFrame = {
+    val daily = series.select(orderCol.as("ord"),
+      valueCol.cast("long").as("x"))
+    val tot = daily.agg(count(lit(1)).cast(D).as("n"),
+      sum(col("x")).cast(D).as("s"))
+    val w = Window.orderBy("ord")
+    val lagged = daily.select(
+      col("x") +: (1 to maxLag).map(k =>
+        lag(col("x"), k).over(w).as(s"x$k")): _*)
+    val dev = lagged.crossJoin(tot).select(
+      (col("n") * col("x") - col("s")).as("dev") +:
+        (1 to maxLag).map(k =>
+          (col("n") * col(s"x$k") - col("s")).as(s"d$k")): _*)
+    val aggs = sum(col("dev") * col("dev")).as("den") +:
+      (1 to maxLag).flatMap(k => Seq(
+        sum(col("dev") * col(s"d$k")).as(s"num$k"),
+        count(col(s"d$k")).as(s"np$k")))
+    dev.agg(aggs.head, aggs.tail: _*)
+      .select(expr("stack(" + maxLag + ", " +
+        (1 to maxLag).map(k => s"$k, np$k, num$k").mkString(", ") +
+        ") as (lag, n_pairs, num)"), col("den"))
+      .select(col("lag").cast("long").as("lag"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        when(col("den") === 0, lit(null))
+          .when(col("num") < 0,
+            -graft.util.Exact.idiv(lit(10000) * -col("num"), col("den")))
+          .otherwise(
+            graft.util.Exact.idiv(lit(10000) * col("num"), col("den")))
+          .cast("long").as("acf_bp"))
+      .orderBy("lag")
+  }
+
+  /** Theil–Sen slope in basis points: the LOWER MEDIAN over all
+    * C(n, 2) pairwise integer-bp slopes, picked by an exact rank with
+    * the (slope, x_a, x_b) total order — no float ever appears, and up
+    * to ~29% contaminated points cannot move it (the estimator's
+    * breakdown point). Returns ONE row (n_pairs, ts_slope_bp). The
+    * theta self-join is O(n²) BY DESIGN — intended for POST-AGG
+    * calendar/entity-sized series where n is bounded by construction
+    * (the documented PlanAuditSpec exception); x values must be
+    * distinct (slopes divide by x_b − x_a). */
+  def theilSenBp(series: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val s = series.select(xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"))
+    val a = s.select(col("x").as("x_a"), col("y").as("y_a"))
+    val b = s.select(col("x").as("x_b"), col("y").as("y_b"))
+    a.join(b, col("x_a") < col("x_b"))
+      .select(col("x_a"), col("x_b"),
+        (col("y_b") - col("y_a")).as("dy"),
+        (col("x_b") - col("x_a")).as("dx"))
+      .select(col("x_a"), col("x_b"),
+        when(col("dy") < 0,
+          -graft.util.Exact.idiv(lit(10000) * -col("dy"), col("dx")))
+          .otherwise(
+            graft.util.Exact.idiv(lit(10000) * col("dy"), col("dx")))
+          .as("slope_bp"))
+      .select(col("slope_bp"),
+        row_number().over(Window.orderBy("slope_bp", "x_a", "x_b")).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).cast("long").as("n_pairs"))
+      .where(col("rn") ===
+        graft.util.Exact.idiv(col("n_pairs") + 1, lit(2L)))
+      .select(col("n_pairs"), col("slope_bp").as("ts_slope_bp"))
+  }
 }

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ml.Stats
+
+/** Round-9 time-series statistics pack: lag-k autocorrelation and the
+  * Theil–Sen robust trend — the two classical diagnostics missing from
+  * the monitor family (`st_runs_test` tests exchangeability, `st_acf`
+  * measures HOW the series remembers; `st_ols_trend` fits a trend,
+  * `st_theil_sen` fits one a third of the data being garbage can't
+  * move).
+  *
+  * Exactness discipline as [[StatsQ]] / [[graft.ml.Stats]]: every
+  * moment is an exact integer (cents), mean-centering is cleared of
+  * rationals by scaling with n (n·x − S is integer when x̄ = S/n is
+  * not), and the single division per output value is a sign-safe
+  * integer floor division — bit-identical on both engines at any
+  * partitioning.
+  *
+  * Scale story: both operate on POST-AGGREGATION calendar-sized series
+  * (|days| ≈ 2.4 k, |months| ≈ 84 over the TPC-H date span) — the
+  * relation the global window / pair join touches grows with the
+  * CALENDAR, not the data volume, so the plans are unchanged at 100 TB
+  * (the `st_runs_test` / `w2_rolling` scale story). The fact-sized work
+  * is one partial-agg shuffle onto the day (resp. month) key.
+  */
+object Stats2Q extends QueryPack {
+
+  private val MaxLag = 7
+
+  // ------------------------------------------------------------------ st_acf
+
+  /** Sample autocorrelation of daily order revenue at lags 1..7, in
+    * basis points. r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² with every
+    * term scaled by n² so it stays integer:
+    * num_k = Σ (n·x_t − S)(n·x_{t−k} − S), den = Σ (n·x_t − S)².
+    * One |days| window pass materializes all 7 lag columns, ONE
+    * aggregate produces all 7 numerators + the denominator, and
+    * `stack` unpivots to 7 rows — the whole post-agg stage is 3 plans
+    * over a calendar-sized relation. DECIMAL(38,0) throughout: at
+    * sf0.1 the deviations are ~10¹² so squares are ~10²⁴, and the
+    * 10⁴-scaled sums stay far under the 38-digit cap (headroom to
+    * ~10³ × the sf1 daily mass; past that drop the bp scaling first).
+    * A weekly echo in the ACF (lag-7 spike) is the signature the
+    * seasonal index (`g_seasonal_idx`) quantifies. */
+  private def stAcf(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(spark, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("total_c"))
+    Stats.acfBp(daily, col("day"), col("total_c"), MaxLag)
+  }
+
+  private val stAcfSql = {
+    val lags = (1 to MaxLag)
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS total_c
+            FROM orders GROUP BY 1),
+       t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                    CAST(SUM(total_c) AS HUGEINT) AS s FROM daily),
+       l AS (SELECT total_c,
+                    ${lags.map(k => s"LAG(total_c, $k) OVER w AS x$k")
+                      .mkString(", ")}
+             FROM daily WINDOW w AS (ORDER BY day)),
+       dv AS (SELECT n * total_c - s AS dev,
+                     ${lags.map(k => s"n * x$k - s AS d$k").mkString(", ")}
+              FROM l, t),
+       a AS (SELECT SUM(dev * dev) AS den,
+                    ${lags.map(k =>
+                      s"SUM(dev * d$k) AS num$k, COUNT(d$k) AS np$k")
+                      .mkString(", ")}
+             FROM dv)
+       SELECT lag, n_pairs, acf_bp FROM (
+         ${lags.map(k =>
+           s"""SELECT CAST($k AS BIGINT) AS lag,
+                      CAST(np$k AS BIGINT) AS n_pairs,
+                      CAST(CASE WHEN den = 0 THEN NULL
+                                WHEN num$k < 0
+                                THEN -((10000 * (-num$k)) // den)
+                                ELSE (10000 * num$k) // den END AS BIGINT)
+                        AS acf_bp
+               FROM a""").mkString(" UNION ALL ")})
+       ORDER BY lag"""
+  }
+
+  // ------------------------------------------------------------ st_theil_sen
+
+  /** Theil–Sen slope of monthly order revenue on the month index, in
+    * basis points (cents per month), beside the OLS slope from the
+    * SAME series so the robustness gap is one subtraction. The
+    * estimator is the LOWER MEDIAN over all C(|months|, 2) pairwise
+    * slopes — each slope an integer-bp floor division, the median an
+    * exact rank pick with a (slope, ym_a, ym_b) total order, so no
+    * float ever appears. The pair join is a theta self-join on the
+    * |months| ≈ 84-row aggregate (≈ 3.5 k pairs) — calendar-bounded at
+    * ANY data volume, which is what makes the O(n²) estimator, usually
+    * the textbook scaling objection, a constant-cost plan here
+    * (PlanAuditSpec carries the documented exception). */
+  private def stTheilSen(spark: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(spark, d)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("ym").agg(sum(col("cents")).as("total_c"))
+    val med = Stats.theilSenBp(monthly, col("ym"), col("total_c"))
+    val ols = Stats.olsSlopeBp(monthly, Seq.empty, col("ym"), col("total_c"))
+      .select(col("n").as("n_months"), col("slope_bp").as("ols_slope_bp"))
+    ols.crossJoin(med)
+      .select("n_months", "n_pairs", "ts_slope_bp", "ols_slope_bp")
+  }
+
+  private val stTheilSenSql =
+    """WITH monthly AS (SELECT
+              CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                   + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS total_c
+            FROM orders GROUP BY 1),
+       sl AS (SELECT a.ym AS ym_a, b.ym AS ym_b,
+                     CASE WHEN b.total_c - a.total_c < 0
+                          THEN -((10000 * (a.total_c - b.total_c))
+                                 // (b.ym - a.ym))
+                          ELSE (10000 * (b.total_c - a.total_c))
+                               // (b.ym - a.ym) END AS slope_bp
+              FROM monthly a JOIN monthly b ON a.ym < b.ym),
+       r AS (SELECT slope_bp,
+                    ROW_NUMBER() OVER (ORDER BY slope_bp, ym_a, ym_b) AS rn,
+                    CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+             FROM sl),
+       ts AS (SELECT CAST(slope_bp AS BIGINT) AS ts_slope_bp, n_pairs
+              FROM r WHERE rn = (n_pairs + 1) // 2),
+       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+                    SUM(CAST(ym AS HUGEINT)) AS sx,
+                    SUM(CAST(total_c AS HUGEINT)) AS sy,
+                    SUM(CAST(ym AS HUGEINT) * total_c) AS sxy,
+                    SUM(CAST(ym AS HUGEINT) * ym) AS sxx
+             FROM monthly),
+       o AS (SELECT n_months,
+                    CAST(n_months AS HUGEINT) * sxy - sx * sy AS num,
+                    CAST(n_months AS HUGEINT) * sxx - sx * sx AS den
+             FROM m)
+       SELECT n_months, n_pairs, ts_slope_bp,
+              CAST(CASE WHEN den = 0 THEN NULL
+                        WHEN num < 0 THEN -((10000 * (-num)) // den)
+                        ELSE (10000 * num) // den END AS BIGINT)
+                AS ols_slope_bp
+       FROM o, ts"""
+
+  def queries: Seq[Q] = Seq(
+    Q("st_acf", stAcf, Some(stAcfSql)),
+    Q("st_theil_sen", stTheilSen, Some(stTheilSenSql)))
+}

@@ -156,7 +156,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the apply-pass accounting crosses the ONE-row merge-count
     // aggregate with the ONE-row corpus-token total — both scalar by
     // construction (t_hll_distinct's shape)
-    "t_colloc_apply")
+    "t_colloc_apply",
+    // the ACF denominator/numerator pass crosses the ONE-row (n, S)
+    // series-total aggregate into the calendar-sized daily series —
+    // scalar side by construction (st_runs_test's shape)
+    "st_acf",
+    // Theil–Sen's pairwise-slope theta self-join pairs the |months|-row
+    // POST-AGG series with itself — calendar-bounded (≈84 rows) at any
+    // data volume; the final row crosses two ONE-row aggregates
+    "st_theil_sen")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
