@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sim.Similarity
+
+/** Round-9 graph-ANN pack: greedy beam search over a symmetric kNN
+  * graph ([[graft.sim.Similarity.graphBeamTopK]] — the NSW idea) and
+  * its measured recall dial. Completes the ANN index family: brute
+  * force (exact baseline), LSH buckets, IVF cells, IVF-PQ compressed,
+  * SQ8 quantized, and now graph descent — the one whose QUERY cost is
+  * O(rounds·beam·degree) independent of corpus partitioning.
+  *
+  * Everything is deterministic (md5 hyperplanes, 4dp-rounded sims, id
+  * tie-breaks, min-id entry point), so the DuckDB oracle replays the
+  * graph build AND every search round exactly — `AS MATERIALIZED` pins
+  * the reused chain prefixes to one evaluation (the BPE-unroll
+  * discipline).
+  */
+object Sim2Q extends QueryPack {
+
+  private val GraphK = 8
+  private val Beam = 16
+  private val K = 5
+  private val Rounds = 3
+  private val Entries = 16
+
+  private def emb(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    Similarity.cacheNormalizedCorpus(e, d)
+    e
+  }
+
+  override def warms: Seq[Q] = Seq(
+    Q("sim2_corpus_build",
+      (s, d) => Similarity.cacheNormalizedCorpus(Tables.embeddings(s, d), d),
+      None))
+
+  /** Graph-descent top-5 for the %25 query slice: 3 beam rounds over
+    * the symmetric LSH-kNN graph (degree ≤ 8), beam 8, starting from 16
+    * id-stride entry points (the kNN graph is disconnected across the
+    * planted clusters, so multi-start is what makes it navigable). */
+  private def simNswTopk(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    Similarity.graphBeamTopK(
+        e.filter(col("vec_id") % 25 === 0), e, k = K,
+        rounds = Rounds, beam = Beam, graphK = GraphK, entries = Entries)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The shared oracle prefix: normalized vectors, 16-plane signatures,
+    * the graphK-NN edge list from band collisions, and its symmetric
+    * closure — exactly [[Similarity.lshTopK]]'s algebra with
+    * corpus-vs-corpus sides. */
+  private def graphCtes: String = {
+    val planes = Similarity.planeSigns(16, 64)
+    val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(nv, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""v AS MATERIALIZED (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                  AS nv
+              FROM embeddings),
+       sigs AS MATERIALIZED (SELECT vec_id, nv,
+                CAST($sigExpr AS BIGINT) AS sig FROM v),
+       gb AS (SELECT vec_id, band,
+                     (sig // CAST(pow(2, band * 4) AS BIGINT)) % 16 AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+       gcand AS (SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+                 FROM gb a JOIN gb c USING (band, bucket)
+                 WHERE a.vec_id != c.vec_id),
+       gsims AS (SELECT src, dst,
+                        round(list_dot_product(x.nv, y.nv), 4) AS sim
+                 FROM gcand
+                 JOIN sigs x ON x.vec_id = src
+                 JOIN sigs y ON y.vec_id = dst),
+       knn AS (SELECT src, dst FROM (
+                 SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+                        ORDER BY sim DESC, dst) AS rk FROM gsims)
+               WHERE rk <= $GraphK),
+       sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM knn
+                 UNION ALL SELECT dst AS src, src AS dst FROM knn)),
+       q AS MATERIALIZED (SELECT vec_id AS query_id, nv AS qv FROM v
+                          WHERE vec_id % 25 = 0),
+       ent AS (SELECT MIN(vec_id) AS cand_id FROM v
+               GROUP BY vec_id % $Entries)"""
+  }
+
+  /** One unrolled search round: expand beam out-edges, union the beam,
+    * dedup, re-score, keep the best `Beam` per query. */
+  private def roundCtes(i: Int): String = {
+    val prev = if (i == 1) "b0" else s"b${i - 1}"
+    s"""e$i AS (SELECT query_id, cand_id FROM $prev
+              UNION
+              SELECT p.query_id, s.dst AS cand_id
+              FROM $prev p JOIN sym s ON p.cand_id = s.src),
+       s$i AS (SELECT e.query_id, e.cand_id,
+                      round(list_dot_product(q.qv, w.nv), 4) AS sim
+               FROM e$i e
+               JOIN q USING (query_id)
+               JOIN v w ON w.vec_id = e.cand_id),
+       b$i AS MATERIALIZED (SELECT query_id, cand_id, sim FROM (
+                 SELECT query_id, cand_id, sim,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, cand_id) AS rk FROM s$i)
+               WHERE rk <= $Beam)"""
+  }
+
+  private def nswSqlAt(rounds: Int): String =
+    s"""WITH $graphCtes,
+       b0 AS (SELECT query_id, cand_id FROM q CROSS JOIN ent),
+       ${(1 to rounds).map(roundCtes).mkString(",\n")}
+       SELECT query_id, rank, neighbor_id, sim FROM (
+         SELECT query_id, cand_id AS neighbor_id, sim,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, cand_id) AS INT) AS rank
+         FROM b$rounds WHERE cand_id != query_id) t
+       WHERE rank <= $K ORDER BY query_id, rank"""
+
+  private val simNswSql = nswSqlAt(Rounds)
+
+  /** Recall@5 of graph descent at rounds ∈ {1, 3} against the exact
+    * brute-force top-5 — the rounds dial measured, not asserted (the
+    * `sim_recall_ivf` nprobe-dial shape): one round explores only the
+    * entry point's neighborhood, three rounds let the beam walk to the
+    * query's true region. Grading joins are |queries|·k rows. */
+  private def simRecallNsw(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    val q = e.filter(col("vec_id") % 25 === 0)
+    val ex = Similarity.bruteForceTopKAgg(q, e, k = K)
+      .select("query_id", "neighbor_id")
+    def hits(rounds: Int, as: String): DataFrame =
+      ex.join(
+          Similarity.graphBeamTopK(q, e, k = K, rounds = rounds,
+            beam = Beam, graphK = GraphK, entries = Entries)
+            .select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(as))
+    ex.select("query_id").distinct()
+      .join(hits(1, "hits_r1"), Seq("query_id"), "left")
+      .join(hits(Rounds, "hits_r3"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_r1"), lit(0L)).as("hits_r1"),
+        coalesce(col("hits_r3"), lit(0L)).as("hits_r3"))
+      .select(col("query_id"), col("hits_r1"), col("hits_r3"),
+        expr(s"(hits_r1 * 10000) div $K").as("recall_bp_r1"),
+        expr(s"(hits_r3 * 10000) div $K").as("recall_bp_r3"))
+      .orderBy("query_id")
+  }
+
+  private val simRecallNswSql =
+    s"""WITH exact AS (${SimQ.simTopkSql}),
+       a1 AS (${nswSqlAt(1)}),
+       a3 AS (${nswSqlAt(Rounds)}),
+       h1 AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits_r1
+              FROM exact e JOIN a1
+                ON e.query_id = a1.query_id AND e.neighbor_id = a1.neighbor_id
+              GROUP BY e.query_id),
+       h3 AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits_r3
+              FROM exact e JOIN a3
+                ON e.query_id = a3.query_id AND e.neighbor_id = a3.neighbor_id
+              GROUP BY e.query_id)
+       SELECT qq.query_id,
+         CAST(COALESCE(h1.hits_r1, 0) AS BIGINT) AS hits_r1,
+         CAST(COALESCE(h3.hits_r3, 0) AS BIGINT) AS hits_r3,
+         CAST((COALESCE(h1.hits_r1, 0) * 10000) // $K AS BIGINT)
+           AS recall_bp_r1,
+         CAST((COALESCE(h3.hits_r3, 0) * 10000) // $K AS BIGINT)
+           AS recall_bp_r3
+       FROM (SELECT DISTINCT query_id FROM exact) qq
+       LEFT JOIN h1 ON qq.query_id = h1.query_id
+       LEFT JOIN h3 ON qq.query_id = h3.query_id
+       ORDER BY qq.query_id"""
+
+  def queries: Seq[Q] = Seq(
+    Q("sim_nsw_topk", simNswTopk, Some(simNswSql)),
+    Q("sim_recall_nsw", simRecallNsw, Some(simRecallNswSql)))
+}

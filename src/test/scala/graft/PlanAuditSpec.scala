@@ -157,6 +157,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // aggregate with the ONE-row corpus-token total — both scalar by
     // construction (t_hll_distinct's shape)
     "t_colloc_apply",
+    // graph-descent ANN is plan-opaque like sim_mmr: the kNN-graph
+    // build and beam rounds execute at construction (localCheckpoint
+    // truncation), so the audited plan is the final rank over
+    // checkpointed beams; its internal joins are lshTopK's band-join
+    // shape + |Q|·beam equi joins. The recall harness additionally
+    // rides the exact side's broadcast-query-side cross join
+    // (sim_topk's shape)
+    "sim_nsw_topk", "sim_recall_nsw",
     // the ACF denominator/numerator pass crosses the ONE-row (n, S)
     // series-total aggregate into the calendar-sized daily series —
     // scalar side by construction (st_runs_test's shape)
