@@ -32,7 +32,8 @@ object SparkEntry {
     Seq(StatsQ), Seq(TokenizeQ), Seq(Prep2Q), Seq(EvalQ),
     Seq(RankQ), Seq(Curate2Q), Seq(QualityQ), Seq(Curate3Q),
     Seq(ClassifyQ), Seq(SegmentQ), Seq(Graph2Q), Seq(SpectralQ),
-    Seq(Seq2Q), Seq(FingerprintQ), Seq(Mine2Q), Seq(Stats2Q), Seq(Sim2Q))
+    Seq(Seq2Q), Seq(FingerprintQ), Seq(Mine2Q), Seq(Stats2Q), Seq(Sim2Q),
+    Seq(Text2Q))
 
   /** Bench iteration order: group by group, queries name-sorted within
     * their group — fixed across rounds so per-query deltas are meaningful.
