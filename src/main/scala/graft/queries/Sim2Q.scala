@@ -178,7 +178,78 @@ object Sim2Q extends QueryPack {
        LEFT JOIN h3 ON qq.query_id = h3.query_id
        ORDER BY qq.query_id"""
 
+  private val LpRounds = 3
+  private val KeepEvery = 5
+
+  /** Per-label accuracy of 3-round label propagation over the SAME
+    * symmetric kNN graph the beam search walks, seeds on every 5th
+    * vector (20% labeled): coverage (how many unlabeled nodes got ANY
+    * label) and accuracy vs the generator's planted labels, in exact
+    * bp — the sim_knn_purity measured-quality discipline applied to
+    * label spreading. What it MEASURES on this corpus: the chance
+    * floor. The testdata's label column carries no geometric signal
+    * (exact 1-NN label agreement is 10.35% at sf0.1 ≈ the 10-label
+    * floor — measured 2026-08-15), so any geometry-based spreader
+    * lands at ≈10% overall with majority-vote collapse onto a few
+    * dominant labels; detecting exactly that — full coverage, floor
+    * accuracy ⇒ don't trust spread labels on THIS embedding space —
+    * is the harness's job (the sim_knn_purity honesty discipline). */
+  private def simLabelProp(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    Similarity.labelPropagateKnn(e, rounds = LpRounds, graphK = GraphK,
+        keepEvery = KeepEvery)
+      .filter(!col("is_seed"))
+      .groupBy("true_label")
+      .agg(count(lit(1)).cast("long").as("n_unlabeled"),
+        count(col("pred")).cast("long").as("n_pred"),
+        sum(when(col("pred") === col("true_label"), 1L).otherwise(0L))
+          .cast("long").as("n_correct"))
+      .select(col("true_label"), col("n_unlabeled"), col("n_pred"),
+        col("n_correct"),
+        expr("(n_pred * 10000) div n_unlabeled").as("cover_bp"),
+        when(col("n_pred") === 0, lit(null))
+          .otherwise(expr("(n_correct * 10000) div n_pred")).as("acc_bp"))
+      .orderBy("true_label")
+  }
+
+  private def lpRoundCtes(i: Int): String =
+    s"""vt$i AS (SELECT s.dst AS vec_id, st.cur AS lab,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM sym s JOIN st${i - 1} st ON st.vec_id = s.src
+              WHERE st.cur IS NOT NULL GROUP BY 1, 2),
+       pd$i AS (SELECT vec_id, lab FROM (
+                 SELECT vec_id, lab, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY n DESC, lab) AS rk FROM vt$i)
+               WHERE rk = 1),
+       st$i AS MATERIALIZED (SELECT n.vec_id,
+                COALESCE(n.seed, p.lab) AS cur
+              FROM nodes n LEFT JOIN pd$i p ON n.vec_id = p.vec_id)"""
+
+  private val simLabelPropSql =
+    s"""WITH $graphCtes,
+       nodes AS MATERIALIZED (SELECT vec_id,
+                CAST(label AS BIGINT) AS true_label,
+                CASE WHEN vec_id % $KeepEvery = 0
+                     THEN CAST(label AS BIGINT) END AS seed
+              FROM embeddings),
+       st0 AS (SELECT vec_id, seed AS cur FROM nodes),
+       ${(1 to LpRounds).map(lpRoundCtes).mkString(",\n")},
+       acc AS (SELECT n.true_label,
+                CAST(COUNT(*) AS BIGINT) AS n_unlabeled,
+                CAST(COUNT(st.cur) AS BIGINT) AS n_pred,
+                CAST(SUM(CASE WHEN st.cur = n.true_label THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_correct
+              FROM nodes n JOIN st$LpRounds st USING (vec_id)
+              WHERE n.seed IS NULL GROUP BY 1)
+       SELECT true_label, n_unlabeled, n_pred, n_correct,
+              CAST((n_pred * 10000) // n_unlabeled AS BIGINT) AS cover_bp,
+              CAST(CASE WHEN n_pred = 0 THEN NULL
+                        ELSE (n_correct * 10000) // n_pred END AS BIGINT)
+                AS acc_bp
+       FROM acc ORDER BY true_label"""
+
   def queries: Seq[Q] = Seq(
     Q("sim_nsw_topk", simNswTopk, Some(simNswSql)),
-    Q("sim_recall_nsw", simRecallNsw, Some(simRecallNswSql)))
+    Q("sim_recall_nsw", simRecallNsw, Some(simRecallNswSql)),
+    Q("sim_label_prop", simLabelProp, Some(simLabelPropSql)))
 }

@@ -573,6 +573,60 @@ object Similarity {
         col("cand_id").as("neighbor_id"), col("sim"))
   }
 
+  /** Semi-supervised label propagation over the symmetric kNN graph
+    * (Zhu & Ghahramani 2002, hard-clamped): seed labels are kept on
+    * every `keepEvery`-th vector, every other node takes the MAJORITY
+    * label of its neighbors each round (deterministic tie-break:
+    * smallest label), seeds never change — the cheap label-spreading
+    * pass that turns a 20%-labeled embedding corpus into a fully
+    * (approximately) labeled one without training anything.
+    *
+    * Shape per round: one |V|·2·graphK equi join of the edge list into
+    * the current state + a (node, label) partial agg + a per-node
+    * argmax window — never touches vectors after the build;
+    * localCheckpoint'd (the [[graphBeamTopK]] iterative discipline).
+    * Fully deterministic, so the oracle replays every round.
+    *
+    * Returns (vec_id, true_label, is_seed, pred) — `pred` NULL where no
+    * labeled node is reachable. Accuracy is for the CALLER to measure
+    * (the registered harness reports per-label coverage and accuracy
+    * in exact bp — measured, not asserted). */
+  def labelPropagateKnn(vecs: DataFrame, rounds: Int, graphK: Int,
+      keepEvery: Int, planes: Int = 16, bands: Int = 4,
+      dims: Int = 64): DataFrame = {
+    require(rounds >= 1 && graphK >= 1 && keepEvery >= 2)
+    val knn = lshTopK(vecs, vecs, graphK, planes, bands, dims)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val sym = knn
+      .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = vecs
+      .select(col("vec_id"), col("label").cast("long").as("true_label"))
+      .withColumn("seed",
+        when(col("vec_id") % keepEvery === 0, col("true_label")))
+      .localCheckpoint()
+    var state = nodes.select(col("vec_id"), col("seed").as("cur"))
+    val wv = Window.partitionBy("vec_id")
+      .orderBy(col("n").desc, col("lab").asc)
+    for (_ <- 1 to rounds) {
+      val pred = sym
+        .join(state.select(col("vec_id").as("src"), col("cur")), "src")
+        .filter(col("cur").isNotNull)
+        .groupBy(col("dst").as("vec_id"), col("cur").as("lab"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(wv))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("lab"))
+      state = nodes.select(col("vec_id"), col("seed"))
+        .join(pred, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("seed"), col("lab")).as("cur"))
+        .localCheckpoint()
+    }
+    nodes.join(state, "vec_id")
+      .select(col("vec_id"), col("true_label"),
+        col("seed").isNotNull.as("is_seed"), col("cur").as("pred"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 16, bands: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -165,6 +165,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rides the exact side's broadcast-query-side cross join
     // (sim_topk's shape)
     "sim_nsw_topk", "sim_recall_nsw",
+    // label propagation shares the graph-descent shape: build + rounds
+    // execute at construction (localCheckpoint), per-round joins are
+    // |V|·2k equi joins + argmax windows — plan-opaque like sim_mmr
+    "sim_label_prop",
     // the ACF denominator/numerator pass crosses the ONE-row (n, S)
     // series-total aggregate into the calendar-sized daily series —
     // scalar side by construction (st_runs_test's shape)
