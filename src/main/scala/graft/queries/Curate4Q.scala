@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Exact.idiv
+
+/** Round-9 mixture-reweighting pack: one DoReMi-style
+  * multiplicative-weights step over the per-source loss proxy — the
+  * domain-mixture optimization loop's inner update (Xie et al. 2023),
+  * re-expressed as exact integer relational algebra. Where
+  * `c_mix_temp` SETS a mixture from a temperature prior, this op
+  * LEARNS one step of it from measured loss.
+  */
+object Curate4Q extends QueryPack {
+
+  /** Learning rate η in basis points (η = 1.0). */
+  private val EtaBp = 10000L
+
+  /** One multiplicative-weights step over domain (source) weights:
+    * per-doc loss proxy = 10⁴ − round(lm_score·10⁴) (the bounded
+    * bigram-LM fluency from `t_lm_score`, inverted — low fluency =
+    * high loss), per-source integer mean, excess vs the unweighted
+    * across-source mean (DoReMi reweights DOMAINS, so the reference
+    * point is the domain mean, not the doc mean), then the Hedge
+    * update linearized for integer exactness: mult = 1 + η·excess
+    * (the (1+ηx) MW variant — no exp, no libm), floor-normalized to
+    * Σ new_w_bp ≤ 10⁴. High-loss (hard) domains gain weight — exactly
+    * DoReMi's "upweight what the proxy finds hard".
+    *
+    * Shape: the LM scoring plan (broadcast ≤500-row model), ONE
+    * partial-agg shuffle onto the |sources| key, then dim-sized
+    * arithmetic with two 1-row cross joins (PlanAuditSpec-listed).
+    * Every division is a sign-safe integer floor — bit-identical on
+    * both engines. */
+  private def cDoremiStep(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val loss = graft.text.Lm.lmScore(docs, modelTopK = 500)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"),
+        (lit(10000L) - expr("CAST(round(lm_score * 10000) AS BIGINT)"))
+          .as("loss_bp"))
+    val perSrc = loss.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("loss_bp")).cast("long").as("sum_loss"))
+      .select(col("source"), col("n_docs"),
+        idiv(col("sum_loss"), col("n_docs")).as("mean_loss_bp"))
+    val totals = perSrc.agg(
+      count(lit(1)).cast("long").as("n_src"),
+      sum(col("mean_loss_bp")).cast("long").as("sum_means"))
+    val stepped = perSrc.crossJoin(totals)
+      .select(col("source"), col("n_docs"), col("mean_loss_bp"),
+        (col("mean_loss_bp") - idiv(col("sum_means"), col("n_src")))
+          .as("excess_bp"),
+        idiv(lit(10000L), col("n_src")).as("old_w_bp"))
+      .select(col("source"), col("n_docs"), col("mean_loss_bp"),
+        col("excess_bp"), col("old_w_bp"),
+        (lit(10000L) + when(col("excess_bp") < 0,
+            -idiv(lit(EtaBp) * -col("excess_bp"), lit(10000L)))
+          .otherwise(idiv(lit(EtaBp) * col("excess_bp"), lit(10000L))))
+          .as("mult_bp"))
+      .withColumn("raw", col("old_w_bp") * col("mult_bp"))
+    val denom = stepped.agg(sum(col("raw")).cast("long").as("sum_raw"))
+    stepped.crossJoin(denom)
+      .select(col("source"), col("n_docs"), col("mean_loss_bp"),
+        col("excess_bp"), col("mult_bp"),
+        idiv(col("raw") * 10000L, col("sum_raw")).as("new_w_bp"))
+      .orderBy("source")
+  }
+
+  private val cDoremiStepSql =
+    s"""WITH lm AS (${TextQ.tLmScoreSql}),
+       loss AS (SELECT d.source,
+                CAST(10000 - CAST(round(lm_score * 10000) AS BIGINT)
+                     AS BIGINT) AS loss_bp
+              FROM lm JOIN documents d USING (doc_id)),
+       per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(loss_bp) // COUNT(*) AS BIGINT)
+                       AS mean_loss_bp
+                   FROM loss GROUP BY 1),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+                      CAST(SUM(mean_loss_bp) AS BIGINT) AS sum_means
+               FROM per_src),
+       st AS (SELECT source, n_docs, mean_loss_bp,
+                     mean_loss_bp - (sum_means // n_src) AS excess_bp,
+                     10000 // n_src AS old_w_bp
+              FROM per_src, tot),
+       mu AS (SELECT source, n_docs, mean_loss_bp, excess_bp, old_w_bp,
+                     10000 + (CASE WHEN excess_bp < 0
+                              THEN -(($EtaBp * (-excess_bp)) // 10000)
+                              ELSE ($EtaBp * excess_bp) // 10000 END)
+                       AS mult_bp
+              FROM st),
+       rw AS (SELECT *, old_w_bp * mult_bp AS raw FROM mu),
+       dn AS (SELECT CAST(SUM(raw) AS BIGINT) AS sum_raw FROM rw)
+       SELECT source, n_docs, mean_loss_bp,
+              CAST(excess_bp AS BIGINT) AS excess_bp,
+              CAST(mult_bp AS BIGINT) AS mult_bp,
+              CAST((raw * 10000) // sum_raw AS BIGINT) AS new_w_bp
+       FROM rw, dn ORDER BY source"""
+
+  def queries: Seq[Q] = Seq(
+    Q("c_doremi_step", cDoremiStep, Some(cDoremiStepSql)))
+}

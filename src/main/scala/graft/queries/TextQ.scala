@@ -443,7 +443,7 @@ object TextQ extends QueryPack {
     graft.text.Lm.lmScore(Tables.documents(spark, d), modelTopK = 500)
       .orderBy("doc_id")
 
-  private val tLmScoreSql =
+  private[queries] val tLmScoreSql =
     """WITH b AS (SELECT doc_id, u.w1, u.w2
               FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
                    UNNEST(list_transform(s[1:len(s) - 1],

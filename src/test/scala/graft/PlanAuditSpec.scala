@@ -169,6 +169,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // execute at construction (localCheckpoint), per-round joins are
     // |V|·2k equi joins + argmax windows — plan-opaque like sim_mmr
     "sim_label_prop",
+    // the MW step crosses two ONE-row aggregates (domain-mean total,
+    // raw-weight sum) into the |sources| dim — scalar sides by
+    // construction, plus lmScore's ≤500-row model broadcast
+    "c_doremi_step",
     // the ACF denominator/numerator pass crosses the ONE-row (n, S)
     // series-total aggregate into the calendar-sized daily series —
     // scalar side by construction (st_runs_test's shape)
