@@ -248,8 +248,116 @@ object Sim2Q extends QueryPack {
                 AS acc_bp
        FROM acc ORDER BY true_label"""
 
+  private val Shortlist = 20
+
+  /** Binary-quantization top-5: sign-bit codes (16 B/vector), Hamming
+    * shortlist of 20, exact rerank — the fourth compression point on
+    * the family's accuracy/footprint dial (float 256 B → SQ8 64 B →
+    * PQ codes → BQ 16 B). */
+  private def simBqTopk(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    Similarity.binaryTopK(
+        e.filter(col("vec_id") % 25 === 0), e, k = K,
+        shortlist = Shortlist)
+      .orderBy("query_id", "rank")
+  }
+
+  private def bqSqlAt(shortlist: Int): String =
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+                  AS nv
+              FROM embeddings),
+       bq AS MATERIALIZED (SELECT vec_id, nv,
+                CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN nv[i+1] > 0
+                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS b0,
+                CAST(list_sum(list_transform(range(32),
+                  i -> CASE WHEN nv[i+33] > 0
+                       THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS b1
+              FROM v),
+       qb AS (SELECT vec_id AS query_id, nv AS qv, b0 AS qb0, b1 AS qb1
+              FROM bq WHERE vec_id % 25 = 0),
+       hm AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     bit_count(xor(q.qb0, c.b0))
+                     + bit_count(xor(q.qb1, c.b1)) AS hamming
+              FROM bq c JOIN qb q ON c.vec_id != q.query_id),
+       sh AS (SELECT query_id, neighbor_id, CAST(hamming AS BIGINT)
+                       AS hamming
+              FROM (SELECT query_id, neighbor_id, hamming,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY hamming, neighbor_id) AS srank FROM hm)
+              WHERE srank <= $shortlist),
+       rr AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+                     round(list_dot_product(q.qv, c.nv), 4) AS sim
+              FROM sh s
+              JOIN qb q USING (query_id)
+              JOIN v c ON c.vec_id = s.neighbor_id)
+       SELECT query_id, rank, neighbor_id, hamming, sim FROM (
+         SELECT query_id, neighbor_id, hamming, sim,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         FROM rr) t
+       WHERE rank <= $K ORDER BY query_id, rank"""
+
+  private val simBqSql = bqSqlAt(Shortlist)
+
+  /** Recall@5 of binary quantization at shortlist ∈ {5, 20}: 5 = pure
+    * Hamming ranking (no rerank headroom), 20 = the rerank dial —
+    * measures what the 16× compression costs and what the shortlist
+    * buys back. */
+  private def simRecallBq(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    val q = e.filter(col("vec_id") % 25 === 0)
+    val ex = Similarity.bruteForceTopKAgg(q, e, k = K)
+      .select("query_id", "neighbor_id")
+    def hits(shortlist: Int, as: String): DataFrame =
+      ex.join(
+          Similarity.binaryTopK(q, e, k = K, shortlist = shortlist)
+            .select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(as))
+    ex.select("query_id").distinct()
+      .join(hits(K, "hits_s5"), Seq("query_id"), "left")
+      .join(hits(Shortlist, "hits_s20"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_s5"), lit(0L)).as("hits_s5"),
+        coalesce(col("hits_s20"), lit(0L)).as("hits_s20"))
+      .select(col("query_id"), col("hits_s5"), col("hits_s20"),
+        expr(s"(hits_s5 * 10000) div $K").as("recall_bp_s5"),
+        expr(s"(hits_s20 * 10000) div $K").as("recall_bp_s20"))
+      .orderBy("query_id")
+  }
+
+  private val simRecallBqSql =
+    s"""WITH exact AS (${SimQ.simTopkSql}),
+       a5 AS (${bqSqlAt(K)}),
+       a20 AS (${bqSqlAt(Shortlist)}),
+       h5 AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits_s5
+              FROM exact e JOIN a5
+                ON e.query_id = a5.query_id AND e.neighbor_id = a5.neighbor_id
+              GROUP BY e.query_id),
+       h20 AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits_s20
+               FROM exact e JOIN a20
+                 ON e.query_id = a20.query_id
+                 AND e.neighbor_id = a20.neighbor_id
+               GROUP BY e.query_id)
+       SELECT qq.query_id,
+         CAST(COALESCE(h5.hits_s5, 0) AS BIGINT) AS hits_s5,
+         CAST(COALESCE(h20.hits_s20, 0) AS BIGINT) AS hits_s20,
+         CAST((COALESCE(h5.hits_s5, 0) * 10000) // $K AS BIGINT)
+           AS recall_bp_s5,
+         CAST((COALESCE(h20.hits_s20, 0) * 10000) // $K AS BIGINT)
+           AS recall_bp_s20
+       FROM (SELECT DISTINCT query_id FROM exact) qq
+       LEFT JOIN h5 ON qq.query_id = h5.query_id
+       LEFT JOIN h20 ON qq.query_id = h20.query_id
+       ORDER BY qq.query_id"""
+
   def queries: Seq[Q] = Seq(
     Q("sim_nsw_topk", simNswTopk, Some(simNswSql)),
     Q("sim_recall_nsw", simRecallNsw, Some(simRecallNswSql)),
-    Q("sim_label_prop", simLabelProp, Some(simLabelPropSql)))
+    Q("sim_label_prop", simLabelProp, Some(simLabelPropSql)),
+    Q("sim_bq_topk", simBqTopk, Some(simBqSql)),
+    Q("sim_recall_bq", simRecallBq, Some(simRecallBqSql)))
 }

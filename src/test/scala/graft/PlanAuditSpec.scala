@@ -169,6 +169,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // execute at construction (localCheckpoint), per-round joins are
     // |V|·2k equi joins + argmax windows — plan-opaque like sim_mmr
     "sim_label_prop",
+    // binary quantization rides the broadcast-query-side cross join on
+    // the 16-byte CODES (sim_topk's shape with 16× narrower rows); the
+    // recall harness adds the exact side's same-shape join
+    "sim_bq_topk", "sim_recall_bq",
     // the MW step crosses two ONE-row aggregates (domain-mean total,
     // raw-weight sum) into the |sources| dim — scalar sides by
     // construction, plus lmScore's ≤500-row model broadcast
