@@ -135,11 +135,13 @@ object Sim2Q extends QueryPack {
     val q = e.filter(col("vec_id") % 25 === 0)
     val ex = Similarity.bruteForceTopKAgg(q, e, k = K)
       .select("query_id", "neighbor_id")
+    // ONE build + ONE walk: round 1's beam is the prefix of round 3's
+    // computation, so both dial settings come from the same chain.
+    val at = Similarity.graphBeamTopKAt(q, e, k = K,
+      roundsAt = Seq(1, Rounds), beam = Beam, graphK = GraphK,
+      entries = Entries)
     def hits(rounds: Int, as: String): DataFrame =
-      ex.join(
-          Similarity.graphBeamTopK(q, e, k = K, rounds = rounds,
-            beam = Beam, graphK = GraphK, entries = Entries)
-            .select("query_id", "neighbor_id"),
+      ex.join(at(rounds).select("query_id", "neighbor_id"),
           Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as(as))
     ex.select("query_id").distinct()

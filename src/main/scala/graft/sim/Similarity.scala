@@ -534,8 +534,21 @@ object Similarity {
     * Per-query cost stays O(rounds·beam·degree) — the whole point. */
   def graphBeamTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       rounds: Int, beam: Int, graphK: Int, entries: Int = 16,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame = {
-    require(rounds >= 0 && beam >= 1 && graphK >= 1 && entries >= 1)
+      planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame =
+    graphBeamTopKAt(queries, corpus, k, Seq(rounds), beam, graphK,
+      entries, planes, bands, dims)(rounds)
+
+  /** [[graphBeamTopK]] returning a SNAPSHOT per requested round count
+    * from ONE build and ONE walk — round r's beam is a prefix of round
+    * r′ > r's computation, so a rounds-dial harness (`sim_recall_nsw`)
+    * pays the graph build and the shared walk prefix once instead of
+    * once per setting. */
+  def graphBeamTopKAt(queries: DataFrame, corpus: DataFrame, k: Int,
+      roundsAt: Seq[Int], beam: Int, graphK: Int, entries: Int = 16,
+      planes: Int = 16, bands: Int = 4,
+      dims: Int = 64): Map[Int, DataFrame] = {
+    require(roundsAt.nonEmpty && roundsAt.forall(_ >= 0) && beam >= 1 &&
+      graphK >= 1 && entries >= 1)
     val knn = lshTopK(corpus, corpus, graphK, planes, bands, dims)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val sym = knn
@@ -549,10 +562,18 @@ object Similarity {
       .agg(min(col("vec_id")).as("cand_id")).select("cand_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("cand_id").asc)
+    def finalize(beamDf: DataFrame): DataFrame =
+      beamDf.filter(col("cand_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"),
+          col("cand_id").as("neighbor_id"), col("sim"))
     var beamDf = q.crossJoin(entry).join(c, "cand_id")
       .select(col("query_id"), col("cand_id"),
         round(dotFast(col("qv"), col("cv")), 4).as("sim"))
-    for (_ <- 1 to rounds) {
+    val out = scala.collection.mutable.Map.empty[Int, DataFrame]
+    if (roundsAt.contains(0)) out(0) = finalize(beamDf)
+    for (r <- 1 to roundsAt.max) {
       beamDf = beamDf.select("query_id", "cand_id")
         .join(sym, col("cand_id") === col("src"))
         .select(col("query_id"), col("dst").as("cand_id"))
@@ -565,12 +586,9 @@ object Similarity {
         .filter(col("rk") <= beam)
         .select("query_id", "cand_id", "sim")
         .localCheckpoint()
+      if (roundsAt.contains(r)) out(r) = finalize(beamDf)
     }
-    beamDf.filter(col("cand_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col("cand_id").as("neighbor_id"), col("sim"))
+    out.toMap
   }
 
   /** Semi-supervised label propagation over the symmetric kNN graph
