@@ -101,7 +101,7 @@ object FingerprintQ extends QueryPack {
     * k-gram must not fan out quadratically; capped hashes simply don't
     * generate candidates, and the shared-count reflects the capped
     * set). */
-  private def dWinnowPairs(spark: SparkSession, d: String): DataFrame = {
+  private def winnowPairs(spark: SparkSession, d: String): DataFrame = {
     val fp = winnowed(spark, d).select("doc_id", "h").distinct()
     val rare = fp.groupBy("h")
       .agg(count(lit(1)).as("df"))
@@ -112,8 +112,10 @@ object FingerprintQ extends QueryPack {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).cast("long").as("shared"))
       .filter(col("shared") >= 2)
-      .orderBy("d1", "d2")
   }
+
+  private def dWinnowPairs(spark: SparkSession, d: String): DataFrame =
+    winnowPairs(spark, d).orderBy("d1", "d2")
 
   private val dWinnowPairsSql =
     s"""WITH $winnowSql,
@@ -224,10 +226,96 @@ object FingerprintQ extends QueryPack {
     s"WITH a AS (SELECT $aggs FROM documents) $rows ORDER BY column_name"
   }
 
+  /** ROUGE-2 extent scoring over the winnow copy pairs: bigram
+    * MULTISET overlap (clipped counts — the ROUGE definition) between
+    * each flagged pair, as precision (share of d2's bigrams also in
+    * d1), recall (share of d1's), and F1, all integer bp. Turns the
+    * binary "these two share fingerprints" flag into HOW MUCH is
+    * copied — the triage signal between "remove the copy" (F ≈ 10⁴)
+    * and "shared boilerplate only" (F small). Shape: the |pairs| table
+    * (already boilerplate-capped) equi-joins each side's per-doc
+    * bigram counts on (doc, bigram) — cost ∝ |pairs|·|doc bigrams|,
+    * never corpus²; F's division is the only non-sum step. */
+  private def tRougePairs(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val pairs = winnowPairs(spark, d)
+    val bg = graft.text.Lm.bigrams(docs, "doc_id", "text")
+      .groupBy(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("g"))
+      .agg(count(lit(1)).as("c"))
+    val tot = bg.groupBy("doc_id").agg(sum("c").cast("long").as("nb"))
+    val m = pairs
+      .join(bg.select(col("doc_id").as("d1"), col("g"),
+        col("c").as("c1")), Seq("d1"))
+      .join(bg.select(col("doc_id").as("d2"), col("g"),
+        col("c").as("c2")), Seq("d2", "g"))
+      .groupBy("d1", "d2")
+      .agg(sum(least(col("c1"), col("c2"))).cast("long").as("match_n"))
+    pairs
+      .join(m, Seq("d1", "d2"), "left")
+      .join(tot.select(col("doc_id").as("d1"), col("nb").as("n1")), "d1")
+      .join(tot.select(col("doc_id").as("d2"), col("nb").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("shared"),
+        coalesce(col("match_n"), lit(0L)).as("match_n"),
+        col("n1"), col("n2"))
+      .select(col("d1"), col("d2"), col("shared"), col("match_n"),
+        col("n1"), col("n2"),
+        idiv(col("match_n") * 10000L, col("n2")).as("p_bp"),
+        idiv(col("match_n") * 10000L, col("n1")).as("r_bp"))
+      .withColumn("f_bp",
+        when(col("p_bp") + col("r_bp") === 0, lit(null))
+          .otherwise(idiv(lit(2L) * col("p_bp") * col("r_bp"),
+            col("p_bp") + col("r_bp"))).cast("long"))
+      .orderBy("d1", "d2")
+  }
+
+  private val tRougePairsSql =
+    s"""WITH $winnowSql,
+       fpd AS (SELECT DISTINCT doc_id, h FROM fp),
+       rare AS (SELECT h FROM fpd GROUP BY h
+                HAVING COUNT(*) <= $DfCap),
+       capped AS (SELECT fpd.doc_id, fpd.h FROM fpd JOIN rare USING (h)),
+       prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                      CAST(COUNT(*) AS BIGINT) AS shared
+               FROM capped a JOIN capped b
+                 ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       bg AS (SELECT doc_id, u.w1 || ' ' || u.w2 AS g, COUNT(*) AS c
+              FROM (SELECT doc_id, string_split(text, ' ') AS s
+                    FROM documents),
+                   UNNEST(list_transform(s[1:len(s) - 1],
+                     (w, i) -> {'w1': w, 'w2': s[i + 1]})) AS r(u)
+              GROUP BY 1, 2),
+       tt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb
+              FROM bg GROUP BY 1),
+       mt AS (SELECT p.d1, p.d2,
+                     CAST(SUM(LEAST(b1.c, b2.c)) AS BIGINT) AS match_n
+              FROM prs p
+              JOIN bg b1 ON b1.doc_id = p.d1
+              JOIN bg b2 ON b2.doc_id = p.d2 AND b2.g = b1.g
+              GROUP BY 1, 2),
+       fin AS (SELECT p.d1, p.d2, p.shared,
+                      COALESCE(mt.match_n, 0) AS match_n,
+                      t1.nb AS n1, t2.nb AS n2
+               FROM prs p
+               LEFT JOIN mt ON mt.d1 = p.d1 AND mt.d2 = p.d2
+               JOIN tt t1 ON t1.doc_id = p.d1
+               JOIN tt t2 ON t2.doc_id = p.d2),
+       bp AS (SELECT d1, d2, shared, match_n, n1, n2,
+                     (match_n * 10000) // n2 AS p_bp,
+                     (match_n * 10000) // n1 AS r_bp
+              FROM fin)
+       SELECT d1, d2, shared, CAST(match_n AS BIGINT) AS match_n, n1, n2,
+              CAST(p_bp AS BIGINT) AS p_bp, CAST(r_bp AS BIGINT) AS r_bp,
+              CAST(CASE WHEN p_bp + r_bp = 0 THEN NULL
+                        ELSE (2 * p_bp * r_bp) // (p_bp + r_bp) END
+                   AS BIGINT) AS f_bp
+       FROM bp ORDER BY d1, d2"""
+
   def queries: Seq[Q] = Seq(
     Q("t_winnow", tWinnow, Some(tWinnowSql)),
     Q("pr_content_hash", prContentHash, Some(prContentHashSql)),
     Q("pr_column_hash", prColumnHash, Some(prColumnHashSql)),
     Q("d_winnow_pairs", dWinnowPairs, Some(dWinnowPairsSql)),
+    Q("t_rouge_pairs", tRougePairs, Some(tRougePairsSql)),
     Q("t_token_entropy", tTokenEntropy, Some(tTokenEntropySql)))
 }
