@@ -49,6 +49,77 @@ object Graph2Q extends QueryPack {
        ORDER BY score DESC, node LIMIT 20"""
   }
 
+  private val BcRounds = 4
+
+  /** Truncated Brandes betweenness from the deterministic source
+    * sample (customers with custkey ≡ 1 mod 500), 4-hop shortest
+    * paths, top-15 by dependency mass. On the bipartite trade graph
+    * the top nodes are the broker SUPPLIERS many customer-pairs route
+    * through — the flow centrality Katz's prestige recursion doesn't
+    * see ([[graft.graph.Graph.betweennessBp]]). */
+  private def grBetweenness(spark: SparkSession, d: String): DataFrame = {
+    val sources = graft.Tables.customer(spark, d)
+      .filter(col("c_custkey") % 500 === 1)
+      .select((col("c_custkey") * 2).as("node"))
+    Graph.betweennessBp(GraphQ.tradeEdges(spark, d), sources,
+        rounds = BcRounds)
+      .orderBy(col("bc_bp").desc, col("node").asc)
+      .limit(15)
+  }
+
+  private val grBetweennessSql = {
+    // forward round l: extend the settled (s, node, dist, sigma) set by
+    // one BFS layer (new nodes only; sigma = sum over predecessors)
+    def fwd(l: Int) =
+      s"""g$l AS (SELECT f.s, e.dst AS node,
+                CAST(SUM(f.sigma) AS BIGINT) AS sigma
+              FROM f${l - 1} f JOIN e ON e.src = f.node
+              WHERE f.dist = ${l - 1}
+                AND NOT EXISTS (SELECT 1 FROM f${l - 1} x
+                                WHERE x.s = f.s AND x.node = e.dst)
+              GROUP BY 1, 2),
+       f$l AS MATERIALIZED (SELECT * FROM f${l - 1}
+              UNION ALL
+              SELECT s, node, $l AS dist, sigma FROM g$l)"""
+    // backward layer l: Brandes dependency onto the (l−1)-layer, with
+    // the per-edge integer floor (sig_u · (10⁴ + δ_v)) // sig_v
+    def bwd(l: Int) = {
+      val prev = if (l == BcRounds) "dl0" else s"dl${BcRounds - l}"
+      s"""b$l AS (SELECT u.s, u.node,
+                CAST(SUM((u.sigma * (10000 + COALESCE(d.delta_bp, 0)))
+                         // v.sigma) AS BIGINT) AS delta_bp
+              FROM f$BcRounds u
+              JOIN e ON e.src = u.node
+              JOIN f$BcRounds v ON v.s = u.s AND v.node = e.dst
+                   AND v.dist = $l
+              LEFT JOIN $prev d ON d.s = v.s AND d.node = v.node
+              WHERE u.dist = ${l - 1}
+              GROUP BY 1, 2),
+       dl${BcRounds - l + 1} AS MATERIALIZED (
+              SELECT * FROM $prev UNION ALL SELECT * FROM b$l)"""
+    }
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+                              l_suppkey * 2 + 1 AS supp_node
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS MATERIALIZED (SELECT cust_node AS src, supp_node AS dst
+             FROM pairs
+             UNION
+             SELECT supp_node, cust_node FROM pairs),
+       f0 AS (SELECT DISTINCT c_custkey * 2 AS s, c_custkey * 2 AS node,
+                     0 AS dist, CAST(1 AS BIGINT) AS sigma
+              FROM customer WHERE c_custkey % 500 = 1),
+       ${(1 to BcRounds).map(fwd).mkString(",\n")},
+       dl0 AS (SELECT s, node, CAST(0 AS BIGINT) AS delta_bp
+               FROM f0 WHERE 1 = 0),
+       ${(BcRounds to 1 by -1).map(bwd).mkString(",\n")}
+       SELECT node, bc_bp FROM (
+         SELECT node, CAST(SUM(CAST(delta_bp AS HUGEINT)) AS BIGINT)
+                  AS bc_bp
+         FROM dl$BcRounds WHERE node <> s GROUP BY 1)
+       ORDER BY bc_bp DESC, node LIMIT 15"""
+  }
+
   def queries: Seq[Q] = Seq(
-    Q("gr_katz", grKatz, Some(grKatzSql)))
+    Q("gr_katz", grKatz, Some(grKatzSql)),
+    Q("gr_betweenness", grBetweenness, Some(grBetweennessSql)))
 }

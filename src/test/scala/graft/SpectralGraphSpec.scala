@@ -25,6 +25,31 @@ class SpectralGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> 0L, 2L -> 62500L, 3L -> 66406L))
   }
 
+  test("betweennessBp: path graph — the inner nodes carry the flow") {
+    val s = spark
+    import s.implicits._
+    // undirected path 1—2—3—4 from source 1: δ(3)=10⁴ (carries the
+    // path to 4), δ(2)=2·10⁴ (carries paths to 3 AND 4: σ₂(10⁴+δ₃)/σ₃).
+    val prs = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (prs ++ prs.map(_.swap)).toDF("src", "dst")
+    val out = Graph.betweennessBp(edges, Seq(1L).toDF("node"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 20000L, 3L -> 10000L))
+  }
+
+  test("betweennessBp: diamond — σ-ratio splits dependency between " +
+    "equal-count predecessors") {
+    val s = spark
+    import s.implicits._
+    // 1—2—4 and 1—3—4: σ(4)=2, so 2 and 3 each carry HALF the
+    // dependency on 4: δ = σ_u·10⁴/σ_v = 1·10⁴/2 = 5000.
+    val prs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (prs ++ prs.map(_.swap)).toDF("src", "dst")
+    val out = Graph.betweennessBp(edges, Seq(1L).toDF("node"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 5000L, 3L -> 5000L))
+  }
+
   test("powerDirection: axis-heavy 2-D cloud converges to the heavy axis") {
     val s = spark
     import s.implicits._
