@@ -88,6 +88,34 @@ object Sketch2Q extends QueryPack {
               exact
        FROM s JOIN exc USING (day) ORDER BY s.day"""
 
+  /** Per-language exact heavy tokens (count·30 > language total) via
+    * the grouped Misra-Gries pre-filter ([[Sketch.heavyHittersBy]]) —
+    * `t_heavy` per group: the candidate build side is |langs|·k·
+    * partitions rows by construction, totals are a 4-row aggregate,
+    * and the result is bit-identical to the naive per-group plan the
+    * oracle replays. */
+  private def tHeavyBy(spark: SparkSession, d: String): DataFrame =
+    Sketch.heavyHittersBy(
+        Tables.documents(spark, d)
+          .select(col("lang").as("g"),
+            explode(graft.text.Text.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= ""),
+        k = 64, freqDiv = 30L)
+      .select(col("g").as("lang"), col("tok"), col("cnt"))
+      .orderBy("lang", "tok")
+
+  private val tHeavyBySql =
+    """WITH t AS (SELECT lang, tok FROM (
+              SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents) WHERE tok <> ''),
+       tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS total
+               FROM t GROUP BY 1)
+       SELECT t.lang AS lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM t JOIN tot ON t.lang = tot.lang
+       GROUP BY t.lang, tok, total HAVING COUNT(*) * 30 > total
+       ORDER BY t.lang, tok"""
+
   def queries: Seq[Q] = Seq(
-    Q("sk_hll_window", skHllWindow, Some(skHllWindowSql)))
+    Q("sk_hll_window", skHllWindow, Some(skHllWindowSql)),
+    Q("t_heavy_by", tHeavyBy, Some(tHeavyBySql)))
 }

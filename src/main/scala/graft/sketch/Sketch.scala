@@ -459,6 +459,59 @@ object Sketch {
       .select("tok", "cnt")
   }
 
+  /** Per-group [[mgCandidates]]: ≤ k surviving keys per (partition,
+    * group) from O(|groups|·k) memory per partition — the
+    * [[kmvSketchBy]] dim-sized-group contract applied to Misra-Gries.
+    * The per-group guarantee is the global one verbatim: a key whose
+    * within-group frequency exceeds n_g/(k+1) survives in at least one
+    * partition's group map. Input: two non-null string columns
+    * (g, tok). */
+  def mgCandidatesBy(toks: DataFrame, k: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.select(col("g"), col("tok")).as[(String, String)]
+      .mapPartitions { it =>
+        val m = new scala.collection.mutable.HashMap[
+          String, scala.collection.mutable.HashMap[String, Long]]
+        it.foreach { case (g, s) =>
+          val counts = m.getOrElseUpdate(g,
+            new scala.collection.mutable.HashMap[String, Long])
+          if (counts.contains(s)) counts(s) += 1L
+          else if (counts.size < k) counts(s) = 1L
+          else {
+            counts.mapValuesInPlace((_, c) => c - 1L)
+            counts.filterInPlace((_, c) => c > 0L)
+          }
+        }
+        m.iterator.flatMap { case (g, counts) =>
+          counts.keysIterator.map(t => (g, t))
+        }
+      }.toDF("g", "tok")
+  }
+
+  /** EXACT per-group heavy hitters with bounded shuffle: per group g,
+    * the keys whose within-group count strictly exceeds total_g /
+    * freqDiv. [[heavyHitters]] groupwise: the [[mgCandidatesBy]] pass
+    * bounds the candidate build side at |groups|·k·partitions rows BY
+    * CONSTRUCTION, group totals are a dim-sized aggregate, and the
+    * recount touches candidate keys only — output bit-identical to the
+    * naive per-group plan (SketchSpec's grouped equality law). Input:
+    * (g, tok) string columns; intended for dim-sized group domains. */
+  def heavyHittersBy(toks: DataFrame, k: Int, freqDiv: Long): DataFrame = {
+    require(freqDiv <= k + 1L,
+      s"freqDiv=$freqDiv needs k >= ${freqDiv - 1} for the MG guarantee")
+    val t = toks.select(col("g").cast("string").as("g"),
+        col("tok").cast("string").as("tok"))
+      .filter(col("g").isNotNull && col("tok").isNotNull)
+    val cand = mgCandidatesBy(t, k).distinct()
+    val totals = t.groupBy("g").agg(count(lit(1)).as("total"))
+    t.join(broadcast(cand), Seq("g", "tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("g"))
+      .filter(col("cnt") * freqDiv > col("total"))
+      .select("g", "tok", "cnt")
+  }
+
   /** KMV set-algebra Jaccard (Beyer et al. 2007): estimate
     * J(A, B) = |A∩B| / |A∪B| of two token SETS from their bottom-k
     * sketches alone — the cross-corpus overlap dial (two crawl

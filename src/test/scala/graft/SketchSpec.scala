@@ -242,6 +242,32 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mg == naive, "minimal k for the guarantee still exact")
   }
 
+  test("heavyHittersBy equals the naive per-group plan; groups isolated") {
+    import spark.implicits._
+    // group A: hot qualifies (300/600 at freqDiv=10); group B: the SAME
+    // token is NOT heavy (5/500) — per-group thresholds must isolate.
+    val rows = (Seq.fill(300)("A" -> "hot") ++
+      (1 to 300).map(i => "A" -> s"a_$i") ++
+      Seq.fill(5)("B" -> "hot") ++ (1 to 495).map(i => "B" -> s"b_$i"))
+    val toks = rows.toDF("g", "tok").repartition(7)
+    val out = Sketch.heavyHittersBy(toks, k = 16, freqDiv = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(out == Seq(("A", "hot", 300L)), s"got $out")
+    // equality law vs the naive per-group plan at minimal k
+    val totals = toks.groupBy("g").agg(count(lit(1)).as("total"))
+    val naive = toks.groupBy("g", "tok").agg(count(lit(1)).as("cnt"))
+      .join(totals, "g")
+      .filter(col("cnt") * 10L > col("total"))
+      .select("g", "tok", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    val mg = Sketch.heavyHittersBy(toks, k = 9, freqDiv = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(mg == naive, "grouped MG pre-filter changes cost, never results")
+  }
+
   test("mgCandidates is a superset of the true heavy hitters per the MG law") {
     import spark.implicits._
     val rows = Seq.fill(300)("a") ++ Seq.fill(150)("b") ++
