@@ -47,6 +47,42 @@ object AsOf {
       tieBreak: Seq[String] = Nil): DataFrame =
     joinImpl(left, right, keys, tsCol, payload, tieBreak, descTs = true)
 
+  /** Nearest as-of left join: for each left row, the right row sharing
+    * `keys` whose ts minimizes |right.ts - left.ts|, in EITHER
+    * direction; at equal distance (including a right row exactly at the
+    * left ts) the BACKWARD candidate wins. Composed from one backward
+    * and one forward pass — two (|L|+|R|) hash shuffles on the key and
+    * nothing else, so the cost shape is exactly 2× the one-directional
+    * joins at any scale. Distances compare in exact epoch micros
+    * (never floating seconds), so the pick is deterministic and the
+    * oracle can replay it with `epoch_us`. Left rows with no right row
+    * on either side keep null payloads. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payload: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    val bNames = payload.map("__b_" + _) :+ "__b_rts"
+    val fNames = payload.map("__f_" + _) :+ "__f_rts"
+    def side(prefix: String): DataFrame =
+      right.select((keys :+ tsCol).map(col) ++ tieBreak.map(col) ++
+        payload.map(p => col(p).as(s"__${prefix}_$p")) :+
+        col(tsCol).as(s"__${prefix}_rts"): _*)
+    val b = joinImpl(left, side("b"), keys, tsCol, bNames, tieBreak,
+      descTs = false)
+    val bf = joinImpl(b, side("f"), keys, tsCol, fNames, tieBreak,
+      descTs = true)
+    val lMic = unix_micros(col(tsCol))
+    val pickB = col("__f_rts").isNull ||
+      (col("__b_rts").isNotNull &&
+        lMic - unix_micros(col("__b_rts")) <=
+          unix_micros(col("__f_rts")) - lMic)
+    val out = payload.foldLeft(bf) { (df, p) =>
+      df.withColumn(p,
+        when(pickB, col("__b_" + p)).otherwise(col("__f_" + p)))
+    }
+    out.drop(bNames ++ fNames: _*)
+  }
+
   private def joinImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payload: Seq[String], tieBreak: Seq[String],
       descTs: Boolean): DataFrame = {

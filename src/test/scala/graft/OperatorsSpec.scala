@@ -89,6 +89,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "max tie-break column wins in the forward direction too")
   }
 
+  test("nearest as-of: closer side wins, ties go backward, one-sided rows fall through") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L), // b at 09:59, f at 10:02 → b
+      (1L, ts("2024-01-01 11:00:00"), 2L), // b at 10:02 (58m), f at 11:30 (30m) → f
+      (2L, ts("2024-01-01 10:00:00"), 3L), // b at 09:00, f at 11:00 — EQUAL → b
+      (3L, ts("2024-01-01 10:00:00"), 4L), // only a later row → f
+      (4L, ts("2024-01-01 10:00:00"), 5L)  // no right rows at all → null
+    ).toDF("user_id", "ts", "lid")
+    val r = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 10L),
+      (1L, ts("2024-01-01 10:02:00"), 11L),
+      (1L, ts("2024-01-01 11:30:00"), 12L),
+      (2L, ts("2024-01-01 09:00:00"), 13L),
+      (2L, ts("2024-01-01 11:00:00"), 14L),
+      (3L, ts("2024-01-01 12:00:00"), 15L)
+    ).toDF("user_id", "ts", "rid")
+    val out = AsOf.nearest(l, r, Seq("user_id"), "ts",
+        payload = Seq("rid"), tieBreak = Seq("rid"))
+      .orderBy("lid").select("lid", "rid").collect()
+    assert(out(0).getLong(1) == 10L, "backward 1m beats forward 2m")
+    assert(out(1).getLong(1) == 12L, "forward 30m beats backward 58m")
+    assert(out(2).getLong(1) == 13L, "equal distance resolves backward")
+    assert(out(3).getLong(1) == 15L, "forward-only row still matches")
+    assert(out(4).isNullAt(1), "no candidates on either side → null payload")
+  }
+
+  test("nearest as-of: a right row exactly at the left ts wins as backward") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("user_id", "ts", "lid")
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L),
+      (1L, ts("2024-01-01 10:00:01"), 8L)
+    ).toDF("user_id", "ts", "rid")
+    val out = AsOf.nearest(l, r, Seq("user_id"), "ts",
+      payload = Seq("rid"), tieBreak = Seq("rid")).select("rid").collect()
+    assert(out.head.getLong(0) == 7L,
+      "distance 0 on the backward side beats any forward candidate")
+  }
+
   test("as-of join shuffles once on the key (no nested loop, no broadcast of big side)") {
     val plan = AsOf.backward(leftDf, rightDf, Seq("user_id"), "ts",
       payload = Seq("rid")).queryExecution.executedPlan.toString
