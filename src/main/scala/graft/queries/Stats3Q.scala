@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-9 series-diagnostics pack: a CUSUM-family mean-shift
+  * changepoint locator and Kendall-tau concordance counts — the
+  * "WHERE did the level move" and "do the two series move together"
+  * questions next to `st_cusum_drift` (does it drift) and
+  * `st_spearman` (monotone association by ranks).
+  *
+  * Exactness discipline as [[Stats2Q]]: cents are exact BIGINT, the
+  * rational t/n is cleared by scaling with n (|n·S_t − t·S_n| is
+  * integer), wide products ride DECIMAL(38,0)/HUGEINT, and the one
+  * division per output is a floor division on positives — bit-identical
+  * on both engines.
+  *
+  * Scale story: the fact-sized work is ONE partial-agg shuffle onto the
+  * day key; every window and the Kendall pair join run on the
+  * POST-AGGREGATION calendar-sized series (~2.4k days over the TPC-H
+  * span), so the expensive stages are bounded by the CALENDAR at any
+  * data volume — the `st_acf` discipline.
+  */
+object Stats3Q extends QueryPack {
+
+  private val D38 = DecimalType(38, 0)
+
+  private def daily(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("day")
+      .agg(sum(col("cents")).as("total_c"),
+        count(lit(1)).as("n_orders"))
+
+  // --------------------------------------------------------- st_changepoint
+
+  /** Single mean-shift changepoint on daily revenue: the day t
+    * maximizing the scaled CUSUM departure D_t = |n·S_t − t·S_n|
+    * (≡ n²·|S_t/t·(t/n) − ...| cleared of rationals — the classic
+    * binary-segmentation statistic; first day wins ties). Both the
+    * cumulative and the global-total windows run over the calendar-
+    * sized daily series; the argmax is a second window pass on the
+    * same ~2.4k rows. Output: the split day, its index, the statistic,
+    * and the exact floor-divided mean level on each side. */
+  private def stChangepoint(spark: SparkSession, d: String): DataFrame = {
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = daily(spark, d)
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .withColumn("s_t", sum(col("total_c")).over(wCum).cast(D38))
+      .withColumn("n", count(lit(1)).over(wAll).cast(D38))
+      .withColumn("s_n", sum(col("total_c")).over(wAll).cast(D38))
+      .withColumn("d_stat",
+        abs(col("n") * col("s_t") - col("t").cast(D38) * col("s_n")))
+    c.withColumn("rn", row_number().over(
+        Window.orderBy(col("d_stat").desc, col("day").asc)))
+      .filter(col("rn") === 1)
+      .select(col("day").as("cp_day"),
+        col("t").cast("long").as("t_idx"),
+        col("n").cast("long").as("n_days"),
+        // internal math is DECIMAL(38,0)/HUGEINT; the OUTPUT statistic
+        // fits BIGINT through sf1 (~2.4e18 < 2^63) and narrows so both
+        // engines surface the same physical type
+        col("d_stat").cast("long").as("d_stat"),
+        floor(col("s_t") / col("t")).cast("long").as("mean_before_c"),
+        when(col("t").cast(D38) < col("n"),
+          floor((col("s_n") - col("s_t")) / (col("n") - col("t"))))
+          .cast("long").as("mean_after_c"))
+  }
+
+  private val stChangepointSql =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS total_c
+            FROM orders GROUP BY 1),
+       c AS (SELECT day,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS t,
+               CAST(SUM(total_c) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS HUGEINT) AS s_t,
+               CAST(COUNT(*) OVER () AS HUGEINT) AS n,
+               CAST(SUM(total_c) OVER () AS HUGEINT) AS s_n
+             FROM daily),
+       s AS (SELECT day, t, n, s_t, s_n,
+               ABS(n * s_t - t * s_n) AS d_stat FROM c),
+       r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY d_stat DESC, day ASC)
+               AS rn FROM s)
+       SELECT day AS cp_day, CAST(t AS BIGINT) AS t_idx,
+              CAST(n AS BIGINT) AS n_days, CAST(d_stat AS BIGINT) AS d_stat,
+              CAST(s_t // t AS BIGINT) AS mean_before_c,
+              CASE WHEN t < n
+                THEN CAST((s_n - s_t) // (n - t) AS BIGINT) END
+                AS mean_after_c
+       FROM r WHERE rn = 1"""
+
+  // ------------------------------------------------------------- st_kendall
+
+  /** Kendall concordance between daily revenue and daily order count:
+    * every unordered day pair classified as concordant / discordant /
+    * tied (x-only, y-only, both), plus tau-a in basis points
+    * ((nc − nd)·10⁴ floor-div pairs — integer on both engines; tau-b's
+    * sqrt denominator is left to the reader of the tie counts). The
+    * pair join is |days|² ≈ 2.9M comparisons at ANY scale factor —
+    * bounded by the calendar, the documented cross-join exception
+    * (PlanAuditSpec) with a broadcast dim-sized side by construction. */
+  private def stKendall(spark: SparkSession, d: String): DataFrame = {
+    val s = daily(spark, d)
+    val a = s.select(col("day"), col("total_c").as("x1"),
+      col("n_orders").as("y1"))
+    val b = s.select(col("day").as("day2"), col("total_c").as("x2"),
+      col("n_orders").as("y2"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("day") < col("day2"))
+    def cnt(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L)), lit(0L))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        cnt((col("x1") < col("x2") && col("y1") < col("y2")) ||
+          (col("x1") > col("x2") && col("y1") > col("y2"))).as("nc"),
+        cnt((col("x1") < col("x2") && col("y1") > col("y2")) ||
+          (col("x1") > col("x2") && col("y1") < col("y2"))).as("nd"),
+        cnt(col("x1") === col("x2") && col("y1") =!= col("y2")).as("tie_x"),
+        cnt(col("y1") === col("y2") && col("x1") =!= col("x2")).as("tie_y"),
+        cnt(col("x1") === col("x2") && col("y1") === col("y2")).as("tie_xy"))
+      .withColumn("tau_a_bp",
+        floor((col("nc") - col("nd")) * 10000 / col("n_pairs")).cast("long"))
+  }
+
+  private val stKendallSql =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS x,
+              CAST(COUNT(*) AS BIGINT) AS y
+            FROM orders GROUP BY 1),
+       p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+             FROM daily a JOIN daily b ON a.day < b.day),
+       agg AS (SELECT
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN (x1 < x2 AND y1 < y2)
+                  OR (x1 > x2 AND y1 > y2) THEN 1 END), 0) AS BIGINT) AS nc,
+           CAST(COALESCE(SUM(CASE WHEN (x1 < x2 AND y1 > y2)
+                  OR (x1 > x2 AND y1 < y2) THEN 1 END), 0) AS BIGINT) AS nd,
+           CAST(COALESCE(SUM(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 END), 0)
+             AS BIGINT) AS tie_x,
+           CAST(COALESCE(SUM(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 END), 0)
+             AS BIGINT) AS tie_y,
+           CAST(COALESCE(SUM(CASE WHEN x1 = x2 AND y1 = y2 THEN 1 END), 0)
+             AS BIGINT) AS tie_xy
+         FROM p)
+       SELECT n_pairs, nc, nd, tie_x, tie_y, tie_xy,
+              CAST(FLOOR((nc - nd) * 10000.0 / n_pairs) AS BIGINT)
+                AS tau_a_bp
+       FROM agg"""
+
+  def queries: Seq[Q] = Seq(
+    Q("st_changepoint", stChangepoint, Some(stChangepointSql)),
+    Q("st_kendall", stKendall, Some(stKendallSql)))
+}

@@ -184,7 +184,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Theil–Sen's pairwise-slope theta self-join pairs the |months|-row
     // POST-AGG series with itself — calendar-bounded (≈84 rows) at any
     // data volume; the final row crosses two ONE-row aggregates
-    "st_theil_sen")
+    "st_theil_sen",
+    // Kendall's concordance pair join pairs the |days|-row POST-AGG
+    // daily series with its broadcast self — calendar-bounded (≈2.4k
+    // rows a side, ~3M comparisons) at any data volume (st_theil_sen's
+    // shape on the finer grain)
+    "st_kendall")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
