@@ -331,8 +331,88 @@ object ClassifyQ extends QueryPack {
               END AS kappa_bp
        FROM k"""
 
+  /** Decile lift/gain chart of the centroid score: embeddings ranked
+    * best-score-first into 10 equal-size deciles, each graded by
+    * positive rate, lift vs the global rate, and cumulative gain — the
+    * model-quality report a curation classifier ships with. NO global
+    * sort: the total rank decomposes as (rows with a BETTER score) +
+    * (row_number WITHIN this score by vec_id) — the first term comes
+    * from a cumulative window over the BOUNDED score histogram
+    * (ClassifyQ header: the domain is ≤ ~2¹⁷ values at any corpus
+    * size), the second from a per-score window (per-key, never
+    * global). Lift/gain products ride DECIMAL(38,0)/HUGEINT so
+    * corpus² · 10⁴ can't overflow; outputs are BIGINT bp. */
+  private def mlLiftDeciles(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = scored(spark, d)
+    val hist = s.groupBy("score").agg(count(lit(1)).as("n"))
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("above", coalesce(sum(col("n")).over(wDesc), lit(0L)))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .select("score", "above", "total")
+    val ranked = s.join(broadcast(cum), Seq("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("score").orderBy("vec_id")))
+      .withColumn("decile",
+        expr("(above + rn - 1) * 10 div total + 1"))
+    val dec = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    dec
+      .withColumn("cum_pos", sum(col("pos")).over(wCum).cast(D38))
+      .withColumn("tot_n", sum(col("n")).over(wTot).cast(D38))
+      .withColumn("tot_pos", sum(col("pos")).over(wTot).cast(D38))
+      .select(col("decile").cast("long").as("decile"), col("n"), col("pos"),
+        expr("pos * 10000 div n").as("pos_rate_bp"),
+        floor(col("pos").cast(D38) * col("tot_n") * 10000 /
+          (col("n").cast(D38) * col("tot_pos"))).cast("long").as("lift_bp"),
+        floor(col("cum_pos") * 10000 / col("tot_pos")).cast("long")
+          .as("cum_gain_bp"))
+      .orderBy("decile")
+  }
+
+  private val mlLiftDecilesSql =
+    s"""WITH $scoredSql,
+       hist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n
+                FROM scored GROUP BY 1),
+       cum AS (SELECT score,
+                 COALESCE(SUM(n) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS above,
+                 SUM(n) OVER () AS total
+               FROM hist),
+       ranked AS (SELECT y,
+                    (above + ROW_NUMBER() OVER (PARTITION BY s.score
+                       ORDER BY vec_id) - 1) * 10 // total + 1 AS decile
+                  FROM scored s JOIN cum USING (score)),
+       dec AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+               FROM ranked GROUP BY 1),
+       t AS (SELECT decile, n, pos,
+               CAST(SUM(pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS HUGEINT) AS cum_pos,
+               CAST(SUM(n) OVER () AS HUGEINT) AS tot_n,
+               CAST(SUM(pos) OVER () AS HUGEINT) AS tot_pos
+             FROM dec)
+       SELECT CAST(decile AS BIGINT) AS decile, n, pos,
+              CAST(pos * 10000 // n AS BIGINT) AS pos_rate_bp,
+              CAST((CAST(pos AS HUGEINT) * tot_n * 10000)
+                   // (CAST(n AS HUGEINT) * tot_pos) AS BIGINT) AS lift_bp,
+              CAST(cum_pos * 10000 // tot_pos AS BIGINT) AS cum_gain_bp
+       FROM t ORDER BY decile"""
+
   def queries: Seq[Q] = Seq(
     Q("ml_auc", mlAuc, Some(mlAucSql)),
+    Q("ml_lift_deciles", mlLiftDeciles, Some(mlLiftDecilesSql)),
     Q("ml_kappa", mlKappa, Some(mlKappaSql)),
     Q("ml_avg_precision", mlAvgPrecision, Some(mlAvgPrecisionSql)),
     Q("ml_calibration", mlCalibration, Some(mlCalibrationSql)),

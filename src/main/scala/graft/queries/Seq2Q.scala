@@ -148,8 +148,50 @@ object Seq2Q extends QueryPack {
        FROM c JOIN pred USING (from_state)
        GROUP BY 1, 2 ORDER BY from_state"""
 
+  /** Top user journeys: the ordered first-3 event types of each
+    * (user, day) session, counted and ranked — the Sankey/path-
+    * analysis primitive next to the transition matrix (which sees
+    * PAIRS; this sees short PREFIXES). One per-(user, day) window
+    * (per-key, never global), a conditional-max fold to the path
+    * string (deterministic — no collect_list ordering), one path
+    * count agg, and a TakeOrderedAndProject top-20 — no full sort. */
+  private def ePathsTopk(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts"), col("event_id"))
+    val paths = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id", "day")
+      .agg(concat_ws("->",
+        max(when(col("rn") === 1, col("event_type"))),
+        max(when(col("rn") === 2, col("event_type"))),
+        max(when(col("rn") === 3, col("event_type")))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
+  private val ePathsTopkSql =
+    """WITH f AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+              ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                ORDER BY ts, event_id) AS rn
+            FROM events),
+       p AS (SELECT user_id, day,
+               concat_ws('->',
+                 MAX(CASE WHEN rn = 1 THEN event_type END),
+                 MAX(CASE WHEN rn = 2 THEN event_type END),
+                 MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+             FROM f WHERE rn <= 3 GROUP BY 1, 2)
+       SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+       FROM p GROUP BY 1
+       ORDER BY n_sessions DESC, path ASC LIMIT 20"""
+
   def queries: Seq[Q] = Seq(
     Q("e_markov_steady", eMarkovSteady, Some(eMarkovSteadySql)),
     Q("e_markov_predict", eMarkovPredict, Some(eMarkovPredictSql)),
+    Q("e_paths_topk", ePathsTopk, Some(ePathsTopkSql)),
     Q("j12_band_join", j12BandJoin, Some(j12BandJoinSql)))
 }

@@ -140,7 +140,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // side by construction (t_hll_distinct's shape); everything
     // downstream is the bounded-domain score histogram
     "ml_auc", "ml_avg_precision", "ml_calibration", "ml_confusion",
-    "ml_pr_curve",
+    "ml_pr_curve", "ml_lift_deciles",
     // kappa broadcasts BOTH one-row centroids into the same scan —
     // two scalar sides by construction
     "ml_kappa",
