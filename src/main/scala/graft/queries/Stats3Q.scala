@@ -158,7 +158,79 @@ object Stats3Q extends QueryPack {
                 AS tau_a_bp
        FROM agg"""
 
+  // -------------------------------------------------------- st_bootstrap_ci
+
+  private val B = 200
+
+  /** Bootstrap 95% CI for the daily-revenue mean — 200 resamples of
+    * the calendar-sized series, each drawing n days WITH replacement
+    * where draw (b, i) picks index md5("bs|b|i") mod n: NO RNG, both
+    * engines replay the identical resamples (the c_sample_uniform
+    * md5-determinism discipline applied to resampling). The grid is
+    * B·|days| ≈ 480k rows at ANY scale factor — bounded by the
+    * calendar × a constant, never the fact. CI endpoints are
+    * nearest-rank percentiles (rank 5 / 195 of the 200 sorted means,
+    * ties broken by resample id); means are exact floor-divided
+    * cents. Cross joins are the 200-row resample dim and two ONE-row
+    * aggregates — PlanAuditSpec-listed scalar/dim sides. */
+  private def stBootstrapCi(spark: SparkSession, d: String): DataFrame = {
+    val s = daily(spark, d)
+    val bs = spark.range(1, B + 1).select(col("id").as("b"))
+    val idx = s
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .withColumn("n", count(lit(1)).over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val grid = idx.select("rn", "n").crossJoin(broadcast(bs))
+      .withColumn("pick",
+        pmod(conv(substring(md5(concat_ws("|", lit("bs"),
+            col("b").cast("string"), col("rn").cast("string"))), 1, 8),
+          16, 10).cast("long"), col("n")) + 1)
+    val means = grid
+      .join(idx.select(col("rn").as("pick"), col("total_c")), Seq("pick"))
+      .groupBy("b")
+      .agg(expr("sum(total_c) div count(1)").as("mean_c"))
+    val ranked = means.withColumn("rk",
+      row_number().over(Window.orderBy(col("mean_c"), col("b"))))
+    val lo = ranked.filter(col("rk") === 5)
+      .select(col("mean_c").as("ci_lo_c"))
+    val hi = ranked.filter(col("rk") === B - 5)
+      .select(col("mean_c").as("ci_hi_c"))
+    val full = s.agg(count(lit(1)).as("n_days"),
+      expr("sum(total_c) div count(1)").as("mean_c"))
+    full.crossJoin(lo).crossJoin(hi)
+      .withColumn("n_boot", lit(B.toLong))
+      .select("n_days", "n_boot", "mean_c", "ci_lo_c", "ci_hi_c")
+  }
+
+  private val stBootstrapCiSql =
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS total_c
+            FROM orders GROUP BY 1),
+       idx AS (SELECT total_c, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                 COUNT(*) OVER () AS n
+               FROM daily),
+       bs AS (SELECT UNNEST(range(1, ${B + 1})) AS b),
+       grid AS (SELECT bs.b, i.rn,
+                  (('0x' || substr(md5('bs|' || CAST(bs.b AS VARCHAR)
+                      || '|' || CAST(i.rn AS VARCHAR)), 1, 8))::BIGINT
+                   % i.n) + 1 AS pick
+                FROM bs, idx i),
+       means AS (SELECT b,
+                   CAST(SUM(d.total_c) // COUNT(*) AS BIGINT) AS mean_c
+                 FROM grid g JOIN idx d ON g.pick = d.rn GROUP BY 1),
+       r AS (SELECT mean_c,
+               ROW_NUMBER() OVER (ORDER BY mean_c, b) AS rk FROM means),
+       f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(total_c) // COUNT(*) AS BIGINT) AS mean_c
+             FROM daily)
+       SELECT n_days, CAST($B AS BIGINT) AS n_boot, f.mean_c,
+              lo.mean_c AS ci_lo_c, hi.mean_c AS ci_hi_c
+       FROM f, (SELECT mean_c FROM r WHERE rk = 5) lo,
+            (SELECT mean_c FROM r WHERE rk = ${B - 5}) hi"""
+
   def queries: Seq[Q] = Seq(
     Q("st_changepoint", stChangepoint, Some(stChangepointSql)),
-    Q("st_kendall", stKendall, Some(stKendallSql)))
+    Q("st_kendall", stKendall, Some(stKendallSql)),
+    Q("st_bootstrap_ci", stBootstrapCi, Some(stBootstrapCiSql)))
 }

@@ -189,7 +189,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // daily series with its broadcast self — calendar-bounded (≈2.4k
     // rows a side, ~3M comparisons) at any data volume (st_theil_sen's
     // shape on the finer grain)
-    "st_kendall")
+    "st_kendall",
+    // the bootstrap grid crosses the calendar-sized daily index with
+    // the 200-row broadcast resample dim, and the output row crosses
+    // two ONE-row percentile picks — dim/scalar sides by construction
+    "st_bootstrap_ci")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
