@@ -100,6 +100,89 @@ object Curate4Q extends QueryPack {
               CAST((raw * 10000) // sum_raw AS BIGINT) AS new_w_bp
        FROM rw, dn ORDER BY source"""
 
+  /** CCNet-style per-language quality terciles (Wenzek et al. 2020):
+    * within each language, documents ranked fluent-first by the
+    * bounded bigram-LM score land in head / middle / tail thirds —
+    * the bucket assignment CCNet feeds its keep/drop policy. NO
+    * global sort (the ml_lift_deciles decomposition, per language):
+    * rank = (docs of this language with a strictly better score_bp,
+    * from a cumulative window over the BOUNDED per-language bp
+    * histogram — ≤ |langs|·10⁴ rows at any corpus size) +
+    * (row_number within (lang, score_bp) by doc_id — a per-key
+    * window). bucket = (rank−1)·3 div n_lang. Output is the
+    * |langs|×3 summary: doc count and the exact bp score range each
+    * bucket spans. */
+  private def cCcnetBuckets(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    val sb = graft.text.Lm.lmScore(docs, modelTopK = 500)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(round(lm_score * 10000) AS BIGINT)").as("bp"))
+    val hist = sb.groupBy("lang", "bp").agg(count(lit(1)).as("n"))
+    val wDesc = Window.partitionBy("lang").orderBy(col("bp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLang = Window.partitionBy("lang").orderBy(col("bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("above", coalesce(sum(col("n")).over(wDesc), lit(0L)))
+      .withColumn("n_lang", sum(col("n")).over(wLang))
+      .select("lang", "bp", "above", "n_lang")
+    val ranked = sb.join(broadcast(cum), Seq("lang", "bp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "bp").orderBy("doc_id")))
+      .withColumn("bidx", expr("(above + rn - 1) * 3 div n_lang"))
+    ranked.groupBy("lang", "bidx")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("bp")).as("hi_bp"), min(col("bp")).as("lo_bp"))
+      .withColumn("bucket",
+        when(col("bidx") === 0, "head")
+          .when(col("bidx") === 1, "middle").otherwise("tail"))
+      .select(col("lang"), col("bidx").cast("long").as("bidx"),
+        col("bucket"), col("n_docs"), col("hi_bp"), col("lo_bp"))
+      .orderBy("lang", "bidx")
+  }
+
+  private val cCcnetBucketsSql =
+    """WITH b AS (SELECT doc_id, u.w1, u.w2
+              FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+                   UNNEST(list_transform(s[1:len(s) - 1],
+                     (w, i) -> {'w1': w, 'w2': s[i + 1]})) AS r(u)),
+       c2f AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+       m AS (SELECT * FROM c2f ORDER BY c2 DESC, w1, w2 LIMIT 500),
+       c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+       p AS (SELECT b.doc_id,
+               CAST(round(CAST(m.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS p
+             FROM b JOIN m USING (w1, w2) JOIN c1 USING (w1)),
+       agg AS (SELECT doc_id,
+                 CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS lm_score
+               FROM p GROUP BY doc_id),
+       sb AS (SELECT d.doc_id, d.lang,
+                CAST(round(COALESCE(agg.lm_score, 0.0) * 10000) AS BIGINT)
+                  AS bp
+              FROM documents d LEFT JOIN agg USING (doc_id)),
+       hist AS (SELECT lang, bp, CAST(COUNT(*) AS BIGINT) AS n
+                FROM sb GROUP BY 1, 2),
+       cum AS (SELECT lang, bp,
+                 COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY bp DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS above,
+                 SUM(n) OVER (PARTITION BY lang) AS n_lang
+               FROM hist),
+       ranked AS (SELECT s.lang, s.bp,
+                    (above + ROW_NUMBER() OVER (PARTITION BY s.lang, s.bp
+                       ORDER BY doc_id) - 1) * 3 // n_lang AS bidx
+                  FROM sb s JOIN cum ON s.lang = cum.lang AND s.bp = cum.bp)
+       SELECT lang, CAST(bidx AS BIGINT) AS bidx,
+              CASE WHEN bidx = 0 THEN 'head'
+                   WHEN bidx = 1 THEN 'middle' ELSE 'tail' END AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              MAX(bp) AS hi_bp, MIN(bp) AS lo_bp
+       FROM ranked GROUP BY lang, bidx ORDER BY lang, bidx"""
+
   def queries: Seq[Q] = Seq(
-    Q("c_doremi_step", cDoremiStep, Some(cDoremiStepSql)))
+    Q("c_doremi_step", cDoremiStep, Some(cDoremiStepSql)),
+    Q("c_ccnet_buckets", cCcnetBuckets, Some(cCcnetBucketsSql)))
 }
