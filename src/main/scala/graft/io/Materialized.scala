@@ -96,6 +96,50 @@ object Materialized {
     (aggOf(Sinks.readVersioned(spark, sourcePath, v), groupCols, sumCols), v)
   }
 
+  /** Signed delta of the star-join view aggOf(fact ⋈ dim) under
+    * FACT-side changes: join distributes over the signed delta —
+    * Δ(A ⋈ B) = ΔA ⋈ B when only A changed — so the delta is the
+    * change feed (O(|Δ|) rows, already file-bounded by
+    * [[Sinks.readChanges]]) equi-joined to the dim (broadcast-small by
+    * the star contract) and signed-aggregated; the fact is NEVER
+    * rescanned. Inner-join semantics carry over exactly: a changed
+    * fact row with no dim match contributes nothing, same as in the
+    * view definition.
+    *
+    * Contract: `dim` must be the SAME relation the view was built
+    * with. A dim-side change invalidates every joined fact row's
+    * contribution for that key — inherently a per-key fact rescan (the
+    * min/max retraction analogue) — so dim updates take
+    * [[fullJoinRefresh]], deliberately not a silent wrong answer. */
+  def joinDeltaOf(changes: DataFrame, dim: DataFrame, joinKeys: Seq[String],
+      groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
+    deltaOf(changes.join(dim, joinKeys), groupCols, sumCols)
+
+  /** Build the star-join aggregate from the current fact state. Same
+    * store-the-version contract as [[fullRefresh]]. */
+  def fullJoinRefresh(spark: SparkSession, sourcePath: String,
+      dim: DataFrame, joinKeys: Seq[String], groupCols: Seq[String],
+      sumCols: Seq[String]): (DataFrame, Long) = {
+    val v = Sinks.currentVersion(sourcePath)
+    (aggOf(Sinks.readVersioned(spark, sourcePath, v).join(dim, joinKeys),
+      groupCols, sumCols), v)
+  }
+
+  /** Advance a stored star-join aggregate using only the fact change
+    * feed ⋈ dim — bit-identical (spec-asserted) to [[fullJoinRefresh]]
+    * at the same version. */
+  def incrementalJoinRefresh(spark: SparkSession, sourcePath: String,
+      dim: DataFrame, prev: DataFrame, fromVersion: Long,
+      joinKeys: Seq[String], groupCols: Seq[String],
+      sumCols: Seq[String]): (DataFrame, Long) = {
+    val to = Sinks.currentVersion(sourcePath)
+    if (to == fromVersion) return (prev, to)
+    val delta = joinDeltaOf(
+      Sinks.readChanges(spark, sourcePath, fromVersion, to), dim,
+      joinKeys, groupCols, sumCols)
+    (applyDelta(prev, delta, groupCols, sumCols), to)
+  }
+
   /** Advance a stored aggregate from `fromVersion` to the current
     * version using only the change feed — never rescanning the source.
     * Identical (bit-for-bit, spec-asserted) to [[fullRefresh]] at the

@@ -189,9 +189,61 @@ object Seq2Q extends QueryPack {
        FROM p GROUP BY 1
        ORDER BY n_sessions DESC, path ASC LIMIT 20"""
 
+  /** Weekly cohort retention triangle: users grouped by the Monday of
+    * their FIRST event week, each later week offset graded by how many
+    * of them were still active — the classic retention matrix at week
+    * grain (e_cohort's monthly cut, widened to the full triangle).
+    * Shape: one per-user min aggregate, one (user, week) distinct,
+    * two keyed joins; the triangle itself is |cohorts|·|offsets| ≈ 10⁴
+    * rows at any volume. Week offsets divide exactly (both weeks are
+    * Monday-truncated, so the day gap is a multiple of 7). */
+  private def eRetentionWeeks(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val f = e.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+    val a = e.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct()
+    val sizes = f.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_n"))
+    val tri = a.join(f, Seq("user_id"))
+      .withColumn("week_offset",
+        expr("datediff(w, cohort_week) div 7"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    tri.join(sizes, Seq("cohort_week"))
+      .withColumn("retention_bp",
+        expr("n_active * 10000 div cohort_n"))
+      .select("cohort_week", "week_offset", "n_active", "cohort_n",
+        "retention_bp")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val eRetentionWeeksSql =
+    """WITH f AS (SELECT user_id,
+              CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY 1),
+       a AS (SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS w
+             FROM events),
+       sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_n
+                 FROM f GROUP BY 1),
+       tri AS (SELECT cohort_week,
+                 date_diff('day', cohort_week, w) // 7 AS week_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_active
+               FROM a JOIN f USING (user_id)
+               GROUP BY 1, 2)
+       SELECT tri.cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+              n_active, cohort_n,
+              CAST(n_active * 10000 // cohort_n AS BIGINT) AS retention_bp
+       FROM tri JOIN sizes USING (cohort_week)
+       ORDER BY cohort_week, week_offset"""
+
   def queries: Seq[Q] = Seq(
     Q("e_markov_steady", eMarkovSteady, Some(eMarkovSteadySql)),
     Q("e_markov_predict", eMarkovPredict, Some(eMarkovPredictSql)),
     Q("e_paths_topk", ePathsTopk, Some(ePathsTopkSql)),
+    Q("e_retention_weeks", eRetentionWeeks, Some(eRetentionWeeksSql)),
     Q("j12_band_join", j12BandJoin, Some(j12BandJoinSql)))
 }

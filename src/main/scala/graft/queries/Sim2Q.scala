@@ -356,10 +356,94 @@ object Sim2Q extends QueryPack {
        LEFT JOIN h20 ON qq.query_id = h20.query_id
        ORDER BY qq.query_id"""
 
+  /** Per-cluster simplified silhouette of the trained k-means
+    * codebook (`sim_kmeans`'s exact chain), on SQUARED fixed-point
+    * distances: a = d² to the assigned centroid, b = d² to the nearest
+    * OTHER centroid, sil_bp = (b − a)·10⁴ div max(a, b) — the
+    * centroid-based silhouette (Hruschka et al.), which needs one
+    * |corpus|×k distance pass instead of all point pairs; squared
+    * distances keep it integer end to end ((b−a) ≥ 0 by construction,
+    * so div ≡ floor). The k-centroid side is broadcast
+    * (PlanAuditSpec-listed, sim_kmeans's shape); the a/b pick is a
+    * per-id window over k rows. High mean → tight, well-separated
+    * cluster; 0 → boundary. */
+  private def simSilhouette(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, d)
+    val v = graft.sim.KMeans.scaledVecs(e, "vec_id", "embedding")
+    val cents = graft.sim.KMeans.train(e, "vec_id", "embedding",
+      k = 4, iters = 1, trainBuckets = 2)
+    val d2 = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t)")
+          .as("d2"))
+    val ranked = d2.withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") <= 2)
+    val ab = ranked.groupBy("id").agg(
+      max(when(col("rn") === 1, col("cid"))).as("cluster"),
+      max(when(col("rn") === 1, col("d2"))).as("a"),
+      max(when(col("rn") === 2, col("d2"))).as("b"))
+    val sil = ab.withColumn("sil_bp",
+      when(greatest(col("a"), col("b")) === 0, 0L)
+        .otherwise(expr("(b - a) * 10000 div greatest(a, b)")))
+    sil.groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(sil_bp) div count(1)").as("mean_sil_bp"))
+      .orderBy("cluster")
+  }
+
+  private val simSilhouetteSql =
+    """WITH v AS (SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
+           FROM embeddings),
+       sv AS (SELECT * FROM v WHERE
+         CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2 = 0),
+       c0 AS (SELECT id AS cid, v AS c
+              FROM (SELECT * FROM sv ORDER BY id LIMIT 4)),
+       d0 AS (SELECT sv.id, c0.cid,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (sv.v[i] - c0.c[i]) * (sv.v[i] - c0.c[i])))
+                  AS BIGINT) AS d2
+              FROM sv CROSS JOIN c0),
+       a0 AS (SELECT id, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                          ORDER BY d2, cid) AS rn FROM d0) WHERE rn = 1),
+       e0 AS (SELECT a0.cid, u.dim, u.comp
+              FROM a0 JOIN sv USING (id),
+                   UNNEST(list_transform(sv.v,
+                     (x, i) -> {'dim': i, 'comp': x})) AS r(u)),
+       c1 AS (SELECT cid,
+                array_agg((s + n * 2000000) // n - 2000000 ORDER BY dim) AS c
+              FROM (SELECT cid, dim, SUM(comp) AS s, COUNT(*) AS n
+                    FROM e0 GROUP BY 1, 2) GROUP BY 1),
+       d2a AS (SELECT v.id, c1.cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> (v.v[i] - c1.c[i]) * (v.v[i] - c1.c[i])))
+                   AS BIGINT) AS d2
+               FROM v CROSS JOIN c1),
+       rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                ORDER BY d2, cid) AS rn FROM d2a),
+       ab AS (SELECT id,
+                MAX(CASE WHEN rn = 1 THEN cid END) AS cluster,
+                MAX(CASE WHEN rn = 1 THEN d2 END) AS a,
+                MAX(CASE WHEN rn = 2 THEN d2 END) AS b
+              FROM rk WHERE rn <= 2 GROUP BY id),
+       sil AS (SELECT cluster,
+                 CASE WHEN GREATEST(a, b) = 0 THEN 0
+                      ELSE (b - a) * 10000 // GREATEST(a, b) END AS sil_bp
+               FROM ab)
+       SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(sil_bp) // COUNT(*) AS BIGINT) AS mean_sil_bp
+       FROM sil GROUP BY 1 ORDER BY cluster"""
+
   def queries: Seq[Q] = Seq(
     Q("sim_nsw_topk", simNswTopk, Some(simNswSql)),
     Q("sim_recall_nsw", simRecallNsw, Some(simRecallNswSql)),
     Q("sim_label_prop", simLabelProp, Some(simLabelPropSql)),
     Q("sim_bq_topk", simBqTopk, Some(simBqSql)),
-    Q("sim_recall_bq", simRecallBq, Some(simRecallBqSql)))
+    Q("sim_recall_bq", simRecallBq, Some(simRecallBqSql)),
+    Q("sim_silhouette", simSilhouette, Some(simSilhouetteSql)))
 }

@@ -229,8 +229,99 @@ object Stats3Q extends QueryPack {
        FROM f, (SELECT mean_c FROM r WHERE rk = 5) lo,
             (SELECT mean_c FROM r WHERE rk = ${B - 5}) hi"""
 
+  // --------------------------------------------------------------- st_gini
+
+  /** Spend concentration: the exact Gini coefficient and the top-10%
+    * share of per-customer total spend (whole dollars) — the 80/20
+    * audit. NO global sort over customers: ranks decompose over the
+    * spend-VALUE histogram (cumulative windows over distinct dollar
+    * amounts — bounded by the VALUE RANGE, ≤ ~10⁶ rows, not by
+    * |customers|; the sk_qhist value-domain discipline). Ties are
+    * exact: a value group's rank-weight is n_k·below + n_k(n_k+1)/2
+    * (any within-tie order gives the same sum), and the top-k cut
+    * takes a straddling group pro-rata in integer arithmetic.
+    * G = (2W − (n+1)S) / (nS) with W = Σ v·rank — numerator is
+    * provably ≥ 0, so floor-vs-truncate division agrees; wide products
+    * ride DECIMAL(38,0)/HUGEINT. */
+  private def stGini(spark: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey")
+      .agg(expr("sum(cents) div 100").as("dollars"))
+    val hist = spend.groupBy("dollars").agg(count(lit(1)).as("nk"))
+    val wAsc = Window.orderBy(col("dollars").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = Window.orderBy(col("dollars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("dollars").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val t = hist
+      .withColumn("below", coalesce(sum(col("nk")).over(wAsc), lit(0L)))
+      .withColumn("taken", coalesce(sum(col("nk")).over(wDesc), lit(0L)))
+      .withColumn("n", sum(col("nk")).over(wAll))
+      .withColumn("s",
+        sum(col("dollars").cast(D38) * col("nk")).over(wAll))
+      .withColumn("k", expr("n div 10"))
+    val parts = t.select(
+      col("n"), col("s"),
+      (col("dollars").cast(D38) *
+        (col("nk").cast(D38) * col("below") +
+          floor(col("nk").cast(D38) * (col("nk").cast(D38) + 1) / 2)))
+        .as("wpart"),
+      (col("dollars").cast(D38) *
+        greatest(lit(0L),
+          least(col("nk"), col("k") - col("taken"))).cast(D38))
+        .as("toppart"))
+    parts.agg(max(col("n")).as("n"), max(col("s")).as("s"),
+        sum(col("wpart")).as("w"), sum(col("toppart")).as("t10"))
+      .select(col("n").cast("long").as("n_cust"),
+        col("s").cast("long").as("total_dollars"),
+        floor((lit(2).cast(D38) * col("w") -
+            (col("n").cast(D38) + 1) * col("s")) * 10000 /
+          (col("n").cast(D38) * col("s"))).cast("long").as("gini_bp"),
+        floor(col("t10") * 10000 / col("s")).cast("long")
+          .as("top10_share_bp"))
+  }
+
+  private val stGiniSql =
+    """WITH spend AS (SELECT o_custkey,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+                AS BIGINT) AS dollars
+            FROM orders GROUP BY 1),
+       hist AS (SELECT dollars, CAST(COUNT(*) AS BIGINT) AS nk
+                FROM spend GROUP BY 1),
+       t AS (SELECT dollars, nk,
+               COALESCE(SUM(nk) OVER (ORDER BY dollars ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below,
+               COALESCE(SUM(nk) OVER (ORDER BY dollars DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS taken,
+               CAST(SUM(nk) OVER () AS HUGEINT) AS n,
+               CAST(SUM(CAST(dollars AS HUGEINT) * nk) OVER () AS HUGEINT)
+                 AS s
+             FROM hist),
+       parts AS (SELECT n, s,
+               CAST(dollars AS HUGEINT) *
+                 (CAST(nk AS HUGEINT) * below
+                  + (CAST(nk AS HUGEINT) * (nk + 1)) // 2) AS wpart,
+               CAST(dollars AS HUGEINT) *
+                 GREATEST(0, LEAST(nk, (n // 10) - taken)) AS toppart
+             FROM t),
+       agg AS (SELECT MAX(n) AS n, MAX(s) AS s, SUM(wpart) AS w,
+                 SUM(toppart) AS t10
+               FROM parts)
+       SELECT CAST(n AS BIGINT) AS n_cust, CAST(s AS BIGINT)
+                AS total_dollars,
+              CAST((2 * w - (n + 1) * s) * 10000 // (n * s) AS BIGINT)
+                AS gini_bp,
+              CAST(t10 * 10000 // s AS BIGINT) AS top10_share_bp
+       FROM agg"""
+
   def queries: Seq[Q] = Seq(
     Q("st_changepoint", stChangepoint, Some(stChangepointSql)),
     Q("st_kendall", stKendall, Some(stKendallSql)),
-    Q("st_bootstrap_ci", stBootstrapCi, Some(stBootstrapCiSql)))
+    Q("st_bootstrap_ci", stBootstrapCi, Some(stBootstrapCiSql)),
+    Q("st_gini", stGini, Some(stGiniSql)))
 }

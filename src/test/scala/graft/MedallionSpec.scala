@@ -738,6 +738,49 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v3b == 3L && shape(same) == incSet)
   }
 
+  test("S11 star-join IVM: fact-delta refresh ⋈ dim ≡ full join recompute") {
+    import spark.implicits._
+    import graft.io.Materialized
+    val dir = tmp() + "/ivm_join_manifest"
+    // fact (k merge-key, dk dim-key, v measure); dim maps dk → region.
+    // dk=4 (v1) and dk=7 (v2 insert) have NO dim row: those facts must
+    // stay invisible through both the full and the incremental path
+    // (inner-join semantics carry over to the delta).
+    val dim = Seq((0L, "r0"), (1L, "r1"), (2L, "r2"), (3L, "r0"))
+      .toDF("dk", "region")
+    val v1 = (0L until 200L).map(k => (k, k % 5, k * 10))
+    Sinks.writeWithManifest(spark, v1.toDF("k", "dk", "v"), dir, "k",
+      nFiles = 3)
+    val (agg1, ver1) = Materialized.fullJoinRefresh(spark, dir, dim,
+      Seq("dk"), Seq("region"), Seq("v"))
+    val prev = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(agg1.collect().toSeq).asJava), agg1.schema)
+    // v2: move facts across dim keys (0→2), insert new keys on a
+    // matched and an UNMATCHED dim key, and rewrite one value
+    Sinks.upsertByKeyManifest(spark,
+      ((0L until 40L).map(k => (k, 2L, k * 100)) ++
+        Seq((500L, 1L, 7L), (501L, 7L, 999L), (3L, 3L, 4L)))
+        .toDF("k", "dk", "v"), dir, "k")
+    val (inc, verInc) = Materialized.incrementalJoinRefresh(spark, dir,
+      dim, prev, ver1, Seq("dk"), Seq("region"), Seq("v"))
+    val (full, verFull) = Materialized.fullJoinRefresh(spark, dir, dim,
+      Seq("dk"), Seq("region"), Seq("v"))
+    assert(verInc == verFull)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSet
+    assert(shape(inc) == shape(full),
+      "fact-delta join refresh must equal the full join recompute")
+    // dk=7's inserted fact never surfaces (no dim row)
+    assert(shape(inc).map(_._2).sum ==
+      full.agg(sum("cnt")).collect()(0).getLong(0))
+    // no-op refresh passes prev through untouched
+    val (same, v2b) = Materialized.incrementalJoinRefresh(spark, dir,
+      dim, inc, verInc, Seq("dk"), Seq("region"), Seq("v"))
+    assert(v2b == verInc && shape(same) == shape(inc))
+  }
+
   test("star fact: surrogate keys are collision-free") {
     val fact = Star.factLineitem(spark, sf)
     val n = fact.count()

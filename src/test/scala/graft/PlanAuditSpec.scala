@@ -193,7 +193,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the bootstrap grid crosses the calendar-sized daily index with
     // the 200-row broadcast resample dim, and the output row crosses
     // two ONE-row percentile picks — dim/scalar sides by construction
-    "st_bootstrap_ci")
+    "st_bootstrap_ci",
+    // silhouette crosses the k-row broadcast CODEBOOK into the distance
+    // scan — sim_kmeans's shape (the centroid side is dim-sized by
+    // construction)
+    "sim_silhouette")
 
   test("no accidental CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
