@@ -33,7 +33,8 @@ object SparkEntry {
     Seq(RankQ), Seq(Curate2Q), Seq(QualityQ), Seq(Curate3Q),
     Seq(ClassifyQ), Seq(SegmentQ), Seq(Graph2Q), Seq(SpectralQ),
     Seq(Seq2Q), Seq(FingerprintQ), Seq(Mine2Q), Seq(Stats2Q), Seq(Sim2Q),
-    Seq(Text2Q), Seq(Curate4Q), Seq(Sketch2Q), Seq(Asof2Q), Seq(Stats3Q))
+    Seq(Text2Q), Seq(Curate4Q), Seq(Sketch2Q), Seq(Asof2Q), Seq(Stats3Q),
+    Seq(FeatureQ), Seq(RecQ))
 
   /** Bench iteration order: group by group, queries name-sorted within
     * their group — fixed across rounds so per-query deltas are meaningful.
