@@ -53,6 +53,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hybrid fusion runs both rankers: bm25's ONE-row stats cross join
     // + the ANN broadcast-query-side join (sim_topk's shape)
     "hr_rrf",
+    // the co-occurrence lift cross-joins the ONE-row engaged-user-count
+    // aggregate into the |item pairs| relation — scalar side by
+    // construction
+    "rec_cooc",
     // the quantile sweep crosses the ≤ 66-bucket histogram with its
     // ONE-row total-count aggregate — fixed-size sides by construction
     "sk_qhist",
