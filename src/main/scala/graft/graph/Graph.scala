@@ -839,4 +839,95 @@ object Graph {
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
         .cast("long").as("bc_bp"))
   }
+
+  /** HyperBall (Boldi & Vigna 2013): the neighborhood function
+    * N(t) = Σ_v |B(v,t)| estimated by giving every node an HLL counter
+    * of its t-hop ball and max-merging neighbor counters each round —
+    * THE published way to measure distance distributions / effective
+    * diameter on graphs too big for pairwise BFS, and exactly the
+    * mergeable-sketch discipline ([[graft.sketch.Sketch.hllRegistersBy]])
+    * applied along edges.
+    *
+    *   B(v,0)   = {v}
+    *   B(v,t+1) = B(v,t) ∪ ⋃_{(v,u)∈E} B(u,t)
+    *
+    * and because HLL registers of a union are the bucket-wise MAX of
+    * the parts, the per-round update is ONE |edges| equi-join pulling
+    * neighbor registers + a (node, bucket) partial-agg max — per-round
+    * cost |edges|·m_sparse shuffle rows, never a pair table. State is
+    * the SPARSE register relation (≤ |nodes|·m rows), localCheckpointed
+    * each round.
+    *
+    * Arithmetic is the [[graft.sketch.Sketch]] integer HLL algebra:
+    * h = 60-bit md5 prefix, bucket = h mod m, ρ from the binary-string
+    * length (no float log), harmonic denominator
+    * s = Σ_present 2^(wBits+1−reg) + (m−present)·2^(wBits+1) (≤ 64·2⁵⁵
+    * — BIGINT-safe), and the per-node estimate reported as the integer
+    * floor est_milli = ⌊α_num·m²·2^(wBits+1) / s⌋ = ⌊1000·α·est⌋ with
+    * the rational α of the standard constants (m ∈ {16,32,64} so α_num
+    * is exact: 673/697/709 per 1000). Both engines replay every step
+    * bit-identically.
+    *
+    * Returns (round, node, est_milli) for rounds 0..`rounds` —
+    * est_milli is monotone nondecreasing in t per node (registers only
+    * grow), so Σ_v est_milli(v,t) is a monotone neighborhood function
+    * and the effective-diameter read (smallest t reaching ≥90% of the
+    * final mass) needs only the |rounds|-row per-round aggregate. */
+  def hyperBall(edges: DataFrame, m: Int, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val alphaNum = m match {
+      case 16 => 673L
+      case 32 => 697L
+      case 64 => 709L
+      case _ => throw new IllegalArgumentException(
+        s"m must be 16, 32 or 64 (rational alpha), got $m")
+    }
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val wBits = 60 - Integer.numberOfTrailingZeros(m)
+    // α_num · m² · 2^(wBits+1): ~1.05e23 at m=64 — DECIMAL(38,0) range
+    val estNum = BigInt(alphaNum) * BigInt(m) * BigInt(m) *
+      (BigInt(1) << (wBits + 1))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val numLit = lit(new java.math.BigDecimal(estNum.bigInteger)).cast(d38)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val h = conv(substring(md5(col("node").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    var regs = nodes
+      .select(col("node"), h.as("h"))
+      .select(col("node"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        expr(s"h div ${m}L").as("w"))
+      .select(col("node"), col("bucket"),
+        when(col("w") === 0L, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("w"))))
+          .cast("int").as("register"))
+      .localCheckpoint()
+    def estFrame(r: DataFrame, t: Int): DataFrame = r
+      .groupBy("node")
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${wBits + 1} - register AS INT))")) +
+        (lit(m.toLong) - count(lit(1))) *
+          expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1})")).as("s"))
+      .select(lit(t).as("round"), col("node"),
+        floor(numLit / col("s").cast(d38)).cast("long").as("est_milli"))
+    var out = estFrame(regs, 0)
+    for (t <- 1 to rounds) {
+      val nbr = e
+        .join(regs.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("bucket"), col("register"))
+      regs = regs.union(nbr)
+        .groupBy("node", "bucket")
+        .agg(max(col("register")).as("register"))
+        .localCheckpoint()
+      out = out.union(estFrame(regs, t))
+    }
+    out
+  }
 }

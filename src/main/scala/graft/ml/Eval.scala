@@ -93,6 +93,38 @@ object Eval {
           .cast("long").as("ap_bp"))
   }
 
+  /** Kolmogorov–Smirnov separation statistic, one output row
+    * (pos_n, neg_n, at_score, ks_bp): the maximum over thresholds of
+    * |F_pos(s) − F_neg(s)| where F is the class CDF — the standard
+    * credit-scoring separation measure (KS = 0 indistinguishable,
+    * 10⁴ perfectly separated), read off the same score histogram as
+    * [[aucBp]] with two cumulative windows. Integer-exact:
+    * ks_bp = ⌊|cumPos·N − cumNeg·P|·10⁴ / (P·N)⌋ at the argmax of the
+    * scaled numerator (floor is monotone, so max-of-floors =
+    * floor-of-max; ties → smallest score, making at_score
+    * deterministic). NULL ks_bp when either class is empty. */
+  def ksBp(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val h = scoreHistogram(df, scoreCol, labelCol)
+    val cum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h.withColumn("cp", sum("pos").over(cum).cast(D))
+      .withColumn("cn", sum("neg").over(cum).cast(D))
+      .withColumn("p", sum("pos").over(all).cast(D))
+      .withColumn("n", sum("neg").over(all).cast(D))
+      .withColumn("num", abs(col("cp") * col("n") - col("cn") * col("p")))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("num").desc, col("score").asc)))
+      .filter(col("rn") === 1)
+      .select(col("p").cast("long").as("pos_n"),
+        col("n").cast("long").as("neg_n"),
+        col("score").as("at_score"),
+        when(col("p") === 0 || col("n") === 0, lit(null))
+          .otherwise(idiv(col("num") * 10000, col("p") * col("n")))
+          .cast("long").as("ks_bp"))
+  }
+
   /** Calibration (reliability) curve over fixed-width score buckets:
     * one row per non-empty bucket with its row count, positive count,
     * observed positive rate in basis points, and the exact mean score

@@ -410,8 +410,38 @@ object ClassifyQ extends QueryPack {
               CAST(cum_pos * 10000 // tot_pos AS BIGINT) AS cum_gain_bp
        FROM t ORDER BY decile"""
 
+  /** Kolmogorov–Smirnov separation of the centroid-similarity scorer
+    * ([[graft.ml.Eval.ksBp]]): max |F_pos − F_neg| over the score
+    * CDFs, with the achieving threshold — the credit-scoring
+    * separation dial next to `ml_auc`'s rank view (same one-shuffle
+    * score histogram, two cumulative windows over it). */
+  private def mlKs(spark: SparkSession, d: String): DataFrame =
+    Eval.ksBp(scored(spark, d), col("score"), col("y"))
+
+  private val mlKsSql =
+    s"""WITH $scoredSql,
+       h AS (SELECT score, SUM(y) AS pos, SUM(1 - y) AS neg
+             FROM scored GROUP BY 1),
+       w AS (SELECT score,
+               CAST(SUM(pos) OVER (ORDER BY score) AS HUGEINT) AS cp,
+               CAST(SUM(neg) OVER (ORDER BY score) AS HUGEINT) AS cn,
+               CAST(SUM(pos) OVER () AS HUGEINT) AS p,
+               CAST(SUM(neg) OVER () AS HUGEINT) AS n
+             FROM h),
+       d AS (SELECT score, p, n, ABS(cp * n - cn * p) AS num,
+               ROW_NUMBER() OVER (ORDER BY ABS(cp * n - cn * p) DESC,
+                 score ASC) AS rn
+             FROM w)
+       SELECT CAST(p AS BIGINT) AS pos_n, CAST(n AS BIGINT) AS neg_n,
+              score AS at_score,
+              CASE WHEN p = 0 OR n = 0 THEN NULL
+                   ELSE CAST(num * 10000 // (p * n) AS BIGINT)
+              END AS ks_bp
+       FROM d WHERE rn = 1"""
+
   def queries: Seq[Q] = Seq(
     Q("ml_auc", mlAuc, Some(mlAucSql)),
+    Q("ml_ks", mlKs, Some(mlKsSql)),
     Q("ml_lift_deciles", mlLiftDeciles, Some(mlLiftDecilesSql)),
     Q("ml_kappa", mlKappa, Some(mlKappaSql)),
     Q("ml_avg_precision", mlAvgPrecision, Some(mlAvgPrecisionSql)),

@@ -119,7 +119,86 @@ object Graph2Q extends QueryPack {
        ORDER BY bc_bp DESC, node LIMIT 15"""
   }
 
+  // ------------------------------------------------------------ gr_hyperball
+
+  /** HyperBall neighborhood function over the trade graph
+    * ([[graft.graph.Graph.hyperBall]], m = 64, rounds 0..3): per round,
+    * the node count, the estimated total ball mass
+    * N(t) = Σ_v est|B(v,t)| in exact milli units (integer HLL algebra —
+    * no float ever), and N(t) as a share of the final round in bp —
+    * the effective-diameter read (smallest t with pct ≥ 9000 is the
+    * 90%-effective diameter, the Boldi–Vigna headline statistic). The
+    * per-round aggregate is |rounds| rows; the window runs on those 4
+    * rows only. The oracle unrolls every register max-merge round and
+    * the integer floor estimate bit-for-bit. */
+  private def grHyperball(spark: SparkSession, d: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy("round")
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    Graph.hyperBall(GraphQ.tradeEdges(spark, d), m = 64, rounds = 3)
+      .groupBy("round")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("est_milli")).as("nf_milli"))
+      .withColumn("max_nf", max(col("nf_milli")).over(wAll))
+      .select(col("round").cast("long").as("round"),
+        col("n_nodes"), col("nf_milli"),
+        expr("nf_milli * 10000 div max_nf").as("pct_of_final_bp"))
+  }
+
+  private val grHyperballSql = {
+    // one max-merge round: own registers ∪ neighbor registers, MAX per
+    // (node, bucket) — HLL(A ∪ B) = bucketwise max of HLL(A), HLL(B)
+    def round(prev: String, cur: String) =
+      s"""$cur AS MATERIALIZED (SELECT node, bucket, MAX(register) AS register FROM (
+             SELECT node, bucket, register FROM $prev
+             UNION ALL
+             SELECT e.src AS node, r.bucket, r.register
+             FROM e JOIN $prev r ON r.node = e.dst)
+           GROUP BY 1, 2)"""
+    // per-node harmonic denominator + integer floor estimate at round t
+    def est(t: Int) =
+      s"""est$t AS (SELECT $t AS round, node,
+             CAST(104629932386080576765952 AS HUGEINT) //
+               CAST(SUM(CAST(1 AS BIGINT) << (55 - register))
+                 + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS HUGEINT)
+               AS est_milli
+           FROM r$t GROUP BY 2)"""
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+                              l_suppkey * 2 + 1 AS supp_node
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS MATERIALIZED (SELECT cust_node AS src, supp_node AS dst
+             FROM pairs
+             UNION
+             SELECT supp_node, cust_node FROM pairs),
+       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       h AS (SELECT node,
+               ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT
+                 AS h
+             FROM nodes),
+       r0 AS MATERIALIZED (SELECT node, h % 64 AS bucket,
+                CASE WHEN h // 64 = 0 THEN 55
+                     ELSE 55 - length(bin(h // 64)) END AS register
+              FROM h),
+       ${round("r0", "r1")},
+       ${round("r1", "r2")},
+       ${round("r2", "r3")},
+       ${(0 to 3).map(est).mkString(",\n")},
+       agg AS (SELECT round, COUNT(*) AS n_nodes,
+                      SUM(est_milli) AS nf_milli
+               FROM (SELECT * FROM est0 UNION ALL SELECT * FROM est1
+                     UNION ALL SELECT * FROM est2 UNION ALL
+                     SELECT * FROM est3)
+               GROUP BY 1)
+       SELECT CAST(round AS BIGINT) AS round,
+              CAST(n_nodes AS BIGINT) AS n_nodes,
+              CAST(nf_milli AS BIGINT) AS nf_milli,
+              CAST(nf_milli * 10000 // (MAX(nf_milli) OVER ()) AS BIGINT)
+                AS pct_of_final_bp
+       FROM agg"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("gr_katz", grKatz, Some(grKatzSql)),
-    Q("gr_betweenness", grBetweenness, Some(grBetweennessSql)))
+    Q("gr_betweenness", grBetweenness, Some(grBetweennessSql)),
+    Q("gr_hyperball", grHyperball, Some(grHyperballSql)))
 }

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-9 forecasting pack: Holt's linear (double-exponential)
+  * smoothing over the monthly revenue series, with its own one-step
+  * in-sample backtest against the naive last-value forecaster — the
+  * level+trend forecaster that `st_ols_trend` (one global line) and
+  * `e_ewma` (level only) bracket.
+  *
+  * Exactness discipline: the recurrence runs in integer cents with
+  * EXPLICIT floor division F(a,k) = (a − pmod(a,k)) div k — pmod is
+  * nonnegative, so the subtraction makes the numerator exactly
+  * divisible and `div` returns the true floor for either sign,
+  * matching DuckDB's `//` exactly (the sign-safe discipline the
+  * truncating `div` alone would break on negative trends).
+  *
+  * Scale story: the fact collapses to the |months| ≈ 84 calendar
+  * series in ONE partial-agg shuffle; the fold runs once over that
+  * array on one row (the st_acf post-agg contract) and the oracle
+  * replays it as a recursive CTE, row for row.
+  */
+object Stats4Q extends QueryPack {
+
+  private val Horizon = 6
+
+  /** Holt's linear smoothing, α = 1/5, β = 1/10, classical init
+    * (l₁ = x₁, b₁ = x₂ − x₁):
+    *
+    *   l_t = F(x_t + 4·(l_{t−1} + b_{t−1}), 5)
+    *   b_t = F(l_t − l_{t−1} + 9·b_{t−1}, 10)
+    *
+    * The fold state also carries both backtest accumulators: the Holt
+    * one-step error Σ|x_t − (l_{t−1}+b_{t−1})| and the naive error
+    * Σ|x_t − x_{t−1}| over the same t = 2..n — so the query reports
+    * whether the smoother actually beats carry-forward on this series
+    * (holt_mae_c vs naive_mae_c, floor-divided by n−1). Output: one
+    * row per horizon h = 1..6 with forecast_c = l_n + h·b_n. */
+  private def stHolt(spark: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(spark, d)
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("mon").agg(sum(col("cents")).as("x"))
+    // F(a, k): exact floor division for either sign (pmod ≥ 0)
+    def f(a: String, k: Int) = s"(($a) - pmod($a, $k)) div $k"
+    val lNew = f("x.x + 4 * (acc.l + acc.b)", 5)
+    val fold = monthly.agg(
+      array_sort(collect_list(struct(col("mon"), col("x")))).as("ms"))
+      .select(expr(
+        s"""aggregate(
+              slice(ms, 2, size(ms) - 1),
+              named_struct(
+                'l',  ms[0].x,
+                'b',  ms[1].x - ms[0].x,
+                'xp', ms[0].x,
+                'eh', CAST(0 AS BIGINT),
+                'en', CAST(0 AS BIGINT)),
+              (acc, x) -> named_struct(
+                'l',  $lNew,
+                'b',  ${f(s"($lNew) - acc.l + 9 * acc.b", 10)},
+                'xp', x.x,
+                'eh', acc.eh + abs(x.x - (acc.l + acc.b)),
+                'en', acc.en + abs(x.x - acc.xp))
+            )""").as("st"),
+        expr("size(ms)").as("n"))
+    fold
+      .select(col("n"), col("st.l").as("l"), col("st.b").as("b"),
+        col("st.eh").as("eh"), col("st.en").as("en"),
+        explode(sequence(lit(1L), lit(Horizon.toLong))).as("h"))
+      .select(col("h"),
+        (col("l") + col("h") * col("b")).as("forecast_c"),
+        col("l").as("level_c"), col("b").as("trend_c"),
+        expr("(eh - pmod(eh, n - 1)) div (n - 1)").as("holt_mae_c"),
+        expr("(en - pmod(en, n - 1)) div (n - 1)").as("naive_mae_c"))
+  }
+
+  // DuckDB's `//` TRUNCATES toward zero on negatives (−7//2 = −3), so
+  // the oracle floors explicitly: fdiv(a,k) = (a − ((a%k + k)%k)) // k.
+  // The b-update would need l_new twice; instead its numerator is
+  // scaled by 5 (bnum5 = 5·l_new − 5·l + 45·b with 5·l_new = lnum −
+  // pmod(lnum,5)) and floored by 50 — same floor, one pass.
+  private val stHoltSql =
+    s"""WITH RECURSIVE monthly AS (
+         SELECT date_trunc('month', o_orderdate) AS mon,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+       m AS (SELECT ROW_NUMBER() OVER (ORDER BY mon) AS rn, x FROM monthly),
+       nn AS (SELECT CAST(MAX(rn) AS BIGINT) AS n FROM m),
+       hw AS (
+         SELECT CAST(1 AS BIGINT) AS t,
+                m1.x AS l, m2.x - m1.x AS b, m1.x AS xp,
+                CAST(0 AS BIGINT) AS eh, CAST(0 AS BIGINT) AS en
+         FROM (SELECT x FROM m WHERE rn = 1) m1,
+              (SELECT x FROM m WHERE rn = 2) m2
+         UNION ALL
+         SELECT t,
+                (lnum - ((lnum % 5 + 5) % 5)) // 5,
+                (bnum5 - ((bnum5 % 50 + 50) % 50)) // 50,
+                xx, eh2, en2
+         FROM (
+           SELECT t + 1 AS t,
+                  mx.x + 4 * (l + b) AS lnum,
+                  (mx.x + 4 * (l + b))
+                    - ((mx.x + 4 * (l + b)) % 5 + 5) % 5
+                    - 5 * l + 45 * b AS bnum5,
+                  mx.x AS xx,
+                  eh + abs(mx.x - (l + b)) AS eh2,
+                  en + abs(mx.x - xp) AS en2
+           FROM hw JOIN m mx ON mx.rn = t + 1)),
+       fin AS (SELECT l, b, eh, en, n FROM hw JOIN nn ON hw.t = nn.n)
+       SELECT CAST(h AS BIGINT) AS h,
+              CAST(l + h * b AS BIGINT) AS forecast_c,
+              l AS level_c, b AS trend_c,
+              CAST(eh // (n - 1) AS BIGINT) AS holt_mae_c,
+              CAST(en // (n - 1) AS BIGINT) AS naive_mae_c
+       FROM fin CROSS JOIN range(1, ${Horizon + 1}) r(h)"""
+
+  // ----------------------------------------------------------- e_km_survival
+
+  /** Kaplan–Meier error-free survival: per user, days from their first
+    * event to their FIRST 'error' event; users who never error are
+    * right-censored at their observed span (obs_end − first day) — the
+    * rows a naive "mean time to failure" either drops or corrupts, and
+    * exactly what the KM estimator handles. Per event day t (deaths
+    * d_t, censored c_t, at-risk n_t):
+    *
+    *   S_bp(t) = ⌊S_bp(t−1) · (n_t − d_t) / n_t⌋   (death days only)
+    *   n_{t+1} = n_t − d_t − c_t
+    *
+    * — the per-step bp floor makes the sequential product exact and
+    * replayable (numerators are nonnegative, so truncating div IS the
+    * floor in both engines). The fact collapses to per-user
+    * (first event, first error) in one shuffle, then to the
+    * |distinct days|-sized (d, c) table the fold runs over on ONE row;
+    * the observation end is a 1-row aggregate cross-joined in
+    * (PlanAuditSpec-listed). Output: one row per day-offset with
+    * at_risk, deaths, censored, surv_bp — the declining reliability
+    * curve. */
+  private def eKmSurvival(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.canonEventTs(Tables.events(spark, d))
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("date").as("day"))
+    val per = ev.groupBy("user_id")
+      .agg(min(col("day")).as("first_day"),
+        min(when(col("event_type") === "error", col("day"))).as("err_day"))
+    val ends = ev.agg(max(col("day")).as("obs_end"))
+    val weekly = per.crossJoin(broadcast(ends))
+      .select(
+        when(col("err_day").isNotNull,
+          expr("CAST(datediff(err_day, first_day) AS BIGINT)"))
+          .otherwise(expr("CAST(datediff(obs_end, first_day) AS BIGINT)"))
+          .as("day"),
+        when(col("err_day").isNull, 1L).otherwise(0L).as("cen"))
+      .groupBy("day")
+      .agg(sum(lit(1L) - col("cen")).as("d"), sum(col("cen")).as("c"))
+    val sNew = """CASE WHEN x.d > 0
+                  THEN (acc.s * (acc.n - x.d)) div acc.n
+                  ELSE acc.s END"""
+    weekly
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("day"), col("d"), col("c"))))
+          .as("ws"),
+        sum(col("d") + col("c")).as("total"))
+      .select(explode(expr(
+        s"""aggregate(
+              ws,
+              named_struct(
+                'n', total, 's', CAST(10000 AS BIGINT),
+                'out', CAST(array() AS
+                  ARRAY<STRUCT<day: BIGINT, at_risk: BIGINT,
+                    deaths: BIGINT, censored: BIGINT, surv_bp: BIGINT>>)),
+              (acc, x) -> named_struct(
+                'n', acc.n - x.d - x.c,
+                's', $sNew,
+                'out', concat(acc.out, array(named_struct(
+                  'day', x.day, 'at_risk', acc.n, 'deaths', x.d,
+                  'censored', x.c, 'surv_bp', $sNew)))),
+              acc -> acc.out)""").as("r")))
+      .select(col("col.day").as("day"), col("col.at_risk").as("at_risk"),
+        col("col.deaths").as("deaths"), col("col.censored").as("censored"),
+        col("col.surv_bp").as("surv_bp"))
+  }
+
+  private val eKmSurvivalSql =
+    """WITH RECURSIVE per AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+                MIN(CASE WHEN event_type = 'error'
+                         THEN CAST(ts AS DATE) END) AS e
+         FROM events GROUP BY 1),
+       oe AS (SELECT MAX(CAST(ts AS DATE)) AS obs_end FROM events),
+       lab AS (SELECT CASE WHEN e IS NOT NULL
+                        THEN CAST(datediff('day', f, e) AS BIGINT)
+                        ELSE CAST(datediff('day', f, obs_end) AS BIGINT)
+                      END AS day,
+                 CASE WHEN e IS NULL
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                 END AS cen
+               FROM per, oe),
+       wk AS (SELECT day, SUM(1 - cen) AS d, SUM(cen) AS c
+              FROM lab GROUP BY 1),
+       idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn, day, d, c
+               FROM wk),
+       tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS t FROM idx),
+       km AS (
+         SELECT CAST(0 AS BIGINT) AS rn, t AS n,
+                CAST(10000 AS BIGINT) AS s,
+                CAST(NULL AS BIGINT) AS day, CAST(0 AS BIGINT) AS d,
+                CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS at_risk
+         FROM tot
+         UNION ALL
+         SELECT i.rn, km.n - i.d - i.c,
+                CASE WHEN i.d > 0
+                     THEN (km.s * (km.n - i.d)) // km.n ELSE km.s END,
+                i.day, i.d, i.c, km.n
+         FROM km JOIN idx i ON i.rn = km.rn + 1)
+       SELECT day, at_risk, d AS deaths, c AS censored, s AS surv_bp
+       FROM km WHERE rn >= 1"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("st_holt", stHolt, Some(stHoltSql)),
+    Q("e_km_survival", eKmSurvival, Some(eKmSurvivalSql)))
+}

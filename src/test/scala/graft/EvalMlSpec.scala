@@ -47,6 +47,24 @@ class EvalMlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Eval.aucBp(onlyPos, col("score"), col("y")).head().isNullAt(2))
   }
 
+  test("ksBp: hand case — max CDF gap with deterministic threshold") {
+    // pos scores {3,4}, neg scores {1,2}: at s=2 F_neg=1, F_pos=0 →
+    // KS = 10000 at score 2 (perfect separation).
+    val perfect = toDf(Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    val p = Eval.ksBp(perfect, col("score"), col("y")).head()
+    assert(p.getLong(2) === 2L && p.getLong(3) === 10000L)
+    // pos {1,3}, neg {2,4}: cumP·N−cumN·P at s=1:2, s=2:0, s=3:2, s=4:0
+    // → KS = ⌊2·10⁴/4⌋ = 5000, ties → smallest score 1.
+    val mixed = toDf(Seq(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    val m = Eval.ksBp(mixed, col("score"), col("y")).head()
+    assert(m.getLong(2) === 1L && m.getLong(3) === 5000L)
+  }
+
+  test("ksBp: single-class input yields NULL") {
+    val onlyNeg = toDf(Seq(1L -> 0L, 2L -> 0L))
+    assert(Eval.ksBp(onlyNeg, col("score"), col("y")).head().isNullAt(3))
+  }
+
   test("avgPrecisionBp: hand case (pos at top and at 2/3 precision)") {
     // descending: s=4 pos (prec 1/1 -> 10000), s=3 neg, s=2 pos
     // (prec 2/3 -> 6666); ap = (10000 + 6666) div 2 = 8333

@@ -57,6 +57,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // aggregate into the |item pairs| relation — scalar side by
     // construction
     "rec_cooc",
+    // the KM curve cross-joins the ONE-row observation-end aggregate
+    // into the per-user lifetime table — scalar side by construction
+    "e_km_survival",
     // the quantile sweep crosses the ≤ 66-bucket histogram with its
     // ONE-row total-count aggregate — fixed-size sides by construction
     "sk_qhist",
@@ -144,7 +147,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // side by construction (t_hll_distinct's shape); everything
     // downstream is the bounded-domain score histogram
     "ml_auc", "ml_avg_precision", "ml_calibration", "ml_confusion",
-    "ml_pr_curve", "ml_lift_deciles",
+    "ml_pr_curve", "ml_lift_deciles", "ml_ks",
     // kappa broadcasts BOTH one-row centroids into the same scan —
     // two scalar sides by construction
     "ml_kappa",
