@@ -121,7 +121,54 @@ object FeatureQ extends QueryPack {
               CAST(num * 10000 // (den * n) AS BIGINT) AS gini_bp
        FROM r WHERE rn = 1"""
 
+  // ------------------------------------------------------- fe_hash_features
+
+  /** The hashing trick with its collision audit: the (segment,
+    * nation) categorical cross — 5·25 = 125 raw categories — is
+    * hash-encoded into 16 buckets (bucket = 60-bit md5 of 'seg|nat'
+    * mod 16, the engine-portable hash discipline), and the audit
+    * reports per bucket how many raw categories collided, the row
+    * mass, and the dominant category's share in bp — the dial that
+    * tells you whether 16 buckets destroys the feature (dominant share
+    * near 10⁴ = collisions are harmless; near 10⁴/n_cats = the bucket
+    * is noise). Plan: ONE partial-agg shuffle onto ≤ 125 (bucket,
+    * category) rows; everything after is windows over that grid. At
+    * 100 TB the category grid, not the fact, bounds every stage. */
+  private def feHashFeatures(spark: SparkSession, d: String): DataFrame = {
+    val cat = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(concat(col("c_mktsegment"), lit("|"),
+        col("c_nationkey").cast("string")).as("cat"))
+      .groupBy("cat").agg(count(lit(1)).as("n"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("cat")), 1, 15), 16, 10).cast("long"),
+          lit(16L)))
+    cat.groupBy("bucket")
+      .agg(count(lit(1)).as("n_cats"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_cat_rows"))
+      .select(col("bucket"), col("n_cats"), col("n_rows"),
+        expr("max_cat_rows * 10000 div n_rows").as("dominant_share_bp"))
+      .orderBy("bucket")
+  }
+
+  private val feHashFeaturesSql =
+    """WITH cat AS (SELECT c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)
+                      AS cat,
+                    COUNT(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1),
+       b AS (SELECT ('0x' || substr(md5(cat), 1, 15))::BIGINT % 16 AS bucket,
+                    n
+             FROM cat)
+       SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cats,
+              CAST(SUM(n) AS BIGINT) AS n_rows,
+              CAST(MAX(n) * 10000 // SUM(n) AS BIGINT) AS dominant_share_bp
+       FROM b GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("fe_target_encode", feTargetEncode, Some(feTargetEncodeSql)),
+    Q("fe_hash_features", feHashFeatures, Some(feHashFeaturesSql)),
     Q("ml_stump", mlStump, Some(mlStumpSql)))
 }

@@ -220,7 +220,53 @@ object Stats4Q extends QueryPack {
        SELECT day, at_risk, d AS deaths, c AS censored, s AS surv_bp
        FROM km WHERE rn >= 1"""
 
+  // --------------------------------------------------------------- e_islands
+
+  /** Gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+    * days (a missed day ends the streak), summarized as the streak
+    * histogram (length → how many islands, how many distinct users) —
+    * the classic SQL islands idiom via the day-index-minus-row-number
+    * anchor: within a user, consecutive days share
+    * di − row_number() (both step by 1), so one partitioned window +
+    * one groupBy finds every island with no self-join. The engagement
+    * complement of `g_gapfill` (which fills the gaps; this measures
+    * the islands between them). All windows are partitioned by user —
+    * no global sort at any scale; the histogram is |distinct lengths|
+    * rows. */
+  private def eIslands(spark: SparkSession, d: String): DataFrame = {
+    val days = Tables.canonEventTs(Tables.events(spark, d))
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("di", expr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT)"))
+      .withColumn("anchor", col("di") - row_number().over(w))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy("streak_len")
+      .agg(count(lit(1)).as("n_islands"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("streak_len")
+  }
+
+  private val eIslandsSql =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+       a AS (SELECT user_id,
+               CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                 AS anchor
+             FROM days),
+       isl AS (SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT)
+                 AS streak_len
+               FROM a GROUP BY 1, 2)
+       SELECT streak_len, CAST(COUNT(*) AS BIGINT) AS n_islands,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM isl GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("st_holt", stHolt, Some(stHoltSql)),
-    Q("e_km_survival", eKmSurvival, Some(eKmSurvivalSql)))
+    Q("e_km_survival", eKmSurvival, Some(eKmSurvivalSql)),
+    Q("e_islands", eIslands, Some(eIslandsSql)))
 }
