@@ -873,6 +873,81 @@ object Graph {
     * grow), so Σ_v est_milli(v,t) is a monotone neighborhood function
     * and the effective-diameter read (smallest t reaching ≥90% of the
     * final mass) needs only the |rounds|-row per-round aggregate. */
+  /** Louvain-style synchronous modularity-gain moves (the phase-1
+    * local-move step of Blondel et al. 2008, parallelized the standard
+    * way: every node re-decides simultaneously each round). Start with
+    * every node its own community; each round, node v moves to the
+    * candidate community C (a neighbor's community, or staying put)
+    * maximizing the modularity gain, which scaled by 2m is the pure
+    * integer
+    *
+    *   gain(v → C) = 2m·k_{v,C} − k_v·Σtot_{C∖v}
+    *
+    * (k_{v,C} = v's edges into C; Σtot = member degree sum, v excluded
+    * when scoring its CURRENT community — the isolation adjustment).
+    * Ties break toward the smallest label, so rounds are
+    * deterministic at any partitioning — where LPA moves to the
+    * MAJORITY neighbor label, this moves to the modularity-OPTIMAL
+    * one, which resists the giant-component collapse LPA suffers on
+    * hub-heavy graphs.
+    *
+    * Per-round cost: one |edges| equi-join (neighbor labels) + three
+    * dim-bounded joins (degrees, community totals, current labels) +
+    * a per-node PARTITIONED argmax window; 2m rides a ONE-row
+    * aggregate cross join (scalar by construction — callers list
+    * themselves in PlanAuditSpec). Widths: gain ≤ 2m·k_max ≈ 10¹⁰ at
+    * sf1 — BIGINT-safe; past ~10⁹ edges cast the gain through
+    * DECIMAL(38,0) first (documented rescale). Expects a SYMMETRIC
+    * deduped edge list; returns (node, label). */
+  def louvainRounds(edges: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val m2 = e.agg(count(lit(1)).as("m2"))
+    var lab = deg.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val tot = lab.join(deg, "node")
+        .groupBy("label").agg(sum(col("k")).as("tot"))
+      val kvc = e
+        .join(lab.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("kvc"))
+      // staying put is always a candidate, even when v has no neighbor
+      // left in its own community (kvc = 0 there)
+      val own = lab.join(kvc, Seq("node", "label"), "left")
+        .select(col("node"), col("label"),
+          coalesce(col("kvc"), lit(0L)).as("kvc"))
+      val cand = kvc.unionByName(own)
+        .groupBy("node", "label").agg(max(col("kvc")).as("kvc"))
+      val scored = cand
+        .join(deg, "node")
+        .join(tot, "label")
+        .join(lab.withColumnRenamed("label", "cur"), "node")
+        .crossJoin(broadcast(m2))
+        .withColumn("tot_adj",
+          col("tot") - when(col("label") === col("cur"), col("k"))
+            .otherwise(lit(0L)))
+        .withColumn("gain",
+          col("m2") * col("kvc") - col("k") * col("tot_adj"))
+      lab = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node")
+            .orderBy(col("gain").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   def hyperBall(edges: DataFrame, m: Int, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val alphaNum = m match {

@@ -200,6 +200,72 @@ object Stats {
     * calendar/entity-sized series where n is bounded by construction
     * (the documented PlanAuditSpec exception); x values must be
     * distinct (slopes divide by x_b − x_a). */
+  /** Partial autocorrelation by the Durbin–Levinson recursion, in the
+    * same 10⁴ fixed point as [[acfBp]] — the second Box–Jenkins
+    * identification plot (ACF tails off + PACF cuts off at p ⇒ AR(p)).
+    * Input is [[acfBp]]'s output (lag, n_pairs, acf_bp for 1..maxLag);
+    * output re-joins it as (lag, acf_bp, pacf_bp).
+    *
+    * The recursion, with every product floored back to bp by the
+    * sign-safe F(a,10⁴) = (a − pmod(a,10⁴)) div 10⁴ (pmod ≥ 0 makes
+    * the numerator exactly divisible, so `div` IS the floor for either
+    * sign):
+    *
+    *   φ₁₁ = ρ₁
+    *   num_k = ρ_k − F(Σ_j φ_{k−1,j}·ρ_{k−j}),
+    *   den_k = 10⁴ − F(Σ_j φ_{k−1,j}·ρ_j)
+    *   φ_kk  = F(num_k·10⁴, den_k)     (0 when den_k ≤ 0 — a
+    *           non-positive-definite fixed-point corner, flagged by
+    *           the sentinel rather than a divide-by-zero)
+    *   φ_kj  = φ_{k−1,j} − F(φ_kk·φ_{k−1,k−j})
+    *
+    * — a DEFINED fixed-point algorithm both engines replay exactly
+    * (the oracle is a recursive CTE carrying the φ list). The whole
+    * recursion runs over the maxLag-row ACF on ONE row — scale-free
+    * past [[acfBp]]'s single fact shuffle. */
+  def pacfBp(acf: DataFrame, maxLag: Int): DataFrame = {
+    // >= 2: Spark's sequence(1, maxLag − 1) would COUNT DOWN on 1 − 1 = 0
+    require(maxLag >= 2, s"maxLag must be >= 2, got $maxLag")
+    def fdiv(a: String, b: String) = s"((($a) - pmod($a, $b)) div ($b))"
+    val sumNum = s"""aggregate(sequence(1, kk), CAST(0 AS BIGINT),
+      (a, j) -> a + element_at(acc.phi, CAST(j AS INT))
+                  * element_at(rho, CAST(kk + 1 - j AS INT)))"""
+    val sumDen = s"""aggregate(sequence(1, kk), CAST(0 AS BIGINT),
+      (a, j) -> a + element_at(acc.phi, CAST(j AS INT))
+                  * element_at(rho, CAST(j AS INT)))"""
+    val numS = s"element_at(rho, CAST(kk + 1 AS INT)) - ${fdiv(sumNum, "10000")}"
+    val denS = s"10000 - ${fdiv(sumDen, "10000")}"
+    val pkk = s"""IF(($denS) <= 0, CAST(0 AS BIGINT),
+      ${fdiv(s"($numS) * 10000", denS)})"""
+    val folded = acf
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(lag, acf_bp))), " +
+          "s -> s.acf_bp)").as("rho"))
+      .select(explode(expr(
+        s"""aggregate(
+              sequence(1, ${maxLag - 1}),
+              named_struct(
+                'phi', array(element_at(rho, 1)),
+                'out', array(named_struct(
+                  'lag', CAST(1 AS BIGINT),
+                  'pacf_bp', element_at(rho, 1)))),
+              (acc, kk) -> named_struct(
+                'phi', concat(
+                  transform(sequence(1, kk),
+                    j -> element_at(acc.phi, CAST(j AS INT))
+                         - ${fdiv(
+                             s"($pkk) * element_at(acc.phi, CAST(kk + 1 - j AS INT))",
+                             "10000")}),
+                  array($pkk)),
+                'out', concat(acc.out, array(named_struct(
+                  'lag', CAST(kk + 1 AS BIGINT), 'pacf_bp', $pkk)))),
+              acc -> acc.out)""")))
+      .select(col("col.lag").as("lag"), col("col.pacf_bp").as("pacf_bp"))
+    acf.select(col("lag"), col("acf_bp"))
+      .join(folded, Seq("lag"))
+      .orderBy("lag")
+  }
+
   def theilSenBp(series: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     val s = series.select(xCol.cast("long").as("x"),
       yCol.cast("long").as("y"))

@@ -197,8 +197,137 @@ object Graph2Q extends QueryPack {
        FROM agg"""
   }
 
+  // -------------------------------------------------------------- gr_louvain
+
+  /** Louvain-style community detection over the trade graph
+    * ([[graft.graph.Graph.louvainRounds]], 2 synchronous
+    * modularity-gain rounds): top-20 communities by size with their
+    * internal edges, degree mass, and the partition's global Newman
+    * modularity in bp (same integer rational as `gr_modularity`, whose
+    * LPA partition this is the gain-driven alternative to — the two
+    * q_bp values are directly comparable). The per-round argmax is a
+    * per-node PARTITIONED window; 2m, the community aggregate and the
+    * undirected edge count ride ONE-row cross joins (PlanAuditSpec
+    * listed). The oracle unrolls both move rounds and the modularity
+    * tail bit-for-bit. */
+  private def grLouvain(spark: SparkSession, d: String): DataFrame = {
+    val e = GraphQ.tradeEdges(spark, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val lab = Graph.louvainRounds(e, rounds = 2)
+    val und = e.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val lbl = und
+      .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+    val ec = lbl.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val dc = deg.join(lab, Seq("node"))
+      .groupBy("label").agg(sum(col("dg")).as("d_c"))
+    val sizes = lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val comm = sizes
+      .join(ec, Seq("label"), "left")
+      .join(dc, Seq("label"))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"))
+    val glob = comm.agg(sum(col("e_in")).as("s_ein"),
+      sum(expr("d_c * d_c")).as("s_d2"))
+    val mdf = und.agg(count(lit(1)).as("m"))
+    comm.crossJoin(broadcast(glob)).crossJoin(broadcast(mdf))
+      .select(col("label").as("community"), col("n_nodes"), col("e_in"),
+        col("d_c"),
+        expr("CASE WHEN 4 * m * s_ein - s_d2 >= 0 " +
+          "THEN (10000 * (4 * m * s_ein - s_d2)) div (4 * m * m) " +
+          "ELSE -((10000 * (s_d2 - 4 * m * s_ein)) div (4 * m * m)) END")
+          .as("q_bp"))
+      .orderBy(col("n_nodes").desc, col("community").asc)
+      .limit(20)
+  }
+
+  private val grLouvainSql = {
+    // one synchronous gain round from labels $lp: community totals,
+    // per-(node, neighbor-community) edge counts, the stay option,
+    // then argmax of gain = 2m·k_{v,C} − k_v·Σtot_{C∖v}
+    def round(lp: String, cur: String, r: Int) =
+      s"""tot$r AS (SELECT label, CAST(SUM(k) AS BIGINT) AS tot
+              FROM $lp JOIN deg USING (node) GROUP BY 1),
+       kvc$r AS (SELECT e.src AS node, l.label,
+                CAST(COUNT(*) AS BIGINT) AS kvc
+              FROM e JOIN $lp l ON l.node = e.dst GROUP BY 1, 2),
+       own$r AS (SELECT lp.node, lp.label,
+                CAST(COALESCE(kv.kvc, 0) AS BIGINT) AS kvc
+              FROM $lp lp LEFT JOIN kvc$r kv
+                ON kv.node = lp.node AND kv.label = lp.label),
+       cand$r AS (SELECT node, label, MAX(kvc) AS kvc
+              FROM (SELECT * FROM kvc$r UNION ALL SELECT * FROM own$r)
+              GROUP BY 1, 2),
+       sc$r AS (SELECT c.node, c.label,
+                mm.m2 * c.kvc - d.k *
+                  (t.tot - CASE WHEN c.label = lp2.label THEN d.k
+                                ELSE CAST(0 AS BIGINT) END) AS gain
+              FROM cand$r c
+              JOIN deg d ON d.node = c.node
+              JOIN tot$r t ON t.label = c.label
+              JOIN $lp lp2 ON lp2.node = c.node
+              CROSS JOIN mm),
+       $cur AS MATERIALIZED (SELECT node, label FROM (
+              SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+                ORDER BY gain DESC, label ASC) AS rn
+              FROM sc$r) WHERE rn = 1)"""
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+                              l_suppkey * 2 + 1 AS supp_node
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS MATERIALIZED (SELECT cust_node AS src, supp_node AS dst
+             FROM pairs
+             UNION
+             SELECT supp_node, cust_node FROM pairs),
+       deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k
+             FROM e GROUP BY 1),
+       mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+       l0 AS (SELECT node, node AS label FROM deg),
+       ${round("l0", "l1", 1)},
+       ${round("l1", "l2", 2)},
+       und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+             WHERE src < dst),
+       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+       lbl AS (SELECT und.a, und.b, sa.label AS la, sb.label AS lb
+               FROM und JOIN l2 sa ON und.a = sa.node
+                        JOIN l2 sb ON und.b = sb.node),
+       ec AS (SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS e_in
+              FROM lbl WHERE la = lb GROUP BY 1),
+       dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dgr
+              FROM (SELECT a AS node FROM und
+                    UNION ALL SELECT b FROM und) GROUP BY 1),
+       dcc AS (SELECT l2.label, CAST(SUM(dgr) AS BIGINT) AS d_c
+               FROM dg JOIN l2 ON dg.node = l2.node GROUP BY 1),
+       sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                 FROM l2 GROUP BY 1),
+       comm AS (SELECT s.label, s.n_nodes,
+                       CAST(COALESCE(ec.e_in, 0) AS BIGINT) AS e_in,
+                       dcc.d_c
+                FROM sizes s
+                LEFT JOIN ec USING (label)
+                JOIN dcc USING (label)),
+       gsum AS (SELECT CAST(SUM(e_in) AS BIGINT) AS s_ein,
+                       CAST(SUM(d_c * d_c) AS BIGINT) AS s_d2
+                FROM comm)
+       SELECT label AS community, n_nodes, e_in, d_c,
+              CAST(CASE WHEN 4 * m * s_ein - s_d2 >= 0
+                THEN (10000 * (4 * m * s_ein - s_d2)) // (4 * m * m)
+                ELSE -((10000 * (s_d2 - 4 * m * s_ein)) // (4 * m * m))
+              END AS BIGINT) AS q_bp
+       FROM comm, gsum, m
+       ORDER BY n_nodes DESC, community ASC LIMIT 20"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("gr_katz", grKatz, Some(grKatzSql)),
     Q("gr_betweenness", grBetweenness, Some(grBetweennessSql)),
-    Q("gr_hyperball", grHyperball, Some(grHyperballSql)))
+    Q("gr_hyperball", grHyperball, Some(grHyperballSql)),
+    Q("gr_louvain", grLouvain, Some(grLouvainSql)))
 }

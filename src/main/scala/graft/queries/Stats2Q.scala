@@ -46,17 +46,21 @@ object Stats2Q extends QueryPack {
     * ~10³ × the sf1 daily mass; past that drop the bp scaling first).
     * A weekly echo in the ACF (lag-7 spike) is the signature the
     * seasonal index (`g_seasonal_idx`) quantifies. */
-  private def stAcf(spark: SparkSession, d: String): DataFrame = {
-    val daily = Tables.orders(spark, d)
+  private def daily(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
       .select(to_date(col("o_orderdate")).as("day"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       .groupBy("day").agg(sum(col("cents")).as("total_c"))
-    Stats.acfBp(daily, col("day"), col("total_c"), MaxLag)
-  }
 
-  private val stAcfSql = {
+  private def stAcf(spark: SparkSession, d: String): DataFrame =
+    Stats.acfBp(daily(spark, d), col("day"), col("total_c"), MaxLag)
+
+  /** The ACF computation as a reusable CTE chain ending in
+    * `acfv(lag, n_pairs, acf_bp)` — shared by the `st_acf` oracle and
+    * the `st_pacf` recursion that consumes it. */
+  private val acfCtes = {
     val lags = (1 to MaxLag)
-    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+    s"""daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                 AS total_c
             FROM orders GROUP BY 1),
@@ -73,8 +77,8 @@ object Stats2Q extends QueryPack {
                     ${lags.map(k =>
                       s"SUM(dev * d$k) AS num$k, COUNT(d$k) AS np$k")
                       .mkString(", ")}
-             FROM dv)
-       SELECT lag, n_pairs, acf_bp FROM (
+             FROM dv),
+       acfv AS (SELECT lag, n_pairs, acf_bp FROM (
          ${lags.map(k =>
            s"""SELECT CAST($k AS BIGINT) AS lag,
                       CAST(np$k AS BIGINT) AS n_pairs,
@@ -83,9 +87,12 @@ object Stats2Q extends QueryPack {
                                 THEN -((10000 * (-num$k)) // den)
                                 ELSE (10000 * num$k) // den END AS BIGINT)
                         AS acf_bp
-               FROM a""").mkString(" UNION ALL ")})
-       ORDER BY lag"""
+               FROM a""").mkString(" UNION ALL ")}))"""
   }
+
+  private val stAcfSql =
+    s"""WITH $acfCtes
+       SELECT lag, n_pairs, acf_bp FROM acfv ORDER BY lag"""
 
   // ------------------------------------------------------------ st_theil_sen
 
@@ -150,7 +157,54 @@ object Stats2Q extends QueryPack {
                 AS ols_slope_bp
        FROM o, ts"""
 
+  // --------------------------------------------------------------- st_pacf
+
+  /** Partial autocorrelation at lags 1..7 by the fixed-point
+    * Durbin–Levinson recursion ([[graft.ml.Stats.pacfBp]]) over the
+    * SAME daily-revenue ACF as `st_acf` — the second Box–Jenkins
+    * identification plot (ACF tails off while PACF cuts off at p ⇒
+    * AR(p); a lag-7 PACF spike that survives the lag-1 partialling-out
+    * is weekly seasonality proper, not echo). The recursion runs on
+    * ONE row over the 7-lag vector; the oracle is a recursive CTE
+    * carrying the φ list with the same sign-safe floors. */
+  private def stPacf(spark: SparkSession, d: String): DataFrame =
+    Stats.pacfBp(
+      Stats.acfBp(daily(spark, d), col("day"), col("total_c"), MaxLag),
+      MaxLag)
+
+  private val stPacfSql = {
+    // sign-safe floor: a − ((a % b + b) % b) is exactly divisible
+    def fd(a: String, b: String) =
+      s"((($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b))"
+    val nums = fd("list_sum(list_transform(range(1, k + 1), " +
+      "j -> phi[j] * rho[k + 1 - j]))", "10000")
+    val dens = fd("list_sum(list_transform(range(1, k + 1), " +
+      "j -> phi[j] * rho[j]))", "10000")
+    s"""WITH RECURSIVE $acfCtes,
+       rh AS (SELECT list(acf_bp ORDER BY lag) AS rho FROM acfv),
+       pac AS (
+         SELECT CAST(1 AS BIGINT) AS k, [rho[1]] AS phi, rho FROM rh
+         UNION ALL
+         SELECT k + 1,
+                list_append(
+                  list_transform(range(1, k + 1),
+                    j -> phi[j] - ${fd("pkk * phi[k + 1 - j]", "10000")}),
+                  pkk),
+                rho
+         FROM (
+           SELECT k, phi, rho,
+                  CASE WHEN (10000 - $dens) <= 0 THEN CAST(0 AS BIGINT)
+                       ELSE ${fd(s"(rho[k + 1] - $nums) * 10000",
+                                 s"10000 - $dens")}
+                  END AS pkk
+           FROM pac WHERE k < $MaxLag)),
+       px AS (SELECT k AS lag, phi[k] AS pacf_bp FROM pac)
+       SELECT a.lag, a.acf_bp, CAST(px.pacf_bp AS BIGINT) AS pacf_bp
+       FROM acfv a JOIN px USING (lag) ORDER BY lag"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("st_acf", stAcf, Some(stAcfSql)),
+    Q("st_pacf", stPacf, Some(stPacfSql)),
     Q("st_theil_sen", stTheilSen, Some(stTheilSenSql)))
 }

@@ -60,6 +60,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the KM curve cross-joins the ONE-row observation-end aggregate
     // into the per-user lifetime table — scalar side by construction
     "e_km_survival",
+    // louvain's gain term and the modularity tail cross-join the
+    // ONE-row 2m / global-sum / edge-count aggregates — scalar sides
+    // by construction
+    "gr_louvain",
     // the quantile sweep crosses the ≤ 66-bucket histogram with its
     // ONE-row total-count aggregate — fixed-size sides by construction
     "sk_qhist",

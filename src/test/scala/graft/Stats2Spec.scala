@@ -59,5 +59,43 @@ class Stats2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(1) === -35000L)
   }
 
+  test("pacfBp: matches an independent fixed-point Durbin–Levinson replay") {
+    val s = spark
+    import s.implicits._
+    val rho = Seq(6000L, -2500L, 1200L, 300L)
+    // reference loop: BigInt floors, identical algebra
+    def fd(a: BigInt, b: BigInt): BigInt = (a - a.mod(b)) / b
+    val S = BigInt(10000)
+    var phi = Vector(BigInt(rho.head))
+    var expected = Vector(rho.head)
+    for (k <- 1 until rho.length) {
+      val num = BigInt(rho(k)) -
+        fd((1 to k).map(j => phi(j - 1) * BigInt(rho(k - j))).sum, S)
+      val den = S - fd((1 to k).map(j => phi(j - 1) * BigInt(rho(j - 1))).sum, S)
+      val pkk = if (den <= 0) BigInt(0) else fd(num * S, den)
+      phi = (1 to k).map(j => phi(j - 1) - fd(pkk * phi(k - j), S))
+        .toVector :+ pkk
+      expected :+= pkk.toLong
+    }
+    val acfDf = rho.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("lag", "acf_bp")
+    val r = Stats.pacfBp(acfDf, rho.length).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    (1 to rho.length).foreach(k =>
+      assert(r(k.toLong) === expected(k - 1), s"lag $k"))
+  }
+
+  test("pacfBp: AR(1)-style geometric ACF cuts off after lag 1") {
+    val s = spark
+    import s.implicits._
+    val acfDf = Seq((1L, 5000L), (2L, 2500L), (3L, 1250L))
+      .toDF("lag", "acf_bp")
+    val r = Stats.pacfBp(acfDf, 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) === 5000L)
+    // exact zero up to fixed-point floor residue
+    assert(math.abs(r(2L)) <= 2L && math.abs(r(3L)) <= 2L)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
