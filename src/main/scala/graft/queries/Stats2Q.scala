@@ -203,8 +203,49 @@ object Stats2Q extends QueryPack {
        FROM acfv a JOIN px USING (lag) ORDER BY lag"""
   }
 
+  // ----------------------------------------------------------- st_ljung_box
+
+  /** Ljung–Box portmanteau whiteness test over the same 7-lag ACF:
+    * Q = n(n+2) Σ_k ρ_k²/(n−k), here in exact fixed point (per-lag
+    * floor term_k = ⌊acf_bp_k² / n_pairs_k⌋ — n_pairs IS n−k — then
+    * one global floor to milli units), against the hardcoded χ²₇ 95%
+    * critical value 14.067. Q ≫ crit on this series is the expected
+    * verdict (daily revenue has real autocorrelation — `st_acf`'s
+    * weekly echo); the test earns its keep on residual series after a
+    * model fit. One more 1-row reduction over the calendar-sized
+    * relation — all nonnegative, so `div`/`//` agree without the
+    * sign-safe dance. */
+  private def stLjungBox(spark: SparkSession, d: String): DataFrame =
+    Stats.acfBp(daily(spark, d), col("day"), col("total_c"), MaxLag)
+      .agg(max(col("n_pairs")).as("np1"),
+        sum(expr("(acf_bp * acf_bp) div n_pairs")).as("terms"))
+      .select((col("np1") + 1).as("n_days"),
+        lit(MaxLag.toLong).as("df"),
+        expr("((np1 + 1) * (np1 + 3) * terms * 1000) div 100000000")
+          .as("q_milli"),
+        lit(14067L).as("crit95_milli"),
+        expr("CAST(CASE WHEN ((np1 + 1) * (np1 + 3) * terms * 1000)" +
+          " div 100000000 > 14067 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("reject"))
+
+  private val stLjungBoxSql =
+    s"""WITH $acfCtes,
+       s AS (SELECT MAX(n_pairs) AS np1,
+                    SUM((acf_bp * acf_bp) // n_pairs) AS terms
+             FROM acfv)
+       SELECT CAST(np1 + 1 AS BIGINT) AS n_days,
+              CAST($MaxLag AS BIGINT) AS df,
+              CAST(((np1 + 1) * (np1 + 3) * terms * 1000) // 100000000
+                AS BIGINT) AS q_milli,
+              CAST(14067 AS BIGINT) AS crit95_milli,
+              CAST(CASE WHEN ((np1 + 1) * (np1 + 3) * terms * 1000)
+                     // 100000000 > 14067
+                   THEN 1 ELSE 0 END AS BIGINT) AS reject
+       FROM s"""
+
   def queries: Seq[Q] = Seq(
     Q("st_acf", stAcf, Some(stAcfSql)),
     Q("st_pacf", stPacf, Some(stPacfSql)),
+    Q("st_ljung_box", stLjungBox, Some(stLjungBoxSql)),
     Q("st_theil_sen", stTheilSen, Some(stTheilSenSql)))
 }
