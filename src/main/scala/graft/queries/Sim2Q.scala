@@ -439,7 +439,121 @@ object Sim2Q extends QueryPack {
               CAST(SUM(sil_bp) // COUNT(*) AS BIGINT) AS mean_sil_bp
        FROM sil GROUP BY 1 ORDER BY cluster"""
 
+  // ---------------------------------------------------- sim_mp / recall
+
+  /** Multi-probe LSH top-5 for the %25 query slice
+    * ([[Similarity.lshTopKMultiprobe]], full Hamming-1 shell): the
+    * SAME 16-plane/4-band index as `sim_lsh_topk`, with each query
+    * band probing its bucket plus all 4 one-bit perturbations — more
+    * recall from the same index, the Lv et al. 2007 trade. */
+  private def simMpTopk(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    Similarity.lshTopKMultiprobe(
+        e.filter(col("vec_id") % 25 === 0), e, k = 5,
+        planes = 16, bands = 4, probes = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The multiprobe oracle: [[SimQ.simLshSql]]'s algebra with the
+    * query-side probe explosion (xor of one band bit). */
+  private val simMpSql = {
+    val planes = Similarity.planeSigns(16, 64)
+    val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(nv, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[])))
+                  AS nv
+              FROM embeddings),
+       sigs AS MATERIALIZED (SELECT vec_id, nv,
+                CAST($sigExpr AS BIGINT) AS sig FROM v),
+       q AS (SELECT vec_id AS query_id, nv AS qv, sig AS qsig FROM sigs
+             WHERE vec_id % 25 = 0),
+       qb AS (SELECT query_id, band,
+                xor((qsig // CAST(pow(2, band * 4) AS BIGINT)) % 16,
+                    CASE WHEN p = 0 THEN 0
+                         ELSE CAST(pow(2, p - 1) AS BIGINT) END) AS bucket
+              FROM q
+              CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+              CROSS JOIN (SELECT unnest(range(0, 5)) AS p) pr),
+       cb AS (SELECT vec_id AS neighbor_id, band,
+                     (sig // CAST(pow(2, band * 4) AS BIGINT)) % 16 AS bucket
+              FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+       cand AS (SELECT DISTINCT query_id, neighbor_id
+                FROM qb JOIN cb USING (band, bucket)
+                WHERE query_id != neighbor_id),
+       sims AS (SELECT query_id, neighbor_id,
+                       round(list_dot_product(q.qv, s.nv), 4) AS sim
+                FROM cand
+                JOIN q USING (query_id)
+                JOIN sigs s ON s.vec_id = neighbor_id)
+       SELECT query_id, rank, neighbor_id, sim FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         FROM sims) t
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** Recall@5 of plain LSH vs multi-probe LSH at the SAME index, side
+    * by side per query — the lift the Hamming-1 probes buy, measured
+    * (the sim_recall_lsh discipline applied to the Lv et al. dial).
+    * Grading joins are |queries|·k rows. */
+  private def simRecallMp(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    val q = e.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopKAgg(q, e, k = 5)
+      .select("query_id", "neighbor_id")
+    def hits(approx: DataFrame, as: String): DataFrame =
+      exact.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(as))
+    exact.select("query_id").distinct()
+      .join(hits(Similarity.lshTopK(q, e, k = 5, planes = 16, bands = 4),
+        "hits_lsh"), Seq("query_id"), "left")
+      .join(hits(Similarity.lshTopKMultiprobe(q, e, k = 5,
+        planes = 16, bands = 4, probes = 4), "hits_mp"),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_lsh"), lit(0L)).as("hits_lsh"),
+        coalesce(col("hits_mp"), lit(0L)).as("hits_mp"),
+        expr("(coalesce(hits_lsh, CAST(0 AS BIGINT)) * 10000) div 5")
+          .as("recall_lsh_bp"),
+        expr("(coalesce(hits_mp, CAST(0 AS BIGINT)) * 10000) div 5")
+          .as("recall_mp_bp"))
+      .orderBy("query_id")
+  }
+
+  private val simRecallMpSql =
+    s"""WITH exact AS (${SimQ.simTopkSql}),
+       lsh AS (${SimQ.simLshSql}),
+       mp AS ($simMpSql),
+       hl AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits_lsh
+              FROM exact e JOIN lsh a
+                ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+              GROUP BY e.query_id),
+       hm AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits_mp
+              FROM exact e JOIN mp a
+                ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+              GROUP BY e.query_id)
+       SELECT q.query_id,
+         CAST(COALESCE(hl.hits_lsh, 0) AS BIGINT) AS hits_lsh,
+         CAST(COALESCE(hm.hits_mp, 0) AS BIGINT) AS hits_mp,
+         CAST((COALESCE(hl.hits_lsh, 0) * 10000) // 5 AS BIGINT)
+           AS recall_lsh_bp,
+         CAST((COALESCE(hm.hits_mp, 0) * 10000) // 5 AS BIGINT)
+           AS recall_mp_bp
+       FROM (SELECT DISTINCT query_id FROM exact) q
+       LEFT JOIN hl ON q.query_id = hl.query_id
+       LEFT JOIN hm ON q.query_id = hm.query_id
+       ORDER BY q.query_id"""
+
   def queries: Seq[Q] = Seq(
+    Q("sim_mp_topk", simMpTopk, Some(simMpSql)),
+    Q("sim_recall_mp", simRecallMp, Some(simRecallMpSql)),
     Q("sim_nsw_topk", simNswTopk, Some(simNswSql)),
     Q("sim_recall_nsw", simRecallNsw, Some(simRecallNswSql)),
     Q("sim_label_prop", simLabelProp, Some(simLabelPropSql)),

@@ -645,6 +645,63 @@ object Similarity {
         col("seed").isNotNull.as("is_seed"), col("cur").as("pred"))
   }
 
+  /** Multi-probe LSH top-k (Lv et al. 2007, the all-Hamming-1
+    * simplification): identical CORPUS index to [[lshTopK]] — same
+    * signatures, same bands, same buckets — but each query band
+    * additionally probes every 1-bit perturbation of its bucket
+    * (`probes` of the r band bits flipped, one at a time). Recall
+    * strictly dominates plain LSH at the same index size because the
+    * candidate set is a superset; the cost is only the query-side
+    * explode growing ×(1+probes) — the corpus is NOT re-indexed or
+    * re-exploded, which is the technique's entire selling point (more
+    * recall without more index). With probes = r this probes the full
+    * Hamming-1 shell. Output schema = [[lshTopK]]. */
+  def lshTopKMultiprobe(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 16, bands: Int = 4, dims: Int = 64, probes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes % bands == 0)
+    val r = planes / bands
+    require(probes >= 0 && probes <= r,
+      s"probes must be in [0, $r], got $probes")
+    val mask = (1L << r) - 1
+    def bandBucket(sig: Column, band: Column): Column =
+      pmod(floor(sig / pow(lit(2.0), band * lit(r))).cast("long"), lit(mask + 1))
+    val q = normalized(queries, idCol, vecCol)
+      .withColumn("sig", lshSignature(col("nv"), planes, dims))
+      .select(col("id").as("query_id"), col("nv").as("qv"), col("sig"))
+    val c = normalized(corpus, idCol, vecCol)
+      .withColumn("sig", lshSignature(col("nv"), planes, dims))
+      .select(col("id").as("neighbor_id"), col("nv").as("cv"), col("sig"))
+    val qb = q.select(col("query_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .withColumn("base", bandBucket(col("sig"), col("band")))
+      .select(col("query_id"), col("band"),
+        explode(sequence(lit(0), lit(probes))).as("p"), col("base"))
+      .withColumn("bucket",
+        col("base").bitwiseXOR(
+          when(col("p") === 0, lit(0L))
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(p - 1 AS INT))"))))
+      .select("query_id", "band", "bucket")
+    val cb = c.select(col("neighbor_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .withColumn("bucket", bandBucket(col("sig"), col("band")))
+      .select("neighbor_id", "band", "bucket")
+    val candidateIds = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    candidateIds
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotFast(col("qv"), col("cv")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 16, bands: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

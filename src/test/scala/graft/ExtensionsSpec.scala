@@ -408,6 +408,31 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.10, s"LSH recall $recall unexpectedly low")
   }
 
+  test("lshTopKMultiprobe: dominates plain LSH per query at the same index") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val bf = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairs(Similarity.lshTopK(queries, emb, 5, 16, 4))
+    val mp = pairs(Similarity.lshTopKMultiprobe(queries, emb, 5, 16, 4,
+      probes = 4))
+    // probes=0 degenerates to EXACTLY plain LSH (superset law base case)
+    val mp0 = pairs(Similarity.lshTopKMultiprobe(queries, emb, 5, 16, 4,
+      probes = 0))
+    assert(mp0 === lsh)
+    // per-query true-hit dominance: the candidate set is a superset,
+    // so every exact hit LSH finds, multiprobe finds too
+    val lshHits = lsh.intersect(bf).groupBy(_._1).view.mapValues(_.size)
+    val mpHits = mp.intersect(bf).groupBy(_._1).view.mapValues(_.size)
+    lshHits.foreach { case (q, h) =>
+      assert(mpHits.getOrElse(q, 0) >= h, s"query $q lost hits")
+    }
+  }
+
   test("corpus ops: split is total+stable, cap binds, chunks respect contiguity") {
     import graft.text.Corpus
     val docs = Tables.documents(spark, sf)

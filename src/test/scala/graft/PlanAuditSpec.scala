@@ -35,6 +35,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the IVF/IVF-PQ sides cross the broadcast CODEBOOK (|centroids|
     // rows by construction) into assignment/probing — dim-sized sides
     "sim_recall_lsh", "sim_recall_ivf", "sim_recall_ivfpq",
+    "sim_mp_topk", "sim_recall_mp",
     // each BPE round cross-joins the ONE-row winning-pair aggregate into
     // the vocab rewrite (and the encode fold) — scalar sides by
     // construction
