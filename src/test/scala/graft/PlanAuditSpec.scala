@@ -193,6 +193,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // series-total aggregate into the calendar-sized daily series —
     // scalar side by construction (st_runs_test's shape)
     "st_acf",
+    // pacf and ljung-box consume the same acfBp plan (its ONE-row n/S
+    // totals cross join) — the same scalar side as st_acf
+    "st_pacf", "st_ljung_box",
     // Theil–Sen's pairwise-slope theta self-join pairs the |months|-row
     // POST-AGG series with itself — calendar-bounded (≈84 rows) at any
     // data volume; the final row crosses two ONE-row aggregates
