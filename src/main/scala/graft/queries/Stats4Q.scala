@@ -265,8 +265,76 @@ object Stats4Q extends QueryPack {
               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
        FROM isl GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------------------------------ j13_pit_join
+
+  /** Point-in-time join — the data-warehouse temporal join that makes
+    * an SCD2 dimension USEFUL: every purchase event is joined to the
+    * user's state (their last non-purchase event type, as half-open
+    * [from, to) validity windows — the `scd2` build applied to the
+    * non-purchase stream) AS OF the purchase timestamp, then rolled up
+    * per state. Half-open windows are disjoint per user by
+    * construction (same-timestamp changes leave zero-length windows
+    * nothing can match), so each purchase matches AT MOST one state
+    * row — no fan-out, ever; purchases before a user's first state
+    * event survive the left join as '(none)'. The join is an EQUI
+    * join on user_id with the range predicates as residual filters —
+    * SortMergeJoin, never a cartesian. */
+  private def j13PitJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.canonEventTs(Tables.events(spark, d))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val dim = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .select(col("user_id").as("du"), col("event_type").as("state"),
+        col("ts").as("eff_from"),
+        lead(col("ts"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+          .as("eff_to"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    p.join(dim,
+        col("user_id") === col("du") && col("pts") >= col("eff_from") &&
+          (col("eff_to").isNull || col("pts") < col("eff_to")),
+        "left")
+      .groupBy(coalesce(col("state"), lit("(none)")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_c"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("state")
+  }
+
+  private val j13PitJoinSql =
+    """WITH ev AS (SELECT user_id, ts, event_id, event_type, value
+            FROM events),
+       c AS (SELECT user_id, ts, event_id, event_type,
+               lag(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+             FROM ev WHERE event_type <> 'purchase'),
+       dim AS (SELECT user_id AS du, event_type AS state,
+                 ts AS eff_from,
+                 lead(ts, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS eff_to
+               FROM c
+               WHERE prev_type IS NULL OR prev_type <> event_type),
+       p AS (SELECT user_id, ts AS pts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+             FROM ev WHERE event_type = 'purchase')
+       SELECT COALESCE(state, '(none)') AS state,
+              CAST(COUNT(*) AS BIGINT) AS n_purchases,
+              CAST(SUM(cents) AS BIGINT) AS revenue_c,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM p LEFT JOIN dim
+         ON user_id = du AND pts >= eff_from
+            AND (eff_to IS NULL OR pts < eff_to)
+       GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
     Q("st_holt", stHolt, Some(stHoltSql)),
     Q("e_km_survival", eKmSurvival, Some(eKmSurvivalSql)),
-    Q("e_islands", eIslands, Some(eIslandsSql)))
+    Q("e_islands", eIslands, Some(eIslandsSql)),
+    Q("j13_pit_join", j13PitJoin, Some(j13PitJoinSql)))
 }
