@@ -867,4 +867,58 @@ object Relay {
         Sinks.upsertByKeyManifest(batch.sparkSession, batch, targetPath, keyCol)
       }
       .start()
+
+  /** One event for the streaming islands tracker. */
+  final case class IslEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Per-user open-island state: start day, last day, length (epoch
+    * days) — O(1) per user regardless of history. */
+  final case class IslState(startDay: Long, lastDay: Long, len: Long)
+
+  /** One CLOSED island: a maximal consecutive-day run that a later,
+    * non-adjacent day has sealed. */
+  final case class IslRow(user_id: Long, start_day: Long, streak_len: Long)
+
+  /** Streaming gaps-and-islands — the incremental twin of `e_islands`'
+    * anchor algebra: per user, the single open island rides
+    * `GroupState` (start/last/len — O(1) state, never the day
+    * history), and a non-adjacent arriving day CLOSES it, emitting the
+    * finished streak exactly once. Same in-order contract as
+    * [[transitionStream]] (per user the feed is ts-ordered across
+    * batches); duplicate days inside or across batches are absorbed by
+    * the `d == lastDay` case, exactly like the batch side's distinct.
+    * The still-open island per user is intentionally unemitted — it
+    * can't be final until a gap or the stream's end (StreamingSpec
+    * asserts closed islands ≡ batch islands minus each user's last). */
+  def islandsStream(events: org.apache.spark.sql.Dataset[IslEvent]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[IslState, IslRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, batch, state: GroupState[IslState]) =>
+          // floorDiv: pre-epoch timestamps floor to the correct UTC day
+          val days = batch
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L))
+            .toSeq.distinct.sorted
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[IslRow]
+          days.foreach { d =>
+            st match {
+              case None =>
+                st = Some(IslState(d, d, 1L))
+              case Some(s) if d == s.lastDay => ()
+              case Some(s) if d == s.lastDay + 1 =>
+                st = Some(s.copy(lastDay = d, len = s.len + 1))
+              case Some(s) =>
+                out += IslRow(uid, s.startDay, s.len)
+                st = Some(IslState(d, d, 1L))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
 }

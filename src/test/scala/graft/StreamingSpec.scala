@@ -847,5 +847,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed._1 == docs.count())
   }
 
+  test("streaming closed islands equal the batch islands across a " +
+    "micro-batch boundary") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.canonEventTs(Tables.events(spark, sf))
+      .select("user_id", "ts")
+    // split at the median-ish day: streaks straddling the cut only
+    // survive if the open island crosses batches in state
+    val cut = "2024-01-15"
+    val srcDir = tmp() + "/isl_src"
+    ev.filter(col("ts") < lit(cut)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() - 60000))
+    ev.filter(col("ts") >= lit(cut)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val stream = Relay.islandsStream(
+      Relay.readStreamPath(spark, srcDir, ev.schema,
+          options = Map("maxFilesPerTrigger" -> "1"))
+        .as[Relay.IslEvent])
+    val q = stream.writeStream.format("memory").queryName("isl_mem")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("isl_mem")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch islands via the e_islands anchor algebra, minus each
+    // user's LAST island (still open at stream end, legitimately
+    // unemitted)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("di")
+    val isl = ev
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("di"))
+      .distinct()
+      .withColumn("anchor", col("di") - row_number().over(w))
+      .groupBy("user_id", "anchor")
+      .agg(min(col("di")).as("start_day"), count(lit(1)).as("streak_len"))
+    val closed = isl
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("start_day").desc)))
+      .filter(col("rk") > 1)
+      .select("user_id", "start_day", "streak_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === closed,
+      s"streaming/batch island divergence: ${streamed.size} vs ${closed.size}")
+    assert(streamed.nonEmpty)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
