@@ -145,7 +145,10 @@ object Graph2Q extends QueryPack {
         expr("nf_milli * 10000 div max_nf").as("pct_of_final_bp"))
   }
 
-  private val grHyperballSql = {
+  /** The HyperBall register/estimate computation as a reusable CTE
+    * chain ending in `ests(round, node, est_milli)` — shared by the
+    * `gr_hyperball` and `gr_hb_closeness` oracles. */
+  private val hyperballCtes = {
     // one max-merge round: own registers ∪ neighbor registers, MAX per
     // (node, bucket) — HLL(A ∪ B) = bucketwise max of HLL(A), HLL(B)
     def round(prev: String, cur: String) =
@@ -163,7 +166,7 @@ object Graph2Q extends QueryPack {
                  + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS HUGEINT)
                AS est_milli
            FROM r$t GROUP BY 2)"""
-    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+    s"""pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
                               l_suppkey * 2 + 1 AS supp_node
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        e AS MATERIALIZED (SELECT cust_node AS src, supp_node AS dst
@@ -183,19 +186,59 @@ object Graph2Q extends QueryPack {
        ${round("r1", "r2")},
        ${round("r2", "r3")},
        ${(0 to 3).map(est).mkString(",\n")},
+       ests AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
+                UNION ALL SELECT * FROM est2 UNION ALL
+                SELECT * FROM est3)"""
+  }
+
+  private val grHyperballSql =
+    s"""WITH $hyperballCtes,
        agg AS (SELECT round, COUNT(*) AS n_nodes,
                       SUM(est_milli) AS nf_milli
-               FROM (SELECT * FROM est0 UNION ALL SELECT * FROM est1
-                     UNION ALL SELECT * FROM est2 UNION ALL
-                     SELECT * FROM est3)
-               GROUP BY 1)
+               FROM ests GROUP BY 1)
        SELECT CAST(round AS BIGINT) AS round,
               CAST(n_nodes AS BIGINT) AS n_nodes,
               CAST(nf_milli AS BIGINT) AS nf_milli,
               CAST(nf_milli * 10000 // (MAX(nf_milli) OVER ()) AS BIGINT)
                 AS pct_of_final_bp
        FROM agg"""
+
+  // -------------------------------------------------------- gr_hb_closeness
+
+  /** Harmonic closeness FROM the HyperBall counters (the second
+    * Boldi–Vigna statistic the counters were invented for):
+    * HC(v) = Σ_u 1/d(v,u) estimated as Σ_t (|B(v,t)|−|B(v,t−1)|)/t —
+    * each new shell's mass weighted by the reciprocal of the round
+    * that reached it; per-round deltas are nonnegative (registers only
+    * grow) so truncating div IS the floor in both engines. Top-20
+    * nodes in milli units. Where `gr_closeness` computes EXACT
+    * harmonic closeness from a landmark sample (exact on a subset),
+    * this estimates it for EVERY node from the same |edges|·rounds
+    * sketch pass — the sample/sketch trade measured side by side. */
+  private def grHbCloseness(spark: SparkSession, d: String): DataFrame = {
+    def e(t: Int) = max(when(col("round") === t, col("est_milli")))
+    Graph.hyperBall(GraphQ.tradeEdges(spark, d), m = 64, rounds = 3)
+      .groupBy("node")
+      .agg(e(0).as("e0"), e(1).as("e1"), e(2).as("e2"), e(3).as("e3"))
+      .select(col("node"),
+        expr("(e1 - e0) + (e2 - e1) div 2 + (e3 - e2) div 3")
+          .as("hc_milli"))
+      .orderBy(col("hc_milli").desc, col("node").asc)
+      .limit(20)
   }
+
+  private val grHbClosenessSql =
+    s"""WITH $hyperballCtes,
+       piv AS (SELECT node,
+                 MAX(CASE WHEN round = 0 THEN est_milli END) AS e0,
+                 MAX(CASE WHEN round = 1 THEN est_milli END) AS e1,
+                 MAX(CASE WHEN round = 2 THEN est_milli END) AS e2,
+                 MAX(CASE WHEN round = 3 THEN est_milli END) AS e3
+               FROM ests GROUP BY 1)
+       SELECT node,
+              CAST((e1 - e0) + (e2 - e1) // 2 + (e3 - e2) // 3 AS BIGINT)
+                AS hc_milli
+       FROM piv ORDER BY hc_milli DESC, node ASC LIMIT 20"""
 
   // -------------------------------------------------------------- gr_louvain
 
@@ -329,5 +372,6 @@ object Graph2Q extends QueryPack {
     Q("gr_katz", grKatz, Some(grKatzSql)),
     Q("gr_betweenness", grBetweenness, Some(grBetweennessSql)),
     Q("gr_hyperball", grHyperball, Some(grHyperballSql)),
+    Q("gr_hb_closeness", grHbCloseness, Some(grHbClosenessSql)),
     Q("gr_louvain", grLouvain, Some(grLouvainSql)))
 }

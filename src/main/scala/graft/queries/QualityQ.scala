@@ -179,8 +179,164 @@ object QualityQ extends QueryPack {
                 AS r_bp
        FROM s"""
 
+  // ------------------------------------------------------------ t_langid_eval
+
+  /** Confusion matrix of the stopword-vote language ID
+    * ([[graft.text.Text.langIdFast]], the `t_langid` heuristic)
+    * against the documents table's GROUND-TRUTH lang column — the
+    * measured-not-asserted discipline applied to the classifier the
+    * corpus filters depend on: per (true, predicted) cell the count
+    * and the within-true recall share in bp (diagonal = per-language
+    * recall; off-diagonal mass names exactly which languages the
+    * stopword vote confuses, incl. the 'und' abstentions). One fact
+    * shuffle onto the ≤ |langs|² grid; the share window is
+    * PARTITIONED by true language over that grid. */
+  private def tLangidEval(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("true_lang")
+    graft.Tables.documents(spark, d)
+      .select(col("lang").as("true_lang"),
+        graft.text.Text.langIdFast(col("text")).as("pred_lang"))
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_true", sum(col("n")).over(w))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        expr("(n * 10000) div n_true").as("recall_bp"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  private val tLangidEvalSql = {
+    val lists = graft.text.Text.langStopwords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+    val hitCols = lists.map { case (l, arr) =>
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS h_$l"
+    }.mkString(", ")
+    val langs = lists.map(_._1)
+    val g = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN h_$l = g AND g > 0 THEN '$l'")
+      .mkString(" ")
+    s"""WITH t AS (SELECT lang, string_split(text, ' ') AS toks
+            FROM documents),
+       h AS (SELECT lang, $hitCols FROM t),
+       m AS (SELECT *, $g AS g FROM h),
+       p AS (SELECT lang AS true_lang,
+               CASE $cases ELSE 'und' END AS pred_lang
+             FROM m),
+       c AS (SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+             FROM p GROUP BY 1, 2)
+       SELECT true_lang, pred_lang, n,
+              CAST((n * 10000) // SUM(n) OVER (PARTITION BY true_lang)
+                AS BIGINT) AS recall_bp
+       FROM c ORDER BY true_lang, pred_lang"""
+  }
+
+  // -------------------------------------------------------- c_filter_ablation
+
+  /** Corpus-filter ablation grid — which filter does the work, and how
+    * much do they overlap: per ordered filter pair (a ≤ b, diagonal =
+    * the filter alone), the documents and token mass BOTH would
+    * remove, with the doc share of the whole corpus in bp. Filters are
+    * the suite's own gates: `lang` (stopword-vote language ≠ en),
+    * `quality` (the t_filter_pipeline 0.5 gate), `rep` (3-gram
+    * dup_frac > 1/5 as the INTEGER comparison 5·(n_grams−n_distinct) >
+    * n_grams), `short` (< 10 tokens, the Gopher floor). High
+    * off-diagonal overlap means a filter is redundant; a diagonal-
+    * heavy grid means each earns its slot. One scan computes all four
+    * flags; the explode is ≤ 4 rows/doc; the pair join is per-doc over
+    * those ≤ 4 rows — never corpus². Corpus total rides a 1-row cross
+    * join (PlanAuditSpec-listed). */
+  private def cFilterAblation(spark: SparkSession, d: String): DataFrame = {
+    import graft.text.Text
+    val enStop = Text.langStopwords.toMap.apply("en")
+    val qs = Text.qualityStatsFast(col("text"), enStop)
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tok"),
+        Text.langIdFast(col("text")).as("lang_guess"),
+        qs.getField("quality").as("quality"),
+        greatest(Text.tokenCount(col("text")) - 2, lit(0)).cast("long")
+          .as("n_grams"),
+        size(graft.dedup.Dedup.shinglesFast(col("text"), 3)).cast("long")
+          .as("n_distinct"))
+    val flagged = docs.select(col("doc_id"), col("n_tok"),
+      explode(expr(
+        """filter(array(
+             IF(lang_guess != 'en', 'lang', NULL),
+             IF(quality < 0.5, 'quality', NULL),
+             IF(5 * (n_grams - n_distinct) > n_grams, 'rep', NULL),
+             IF(n_tok < 10, 'short', NULL)),
+           x -> x IS NOT NULL)""")).as("f"))
+    val tot = graft.Tables.documents(spark, d)
+      .agg(count(lit(1)).as("n_corpus"))
+    flagged.as("a")
+      .join(flagged.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.f") <= col("b.f"))
+      .groupBy(col("a.f").as("filter_a"), col("b.f").as("filter_b"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("a.n_tok")).as("tok_sum"))
+      .crossJoin(broadcast(tot))
+      .select(col("filter_a"), col("filter_b"), col("n_docs"),
+        col("tok_sum"),
+        expr("(n_docs * 10000) div n_corpus").as("pct_docs_bp"))
+      .orderBy("filter_a", "filter_b")
+  }
+
+  private val cFilterAblationSql = {
+    val stopList = graft.text.Text.langStopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val lists = graft.text.Text.langStopwords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+    val hitCols = lists.map { case (l, arr) =>
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS h_$l"
+    }.mkString(", ")
+    val langs = lists.map(_._1)
+    val g = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN h_$l = g AND g > 0 THEN '$l'")
+      .mkString(" ")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM documents),
+       h0 AS (SELECT doc_id, toks, $hitCols FROM t),
+       h1 AS (SELECT *, $g AS g FROM h0),
+       f AS (SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CASE $cases ELSE 'und' END AS lang_guess,
+               (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+                 + (CAST(len(list_filter(toks,
+                      x -> list_contains($stopList, x))) AS DOUBLE)
+                    / len(toks)) * 0.25
+                 + (CASE WHEN len(toks) BETWEEN 10 AND 1000
+                         THEN 1.0 ELSE 0.5 END) * 0.25 AS quality,
+               CAST(GREATEST(len(toks) - 2, 0) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(list_transform(
+                 range(1, GREATEST(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                 AS BIGINT) AS n_distinct
+             FROM h1),
+       fl AS (SELECT doc_id, n_tok,
+                unnest(list_filter([
+                  CASE WHEN lang_guess <> 'en' THEN 'lang' END,
+                  CASE WHEN quality < 0.5 THEN 'quality' END,
+                  CASE WHEN 5 * (n_grams - n_distinct) > n_grams
+                       THEN 'rep' END,
+                  CASE WHEN n_tok < 10 THEN 'short' END],
+                  x -> x IS NOT NULL)) AS f
+              FROM f),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM t),
+       pairs AS (SELECT a.f AS filter_a, b.f AS filter_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(a.n_tok) AS BIGINT) AS tok_sum
+                 FROM fl a JOIN fl b
+                   ON a.doc_id = b.doc_id AND a.f <= b.f
+                 GROUP BY 1, 2)
+       SELECT filter_a, filter_b, n_docs, tok_sum,
+              CAST((n_docs * 10000) // n_corpus AS BIGINT) AS pct_docs_bp
+       FROM pairs CROSS JOIN tot ORDER BY 1, 2"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("gr_modularity", grModularity, Some(grModularitySql)),
     Q("gr_assortativity", grAssortativity, Some(grAssortativitySql)),
+    Q("t_langid_eval", tLangidEval, Some(tLangidEvalSql)),
+    Q("c_filter_ablation", cFilterAblation, Some(cFilterAblationSql)),
     Q("d_lsh_scurve", dLshScurve, Some(dLshScurveSql)))
 }

@@ -65,6 +65,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ONE-row 2m / global-sum / edge-count aggregates — scalar sides
     // by construction
     "gr_louvain",
+    // the ablation grid cross-joins the ONE-row corpus-count aggregate
+    // into the ≤ 4×4 filter-pair relation — scalar side by construction
+    "c_filter_ablation",
     // the quantile sweep crosses the ≤ 66-bucket histogram with its
     // ONE-row total-count aggregate — fixed-size sides by construction
     "sk_qhist",
