@@ -181,6 +181,76 @@ object SegmentQ extends QueryPack {
         AND a.s <= b.e AND b.s <= a.e
        ORDER BY custkey, o1, o2"""
 
+  // ------------------------------------------------------------------ iv_allen
+
+  /** Allen's interval-algebra census over the same per-customer order
+    * intervals as `ij_order_overlap` (placement → first ship): every
+    * same-customer pair, put in CANONICAL order (by start, end,
+    * orderkey — so the inverse relations collapse), classified into
+    * the seven canonical Allen relations and counted. Where
+    * ij_order_overlap measures HOW MUCH overlapping pairs overlap,
+    * this names the temporal RELATIONSHIP of every pair — the full
+    * interval algebra, not just intersection. The pair join is the
+    * same key-bounded self-join (pairs ∝ per-customer order count²,
+    * never global); the histogram is ≤ 7 rows. */
+  private def ivAllen(spark: SparkSession, d: String): DataFrame = {
+    val iv = Tables.lineitem(spark, d)
+      .groupBy("l_orderkey")
+      .agg(min(to_date(col("l_shipdate"))).as("e"))
+    val oi = Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("s"))
+      .join(iv, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("s") <= col("e"))
+      .select("o_custkey", "o_orderkey", "s", "e")
+    oi.alias("a").join(oi.alias("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") =!= col("b.o_orderkey") &&
+          // canonical order: (s, e, key) — each unordered pair once
+          (col("a.s") < col("b.s") ||
+            (col("a.s") === col("b.s") && col("a.e") < col("b.e")) ||
+            (col("a.s") === col("b.s") && col("a.e") === col("b.e") &&
+              col("a.o_orderkey") < col("b.o_orderkey"))))
+      .select(
+        when(col("a.e") < col("b.s"), "precedes")
+          .when(col("a.e") === col("b.s"), "meets")
+          .when(col("a.s") < col("b.s") && col("a.e") < col("b.e"),
+            "overlaps")
+          .when(col("a.s") < col("b.s") && col("a.e") === col("b.e"),
+            "finished_by")
+          .when(col("a.s") < col("b.s"), "contains")
+          .when(col("a.e") < col("b.e"), "starts")
+          .otherwise("equals").as("relation"))
+      .groupBy("relation")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("relation")
+  }
+
+  private val ivAllenSql =
+    """WITH iv AS (SELECT l_orderkey, CAST(MIN(l_shipdate) AS DATE) AS e
+         FROM lineitem GROUP BY 1),
+       oi AS (SELECT o_custkey, o_orderkey,
+                CAST(o_orderdate AS DATE) AS s, e
+              FROM orders JOIN iv ON o_orderkey = l_orderkey
+              WHERE CAST(o_orderdate AS DATE) <= e),
+       p AS (SELECT CASE
+               WHEN a.e < b.s THEN 'precedes'
+               WHEN a.e = b.s THEN 'meets'
+               WHEN a.s < b.s AND a.e < b.e THEN 'overlaps'
+               WHEN a.s < b.s AND a.e = b.e THEN 'finished_by'
+               WHEN a.s < b.s THEN 'contains'
+               WHEN a.e < b.e THEN 'starts'
+               ELSE 'equals' END AS relation
+             FROM oi a JOIN oi b
+               ON a.o_custkey = b.o_custkey
+              AND a.o_orderkey <> b.o_orderkey
+              AND (a.s < b.s
+                   OR (a.s = b.s AND a.e < b.e)
+                   OR (a.s = b.s AND a.e = b.e
+                       AND a.o_orderkey < b.o_orderkey)))
+       SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM p GROUP BY 1 ORDER BY 1"""
+
   /** l-diversity audit over (lang, 500-char length band) → source: the
     * release-safety complement of `t_kanon_audit` ([[Privacy]] scaladoc)
     * — one partial-agg groupBy, flag classes whose sensitive attribute
@@ -446,5 +516,6 @@ object SegmentQ extends QueryPack {
     Q("t_quality_qnorm", tQualityQnorm, Some(tQualityQnormSql)),
     Q("g_seasonal_idx", gSeasonalIdx, Some(gSeasonalIdxSql)),
     Q("ij_order_overlap", ijOrderOverlap, Some(ijOrderOverlapSql)),
+    Q("iv_allen", ivAllen, Some(ivAllenSql)),
     Q("t_ldiv_audit", tLdivAudit, Some(tLdivAuditSql)))
 }

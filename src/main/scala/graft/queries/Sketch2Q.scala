@@ -115,7 +115,84 @@ object Sketch2Q extends QueryPack {
        GROUP BY t.lang, tok, total HAVING COUNT(*) * 30 > total
        ORDER BY t.lang, tok"""
 
+  // ------------------------------------------------------------- sk_ams_f2
+
+  /** AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996),
+    * the full MEDIAN-OF-MEANS construction: F₂ = Σ_k f_k² — the
+    * self-join size, THE statistic a join optimizer wants before it
+    * picks a plan — estimated by 64 independent ±1-signed sums
+    * Z_j = Σ_rows s_j(key) (sign = bit j of the key's 60-bit md5,
+    * bits 0..59 then md5 of 'key|2' for the rest), grouped 8×8: the
+    * mean of each group's Z² bounds variance, the lower median across
+    * groups bounds tail failures — the paper's (ε, δ) recipe, all
+    * integer (sort_array pick, no percentile call). Everything is ONE
+    * aggregate over the scan: 64 conditional sums, no explode, no
+    * per-key state — the sketch is 64 longs and merges by ADDITION
+    * across any sharding. The exact F₂ rides along with the error in
+    * bp — graded, not asserted. Widths: |rows| ≤ 2³¹ keeps Z² ≤ 2⁶² —
+    * BIGINT-safe; past that rescale through DECIMAL(38,0). */
+  private def skAmsF2(spark: SparkSession, d: String): DataFrame = {
+    val groups = 8
+    val perGroup = 8
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_partkey").cast("string").as("key"))
+      .withColumn("h1",
+        conv(substring(md5(col("key")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2",
+        conv(substring(md5(concat(col("key"), lit("|2"))), 1, 15), 16, 10)
+          .cast("long"))
+    def bit(j: Int) = if (j < 60) s"(h1 >> $j) & 1" else s"(h2 >> ${j - 60}) & 1"
+    val copies = groups * perGroup
+    val zs = li.agg(
+      count(lit(1)).as("n_rows"),
+      (0 until copies).map(j =>
+        sum(when(expr(bit(j)) === 1, 1L).otherwise(-1L)).as(s"z$j")): _*)
+    def mean(g: Int) = (0 until perGroup)
+      .map(i => s"z${g * perGroup + i} * z${g * perGroup + i}")
+      .mkString("(", " + ", s") div $perGroup")
+    val medianExpr = s"sort_array(array(${(0 until groups).map(mean)
+      .mkString(", ")}))[${groups / 2 - 1}]"
+    val exact = Tables.lineitem(spark, d)
+      .groupBy("l_partkey").agg(count(lit(1)).as("f"))
+      .agg(sum(expr("f * f")).as("f2_exact"))
+    zs.crossJoin(broadcast(exact))
+      .select(col("n_rows"), col("f2_exact"),
+        expr(medianExpr).as("f2_est"),
+        expr(s"(abs($medianExpr - f2_exact) * 10000) div f2_exact")
+          .as("err_bp"))
+  }
+
+  private val skAmsF2Sql = {
+    val groups = 8
+    val perGroup = 8
+    def bit(j: Int) = if (j < 60) s"(h1 >> $j) & 1" else s"(h2 >> ${j - 60}) & 1"
+    val copies = groups * perGroup
+    val zCols = (0 until copies).map(j =>
+      s"SUM(CASE WHEN ${bit(j)} = 1 THEN 1 ELSE -1 END) AS z$j")
+      .mkString(", ")
+    def mean(g: Int) = (0 until perGroup)
+      .map(i => s"z${g * perGroup + i} * z${g * perGroup + i}")
+      .mkString("(", " + ", s") // $perGroup")
+    val medianExpr = s"list_sort([${(0 until groups).map(mean)
+      .mkString(", ")}])[${groups / 2}]"
+    s"""WITH k AS (SELECT
+           ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+             AS h1,
+           ('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '|2'), 1, 15))::BIGINT
+             AS h2
+         FROM lineitem),
+       z AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, $zCols FROM k),
+       ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact FROM
+              (SELECT COUNT(*) AS f FROM lineitem GROUP BY l_partkey))
+       SELECT n_rows, f2_exact,
+              CAST($medianExpr AS BIGINT) AS f2_est,
+              CAST((abs($medianExpr - f2_exact) * 10000) // f2_exact
+                AS BIGINT) AS err_bp
+       FROM z CROSS JOIN ex"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("sk_hll_window", skHllWindow, Some(skHllWindowSql)),
+    Q("sk_ams_f2", skAmsF2, Some(skAmsF2Sql)),
     Q("t_heavy_by", tHeavyBy, Some(tHeavyBySql)))
 }

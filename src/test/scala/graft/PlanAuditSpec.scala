@@ -68,6 +68,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the ablation grid cross-joins the ONE-row corpus-count aggregate
     // into the ≤ 4×4 filter-pair relation — scalar side by construction
     "c_filter_ablation",
+    // AMS F2 crosses its ONE-row 16-sum sketch with the ONE-row exact
+    // F2 aggregate — both scalar by construction
+    "sk_ams_f2",
     // the quantile sweep crosses the ≤ 66-bucket histogram with its
     // ONE-row total-count aggregate — fixed-size sides by construction
     "sk_qhist",
