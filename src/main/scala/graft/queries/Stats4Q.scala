@@ -265,6 +265,92 @@ object Stats4Q extends QueryPack {
               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
        FROM isl GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------------------------------ st_decompose
+
+  /** Classical additive seasonal decomposition of monthly revenue
+    * (the ratio-to-moving-average method, additive form — the
+    * pre-STL textbook standard): trend = centered 2×12 moving average
+    * ⌊(x_{t−6} + 2Σ_{t−5..t+5} + x_{t+6})/24⌋; seasonal = per
+    * month-of-year mean of the detrended series, re-centered so the
+    * twelve effects sum to ~0 (both floors); residual = x − trend −
+    * seasonal. The first/last 6 months have no centered trend and
+    * surface NULLs — honest edges, not extrapolation. Every window
+    * runs on the |months| ≈ 84 calendar series (the st_acf post-agg
+    * contract); month-of-year means are a 12-row aggregate. Where
+    * `g_seasonal_idx` fits a multiplicative month index directly,
+    * this separates trend from season first — the decomposition the
+    * residual-based monitors want as input. */
+  private def stDecompose(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ym")
+    val monthly = Tables.orders(spark, d)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        month(col("o_orderdate")).cast("long").as("moy"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("ym", "moy").agg(sum(col("cents")).as("x"))
+    val trended = monthly
+      .withColumn("xm6", lag(col("x"), 6).over(w))
+      .withColumn("xp6", lead(col("x"), 6).over(w))
+      .withColumn("mid", sum(col("x")).over(w.rowsBetween(-5, 5)))
+      .withColumn("n_mid", count(col("x")).over(w.rowsBetween(-5, 5)))
+      .withColumn("trend_c",
+        when(col("xm6").isNotNull && col("xp6").isNotNull &&
+          col("n_mid") === 11,
+          expr("(xm6 + 2 * mid + xp6) div 24")))
+      .withColumn("detr", col("x") - col("trend_c"))
+    val seasoned = trended
+      .withColumn("s_raw",
+        expr("sum(detr) OVER (PARTITION BY moy) div " +
+          "count(detr) OVER (PARTITION BY moy)"))
+      .withColumn("s_mean",
+        // mean of the 12 per-month effects: aggregate the DISTINCT
+        // (moy, s_raw) pairs, not the month rows
+        expr("""aggregate(array_distinct(
+                  collect_list(named_struct('m', moy, 's', s_raw))
+                    OVER (PARTITION BY 1)),
+                CAST(0 AS BIGINT), (a, p) -> a + p.s,
+                a -> a div 12)"""))
+      .withColumn("seasonal_c", col("s_raw") - col("s_mean"))
+    seasoned
+      .select(col("ym"), col("x").as("revenue_c"), col("trend_c"),
+        col("seasonal_c"),
+        (col("x") - col("trend_c") - col("seasonal_c")).as("resid_c"))
+      .orderBy("ym")
+  }
+
+  private val stDecomposeSql =
+    """WITH monthly AS (
+         SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                  AS ym,
+                CAST(month(o_orderdate) AS BIGINT) AS moy,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS x
+         FROM orders GROUP BY 1, 2),
+       tr AS (SELECT ym, moy, x,
+                lag(x, 6) OVER w AS xm6,
+                lead(x, 6) OVER w AS xp6,
+                SUM(x) OVER (ORDER BY ym
+                  ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS mid,
+                COUNT(x) OVER (ORDER BY ym
+                  ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS n_mid
+              FROM monthly WINDOW w AS (ORDER BY ym)),
+       t2 AS (SELECT ym, moy, x,
+                CASE WHEN xm6 IS NOT NULL AND xp6 IS NOT NULL
+                          AND n_mid = 11
+                     THEN (xm6 + 2 * mid + xp6) // 24 END AS trend_c
+              FROM tr),
+       t3 AS (SELECT *, x - trend_c AS detr FROM t2),
+       sr AS (SELECT *,
+                SUM(detr) OVER (PARTITION BY moy)
+                  // COUNT(detr) OVER (PARTITION BY moy) AS s_raw
+              FROM t3),
+       sm AS (SELECT CAST(SUM(s_raw) // 12 AS BIGINT) AS s_mean
+              FROM (SELECT DISTINCT moy, s_raw FROM sr))
+       SELECT ym, x AS revenue_c, CAST(trend_c AS BIGINT) AS trend_c,
+              CAST(s_raw - s_mean AS BIGINT) AS seasonal_c,
+              CAST(x - trend_c - (s_raw - s_mean) AS BIGINT) AS resid_c
+       FROM sr CROSS JOIN sm ORDER BY ym"""
+
   // ------------------------------------------------------------ j13_pit_join
 
   /** Point-in-time join — the data-warehouse temporal join that makes
@@ -336,5 +422,6 @@ object Stats4Q extends QueryPack {
     Q("st_holt", stHolt, Some(stHoltSql)),
     Q("e_km_survival", eKmSurvival, Some(eKmSurvivalSql)),
     Q("e_islands", eIslands, Some(eIslandsSql)),
+    Q("st_decompose", stDecompose, Some(stDecomposeSql)),
     Q("j13_pit_join", j13PitJoin, Some(j13PitJoinSql)))
 }
