@@ -43,6 +43,34 @@ class LouvainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("two-level: empty supergraph preserves level-1 labels exactly") {
+    // disjoint triangles: level 1 resolves both communities, the
+    // contraction has NO inter-community edges → the weighted pass is
+    // empty and the coalesce path must keep every level-1 label
+    val e = sym(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      4L -> 5L, 5L -> 6L, 4L -> 6L))
+    val one = Graph.louvainRounds(e, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val two = Graph.louvainTwoLevel(e, rounds1 = 2, rounds2 = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(two === one)
+  }
+
+  test("two-level: the contraction pass can merge what level 1 cannot") {
+    // a 6-cycle: level-1 synchronous moves from singletons pair nodes
+    // up but can't see past the pairs; the contraction turns pairs
+    // into supernodes whose weighted pass coarsens further — assert
+    // the two-level partition is no finer than level 1's
+    val cyc = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+      6L -> 1L)
+    val one = Graph.louvainRounds(sym(cyc), rounds = 2)
+      .collect().map(r => r.getLong(1)).distinct.length
+    val two = Graph.louvainTwoLevel(sym(cyc), rounds1 = 2, rounds2 = 2)
+      .collect().map(r => r.getLong(1)).distinct.length
+    assert(two <= one)
+    assert(two >= 1)
+  }
+
   test("zero rounds returns the singleton partition") {
     val e = sym(Seq(1L -> 2L, 2L -> 3L))
     val lab = Graph.louvainRounds(e, rounds = 0)

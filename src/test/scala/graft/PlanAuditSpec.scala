@@ -64,7 +64,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // louvain's gain term and the modularity tail cross-join the
     // ONE-row 2m / global-sum / edge-count aggregates — scalar sides
     // by construction
-    "gr_louvain",
+    "gr_louvain", "gr_louvain2",
     // the ablation grid cross-joins the ONE-row corpus-count aggregate
     // into the ≤ 4×4 filter-pair relation — scalar side by construction
     "c_filter_ablation",
