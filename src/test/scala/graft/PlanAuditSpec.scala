@@ -57,7 +57,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the co-occurrence lift cross-joins the ONE-row engaged-user-count
     // aggregate into the |item pairs| relation — scalar side by
     // construction
-    "rec_cooc",
+    "rec_cooc", "rec_eval",
     // the KM curve cross-joins the ONE-row observation-end aggregate
     // into the per-user lifetime table — scalar side by construction
     "e_km_survival",
