@@ -265,6 +265,56 @@ object Stats4Q extends QueryPack {
               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
        FROM isl GROUP BY 1 ORDER BY 1"""
 
+  // --------------------------------------------------------------- e_dau_mau
+
+  /** DAU / WAU / MAU and stickiness (DAU/MAU in bp) per observed day —
+    * the product-analytics headline ratios, exact: every distinct
+    * (day, user) pair is exploded to the ≤ 30 trailing-window
+    * endpoints it covers (i = 0 → DAU, i ≤ 6 → WAU, i ≤ 29 → MAU) and
+    * each endpoint deduplicates users once. The explode is ×30 of the
+    * DISTINCT (day, user) table — bounded by activity, not by events —
+    * and endpoints join back to observed days only. At 100 TB the
+    * exact 30× explode is the cost ceiling; `sk_hll_window`
+    * demonstrates the register-merge path that replaces it with
+    * |days|·m state when ±2% is acceptable. */
+  private def eDauMau(spark: SparkSession, d: String): DataFrame = {
+    val du = Tables.canonEventTs(Tables.events(spark, d))
+      .select(col("ts").cast("date").as("day0"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day0").as("day")).distinct()
+    du.select(col("day0"), col("user_id"),
+        explode(sequence(lit(0), lit(29))).as("i"))
+      .select(expr("date_add(day0, i)").as("day"), col("user_id"), col("i"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(
+        countDistinct(when(col("i") === 0, col("user_id"))).as("dau"),
+        countDistinct(when(col("i") <= 6, col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("(dau * 10000) div mau").as("stickiness_bp"))
+      .orderBy("day")
+  }
+
+  private val eDauMauSql =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day0, user_id
+            FROM events),
+       days AS (SELECT DISTINCT day0 AS day FROM du),
+       ex AS (SELECT du.day0 + CAST(i AS INT) AS day, user_id, i
+              FROM du CROSS JOIN range(0, 30) r(i)),
+       w AS (SELECT ex.day, user_id, i FROM ex
+             JOIN days ON ex.day = days.day)
+       SELECT day,
+              CAST(COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END)
+                AS BIGINT) AS dau,
+              CAST(COUNT(DISTINCT CASE WHEN i <= 6 THEN user_id END)
+                AS BIGINT) AS wau,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+              CAST((COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END)
+                * 10000) // COUNT(DISTINCT user_id) AS BIGINT)
+                AS stickiness_bp
+       FROM w GROUP BY 1 ORDER BY 1"""
+
   // ------------------------------------------------------------ st_decompose
 
   /** Classical additive seasonal decomposition of monthly revenue
@@ -422,6 +472,7 @@ object Stats4Q extends QueryPack {
     Q("st_holt", stHolt, Some(stHoltSql)),
     Q("e_km_survival", eKmSurvival, Some(eKmSurvivalSql)),
     Q("e_islands", eIslands, Some(eIslandsSql)),
+    Q("e_dau_mau", eDauMau, Some(eDauMauSql)),
     Q("st_decompose", stDecompose, Some(stDecomposeSql)),
     Q("j13_pit_join", j13PitJoin, Some(j13PitJoinSql)))
 }
