@@ -840,39 +840,6 @@ object Graph {
         .cast("long").as("bc_bp"))
   }
 
-  /** HyperBall (Boldi & Vigna 2013): the neighborhood function
-    * N(t) = Σ_v |B(v,t)| estimated by giving every node an HLL counter
-    * of its t-hop ball and max-merging neighbor counters each round —
-    * THE published way to measure distance distributions / effective
-    * diameter on graphs too big for pairwise BFS, and exactly the
-    * mergeable-sketch discipline ([[graft.sketch.Sketch.hllRegistersBy]])
-    * applied along edges.
-    *
-    *   B(v,0)   = {v}
-    *   B(v,t+1) = B(v,t) ∪ ⋃_{(v,u)∈E} B(u,t)
-    *
-    * and because HLL registers of a union are the bucket-wise MAX of
-    * the parts, the per-round update is ONE |edges| equi-join pulling
-    * neighbor registers + a (node, bucket) partial-agg max — per-round
-    * cost |edges|·m_sparse shuffle rows, never a pair table. State is
-    * the SPARSE register relation (≤ |nodes|·m rows), localCheckpointed
-    * each round.
-    *
-    * Arithmetic is the [[graft.sketch.Sketch]] integer HLL algebra:
-    * h = 60-bit md5 prefix, bucket = h mod m, ρ from the binary-string
-    * length (no float log), harmonic denominator
-    * s = Σ_present 2^(wBits+1−reg) + (m−present)·2^(wBits+1) (≤ 64·2⁵⁵
-    * — BIGINT-safe), and the per-node estimate reported as the integer
-    * floor est_milli = ⌊α_num·m²·2^(wBits+1) / s⌋ = ⌊1000·α·est⌋ with
-    * the rational α of the standard constants (m ∈ {16,32,64} so α_num
-    * is exact: 673/697/709 per 1000). Both engines replay every step
-    * bit-identically.
-    *
-    * Returns (round, node, est_milli) for rounds 0..`rounds` —
-    * est_milli is monotone nondecreasing in t per node (registers only
-    * grow), so Σ_v est_milli(v,t) is a monotone neighborhood function
-    * and the effective-diameter read (smallest t reaching ≥90% of the
-    * final mass) needs only the |rounds|-row per-round aggregate. */
   /** Louvain-style synchronous modularity-gain moves (the phase-1
     * local-move step of Blondel et al. 2008, parallelized the standard
     * way: every node re-decides simultaneously each round). Start with
@@ -993,6 +960,39 @@ object Graph {
         coalesce(col("label2"), col("label")).as("label"))
   }
 
+  /** HyperBall (Boldi & Vigna 2013): the neighborhood function
+    * N(t) = Σ_v |B(v,t)| estimated by giving every node an HLL counter
+    * of its t-hop ball and max-merging neighbor counters each round —
+    * THE published way to measure distance distributions / effective
+    * diameter on graphs too big for pairwise BFS, and exactly the
+    * mergeable-sketch discipline ([[graft.sketch.Sketch.hllRegistersBy]])
+    * applied along edges.
+    *
+    *   B(v,0)   = {v}
+    *   B(v,t+1) = B(v,t) ∪ ⋃_{(v,u)∈E} B(u,t)
+    *
+    * and because HLL registers of a union are the bucket-wise MAX of
+    * the parts, the per-round update is ONE |edges| equi-join pulling
+    * neighbor registers + a (node, bucket) partial-agg max — per-round
+    * cost |edges|·m_sparse shuffle rows, never a pair table. State is
+    * the SPARSE register relation (≤ |nodes|·m rows), localCheckpointed
+    * each round.
+    *
+    * Arithmetic is the [[graft.sketch.Sketch]] integer HLL algebra:
+    * h = 60-bit md5 prefix, bucket = h mod m, ρ from the binary-string
+    * length (no float log), harmonic denominator
+    * s = Σ_present 2^(wBits+1−reg) + (m−present)·2^(wBits+1) (≤ 64·2⁵⁵
+    * — BIGINT-safe), and the per-node estimate reported as the integer
+    * floor est_milli = ⌊α_num·m²·2^(wBits+1) / s⌋ = ⌊1000·α·est⌋ with
+    * the rational α of the standard constants (m ∈ {16,32,64} so α_num
+    * is exact: 673/697/709 per 1000). Both engines replay every step
+    * bit-identically.
+    *
+    * Returns (round, node, est_milli) for rounds 0..`rounds` —
+    * est_milli is monotone nondecreasing in t per node (registers only
+    * grow), so Σ_v est_milli(v,t) is a monotone neighborhood function
+    * and the effective-diameter read (smallest t reaching ≥90% of the
+    * final mass) needs only the |rounds|-row per-round aggregate. */
   def hyperBall(edges: DataFrame, m: Int, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val alphaNum = m match {
@@ -1036,7 +1036,8 @@ object Graph {
         (lit(m.toLong) - count(lit(1))) *
           expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1})")).as("s"))
       .select(lit(t).as("round"), col("node"),
-        floor(numLit / col("s").cast(d38)).cast("long").as("est_milli"))
+        graft.util.Exact.idiv(numLit, col("s").cast(d38))
+          .cast("long").as("est_milli"))
     var out = estFrame(regs, 0)
     for (t <- 1 to rounds) {
       val nbr = e

@@ -35,10 +35,12 @@ object Features {
       .agg(sum(col(targetCol)).cast(D38).as("s_g"),
         count(lit(1)).cast(D38).as("n_g"))
     df.join(broadcast(stats), Seq(catCol))
-      .withColumn("cat_mean", floor(col("s_g") / col("n_g")).cast("long"))
+      .withColumn("cat_mean",
+        graft.util.Exact.idiv(col("s_g"), col("n_g")).cast("long"))
       .withColumn("loo_mean",
         when(col("n_g") > 1,
-          floor((col("s_g") - col(targetCol)) / (col("n_g") - 1)))
+          graft.util.Exact.idiv(col("s_g") - col(targetCol),
+            col("n_g") - 1))
           .cast("long"))
       .drop("s_g", "n_g")
   }
@@ -84,7 +86,8 @@ object Features {
         a(col("n_l"), col("p_l")) * col("n_r") +
           a(col("n_r"), col("p_r")) * col("n_l"))
       .withColumn("den", col("n_l") * col("n_r"))
-      .withColumn("g_sc", floor(col("num") * lit(1000000000000L) / col("den")))
+      .withColumn("g_sc",
+        graft.util.Exact.idiv(col("num") * lit(1000000000000L), col("den")))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("g_sc").asc, col("v").asc)))
       .filter(col("rn") === 1)
@@ -93,7 +96,8 @@ object Features {
         col("p_l").cast("long").as("pos_left"),
         col("n_r").cast("long").as("n_right"),
         col("p_r").cast("long").as("pos_right"),
-        floor(col("num") * lit(10000L) / (col("den") * col("n")))
+        graft.util.Exact.idiv(col("num") * lit(10000L),
+            col("den") * col("n"))
           .cast("long").as("gini_bp"))
   }
 }

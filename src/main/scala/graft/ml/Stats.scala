@@ -191,15 +191,6 @@ object Stats {
       .orderBy("lag")
   }
 
-  /** Theil–Sen slope in basis points: the LOWER MEDIAN over all
-    * C(n, 2) pairwise integer-bp slopes, picked by an exact rank with
-    * the (slope, x_a, x_b) total order — no float ever appears, and up
-    * to ~29% contaminated points cannot move it (the estimator's
-    * breakdown point). Returns ONE row (n_pairs, ts_slope_bp). The
-    * theta self-join is O(n²) BY DESIGN — intended for POST-AGG
-    * calendar/entity-sized series where n is bounded by construction
-    * (the documented PlanAuditSpec exception); x values must be
-    * distinct (slopes divide by x_b − x_a). */
   /** Partial autocorrelation by the Durbin–Levinson recursion, in the
     * same 10⁴ fixed point as [[acfBp]] — the second Box–Jenkins
     * identification plot (ACF tails off + PACF cuts off at p ⇒ AR(p)).
@@ -266,6 +257,15 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Theil–Sen slope in basis points: the LOWER MEDIAN over all
+    * C(n, 2) pairwise integer-bp slopes, picked by an exact rank with
+    * the (slope, x_a, x_b) total order — no float ever appears, and up
+    * to ~29% contaminated points cannot move it (the estimator's
+    * breakdown point). Returns ONE row (n_pairs, ts_slope_bp). The
+    * theta self-join is O(n²) BY DESIGN — intended for POST-AGG
+    * calendar/entity-sized series where n is bounded by construction
+    * (the documented PlanAuditSpec exception); x values must be
+    * distinct (slopes divide by x_b − x_a). */
   def theilSenBp(series: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     val s = series.select(xCol.cast("long").as("x"),
       yCol.cast("long").as("y"))

@@ -75,8 +75,8 @@ object RecQ extends QueryPack {
         col("nbr") === col("tj"))
       .crossJoin(broadcast(nUsers))
       .withColumn("lift_bp",
-        floor(col("co") * col("n_users") * 10000 /
-          (col("c_item") * col("c_nbr"))).cast("long"))
+        graft.util.Exact.idiv(col("co") * col("n_users") * 10000,
+          col("c_item") * col("c_nbr")).cast("long"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("item")
           .orderBy(col("lift_bp").desc, col("co").desc, col("nbr").asc)))
@@ -178,8 +178,8 @@ object RecQ extends QueryPack {
           col("nbr") === col("tj"))
         .crossJoin(broadcast(nUsers))
         .withColumn("lift_bp",
-          floor(col("co") * col("n_users") * 10000 /
-            (col("c_item") * col("c_nbr"))).cast("long"))
+          graft.util.Exact.idiv(col("co") * col("n_users") * 10000,
+            col("c_item") * col("c_nbr")).cast("long"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("item")
             .orderBy(col("lift_bp").desc, col("co").desc, col("nbr").asc)))

@@ -212,15 +212,18 @@ object SegmentQ extends QueryPack {
             (col("a.s") === col("b.s") && col("a.e") === col("b.e") &&
               col("a.o_orderkey") < col("b.o_orderkey"))))
       .select(
-        when(col("a.e") < col("b.s"), "precedes")
+        // equal-start cases FIRST: a zero-length a = [s,s] against
+        // b = [s,e'] has a.e = b.s AND a.s = b.s — under the canonical
+        // ordering that pair STARTS (shares the start, a ends first),
+        // and testing meets before starts would misname it.
+        when(col("a.s") === col("b.s") && col("a.e") === col("b.e"),
+            "equals")
+          .when(col("a.s") === col("b.s"), "starts")
+          .when(col("a.e") < col("b.s"), "precedes")
           .when(col("a.e") === col("b.s"), "meets")
-          .when(col("a.s") < col("b.s") && col("a.e") < col("b.e"),
-            "overlaps")
-          .when(col("a.s") < col("b.s") && col("a.e") === col("b.e"),
-            "finished_by")
-          .when(col("a.s") < col("b.s"), "contains")
-          .when(col("a.e") < col("b.e"), "starts")
-          .otherwise("equals").as("relation"))
+          .when(col("a.e") < col("b.e"), "overlaps")
+          .when(col("a.e") === col("b.e"), "finished_by")
+          .otherwise("contains").as("relation"))
       .groupBy("relation")
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("relation")
@@ -234,13 +237,13 @@ object SegmentQ extends QueryPack {
               FROM orders JOIN iv ON o_orderkey = l_orderkey
               WHERE CAST(o_orderdate AS DATE) <= e),
        p AS (SELECT CASE
+               WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+               WHEN a.s = b.s THEN 'starts'
                WHEN a.e < b.s THEN 'precedes'
                WHEN a.e = b.s THEN 'meets'
-               WHEN a.s < b.s AND a.e < b.e THEN 'overlaps'
-               WHEN a.s < b.s AND a.e = b.e THEN 'finished_by'
-               WHEN a.s < b.s THEN 'contains'
-               WHEN a.e < b.e THEN 'starts'
-               ELSE 'equals' END AS relation
+               WHEN a.e < b.e THEN 'overlaps'
+               WHEN a.e = b.e THEN 'finished_by'
+               ELSE 'contains' END AS relation
              FROM oi a JOIN oi b
                ON a.o_custkey = b.o_custkey
               AND a.o_orderkey <> b.o_orderkey

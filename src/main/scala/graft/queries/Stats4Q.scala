@@ -35,10 +35,16 @@ object Stats4Q extends QueryPack {
     *
     * The fold state also carries both backtest accumulators: the Holt
     * one-step error Σ|x_t − (l_{t−1}+b_{t−1})| and the naive error
-    * Σ|x_t − x_{t−1}| over the same t = 2..n — so the query reports
-    * whether the smoother actually beats carry-forward on this series
-    * (holt_mae_c vs naive_mae_c, floor-divided by n−1). Output: one
-    * row per horizon h = 1..6 with forecast_c = l_n + h·b_n. */
+    * Σ|x_t − x_{t−1}| over the same t = 3..n — t = 2 is EXCLUDED from
+    * both, because the classical init b₁ = x₂ − x₁ makes the t = 2
+    * Holt forecast exactly x₂ (a zero error by construction) while the
+    * naive forecaster pays |x₂ − x₁|; scoring it would bias the
+    * comparison in Holt's favor. Mechanically the t = 2 Holt term is
+    * already 0, so only the naive accumulator starts at −|x₂ − x₁| and
+    * both MAEs divide by n − 2. The query reports whether the smoother
+    * actually beats carry-forward on this series (holt_mae_c vs
+    * naive_mae_c). Output: one row per horizon h = 1..6 with
+    * forecast_c = l_n + h·b_n. */
   private def stHolt(spark: SparkSession, d: String): DataFrame = {
     val monthly = Tables.orders(spark, d)
       .select(date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
@@ -57,7 +63,7 @@ object Stats4Q extends QueryPack {
                 'b',  ms[1].x - ms[0].x,
                 'xp', ms[0].x,
                 'eh', CAST(0 AS BIGINT),
-                'en', CAST(0 AS BIGINT)),
+                'en', -abs(ms[1].x - ms[0].x)),
               (acc, x) -> named_struct(
                 'l',  $lNew,
                 'b',  ${f(s"($lNew) - acc.l + 9 * acc.b", 10)},
@@ -73,8 +79,8 @@ object Stats4Q extends QueryPack {
       .select(col("h"),
         (col("l") + col("h") * col("b")).as("forecast_c"),
         col("l").as("level_c"), col("b").as("trend_c"),
-        expr("(eh - pmod(eh, n - 1)) div (n - 1)").as("holt_mae_c"),
-        expr("(en - pmod(en, n - 1)) div (n - 1)").as("naive_mae_c"))
+        expr("(eh - pmod(eh, n - 2)) div (n - 2)").as("holt_mae_c"),
+        expr("(en - pmod(en, n - 2)) div (n - 2)").as("naive_mae_c"))
   }
 
   // DuckDB's `//` TRUNCATES toward zero on negatives (−7//2 = −3), so
@@ -93,7 +99,8 @@ object Stats4Q extends QueryPack {
        hw AS (
          SELECT CAST(1 AS BIGINT) AS t,
                 m1.x AS l, m2.x - m1.x AS b, m1.x AS xp,
-                CAST(0 AS BIGINT) AS eh, CAST(0 AS BIGINT) AS en
+                CAST(0 AS BIGINT) AS eh,
+                CAST(-abs(m2.x - m1.x) AS BIGINT) AS en
          FROM (SELECT x FROM m WHERE rn = 1) m1,
               (SELECT x FROM m WHERE rn = 2) m2
          UNION ALL
@@ -115,8 +122,8 @@ object Stats4Q extends QueryPack {
        SELECT CAST(h AS BIGINT) AS h,
               CAST(l + h * b AS BIGINT) AS forecast_c,
               l AS level_c, b AS trend_c,
-              CAST(eh // (n - 1) AS BIGINT) AS holt_mae_c,
-              CAST(en // (n - 1) AS BIGINT) AS naive_mae_c
+              CAST(eh // (n - 2) AS BIGINT) AS holt_mae_c,
+              CAST(en // (n - 2) AS BIGINT) AS naive_mae_c
        FROM fin CROSS JOIN range(1, ${Horizon + 1}) r(h)"""
 
   // ----------------------------------------------------------- e_km_survival
