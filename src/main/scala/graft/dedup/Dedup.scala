@@ -285,12 +285,13 @@ object Dedup {
     * 64 bits so pigeonhole banding gets 16-bit bands (65k buckets/band) —
     * the 100 TB requirement; see [[graft.plans.TextKernels.simhash64]].
     * Near-dup = [[hamming]] distance ≤ k between simhashes. */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(col(idCol).as("id"),
       org.apache.spark.sql.GraftBridge.column(
         graft.plans.SimHashExpr(
           org.apache.spark.sql.GraftBridge.expression(col(textCol))))
-        .as("simhash"))
+        .as("simhash")) ++ carryCols.map(col): _*)
 
   /** Reference DataFrame formulation of [[simhashTable]] (explode tokens ×
     * bits → two key-partitioned vote aggregations — shuffles only (id, j)
@@ -619,13 +620,13 @@ object Dedup {
     * are NOT distinct — within-document repeats are the point. Docs shorter
     * than n contribute no rows (same short-doc guard as [[shingles]]). */
   def positionalShingles(docs: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int, carryCols: Seq[String] = Nil): DataFrame = {
     val toks = split(col(textCol), " ")
-    docs.select(col(idCol),
+    docs.select(col(idCol) +: carryCols.map(col) :+
         posexplode(when(size(toks) < n, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n)))))))
-      .toDF(idCol, "pos", "sh")
+            i => concat_ws(" ", slice(toks, i, lit(n)))))): _*)
+      .toDF(idCol +: carryCols :+ "pos" :+ "sh": _*)
   }
 
   /** Substring-level duplicate-SPAN detection — the relational

@@ -451,8 +451,39 @@ object Similarity {
     * registered query pins 16/4 for oracle replay; pass
     * `planes = bands * lshPlanesPerBand(n)` at scale). */
   def mutualKnnClusters(vecs: DataFrame, k: Int, planes: Int = 16,
-      bands: Int = 4, dims: Int = 64, snnMin: Int = 0): DataFrame = {
-    val knn = lshTopK(vecs, vecs, k, planes, bands, dims)
+      bands: Int = 4, dims: Int = 64, snnMin: Int = 0): DataFrame =
+    mutualKnnClustersFromSims(vecs,
+      lshCandidateSims(vecs, vecs, planes, bands, dims), k, snnMin)
+
+  /** [[mutualKnnClusters]] over a PRE-BUILT candidate-sims relation
+    * ([[lshCandidateSims]] output, typically a [[graft.util
+    * .ManagedCaches]] warm entry shared by every (k, snn) config): the
+    * top-k cut is the only config-dependent step, so N configs over
+    * one corpus pay for ONE signatures→candidates→rerank build instead
+    * of N — the engine-side mirror of the oracle's shared
+    * `AS MATERIALIZED` CTEs. */
+  def mutualKnnClustersFromSims(vecs: DataFrame, sims: DataFrame,
+      k: Int, snnMin: Int = 0): DataFrame = {
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    mutualKnnClustersFromRanked(vecs,
+      sims.withColumn("rank", row_number().over(wk))
+        .select("query_id", "neighbor_id", "rank"),
+      k, snnMin)
+  }
+
+  /** [[mutualKnnClusters]] over a PRE-RANKED kNN relation
+    * (query_id, neighbor_id, rank) — the shared-build seam one step
+    * further than [[mutualKnnClustersFromSims]]: the rank window is
+    * ALSO config-independent (ranks don't depend on k), so a family of
+    * configs can cache sims + rank cut at k = max(configs) once and
+    * each config is a bare `rank <= k` filter over the
+    * materialization. `rankedKnn` must carry ranks at least up to this
+    * call's k. */
+  def mutualKnnClustersFromRanked(vecs: DataFrame, rankedKnn: DataFrame,
+      k: Int, snnMin: Int = 0): DataFrame = {
+    val knn = rankedKnn
+      .filter(col("rank") <= k)
       .select(col("query_id").as("u"), col("neighbor_id").as("v"))
     val mutual0 = knn.as("a")
       .join(knn.as("b"),
@@ -702,7 +733,16 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+  /** The config-independent PREFIX of [[lshTopK]]: signatures → banded
+    * candidates → exact-cosine rerank sims, WITHOUT the top-k rank cut.
+    * Everything a family of (k, snn, …) consumers shares — the rank
+    * window is the only per-config step, so several clusterings /
+    * top-k reads over the same corpus should build THIS once (a
+    * [[graft.util.ManagedCaches]] warm entry) and cut per config,
+    * exactly as the DuckDB oracle shares its `sims AS MATERIALIZED`
+    * CTE across chains. Output: (query_id, neighbor_id, sim) for every
+    * band-colliding candidate pair. */
+  def lshCandidateSims(queries: DataFrame, corpus: DataFrame,
       planes: Int = 16, bands: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes % bands == 0)
@@ -732,13 +772,19 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
     candidateIds
       .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
       .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dotFast(col("qv"), col("cv")), 4).as("sim"))
+  }
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 16, bands: Int = 4, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    lshCandidateSims(queries, corpus, planes, bands, dims, idCol, vecCol)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")

@@ -210,16 +210,41 @@ object Relay {
     * within a batch, events are sorted by (ts, event_id) before folding.
     * Streaming output ≡ batch scd2 rows with is_current = false — the
     * open versions are exactly the batch is_current rows (asserted in
-    * StreamingSpec). */
-  def scd2Stream(events: org.apache.spark.sql.Dataset[Scd2Event]): DataFrame = {
+    * StreamingSpec).
+    *
+    * Bounded state (`ttlSeconds` > 0): keyed by user, state otherwise
+    * grows with distinct keys forever on an infinite stream. With a TTL
+    * the input is watermarked on `ts` and a key idle for `ttlSeconds`
+    * of EVENT time is FLUSHED: its open version emits with
+    * effective_to = null (exactly the batch is_current row — the
+    * dimension's current row as of the horizon) and the state row is
+    * dropped. Re-admission semantics: a later change for a flushed key
+    * opens a fresh version WITHOUT closing the flushed one (its
+    * effective_to stays null); a downstream MERGE keyed on
+    * (user_id, effective_from) reconciles — the standard
+    * state-bound/lookback trade, documented not hidden. Within the
+    * horizon, output is identical to the unbounded path. */
+  def scd2Stream(events: org.apache.spark.sql.Dataset[Scd2Event],
+      ttlSeconds: Long = 0L, watermark: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val src = if (ttlSeconds > 0) events.withWatermark("ts", watermark)
+              else events
+    val timeout = if (ttlSeconds > 0) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Scd2State, Scd2Out](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (userId, batch, state: GroupState[Scd2State]) =>
+         if (batch.isEmpty && state.hasTimedOut) {
+          // horizon passed with no change: flush the open version as the
+          // key's current dimension row and drop the state row
+          val s = state.get
+          state.remove()
+          Iterator(Scd2Out(userId, s.curType, s.from, null))
+         } else {
           // Full-precision ordering: (seconds, nanos, id) — getTime alone
           // is millis and would mis-order same-millisecond events that
           // the batch twin orders by their microsecond timestamps.
@@ -239,8 +264,17 @@ object Relay {
               case _ => () // same attribute value: collapse
             }
           }
-          cur.foreach(state.update)
+          cur.foreach { c =>
+            state.update(c)
+            if (ttlSeconds > 0) {
+              val lastMs = ordered.lastOption.map(_.ts.getTime)
+                .getOrElse(state.getCurrentWatermarkMs())
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1, lastMs + ttlSeconds * 1000))
+            }
+          }
           closed.reverseIterator
+         }
       }
       .toDF()
   }
@@ -249,8 +283,10 @@ object Relay {
   final case class FfillEvent(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, reading: Option[Double])
 
-  /** Last non-null reading per key, carried across micro-batches. */
-  final case class FfillState(last: Double)
+  /** Last non-null reading per key, carried across micro-batches
+    * (`lastTs` = millis of the key's newest event, driving the TTL
+    * timeout; 0 on the unbounded path). */
+  final case class FfillState(last: Double, lastTs: Long = 0L)
 
   final case class FfillOut(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp, reading: Option[Double],
@@ -259,36 +295,66 @@ object Relay {
   /** Streaming forward fill — the incremental twin of the batch
     * `w8_ffill` query: gaps (None readings) repair with the key's last
     * non-null value, which persists across micro-batches in one small
-    * state record per key. Same in-order contract as [[scd2Stream]]. */
-  def ffillStream(events: org.apache.spark.sql.Dataset[FfillEvent]): DataFrame = {
+    * state record per key. Same in-order contract as [[scd2Stream]].
+    *
+    * Bounded state (`ttlSeconds` > 0): a key idle for `ttlSeconds` of
+    * event time (watermark-driven) silently drops its carried reading.
+    * Re-admission semantics: the key's first post-eviction GAP rows
+    * emit unfilled (reading_filled = null) where the unbounded path
+    * would repair from the pre-horizon value — fills never cross the
+    * horizon, the standard trade. Within the horizon, output is
+    * identical to the unbounded path. */
+  def ffillStream(events: org.apache.spark.sql.Dataset[FfillEvent],
+      ttlSeconds: Long = 0L, watermark: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val src = if (ttlSeconds > 0) events.withWatermark("ts", watermark)
+              else events
+    val timeout = if (ttlSeconds > 0) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FfillState, FfillOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (userId, batch, state: GroupState[FfillState]) =>
+         if (batch.isEmpty && state.hasTimedOut) {
+          state.remove() // horizon passed: the carried reading expires
+          Iterator.empty
+         } else {
           val ordered = batch.toSeq
             .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000), e.ts.getNanos, e.event_id))
           var last = state.getOption
           val out = ordered.map { e =>
-            if (e.reading.isDefined) last = Some(FfillState(e.reading.get))
+            if (e.reading.isDefined)
+              last = Some(FfillState(e.reading.get, e.ts.getTime))
             FfillOut(userId, e.event_id, e.ts, e.reading, last.map(_.last))
           }
-          last.foreach(state.update)
+          last.foreach { l =>
+            val st = ordered.lastOption.map(e =>
+              l.copy(lastTs = math.max(l.lastTs, e.ts.getTime))).getOrElse(l)
+            state.update(st)
+            if (ttlSeconds > 0)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                st.lastTs + ttlSeconds * 1000))
+          }
           out.iterator
+         }
       }
       .toDF()
   }
 
-  /** One banded signature row for the streaming near-dup detector. */
+  /** One banded signature row for the streaming near-dup detector
+    * (`ts` = the document's event time; null on the unbounded path). */
   final case class NearDupBandRow(band: Int, band_val: Long, id: Long,
-      simhash: Long)
+      simhash: Long, ts: java.sql.Timestamp = null)
 
   /** Per-(band, band_val) bucket membership carried across micro-batches:
-    * every (id, simhash) ever landed in this bucket. */
-  final case class NearDupState(docs: List[(Long, Long)])
+    * every (id, simhash, eventTimeMs) in this bucket (tsMs = 0 on the
+    * unbounded path; on the TTL path members older than the horizon are
+    * pruned as the watermark passes). */
+  final case class NearDupState(docs: List[(Long, Long, Long)])
 
   final case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)
 
@@ -308,12 +374,22 @@ object Relay {
     * consumers dedup with dropDuplicates(id_a, id_b) exactly like the
     * batch candidate `distinct()`; re-delivered ids are ignored
     * (exactly-once pairs per band under at-least-once input). State is a
-    * bucket's full membership: at 100 TB add event-time timeout eviction
-    * (dedup-window watermarking, as [[sessionize]] does) — the standard
-    * recall/state trade; the batch pipeline is the unbounded-lookback
-    * path. Streaming ≡ batch is asserted in StreamingSpec. */
+    * bucket's full membership — keyed by band value, it grows with the
+    * corpus on the unbounded path; the batch pipeline is the
+    * unbounded-lookback alternative.
+    *
+    * Bounded state (`ttlSeconds` > 0, requires `tsCol`): dedup-window
+    * watermarking — every member carries its event time; as the
+    * watermark passes a member's ts + TTL it is pruned from the bucket
+    * (and an all-idle bucket's state row is dropped by the event-time
+    * timeout). Re-admission semantics: a duplicate arriving more than
+    * the horizon after its twin is NOT paired (the twin is evicted) —
+    * the standard recall/state trade of windowed dedup. Within the
+    * horizon, pairs are identical to the unbounded path. */
   def nearDupStream(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      tsCol: String = null, ttlSeconds: Long = 0L,
+      watermark: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
@@ -321,46 +397,79 @@ object Relay {
     val bands = maxHamming + 1
     val bandBits = 64 / bands
     val mask = (1L << bandBits) - 1
-    val banded = graft.dedup.Dedup.simhashTable(docs, idCol, textCol)
-      .select(col("id"), col("simhash"),
+    require(ttlSeconds == 0 || tsCol != null,
+      "TTL eviction needs an event-time column (tsCol)")
+    val withTs = graft.dedup.Dedup.simhashTable(docs, idCol, textCol,
+        carryCols = Option(tsCol).toSeq)
+    val tsOut =
+      if (tsCol != null) col(tsCol).as("ts")
+      else lit(null).cast("timestamp").as("ts")
+    val banded0 = withTs
+      .select((Seq(col("id"), col("simhash")) ++
+          Option(tsCol).map(col).toSeq) :+
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * bandBits)
-            .bitwiseAND(lit(mask)).as("band_val"))): _*)).as("bb"))
+            .bitwiseAND(lit(mask)).as("band_val"))): _*)).as("bb"): _*)
       .select(col("bb.band").as("band"), col("bb.band_val").as("band_val"),
-        col("id"), col("simhash"))
-      .as[NearDupBandRow]
+        col("id"), col("simhash"), tsOut)
+    val banded =
+      (if (ttlSeconds > 0) banded0.withWatermark("ts", watermark)
+       else banded0).as[NearDupBandRow]
+    val timeout = if (ttlSeconds > 0) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
     banded.groupByKey(r => (r.band, r.band_val))
       .flatMapGroupsWithState[NearDupState, NearDupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (_, batch, state: GroupState[NearDupState]) =>
-          val seen = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+         if (batch.isEmpty && state.hasTimedOut) {
+          state.remove() // whole bucket idle past the horizon
+          Iterator.empty
+         } else {
+          val ttlMs = ttlSeconds * 1000
+          val wm = if (ttlSeconds > 0) state.getCurrentWatermarkMs() else 0L
+          val seen = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+          // TTL path: prune members whose eviction time the watermark passed
           seen ++= state.getOption.map(_.docs).getOrElse(Nil)
+            .filter(m => ttlSeconds == 0 || m._3 + ttlMs > wm)
           val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
           // id-sorted fold → deterministic pair emission within a batch
           batch.toSeq.sortBy(_.id).foreach { r =>
             if (!seen.exists(_._1 == r.id)) {
-              seen.foreach { case (oid, osh) =>
+              seen.foreach { case (oid, osh, _) =>
                 val h = java.lang.Long.bitCount(osh ^ r.simhash)
                 if (h <= maxHamming)
                   out += (if (oid < r.id) NearDupPair(oid, r.id, h)
                           else NearDupPair(r.id, oid, h))
               }
-              seen += ((r.id, r.simhash))
+              seen += ((r.id, r.simhash,
+                if (r.ts == null) 0L else r.ts.getTime))
             }
           }
-          state.update(NearDupState(seen.toList))
+          if (seen.isEmpty) state.remove()
+          else {
+            state.update(NearDupState(seen.toList))
+            if (ttlSeconds > 0)
+              state.setTimeoutTimestamp(math.max(wm + 1,
+                seen.map(_._3).max + ttlMs))
+          }
           out.iterator
+         }
       }
       .toDF()
   }
 
-  /** One positional n-gram for the streaming span-dedup twin. */
-  final case class SpanShingleRow(sh: String, doc_id: Long, pos: Long)
+  /** One positional n-gram for the streaming span-dedup twin
+    * (`ts` = the document's event time; null on the unbounded path). */
+  final case class SpanShingleRow(sh: String, doc_id: Long, pos: Long,
+      ts: java.sql.Timestamp = null)
 
   /** Per-shingle state for [[spanDupStream]]: the HELD first occurrence
     * (until a second arrives) or the dup flag once the shingle is known
-    * duplicated — O(1) per distinct shingle either way. */
-  final case class SpanState(firstDoc: Long, firstPos: Long, isDup: Boolean)
+    * duplicated — O(1) per distinct shingle either way (`lastTs` =
+    * millis of the shingle's newest occurrence, driving the TTL
+    * timeout; 0 on the unbounded path). */
+  final case class SpanState(firstDoc: Long, firstPos: Long, isDup: Boolean,
+      lastTs: Long = 0L)
 
   final case class SpanMark(doc_id: Long, pos: Long)
 
@@ -375,24 +484,47 @@ object Relay {
     * boundary).
     *
     * State is one record per DISTINCT shingle seen — corpus-lifetime
-    * growth, same trade as [[nearDupStream]]'s bucket membership: at
-    * 100 TB bound it with event-time timeout eviction (dedup-window
-    * watermarking), accepting missed marks across evicted windows; the
-    * batch pipeline is the unbounded-lookback path. */
+    * growth on the unbounded path, same trade as [[nearDupStream]]'s
+    * bucket membership; the batch pipeline is the unbounded-lookback
+    * alternative.
+    *
+    * Bounded state (`ttlSeconds` > 0, requires `tsCol`): a shingle
+    * with no occurrence for `ttlSeconds` of event time drops its state
+    * row (watermark-driven timeout) — a held-first's mark is lost if
+    * its twin arrives after the horizon, and a dup-flagged shingle
+    * re-admits one unmarked "first" occurrence post-eviction — the
+    * standard recall/state trade of windowed dedup, marks never missed
+    * within the horizon. */
   def spanDupStream(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 5): DataFrame = {
+      textCol: String = "text", n: Int = 5,
+      tsCol: String = null, ttlSeconds: Long = 0L,
+      watermark: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = graft.dedup.Dedup.positionalShingles(docs, idCol, textCol, n)
+    require(ttlSeconds == 0 || tsCol != null,
+      "TTL eviction needs an event-time column (tsCol)")
+    val tsOut =
+      if (tsCol != null) col(tsCol).as("ts")
+      else lit(null).cast("timestamp").as("ts")
+    val sh0 = graft.dedup.Dedup.positionalShingles(docs, idCol, textCol, n,
+        carryCols = Option(tsCol).toSeq)
       .select(col("sh"), col(idCol).cast("long").as("doc_id"),
-        col("pos").cast("long").as("pos"))
-      .as[SpanShingleRow]
+        col("pos").cast("long").as("pos"), tsOut)
+    val sh =
+      (if (ttlSeconds > 0) sh0.withWatermark("ts", watermark) else sh0)
+        .as[SpanShingleRow]
+    val timeout = if (ttlSeconds > 0) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
     sh.groupByKey(_.sh)
       .flatMapGroupsWithState[SpanState, SpanMark](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (_, batch, state: GroupState[SpanState]) =>
+         if (batch.isEmpty && state.hasTimedOut) {
+          state.remove() // shingle idle past the horizon
+          Iterator.empty
+         } else {
           // (doc, pos)-sorted fold → deterministic emission within a batch
           val rows = batch.toSeq.sortBy(r => (r.doc_id, r.pos))
           val st = state.getOption
@@ -411,11 +543,18 @@ object Relay {
               case None => held = Some((r.doc_id, r.pos))
             }
           }
+          val lastTs = (st.map(_.lastTs).getOrElse(0L) +:
+            rows.map(r => if (r.ts == null) 0L else r.ts.getTime)).max
           state.update(
-            if (dup) SpanState(0L, 0L, isDup = true)
-            else held.map { case (d, p) => SpanState(d, p, isDup = false) }
-              .getOrElse(SpanState(0L, 0L, isDup = false)))
+            if (dup) SpanState(0L, 0L, isDup = true, lastTs = lastTs)
+            else held.map { case (d, p) =>
+                SpanState(d, p, isDup = false, lastTs = lastTs) }
+              .getOrElse(SpanState(0L, 0L, isDup = false, lastTs = lastTs)))
+          if (ttlSeconds > 0)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, lastTs + ttlSeconds * 1000))
           out.iterator
+         }
       }
       .toDF()
   }
@@ -674,7 +813,8 @@ object Relay {
     * partition of the stream (e.g. `pmod(hash(tok), P)`); all
     * occurrences of a token need NOT share a shard for the superset
     * law, but hashing by token keeps per-shard vocabularies disjoint. */
-  final case class MgTok(pk: Int, tok: String)
+  final case class MgTok(pk: Int, tok: String,
+      ts: java.sql.Timestamp = null)
 
   /** Per-shard carried MG summary + how many rows it has absorbed. */
   final case class MgShardState(counts: Map[String, Long], seen: Long)
@@ -698,22 +838,44 @@ object Relay {
     * Downstream, the same recount-and-gate join as
     * [[graft.sketch.Sketch.heavyHitters]] turns candidates into EXACT
     * heavy hitters — the candidate set changes cost, never results.
-    * State is O(k) per shard; nothing grows with the stream. */
+    * State is O(k) per shard; nothing grows with the stream — shard
+    * keys are a PINNED partition count, so unlike the attribute-keyed
+    * twins this state is bounded even without a TTL.
+    *
+    * Horizon reset (`ttlSeconds` > 0, requires `ts` on the rows): a
+    * shard idle for `ttlSeconds` of event time (watermark-driven)
+    * drops its summary and `seen` restarts at 0 on the next
+    * occurrence. MG's superset law is prefix-free — it holds for any
+    * row multiset folded from empty — so post-reset emissions are the
+    * provable candidate superset OF THE ROWS SINCE THE RESET: the
+    * horizon-scoped heavy-hitter mode, trading lookback for the
+    * guarantee that an abandoned shard's state row disappears. */
   def mgCandidateStream(toks: org.apache.spark.sql.Dataset[MgTok],
-      k: Int): DataFrame = {
+      k: Int, ttlSeconds: Long = 0L,
+      watermark: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(k >= 1, s"need k >= 1, got $k")
     val spark = toks.sparkSession
     import spark.implicits._
-    toks.groupByKey(_.pk)
+    val src = if (ttlSeconds > 0) toks.withWatermark("ts", watermark)
+              else toks
+    val timeout = if (ttlSeconds > 0) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.pk)
       .flatMapGroupsWithState[MgShardState, MgCand](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeout) {
         (pk, batch, state: GroupState[MgShardState]) =>
+         if (batch.isEmpty && state.hasTimedOut) {
+          state.remove() // shard idle past the horizon
+          Iterator.empty
+         } else {
           val prior = state.getOption.getOrElse(MgShardState(Map.empty, 0L))
           val counts = scala.collection.mutable.HashMap.from(prior.counts)
           var seen = prior.seen
+          var lastTsMs = 0L
           batch.foreach { t =>
             seen += 1L
+            if (t.ts != null) lastTsMs = math.max(lastTsMs, t.ts.getTime)
             val s = t.tok
             if (counts.contains(s)) counts(s) += 1L
             else if (counts.size < k) counts(s) = 1L
@@ -724,8 +886,13 @@ object Relay {
             }
           }
           state.update(MgShardState(counts.toMap, seen))
+          if (ttlSeconds > 0)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              lastTsMs + ttlSeconds * 1000))
           val snap = seen
           counts.keysIterator.map(MgCand(pk, _, snap)).toList.iterator
+         }
       }
       .toDF()
   }
@@ -735,7 +902,8 @@ object Relay {
     * [[graft.sketch.Sketch.kmvSketch]] kernel:
     * `conv(substring(md5(tok), 1, 15), 16, 10)`), so the stateful op
     * never re-implements the hash. */
-  final case class KmvTok(pk: Int, h: Long)
+  final case class KmvTok(pk: Int, h: Long,
+      ts: java.sql.Timestamp = null)
 
   /** Per-shard carried bottom-k set + rows absorbed. */
   final case class KmvShardState(bottom: List[Long], seen: Long)
@@ -754,23 +922,41 @@ object Relay {
     * shard, hence the union of live shard sketches re-limited to k IS
     * the batch sketch of everything seen, bit for bit (StreamingSpec
     * asserts streaming ≡ batch across a micro-batch boundary). State
-    * is O(k) per shard; nothing grows with the stream. */
+    * is O(k) per shard; nothing grows with the stream — shard keys are
+    * a PINNED partition count, bounded even without a TTL.
+    *
+    * Horizon reset (`ttlSeconds` > 0, requires `ts` on the rows): the
+    * [[mgCandidateStream]] semantics — an idle shard's sketch drops
+    * after the horizon and rebuilds from empty; bottom-k containment
+    * is likewise prefix-free, so post-reset emissions are the exact
+    * KMV sketch of the rows since the reset. */
   def kmvStream(toks: org.apache.spark.sql.Dataset[KmvTok],
-      k: Int): DataFrame = {
+      k: Int, ttlSeconds: Long = 0L,
+      watermark: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(k >= 2, s"need k >= 2, got $k")
     val spark = toks.sparkSession
     import spark.implicits._
-    toks.groupByKey(_.pk)
+    val src = if (ttlSeconds > 0) toks.withWatermark("ts", watermark)
+              else toks
+    val timeout = if (ttlSeconds > 0) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.pk)
       .flatMapGroupsWithState[KmvShardState, KmvOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeout) {
         (pk, batch, state: GroupState[KmvShardState]) =>
+         if (batch.isEmpty && state.hasTimedOut) {
+          state.remove() // shard idle past the horizon
+          Iterator.empty
+         } else {
           val prior = state.getOption.getOrElse(KmvShardState(Nil, 0L))
           val set = new java.util.TreeSet[java.lang.Long]()
           prior.bottom.foreach(h => set.add(java.lang.Long.valueOf(h)))
           var seen = prior.seen
+          var lastTsMs = 0L
           batch.foreach { t =>
             seen += 1L
+            if (t.ts != null) lastTsMs = math.max(lastTsMs, t.ts.getTime)
             val boxed = java.lang.Long.valueOf(t.h)
             if (set.size < k) set.add(boxed)
             else if (t.h < set.last() && set.add(boxed)) set.pollLast()
@@ -778,8 +964,14 @@ object Relay {
           import scala.jdk.CollectionConverters._
           val bottom = set.iterator().asScala.map(Long.unbox).toList
           state.update(KmvShardState(bottom, seen))
+          if (ttlSeconds > 0) {
+            val lastMs = lastTsMs
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, lastMs + ttlSeconds * 1000))
+          }
           val snap = seen
           bottom.map(KmvOut(pk, _, snap)).iterator
+         }
       }
       .toDF()
   }

@@ -729,7 +729,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val k = 16
     val q = Relay.mgCandidateStream(
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-          .parquet(dir).as[Relay.MgTok], k)
+          .parquet(dir)
+          .withColumn("ts", lit(null).cast("timestamp"))
+          .as[Relay.MgTok], k)
       .writeStream.format("memory").queryName("mg_mem")
       .outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -790,6 +792,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = Relay.kmvStream(
         hashed(spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(dir))
+          .withColumn("ts", lit(null).cast("timestamp"))
           .as[Relay.KmvTok], k)
       .writeStream.format("memory").queryName("kmv_mem")
       .outputMode("update")
@@ -896,6 +899,236 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === closed,
       s"streaming/batch island divergence: ${streamed.size} vs ${closed.size}")
     assert(streamed.nonEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // Event-time TTL (bounded state) — r9 verdict #2. Shared shape: run 1
+  // seeds state, a far-future event in run 2 advances the watermark past
+  // every seeded key's TTL (timeouts fire inside the same AvailableNow
+  // run — the statefulSessions pattern), run 3 proves (a) within-horizon
+  // behavior is unchanged and (b) the expired key's state is GONE
+  // (behaviorally: the output a surviving state row would have produced
+  // does not appear).
+
+  private def tt(sec: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000L)
+
+  test("scd2 TTL flushes idle open versions and drops their state") {
+    import spark.implicits._
+    val src = tmp() + "/s2tsrc"; val ckp = tmp() + "/s2tckp"
+    val dst = tmp() + "/s2tdst"
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit =
+      rows.toDF("user_id", "ts", "event_id", "event_type")
+        .write.mode("append").parquet(src)
+    write(Seq((1L, tt(0), 1L, "A"), (1L, tt(100), 2L, "B"),
+      (2L, tt(0), 3L, "X")))
+    val schema = spark.read.parquet(src).schema
+    var lastStateRows = -1L
+    def run(): Unit = {
+      val stream = Relay.readStreamPath(spark, src, schema)
+        .as[Relay.Scd2Event]
+      val q = Relay.scd2Stream(stream, ttlSeconds = 300,
+          watermark = "0 seconds")
+        .writeStream.format("parquet").option("path", dst)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp).start()
+      q.awaitTermination()
+      lastStateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    }
+    run()
+    // within horizon: only the in-stream closure
+    val r1 = spark.read.parquet(dst).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(3))).toSet
+    assert(r1 === Set((1L, "A", tt(100))), s"run1: $r1")
+    // far-future event → watermark passes both keys' TTL → FLUSH
+    write(Seq((3L, tt(1000), 4L, "Z")))
+    run()
+    val r2 = spark.read.parquet(dst).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(3))).toSet
+    assert(r2 === Set((1L, "A", tt(100)), (1L, "B", null), (2L, "X", null)),
+      s"run2 must flush open B and X with null effective_to: $r2")
+    // re-admission: user 1 post-eviction opens fresh (no closure of B);
+    // user 3 within horizon closes normally
+    write(Seq((1L, tt(1200), 5L, "C"), (3L, tt(1100), 6L, "W")))
+    run()
+    val r3 = spark.read.parquet(dst).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(3))).toSet
+    assert(r3 === r2 + ((3L, "Z", tt(1100))),
+      s"run3: user3 closes Z in-horizon, user1's flushed B must NOT re-close: $r3")
+    // expired keys' state rows are gone: only user1's C and user3's W remain
+    assert(lastStateRows == 2L,
+      s"state must hold exactly the 2 live open versions, got $lastStateRows")
+  }
+
+  test("ffill TTL drops the carried reading after the horizon") {
+    import spark.implicits._
+    val src = tmp() + "/fftsrc"; val ckp = tmp() + "/fftckp"
+    val dst = tmp() + "/fftdst"
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, java.lang.Double)]): Unit =
+      rows.toDF("user_id", "ts", "event_id", "reading")
+        .write.mode("append").parquet(src)
+    write(Seq((1L, tt(0), 1L, java.lang.Double.valueOf(5.0))))
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val stream = Relay.readStreamPath(spark, src, schema)
+        .as[Relay.FfillEvent]
+      val q = Relay.ffillStream(stream, ttlSeconds = 300,
+          watermark = "0 seconds")
+        .writeStream.format("parquet").option("path", dst)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp).start()
+      q.awaitTermination()
+    }
+    run()
+    write(Seq((9L, tt(1000), 2L, java.lang.Double.valueOf(1.0))))
+    run() // watermark 1000 > user1's TTL expiry 300 → reading evicted
+    write(Seq((1L, tt(1100), 3L, null), (9L, tt(1100), 4L, null)))
+    run()
+    val filled = spark.read.parquet(dst).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(4)) null
+                                 else java.lang.Double.valueOf(r.getDouble(4))))
+      .toMap
+    assert(filled(3L) == null,
+      s"user1's gap must NOT fill across the horizon, got ${filled(3L)}")
+    assert(filled(4L) == 1.0,
+      s"user9's gap fills within the horizon, got ${filled(4L)}")
+  }
+
+  test("nearDup TTL forgets bucket members past the horizon") {
+    import spark.implicits._
+    val src = tmp() + "/ndtsrc"; val ckp = tmp() + "/ndtckp"
+    val dst = tmp() + "/ndtdst"
+    val textA = "the quick brown fox jumps over the lazy dog again"
+    val textB = "completely different words appear in this unrelated sentence here"
+    def write(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "ts").write.mode("append").parquet(src)
+    write(Seq((1L, textA, tt(0))))
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = Relay.nearDupStream(Relay.readStreamPath(spark, src, schema),
+          tsCol = "ts", ttlSeconds = 300, watermark = "0 seconds")
+        .writeStream.format("parquet").option("path", dst)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp).start()
+      q.awaitTermination()
+    }
+    run()
+    write(Seq((50L, textB, tt(1000))))
+    run() // watermark 1000 → doc1's bucket members (TTL 300) evicted
+    write(Seq((2L, textA, tt(1100)), (51L, textB, tt(1100))))
+    run()
+    val pairs = spark.read.parquet(dst).select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((50L, 51L)),
+      s"in-horizon (50,51) pairs; evicted doc 1 must NOT pair with 2: $pairs")
+  }
+
+  test("spanDup TTL forgets shingles past the horizon") {
+    import spark.implicits._
+    val src = tmp() + "/sdtsrc"; val ckp = tmp() + "/sdtckp"
+    val dst = tmp() + "/sdtdst"
+    val textA = "alpha beta gamma delta epsilon"
+    val textB = "vee doubleu ex wye zee"
+    def write(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "ts").write.mode("append").parquet(src)
+    write(Seq((1L, textA, tt(0))))
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = Relay.spanDupStream(Relay.readStreamPath(spark, src, schema),
+          tsCol = "ts", ttlSeconds = 300, watermark = "0 seconds")
+        .writeStream.format("parquet").option("path", dst)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp).start()
+      q.awaitTermination()
+    }
+    run()
+    write(Seq((50L, textB, tt(1000))))
+    run() // watermark 1000 → doc1's shingle state evicted
+    write(Seq((2L, textA, tt(1100)), (51L, textB, tt(1100))))
+    run()
+    val marks = spark.read.parquet(dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(marks === Set((50L, 0L), (51L, 0L)),
+      s"in-horizon dup (50,51) marks; evicted doc 1 must NOT mark with 2: $marks")
+  }
+
+  test("MG shard TTL resets the summary after an idle horizon") {
+    import spark.implicits._
+    val src = tmp() + "/mgtsrc"; val ckp = tmp() + "/mgtckp"
+    def write(rows: Seq[(Int, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("pk", "tok", "ts").write.mode("append").parquet(src)
+    write(Seq((0, "x", tt(0)), (0, "x", tt(0)), (0, "y", tt(0))))
+    val schema = spark.read.parquet(src).schema
+    // memory sink can't recover a checkpoint; collect via foreachBatch
+    def run(): Set[(Int, String, Long)] = {
+      val got = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Int, String, Long)]()
+      val stream = Relay.readStreamPath(spark, src, schema).as[Relay.MgTok]
+      val q = Relay.mgCandidateStream(stream, k = 2, ttlSeconds = 300,
+          watermark = "0 seconds")
+        .writeStream
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            got.add((r.getInt(0), r.getString(1), r.getLong(2))))
+        }
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    val r1 = run()
+    assert(r1 === Set((0, "x", 3L), (0, "y", 3L)), s"run1: $r1")
+    write(Seq((1, "z", tt(1000))))
+    run() // watermark 1000 → shard 0 (idle since 0) evicted
+    write(Seq((0, "w", tt(1100))))
+    val r3 = run()
+    assert(r3 === Set((0, "w", 1L)),
+      s"shard 0 must restart from empty (seen=1, only w): $r3")
+  }
+
+  test("KMV shard TTL resets the sketch after an idle horizon") {
+    import spark.implicits._
+    val src = tmp() + "/kvtsrc"; val ckp = tmp() + "/kvtckp"
+    def write(rows: Seq[(Int, Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("pk", "h", "ts").write.mode("append").parquet(src)
+    write(Seq((0, 10L, tt(0)), (0, 5L, tt(0))))
+    val schema = spark.read.parquet(src).schema
+    def run(): Set[(Int, Long, Long)] = {
+      val got = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Int, Long, Long)]()
+      val stream = Relay.readStreamPath(spark, src, schema).as[Relay.KmvTok]
+      val q = Relay.kmvStream(stream, k = 2, ttlSeconds = 300,
+          watermark = "0 seconds")
+        .writeStream
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            got.add((r.getInt(0), r.getLong(1), r.getLong(2))))
+        }
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    val r1 = run()
+    assert(r1 === Set((0, 5L, 2L), (0, 10L, 2L)), s"run1: $r1")
+    write(Seq((1, 7L, tt(1000))))
+    run() // watermark 1000 → shard 0 evicted
+    write(Seq((0, 99L, tt(1100))))
+    val r3 = run()
+    assert(r3 === Set((0, 99L, 1L)),
+      s"shard 0 must restart from empty (seen=1, only 99): $r3")
   }
 
   override def afterAll(): Unit = spark.stop()
