@@ -45,8 +45,14 @@ object Similarity {
     * [[dot]] on the hot path). Callers should `round` before ranking. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Cast an Array[Float] embedding to Array[Double] for stable math. */
-  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Cast an Array[Float] embedding to Array[Double] for stable math.
+    * A plain array Cast, NOT `transform(c, _.cast(...))`: ArrayTransform
+    * is CodegenFallback, and one interpreted expression evicts the WHOLE
+    * projection from WholeStageCodegen — the codegen audit caught
+    * [[graft.plans.L2NormalizeExpr]] never reaching a codegen region
+    * because this wrapper sat under it (identical element-wise
+    * float→double widening either way). */
+  def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** (id, nv): L2-normalized double vectors, materialized behind an
     * exchange so downstream pair math reuses the computed arrays instead
