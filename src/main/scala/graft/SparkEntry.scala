@@ -34,7 +34,7 @@ object SparkEntry {
     Seq(ClassifyQ), Seq(SegmentQ), Seq(Graph2Q), Seq(SpectralQ),
     Seq(Seq2Q), Seq(FingerprintQ), Seq(Mine2Q), Seq(Stats2Q), Seq(Sim2Q),
     Seq(Text2Q), Seq(Curate4Q), Seq(Sketch2Q), Seq(Asof2Q), Seq(Stats3Q),
-    Seq(FeatureQ), Seq(RecQ), Seq(Stats4Q))
+    Seq(FeatureQ), Seq(RecQ), Seq(Stats4Q), Seq(LakeQ))
 
   /** Bench iteration order: group by group, queries name-sorted within
     * their group — fixed across rounds so per-query deltas are meaningful.

@@ -291,16 +291,32 @@ object Sinks {
         deltas.filter(_ > start).sorted.map(d =>
           spark.read.parquet(versionDir(targetPath, d))
             .withColumn("__v", lit(d)))
-    // Deltas written before data-file compaction existed carry no
-    // data_change column; normalize to true (every pre-OPTIMIZE action
-    // changed data) so mixed chains union cleanly.
-    val normalized = parts.map(df =>
-      if (df.columns.contains("data_change")) df
-      else df.withColumn("data_change", lit(true)))
+    // Deltas written before data-file compaction / deletion vectors
+    // existed carry no data_change / dv_file columns; normalize (every
+    // pre-OPTIMIZE action changed data; no DV) so mixed chains union
+    // cleanly.
+    val normalized = parts.map { df0 =>
+      val df1 =
+        if (df0.columns.contains("data_change")) df0
+        else df0.withColumn("data_change", lit(true))
+      if (df1.columns.contains("dv_file")) df1
+      else df1.withColumn("dv_file", lit(null).cast("string"))
+    }
     val chain = normalized.reduce(_.unionByName(_))
-    Cleaning.latestByKey(Seq("file"), Seq(col("__v")))(chain)
+    // Liveness and deletion vectors resolve SEPARATELY: add/remove
+    // latest-wins decides which files are live (dv actions must not
+    // shade an add), while add/dv latest-wins decides each file's
+    // current DV (an add row is the "no DV yet" baseline — or, from a
+    // checkpoint, the folded snapshot's dv_file). File names are
+    // fresh UUIDs per write, so an add is always a file's oldest row.
+    val live = Cleaning.latestByKey(Seq("file"), Seq(col("__v")))(
+        chain.filter(col("action").isin("add", "remove")))
       .filter(col("action") === "add")
-      .drop("action", "__v", "data_change")
+      .drop("action", "__v", "data_change", "dv_file")
+    val dvs = Cleaning.latestByKey(Seq("file"), Seq(col("__v")))(
+        chain.filter(col("action").isin("add", "dv")))
+      .select(col("file"), col("dv_file"))
+    live.join(dvs, Seq("file"), "left")
   }
 
   /** Fold the delta chain at `version` (default: latest) into a full
@@ -364,31 +380,38 @@ object Sinks {
     val entries = manifestAt(spark, targetPath, cur)
       .orderBy("kmin")
       .collect()
-      .map(r => (r.getAs[String]("file"), r.getAs[Long]("rows")))
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("rows"),
+        Option(r.getAs[String]("dv_file"))))
     // Greedy adjacent bin-packing over the kmin-sorted small files: a
     // large file (>= targetRows) breaks the run so no bin straddles it
     // (its key range would swallow the bin's pruning selectivity).
-    val bins = scala.collection.mutable.ArrayBuffer[Vector[String]]()
-    var open = Vector.empty[String]
+    // A file CARRYING A DELETION VECTOR is always rewritten — even a
+    // large or solitary one — with its DV applied, so the replacement
+    // file is DV-free: this is the fold that makes post-OPTIMIZE reads
+    // byte-identical to the eager-merge path (Delta's REORG/PURGE).
+    val bins = scala.collection.mutable
+      .ArrayBuffer[Vector[(String, Option[String])]]()
+    var open = Vector.empty[(String, Option[String])]
     var openRows = 0L
     def flush(): Unit = {
-      if (open.size >= 2) bins += open
+      if (open.size >= 2 || open.exists(_._2.nonEmpty)) bins += open
       open = Vector.empty; openRows = 0L
     }
-    entries.foreach { case (f, rows) =>
-      if (rows >= targetRows) flush()
+    entries.foreach { case (f, rows, dv) =>
+      if (rows >= targetRows && dv.isEmpty) flush()
       else {
-        open :+= f; openRows += rows
+        open :+= ((f, dv)); openRows += rows
         if (openRows >= targetRows) flush()
       }
     }
     flush()
     if (bins.isEmpty) return 0
-    val sources = bins.flatten.toSet
+    val sources = bins.flatten.map(_._1).toSet
     val adds = bins.toVector.flatMap { bin =>
       val staging = s"$targetPath.opt-staging-${java.util.UUID.randomUUID()}"
-      spark.read.option("mergeSchema", "true")
-        .parquet(bin.map(f => s"$targetPath/$f"): _*)
+      applyDv(spark, targetPath,
+          spark.read.option("mergeSchema", "true")
+            .parquet(bin.map(p => s"$targetPath/${p._1}"): _*), bin)
         .coalesce(1).write.mode("overwrite").parquet(staging)
       val a = manifestEntries(spark, staging, keyCol).collect().toVector
       adoptStagedFiles(staging, targetPath)
@@ -404,10 +427,11 @@ object Sinks {
         addSchema)
       .withColumn("action", lit("add"))
       .withColumn("data_change", lit(false))
+      .withColumn("dv_file", lit(null).cast("string"))
     val removesDf = sources.toSeq.sorted.toDF("file").select(col("file"),
       lit(null).cast(kType).as("kmin"), lit(null).cast(kType).as("kmax"),
       lit(null).cast("bigint").as("rows"), lit("remove").as("action"),
-      lit(false).as("data_change"))
+      lit(false).as("data_change"), lit(null).cast("string").as("dv_file"))
     var attempt = 0
     while (true) {
       attempt += 1
@@ -416,9 +440,15 @@ object Sinks {
           s"optimizeTable lost the commit race on $targetPath " +
             s"$maxAttempts times — giving up loudly")
       val head = currentVersion(targetPath)
-      val live = manifestAt(spark, targetPath, head)
-        .select("file").collect().map(_.getString(0)).toSet
-      if (!sources.subsetOf(live)) return 0 // conflicting rewrite → stale
+      // Stale iff any source file is no longer live OR its deletion
+      // vector moved (a concurrent DV commit after our rewrite read
+      // would otherwise be silently folded away — resurrected rows).
+      val headPairs = livePairs(spark, targetPath, head).toMap
+      val sourcePairs = bins.flatten.toMap
+      val stale = sourcePairs.exists { case (f, dv) =>
+        !headPairs.get(f).contains(dv)
+      }
+      if (stale) return 0 // conflicting rewrite/DV commit → stale
       val staged = stageManifest(addsDf.unionByName(removesDf), targetPath)
       if (tryCommit(staged, versionDir(targetPath, head + 1)))
         return sources.size
@@ -430,14 +460,59 @@ object Sinks {
     * (default: latest) — the reference README's "restore guidance"
     * becomes a query-time choice. Resolves the version's manifest to its
     * file list and reads only those files. */
+  private def dvDir(targetPath: String): String = targetPath + "/_dv"
+
+  /** Apply the deletion vectors referenced by `pairs` — the live
+    * (file, dv_file) rows of a resolved manifest — to `base`, a read of
+    * exactly those data files (merge-on-read): base rows ANTI-join on
+    * (source-file leaf, key value) against the union of the referenced
+    * DV parquets' pairs. A DV parquet holds (file, <keyCol>) rows —
+    * the key's column NAME is its schema, so readers need no side
+    * channel — and is CUMULATIVE per data file (each new DV for a file
+    * unions the prior one), so the pairs a version's referenced DV
+    * parquets hold for their referencing files are exactly that
+    * version's deleted set. DV size ∝ deleted keys, the anti-join side
+    * broadcasts, and the no-DV fast path is `base` untouched — zero
+    * extra plan nodes. */
+  private def applyDv(spark: SparkSession, targetPath: String,
+      base: DataFrame, pairs: Seq[(String, Option[String])]): DataFrame = {
+    val dvRefs = pairs.collect { case (f, Some(d)) => (f, d) }
+    if (dvRefs.isEmpty) return base
+    import spark.implicits._
+    def leaf = element_at(split(col("_metadata.file_path"), "/"), -1)
+    val dvRaw = spark.read.parquet(
+      dvRefs.map(_._2).distinct.map(d => s"${dvDir(targetPath)}/$d"): _*)
+    val keyName = dvRaw.columns.filter(_ != "file").head
+    val dvRows = dvRaw.select(col("file"), col(keyName).as("__dvk"),
+      leaf.as("__dv_src"))
+    // keep only the (data file → dv parquet) pairs this version references
+    val valid = dvRefs.toDF("file", "__dv_src")
+    val dvSet = dvRows
+      .join(broadcast(valid), Seq("file", "__dv_src"), "left_semi")
+      .select(col("file").as("__dv_f"), col("__dvk"))
+    base.withColumn("__src", leaf)
+      .join(dvSet, col("__src") === col("__dv_f") &&
+        col(keyName) === col("__dvk"), "left_anti")
+      .drop("__src")
+  }
+
+  /** The live (file, dv_file) pairs of a version — the driver-side
+    * file list every reader resolves (O(live files), as before DVs). */
+  private def livePairs(spark: SparkSession, targetPath: String,
+      version: Long): Seq[(String, Option[String])] =
+    manifestAt(spark, targetPath, version)
+      .select("file", "dv_file").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+
   def readVersioned(spark: SparkSession, targetPath: String,
       version: Long = -1L): DataFrame = {
-    val files = manifestAt(spark, targetPath, version)
-      .select("file").collect().map(r => s"$targetPath/${r.getString(0)}")
+    val pairs = livePairs(spark, targetPath, version)
     // mergeSchema: after a schema-evolving merge, a version can span
     // files written before and after the widening; old files surface the
     // new columns as null, exactly like Delta's evolved reads.
-    spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(pairs.map(p => s"$targetPath/${p._1}"): _*)
+    applyDv(spark, targetPath, base, pairs)
   }
 
   /** Change-data-feed read: the row-level difference between two
@@ -478,18 +553,23 @@ object Sinks {
     if (maintenanceOnly)
       return readVersioned(spark, targetPath, to).limit(0)
         .withColumn("_change_type", lit(""))
-    val beforeFiles = manifestAt(spark, targetPath, fromVersion)
-      .select("file").collect().map(_.getString(0)).toSet
-    val afterFiles = manifestAt(spark, targetPath, to)
-      .select("file").collect().map(_.getString(0)).toSet
-    def readFiles(fs: Set[String]): DataFrame = {
-      val paths = fs.toSeq.sorted.map(f => s"$targetPath/$f")
-      if (paths.isEmpty) readVersioned(spark, targetPath, to).limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(paths: _*)
+    // Diff granularity is (file, dv_file) PAIRS, not files: a DV commit
+    // changes a still-live file's rows without flipping its liveness, so
+    // a file whose DV changed joins BOTH sides (before-rows with the old
+    // DV applied, after-rows with the new), and the exceptAlls cancel
+    // everything but the newly-deleted keys — exact row-level CDF under
+    // merge-on-read.
+    val beforePairs = livePairs(spark, targetPath, fromVersion).toSet
+    val afterPairs = livePairs(spark, targetPath, to).toSet
+    def readPairs(ps: Set[(String, Option[String])]): DataFrame = {
+      val sorted = ps.toSeq.sortBy(_._1)
+      if (sorted.isEmpty) readVersioned(spark, targetPath, to).limit(0)
+      else applyDv(spark, targetPath,
+        spark.read.option("mergeSchema", "true")
+          .parquet(sorted.map(p => s"$targetPath/${p._1}"): _*), sorted)
     }
-    val addedRows = readFiles(afterFiles -- beforeFiles)
-    val removedRows = readFiles(beforeFiles -- afterFiles)
+    val addedRows = readPairs(afterPairs -- beforePairs)
+    val removedRows = readPairs(beforePairs -- afterPairs)
     // A column on BOTH sides with different types (a type-changing
     // evolution inside the range) cannot be aligned — last-wins in the
     // dtype map would pick one arbitrarily and exceptAll/unionByName
@@ -524,12 +604,17 @@ object Sinks {
     * and range scans over a non-partition column. */
   def readVersionedKeyRange(spark: SparkSession, targetPath: String,
       keyCol: String, lo: Any, hi: Any, version: Long = -1L): DataFrame = {
-    val files = manifestAt(spark, targetPath, version)
+    val pairs = manifestAt(spark, targetPath, version)
       .filter(!(col("kmax") < lit(lo) || col("kmin") > lit(hi)))
-      .select("file").collect().map(r => s"$targetPath/${r.getString(0)}")
-    if (files.isEmpty) readVersioned(spark, targetPath, version).filter(lit(false))
-    else spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
-      .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+      .select("file", "dv_file").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    if (pairs.isEmpty) readVersioned(spark, targetPath, version).filter(lit(false))
+    else {
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(pairs.map(p => s"$targetPath/${p._1}"): _*)
+      applyDv(spark, targetPath, base, pairs)
+        .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+    }
   }
 
   /** S11 (file-granular, NON-partition key) — keyed MERGE whose work
@@ -588,6 +673,154 @@ object Sinks {
     }
   }
 
+  /** S11-DV — merge-on-read upsert (Delta deletion vectors): where
+    * [[upsertByKeyManifest]] REWRITES every touched file eagerly (a 0.1%
+    * update of a 100 TB table rewrites ~every file it grazes), this
+    * commits the update as (a) NEW data files holding just the incoming
+    * rows and (b) a `dv` manifest action per touched file pointing at a
+    * deletion-vector parquet of the superseded keys. No existing data
+    * file is read or rewritten — commit cost ∝ update size + existing
+    * DV size, never table footprint. Readers ([[readVersioned]],
+    * [[readVersionedKeyRange]], [[readChanges]], the eager merge's
+    * touched read, [[optimizeTable]]'s rewrite) apply DVs via one
+    * anti-join; [[optimizeTable]] FOLDS them: a dv-carrying file is
+    * always rewritten (DV applied) and its replacement carries no DV,
+    * so post-OPTIMIZE reads are byte-identical to the eager path
+    * (MedallionSpec-asserted). The standard trade is read-time: each
+    * un-folded DV adds its anti-join rows, so run OPTIMIZE on the same
+    * cadence as Delta's `REORG ... APPLY (PURGE)`.
+    *
+    * Contract: `updates` must be key-unique (Delta MERGE's
+    * multiple-source-rows-matched precondition); the DV'd keys are the
+    * updates' keys range-overlapping each live file — a key the file
+    * doesn't actually hold deletes nothing (the anti-join misses).
+    * Concurrency/crash/orphan semantics are [[upsertByKeyManifest]]'s:
+    * optimistic rename commit, lost attempts leave vacuum-reclaimable
+    * orphans (data files AND dv parquets). */
+  def upsertByKeyDv(spark: SparkSession, updates: DataFrame,
+      targetPath: String, keyCol: String, nFiles: Int = 2,
+      maxAttempts: Int = 5): Unit =
+    dvCommitLoop(spark, Some(updates), updates.select(col(keyCol)),
+      targetPath, keyCol, nFiles, maxAttempts)
+
+  /** Merge-on-read DELETE: commit only `dv` actions for the files whose
+    * key ranges overlap `deleteKeys` (single-column DataFrame of key
+    * values) — no data file read or written. [[upsertByKeyDv]]'s
+    * semantics minus the inserts. */
+  def deleteByKeyDv(spark: SparkSession, deleteKeys: DataFrame,
+      targetPath: String, keyCol: String, maxAttempts: Int = 5): Unit =
+    dvCommitLoop(spark, None,
+      deleteKeys.select(col(deleteKeys.columns.head).as(keyCol)),
+      targetPath, keyCol, nFiles = 1, maxAttempts)
+
+  private def dvCommitLoop(spark: SparkSession, newRows: Option[DataFrame],
+      keys: DataFrame, targetPath: String, keyCol: String, nFiles: Int,
+      maxAttempts: Int): Unit = {
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"DV commit lost the race on $targetPath $maxAttempts times — " +
+            "giving up loudly")
+      val cur = currentVersion(targetPath)
+      committed =
+        if (cur == 0L) newRows match {
+          case Some(df) => tryCreate(spark, df, targetPath, keyCol)
+          case None => true // deleting from an empty table is a no-op
+        }
+        else tryDvCommit(spark, newRows, keys, targetPath, keyCol, cur, nFiles)
+    }
+  }
+
+  /** One optimistic merge-on-read attempt against version `cur`. */
+  private def tryDvCommit(spark: SparkSession, newRows: Option[DataFrame],
+      keys: DataFrame, targetPath: String, keyCol: String, cur: Long,
+      nFiles: Int): Boolean = {
+    import spark.implicits._
+    val manifest = manifestAt(spark, targetPath, cur)
+    val kType = manifest.schema("kmin").dataType
+    // (file, dv_file, key) per update key that MAY live in the file
+    val hits = keys.select(col(keyCol).as("__k")).distinct()
+      .join(broadcast(manifest),
+        col("__k") >= col("kmin") && col("__k") <= col("kmax"))
+      .select(col("file"), col("dv_file"), col("__k").as(keyCol))
+      .localCheckpoint() // one resolution; reused for pairs + dv content
+    val touchedPairs = hits.select("file", "dv_file").distinct()
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    val dvRowsOut = scala.collection.mutable.ArrayBuffer.empty[
+      (String, String)] // (data file, dv parquet name)
+    if (touchedPairs.nonEmpty) {
+      // cumulative DV: this commit's pairs ∪ the touched files' prior DVs
+      val fresh = hits.select(col("file"), col(keyCol))
+      val priorRefs = touchedPairs.collect { case (f, Some(d)) => (f, d) }
+      val prior =
+        if (priorRefs.isEmpty) fresh.limit(0)
+        else {
+          def leaf = element_at(split(col("_metadata.file_path"), "/"), -1)
+          spark.read.parquet(priorRefs.map(_._2).distinct
+              .map(d => s"${dvDir(targetPath)}/$d"): _*)
+            .select(col("file"), col(keyCol), leaf.as("__dv_src"))
+            .join(broadcast(priorRefs.toDF("file", "__dv_src")),
+              Seq("file", "__dv_src"), "left_semi")
+            .select(col("file"), col(keyCol))
+        }
+      val dvName = adoptDvParquet(spark,
+        fresh.unionByName(prior).distinct(), targetPath)
+      touchedPairs.foreach(p => dvRowsOut += ((p._1, dvName)))
+    }
+    // new data files for the incoming rows (insert-only when no ranges hit)
+    val adds = newRows match {
+      case Some(df) =>
+        val staging = s"$targetPath.dv-merge-staging-${java.util.UUID.randomUUID()}"
+        df.repartitionByRange(math.max(1, nFiles), col(keyCol))
+          .write.mode("overwrite").parquet(staging)
+        val a = manifestEntries(spark, staging, keyCol)
+          .withColumn("action", lit("add"))
+          .withColumn("data_change", lit(true))
+          .withColumn("dv_file", lit(null).cast("string"))
+        // collect BEFORE adopting (entries scan the staging dir);
+        // O(new files) rows — bounded by the update, like append's
+        val schema = a.schema
+        val rows = a.collect().toSeq
+        adoptStagedFiles(staging, targetPath)
+        Some(spark.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          schema))
+      case None => None
+    }
+    val dvDf = dvRowsOut.toSeq.toDF("file", "dv_file").select(col("file"),
+      lit(null).cast(kType).as("kmin"), lit(null).cast(kType).as("kmax"),
+      lit(null).cast("bigint").as("rows"), lit("dv").as("action"),
+      lit(true).as("data_change"), col("dv_file"))
+    val delta = adds match {
+      case Some(a) => a.unionByName(dvDf)
+      case None => dvDf
+    }
+    if (adds.isEmpty && dvRowsOut.isEmpty) return true // nothing to commit
+    val staged = stageManifest(delta, targetPath)
+    tryCommit(staged, versionDir(targetPath, cur + 1))
+  }
+
+  /** Write a DV pair set as ONE parquet into the hidden `_dv/` dir;
+    * returns its adopted file name. */
+  private def adoptDvParquet(spark: SparkSession, pairs: DataFrame,
+      targetPath: String): String = {
+    import java.nio.file.{Files, Paths}
+    val staging = s"$targetPath.dv-staging-${java.util.UUID.randomUUID()}"
+    pairs.coalesce(1).write.mode("overwrite").parquet(staging)
+    Files.createDirectories(Paths.get(dvDir(targetPath)))
+    val dir = new java.io.File(staging)
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val name = part.getName
+    Files.move(part.toPath, Paths.get(s"${dvDir(targetPath)}/$name"))
+    dir.listFiles().foreach(f => Files.deleteIfExists(f.toPath))
+    Files.deleteIfExists(dir.toPath)
+    name
+  }
+
   /** First writer: stage + adopt data files, then commit `v=1` (all
     * adds). Non-destructive, unlike [[writeWithManifest]] — losing the
     * v=1 race must not clobber the winner's data. */
@@ -609,11 +842,12 @@ object Sinks {
       cur: Long): Boolean = {
     import spark.implicits._
     val manifest = manifestAt(spark, targetPath, cur)
-    val touched = updates.select(col(keyCol).as("k")).distinct()
+    val touchedPairs = updates.select(col(keyCol).as("k")).distinct()
       .join(broadcast(manifest),
         col("k") >= col("kmin") && col("k") <= col("kmax"))
-      .select("file").distinct()
-      .collect().map(_.getString(0)).toSet
+      .select("file", "dv_file").distinct()
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    val touched = touchedPairs.map(_._1).toSet
     // Committed table schema = merged footer schema of the version's live
     // files (schema-only, no data scan). Columns ALREADY committed may be
     // absent from `updates` or from individual touched files (written
@@ -627,10 +861,14 @@ object Sinks {
     require(newCols.isEmpty || allowSchemaEvolution,
       s"updates introduce new column(s) ${newCols.mkString(", ")} not in the " +
         "committed table schema; pass allowSchemaEvolution=true to evolve")
+    // DV-aware: an eager merge over files carrying deletion vectors must
+    // not resurrect DV'd rows — the touched read applies them first.
     val existingTouched =
       if (touched.isEmpty) updates.filter(lit(false))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(f => s"$targetPath/$f").toSeq: _*)
+      else applyDv(spark, targetPath,
+        spark.read.option("mergeSchema", "true")
+          .parquet(touchedPairs.map(p => s"$targetPath/${p._1}"): _*),
+        touchedPairs)
     // Untouched files are NOT rewritten — [[readVersioned]]'s mergeSchema
     // read surfaces any missing columns as null for them.
     val all = existingTouched.withColumn("__upd", lit(0))
@@ -726,15 +964,25 @@ object Sinks {
       versions.splitAt(math.max(versions.length - keepVersions, 0))
     if (dropped.nonEmpty)
       compactManifest(spark, targetPath, kept.head)  // before deltas vanish
-    val live = kept.flatMap(v =>
-      manifestAt(spark, targetPath, v)
-        .select("file").collect().map(_.getString(0))).toSet
+    val keptPairs = kept.flatMap(v => livePairs(spark, targetPath, v))
+    val live = keptPairs.map(_._1).toSet
     new java.io.File(targetPath).listFiles()
       .filter(f => f.getName.endsWith(".parquet") && !live(f.getName))
       .foreach { f =>
         Files.deleteIfExists(f.toPath)
         Files.deleteIfExists(Paths.get(s"$targetPath/.${f.getName}.crc"))
       }
+    // DV parquets no surviving version references (superseded cumulative
+    // DVs, folded DVs, lost-race orphans) are reclaimed the same way.
+    val liveDv = keptPairs.flatMap(_._2).toSet
+    val dvRoot = new java.io.File(dvDir(targetPath))
+    if (dvRoot.exists())
+      dvRoot.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !liveDv(f.getName))
+        .foreach { f =>
+          Files.deleteIfExists(f.toPath)
+          Files.deleteIfExists(Paths.get(s"${dvDir(targetPath)}/.${f.getName}.crc"))
+        }
     dropped.foreach(v =>
       deleteRecursively(Paths.get(versionDir(targetPath, v))))
     listIds(targetPath, "ckpt=").filter(_ < kept.headOption.getOrElse(0L))

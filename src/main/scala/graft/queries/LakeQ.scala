@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.Sinks
+
+/** Round-10 lakehouse bench pack — BENCH-ONLY warm rows (no oracle: the
+  * operations are side-effecting table writes a SELECT oracle can't
+  * express; correctness lives in MedallionSpec's S11/S11-DV suites).
+  * The three rows quantify the r9 verdict #6 claim: a SMALL update's
+  * cost under merge-on-read deletion vectors is ∝ update size, while
+  * the eager MERGE's is ∝ the touched-file footprint.
+  *
+  * Per bench pass: `lake0_build` writes the same lineitem-keyed base
+  * table TWICE (a DV copy and an eager copy, fresh dirs each pass so
+  * the manifest chains don't accrete across passes);
+  * `lake1_dv_update` then commits 64 spread single-key updates to the
+  * DV copy via [[Sinks.upsertByKeyDv]] (new small files + dv actions,
+  * zero existing files read), and `lake2_eager_update` commits the SAME
+  * updates to the eager copy via [[Sinks.upsertByKeyManifest]] (which
+  * must read + rewrite every file whose key range the 64 keys graze —
+  * with spread keys, effectively the whole footprint). The bench
+  * artifact then shows lake1 ≪ lake2 at ANY sf, and the gap widens with
+  * footprint — the scale story measured, not asserted. */
+object LakeQ extends QueryPack {
+
+  /** Current per-session bench dirs: (dv table, eager table), replaced
+    * by each pass's lake0_build. */
+  private val dirs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  private val UpdateKeys = 64
+
+  private def base(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select((col("l_orderkey") * 8 + col("l_linenumber"))
+          .cast("long").as("k"),
+        concat_ws("|", col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("string"),
+          col("l_extendedprice").cast("string")).as("v"))
+
+  /** 64 keys spread uniformly across the key domain — each lands in a
+    * different region, so the eager path's range join touches ~every
+    * file while the DV path's commit stays O(64 keys). */
+  private def spreadKeys(spark: SparkSession, d: String): DataFrame =
+    base(spark, d)
+      .select(col("k"), pmod(col("k"), lit(997L)).as("m"))
+      .filter(col("m") === 0L)
+      .limit(UpdateKeys)
+      .select(col("k"), concat(lit("upd_"), col("k")).as("v"))
+
+  private def lakeBuild(spark: SparkSession, d: String): DataFrame = {
+    val prev = dirs.remove((spark, d))
+    prev.foreach { case (a, b) =>
+      Seq(a, b).foreach(p => deleteRecursively(new java.io.File(p)))
+    }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val dv = s"/tmp/graft_lake/dv_$stamp"
+    val eager = s"/tmp/graft_lake/eager_$stamp"
+    val df = base(spark, d)
+    Sinks.writeWithManifest(spark, df, dv, "k", nFiles = 16)
+    Sinks.writeWithManifest(spark, df, eager, "k", nFiles = 16)
+    dirs.put((spark, d), (dv, eager))
+    import spark.implicits._
+    Seq((Sinks.currentVersion(dv), Sinks.currentVersion(eager)))
+      .toDF("dv_version", "eager_version")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  private def lakeDvUpdate(spark: SparkSession, d: String): DataFrame = {
+    val (dv, _) = dirs((spark, d))
+    Sinks.upsertByKeyDv(spark, spreadKeys(spark, d), dv, "k", nFiles = 1)
+    import spark.implicits._
+    Seq(Sinks.currentVersion(dv)).toDF("dv_version")
+  }
+
+  private def lakeEagerUpdate(spark: SparkSession, d: String): DataFrame = {
+    val (_, eager) = dirs((spark, d))
+    Sinks.upsertByKeyManifest(spark, spreadKeys(spark, d), eager, "k")
+    import spark.implicits._
+    Seq(Sinks.currentVersion(eager)).toDF("eager_version")
+  }
+
+  override def warms: Seq[Q] = Seq(
+    Q("lake0_build", lakeBuild, None),
+    Q("lake1_dv_update", lakeDvUpdate, None),
+    Q("lake2_eager_update", lakeEagerUpdate, None))
+
+  override def queries: Seq[Q] = Nil
+}

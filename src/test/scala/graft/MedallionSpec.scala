@@ -359,6 +359,97 @@ class MedallionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(contentFinal == contentPre)
   }
 
+  test("S11-DV: merge-on-read upsert ≡ eager merge; OPTIMIZE folds DVs; " +
+      "update cost ∝ update size") {
+    import spark.implicits._
+    val dirDv = tmp() + "/dv_table"
+    val dirEager = tmp() + "/eager_table"
+    val v1Rows = (0L until 1000L).map(k => (k, s"v$k"))
+    Sinks.writeWithManifest(spark, v1Rows.toDF("k", "v"), dirDv, "k", nFiles = 8)
+    Sinks.writeWithManifest(spark, v1Rows.toDF("k", "v"), dirEager, "k", nFiles = 8)
+    def bytes(dir: String): Map[String, Long] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    val dvBefore = bytes(dirDv)
+    // the same small update (2 in-range updates + 1 insert) both ways
+    val upd = Seq((100L, "U100"), (101L, "U101"), (5000L, "NEW")).toDF("k", "v")
+    Sinks.upsertByKeyDv(spark, upd, dirDv, "k", nFiles = 1)
+    Sinks.upsertByKeyManifest(spark, upd, dirEager, "k")
+    def content(dir: String): Seq[(Long, String)] =
+      Sinks.readVersioned(spark, dir).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dvOut = content(dirDv)
+    assert(dvOut == content(dirEager),
+      "merge-on-read rows must equal the eager merge's")
+    assert(dvOut.count(_._1 == 100L) == 1 && dvOut.exists(_ == (100L, "U100"))
+      && dvOut.exists(_ == (5000L, "NEW")) && dvOut.size == 1001,
+      s"updated+inserted rows wrong: ${dvOut.filter(t => t._1 >= 100 && t._1 <= 101)}")
+    // cost ∝ update size: every pre-existing data file is UNTOUCHED
+    // (byte-length identical, still live) — only new small files appear
+    val dvAfter = bytes(dirDv)
+    dvBefore.foreach { case (f, len) =>
+      assert(dvAfter.get(f).contains(len), s"DV path rewrote old file $f") }
+    val newFiles = dvAfter.keySet -- dvBefore.keySet
+    assert(newFiles.nonEmpty &&
+      newFiles.map(dvAfter).sum < dvBefore.values.sum / 2,
+      s"new files must be small vs the 1000-row footprint: $newFiles")
+    // the read path resolves only add/dv manifest entries: the touched
+    // file carries a dv_file pointer, untouched files carry none
+    val m = Sinks.manifestAt(spark, dirDv)
+      .select("file", "dv_file").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(m.count(_._2.nonEmpty) >= 1, "touched file must carry a DV")
+    assert(m.count(_._2.isEmpty) >= 8, "untouched files must carry no DV")
+    // second DV update on the SAME key: cumulative DV, still one live row
+    Sinks.upsertByKeyDv(spark, Seq((100L, "U100b")).toDF("k", "v"),
+      dirDv, "k", nFiles = 1)
+    val out2 = content(dirDv)
+    assert(out2.count(_._1 == 100L) == 1 && out2.exists(_ == (100L, "U100b")),
+      "second DV update must supersede both prior versions of the key")
+    // DELETE via DV only: no data file written
+    Sinks.deleteByKeyDv(spark, Seq(101L).toDF("k"), dirDv, "k")
+    val out3 = content(dirDv)
+    assert(!out3.exists(_._1 == 101L) && out3.size == 1000,
+      "DV delete must remove the key")
+    // CDF across the delete commit: exactly one delete row, no inserts
+    val cdf = Sinks.readChanges(spark, dirDv,
+        fromVersion = Sinks.currentVersion(dirDv) - 1)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(cdf == Seq((101L, "delete")), s"CDF across DV delete: $cdf")
+    // OPTIMIZE folds the DVs: reads identical, and NO live file carries
+    // a dv pointer afterwards (Delta REORG/PURGE semantics)
+    val folded = Sinks.optimizeTable(spark, dirDv, "k", targetRows = 100000L)
+    assert(folded > 0, "optimize must rewrite the dv-carrying files")
+    assert(content(dirDv) == out3, "OPTIMIZE must not change rows")
+    val mPost = Sinks.manifestAt(spark, dirDv).select("dv_file").collect()
+    assert(mPost.forall(_.isNullAt(0)), "all DVs must be folded away")
+    // eager merge AFTER a DV history must still agree end-to-end
+    Sinks.upsertByKeyManifest(spark, Seq((0L, "Z")).toDF("k", "v"), dirDv, "k")
+    assert(content(dirDv).take(1) == Seq((0L, "Z")))
+    // vacuum reclaims superseded DV parquets once old versions drop
+    Sinks.vacuum(spark, dirDv, keepVersions = 1)
+    val dvDirF = new java.io.File(dirDv + "/_dv")
+    assert(!dvDirF.exists() || dvDirF.listFiles()
+      .count(_.getName.endsWith(".parquet")) == 0,
+      "no version references a DV after folding — vacuum must reclaim them")
+    assert(content(dirDv).size == 1000)
+  }
+
+  test("S11-DV: eager merge on a DV-carrying file does not resurrect rows") {
+    import spark.implicits._
+    val dir = tmp() + "/dv_eager_mix"
+    Sinks.writeWithManifest(spark,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v"), dir, "k", nFiles = 2)
+    // DV-delete key 10, then EAGER-merge key 11 (same file's range):
+    // the eager rewrite must apply the DV, not resurrect key 10
+    Sinks.deleteByKeyDv(spark, Seq(10L).toDF("k"), dir, "k")
+    Sinks.upsertByKeyManifest(spark, Seq((11L, "U11")).toDF("k", "v"), dir, "k")
+    val out = Sinks.readVersioned(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(!out.exists(_._1 == 10L), "eager merge resurrected a DV'd row")
+    assert(out.exists(_ == (11L, "U11")) && out.size == 99)
+  }
+
   test("S11 manifest: time travel to a vacuumed version fails loudly") {
     import spark.implicits._
     val dir = tmp() + "/vacuumed_read"
