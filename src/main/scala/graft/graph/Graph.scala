@@ -886,39 +886,100 @@ object Graph {
       .localCheckpoint()
     val m2 = e.agg(sum(col("w")).as("m2"))
     var lab = deg.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
-      val tot = lab.join(deg, "node")
-        .groupBy("label").agg(sum(col("k")).as("tot"))
-      val kvc = e
-        .join(lab.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"), col("label"))
-        .agg(sum(col("w")).as("kvc"))
-      // staying put is always a candidate, even when v has no neighbor
-      // left in its own community (kvc = 0 there)
-      val own = lab.join(kvc, Seq("node", "label"), "left")
-        .select(col("node"), col("label"),
-          coalesce(col("kvc"), lit(0L)).as("kvc"))
-      val cand = kvc.unionByName(own)
-        .groupBy("node", "label").agg(max(col("kvc")).as("kvc"))
-      val scored = cand
-        .join(deg, "node")
-        .join(tot, "label")
-        .join(lab.withColumnRenamed("label", "cur"), "node")
-        .crossJoin(broadcast(m2))
-        .withColumn("tot_adj",
-          col("tot") - when(col("label") === col("cur"), col("k"))
-            .otherwise(lit(0L)))
-        .withColumn("gain",
-          col("m2") * col("kvc") - col("k") * col("tot_adj"))
-      lab = scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("node")
-            .orderBy(col("gain").desc, col("label").asc)))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+    for (_ <- 1 to rounds)
+      lab = louvainStep(e, deg, m2, lab)
+    lab
+  }
+
+  /** One synchronous Louvain local-move round (shared verbatim by
+    * [[louvainRounds]] and [[louvainConverge]] so the warm-start path
+    * replays the exact pinned-rounds kernel the oracle bakes in). */
+  private def louvainStep(e: DataFrame, deg: DataFrame, m2: DataFrame,
+      lab: DataFrame): DataFrame = {
+    val tot = lab.join(deg, "node")
+      .groupBy("label").agg(sum(col("k")).as("tot"))
+    val kvc = e
+      .join(lab.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node"), col("label"))
+      .agg(sum(col("w")).as("kvc"))
+    // staying put is always a candidate, even when v has no neighbor
+    // left in its own community (kvc = 0 there)
+    val own = lab.join(kvc, Seq("node", "label"), "left")
+      .select(col("node"), col("label"),
+        coalesce(col("kvc"), lit(0L)).as("kvc"))
+    val cand = kvc.unionByName(own)
+      .groupBy("node", "label").agg(max(col("kvc")).as("kvc"))
+    val scored = cand
+      .join(deg, "node")
+      .join(tot, "label")
+      .join(lab.withColumnRenamed("label", "cur"), "node")
+      .crossJoin(broadcast(m2))
+      .withColumn("tot_adj",
+        col("tot") - when(col("label") === col("cur"), col("k"))
+          .otherwise(lit(0L)))
+      .withColumn("gain",
+        col("m2") * col("kvc") - col("k") * col("tot_adj"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("node")
+          .orderBy(col("gain").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("label"))
+      .localCheckpoint()
+  }
+
+  /** Warm-startable Louvain phase 1 with convergence detection — the
+    * incremental-recompute path of the r9 verdict (#5): on an appended
+    * graph, seed from the PRIOR run's labels instead of singletons and
+    * the local moves only re-decide where Δ actually moved gains —
+    * measured rounds-to-stable ≪ the cold run's (spec-asserted), while
+    * the kernel itself is [[louvainStep]] verbatim. Synchronous local
+    * moves are path-dependent in general; on stable community structure
+    * (the planted-partition case the spec builds) the seeded and cold
+    * runs converge to the SAME partition (label ids are path
+    * artifacts; the spec compares canonical member sets) — the
+    * practical warm-start contract, stated not hidden. New nodes absent from the seed start
+    * as singletons. Returns (labels, roundsRun) where roundsRun counts
+    * executed rounds INCLUDING the final no-change round that proved
+    * stability (≤ maxRounds). */
+  def louvainConverge(edges: DataFrame, maxRounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: Option[String] = None,
+      seedLabels: Option[DataFrame] = None): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val raw = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (weightCol.isEmpty) raw.distinct() else raw)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("k"))
+      .localCheckpoint()
+    val m2 = e.agg(sum(col("w")).as("m2"))
+    var lab = seedLabels match {
+      case None => deg.select(col("node"), col("node").as("label"))
+      case Some(seed) => deg.select(col("node"))
+        .join(seed.select(col("node"), col("label").as("__seed")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__seed"), col("node")).as("label"))
         .localCheckpoint()
     }
-    lab
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      rounds += 1
+      val next = louvainStep(e, deg, m2, lab)
+      // 1-row convergence aggregate — the graph-pack iterative discipline
+      stable = next.join(lab.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      lab = next
+    }
+    (lab, rounds)
   }
 
   /** Two-level Louvain (Blondel et al. 2008 phases 1+2): a first
@@ -1050,5 +1111,101 @@ object Graph {
       out = out.union(estFrame(regs, t))
     }
     out
+  }
+
+  /** Warm-startable HyperBall register iteration with convergence
+    * detection — the incremental-recompute path of the r9 verdict (#5).
+    * Registers are max-merge reachability sketches, so they only GROW:
+    * the prior graph's converged registers are a valid LOWER state of
+    * the appended graph's fixed point, and iterating the same per-round
+    * max-merge from that seed reaches the SAME fixed point as a cold
+    * run — append-safe by construction, and the seeded run needs only
+    * as many rounds as Δ extends ball radii (spec-asserted ≪ cold).
+    * New nodes absent from the seed start from their own-hash init
+    * registers. Returns (final sparse registers (node, bucket,
+    * register), roundsRun) where roundsRun includes the final no-growth
+    * round that proved stability (≤ maxRounds). Estimates come from
+    * [[hyperBallEstimate]] over the returned registers. */
+  def hyperBallRegisters(edges: DataFrame, m: Int, maxRounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedRegisters: Option[DataFrame] = None): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(Set(16, 32, 64)(m), s"m must be 16, 32 or 64, got $m")
+    val wBits = 60 - Integer.numberOfTrailingZeros(m)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val h = conv(substring(md5(col("node").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val init = nodes
+      .select(col("node"), h.as("h"))
+      .select(col("node"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        expr(s"h div ${m}L").as("w"))
+      .select(col("node"), col("bucket"),
+        when(col("w") === 0L, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("w"))))
+          .cast("int").as("register"))
+    var regs = (seedRegisters match {
+      case None => init
+      case Some(seed) => init.unionByName(
+          seed.select(col("node"), col("bucket"),
+            col("register").cast("int").as("register")))
+        .groupBy("node", "bucket")
+        .agg(max(col("register")).as("register"))
+    }).localCheckpoint()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      rounds += 1
+      val nbr = e
+        .join(regs.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("bucket"), col("register"))
+      val next = regs.union(nbr)
+        .groupBy("node", "bucket")
+        .agg(max(col("register")).as("register"))
+        .localCheckpoint()
+      // growth check = any (node, bucket) whose register rose — a
+      // 1-row aggregate over the sparse state (registers never shrink)
+      stable = next.alias("n")
+        .join(regs.alias("p"), Seq("node", "bucket"), "left")
+        .filter(col("p.register").isNull ||
+          col("n.register") > col("p.register"))
+        .isEmpty
+      regs = next
+    }
+    (regs, rounds)
+  }
+
+  /** Per-node ball-size estimates from a sparse register relation —
+    * [[hyperBall]]'s exact integer estimator (⌊1000·α·est⌋) applied to
+    * [[hyperBallRegisters]] output. */
+  def hyperBallEstimate(regs: DataFrame, m: Int): DataFrame = {
+    val alphaNum = m match {
+      case 16 => 673L
+      case 32 => 697L
+      case 64 => 709L
+      case _ => throw new IllegalArgumentException(
+        s"m must be 16, 32 or 64 (rational alpha), got $m")
+    }
+    val wBits = 60 - Integer.numberOfTrailingZeros(m)
+    val estNum = BigInt(alphaNum) * BigInt(m) * BigInt(m) *
+      (BigInt(1) << (wBits + 1))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val numLit = lit(new java.math.BigDecimal(estNum.bigInteger)).cast(d38)
+    regs
+      .groupBy("node")
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${wBits + 1} - register AS INT))")) +
+        (lit(m.toLong) - count(lit(1))) *
+          expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1})")).as("s"))
+      .select(col("node"),
+        graft.util.Exact.idiv(numLit, col("s").cast(d38))
+          .cast("long").as("est_milli"))
   }
 }

@@ -75,4 +75,39 @@ class HyperBallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) === estMilliFromBall(Seq(1L, 2L)))
     assert(r(10L) === estMilliFromBall(Seq(10L, 11L)))
   }
+
+  test("warm start from prior registers: append(Δ) then incremental ≡ " +
+      "cold, rounds ≪ cold") {
+    val sp = spark
+    import sp.implicits._
+    // A directed 8-path: cold convergence needs ~8 rounds (balls grow
+    // one hop per round). Δ appends a single edge extending the head;
+    // seeding from the prior fixed point re-converges in ~2 rounds and
+    // the final registers are BIT-IDENTICAL to a cold run on the
+    // appended graph (max-merge sketches are append-safe monotone).
+    val path = (1L until 8L).map(i => (i, i + 1))
+    val e1 = path.toDF("src", "dst")
+    val (regs1, r1) = Graph.hyperBallRegisters(e1, m = 16, maxRounds = 20)
+    assert(r1 >= 7, s"cold base run must take ~path-length rounds, got $r1")
+    val aug = (path :+ (0L, 1L)).toDF("src", "dst")
+    val (coldRegs, coldRounds) =
+      Graph.hyperBallRegisters(aug, m = 16, maxRounds = 20)
+    val (incRegs, incRounds) = Graph.hyperBallRegisters(aug, m = 16,
+      maxRounds = 20, seedRegisters = Some(regs1))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(canon(incRegs) === canon(coldRegs),
+      "incremental registers must equal the cold fixed point bit-for-bit")
+    assert(incRounds < coldRounds,
+      s"warm start must converge in fewer rounds: inc=$incRounds cold=$coldRounds")
+    // and the estimates agree with the public per-round kernel's last round
+    val est = Graph.hyperBallEstimate(incRegs, m = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.hyperBall(aug, m = 16, rounds = coldRounds)
+    val lastT = coldRounds.toLong
+    val pub = full.filter(s"round = $lastT")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(est === pub,
+      "hyperBallEstimate must reproduce the public kernel's estimates")
+  }
 }

@@ -77,4 +77,33 @@ class LouvainSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lab === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("warm start from prior labels: append(Δ) then incremental ≡ cold, " +
+      "rounds ≪ cold") {
+    // Two planted 5-cliques bridged weakly; Δ appends one PENDANT node
+    // per clique — community structure is stable, so the seeded run
+    // must recover the COLD run's partition in fewer rounds. The
+    // comparison is PARTITION-canonical (sorted member sets), the
+    // honest equivalence for a local-move algorithm whose label ids
+    // are path artifacts; the scaladoc states the same contract.
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    def partition(lab: Map[Long, Long]): Set[Set[Long]] =
+      lab.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    val g1 = clique(1L to 5L) ++ clique(11L to 15L) ++ Seq(5L -> 11L)
+    val d2 = Seq(6L -> 1L, 16L -> 11L) // one pendant per clique
+    val (coldSeedLab, coldRounds0) =
+      Graph.louvainConverge(sym(g1), maxRounds = 10)
+    assert(coldRounds0 >= 2, s"cold base run suspiciously fast: $coldRounds0")
+    val aug = sym(g1 ++ d2)
+    val (coldLab, coldRounds) = Graph.louvainConverge(aug, maxRounds = 10)
+    val (incLab, incRounds) = Graph.louvainConverge(aug, maxRounds = 10,
+      seedLabels = Some(coldSeedLab))
+    val coldMap = coldLab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incMap = incLab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partition(incMap) === partition(coldMap),
+      s"incremental partition diverged: inc=$incMap cold=$coldMap")
+    assert(incRounds < coldRounds,
+      s"warm start must converge in fewer rounds: inc=$incRounds cold=$coldRounds")
+  }
 }
