@@ -79,12 +79,26 @@ def main() -> int:
     ap.add_argument("--timeout", type=int, default=600)
     ap.add_argument("--jobs", type=int, default=4)
     ap.add_argument("--out", default="BENCHORACLE.json")
+    ap.add_argument("--merge-only", action="store_true",
+                    help="re-pair engine seconds from --benchfull into an "
+                         "existing --out without re-timing any oracle")
     a = ap.parse_args()
 
     oracles = json.loads(Path(a.oracle_json).read_text())
     engine = {}
     if Path(a.benchfull).exists():
         engine = json.loads(Path(a.benchfull).read_text()).get("queries", {})
+
+    if a.merge_only:
+        prev = json.loads(Path(a.out).read_text())
+        results = prev["queries"]
+        for name, row in results.items():
+            if name in engine and "oracle_sec" in row:
+                row["engine_sec"] = round(engine[name], 3)
+                if row["oracle_sec"] > 0:
+                    row["ratio"] = round(engine[name] / row["oracle_sec"], 2)
+        finish(results, Path(a.sf_dir).name, a.out)
+        return 0
 
     results = {}
     with ThreadPoolExecutor(max_workers=a.jobs) as ex:
@@ -107,7 +121,11 @@ def main() -> int:
                   f"engine={row.get('engine_sec', '?')}s "
                   f"ratio={row.get('ratio', '?')}", flush=True)
 
-    sf = Path(a.sf_dir).name
+    finish(results, Path(a.sf_dir).name, a.out)
+    return 0
+
+
+def finish(results: dict, sf: str, out_path: str) -> None:
     slow = sorted(
         [(n, v) for n, v in results.items()
          if not v["iterative"] and v.get("oracle_sec", 0) >= 0.5
@@ -116,10 +134,9 @@ def main() -> int:
     out = {"sf": sf, "queries": results,
            "gate": {"min_oracle_sec": 0.5, "max_ratio": 2.0,
                     "relational_over_2x": [n for n, _ in slow]}}
-    Path(a.out).write_text(json.dumps(out, indent=1, sort_keys=True))
+    Path(out_path).write_text(json.dumps(out, indent=1, sort_keys=True))
     print(f"\n== {len(results)} timed; relational >2x (oracle>=0.5s): "
           f"{[n for n, _ in slow] or 'NONE'} ==")
-    return 0
 
 
 if __name__ == "__main__":
