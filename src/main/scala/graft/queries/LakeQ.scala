@@ -92,5 +92,48 @@ object LakeQ extends QueryPack {
     Q("lake1_dv_update", lakeDvUpdate, None),
     Q("lake2_eager_update", lakeEagerUpdate, None))
 
-  override def queries: Seq[Q] = Nil
+  // ------------------------------------------------------------ lake_zorder
+
+  /** Z-order (Morton) cell census over lineitem's (partkey, suppkey)
+    * plane — the CORRECTNESS row for [[graft.io.Zorder]]'s interleave
+    * arithmetic (the layout op itself is spec-covered in ZorderSpec;
+    * this query pins the bit math both engines must agree on):
+    * bucket both keys mod 1024, interleave to a 20-bit z-value with
+    * the classic Morton magic masks, and report per 2¹⁴-cell counts
+    * and z-ranges. Pure integer shifts/masks — whole-stage codegen'd
+    * in Spark, bit-identical `<< & |` arithmetic in DuckDB. */
+  private def lakeZorderCells(spark: SparkSession, d: String): DataFrame = {
+    import graft.io.Zorder
+    val z = Zorder.zvalue(pmod(col("l_partkey"), lit(1024L)),
+      pmod(col("l_suppkey"), lit(1024L)))
+    Tables.lineitem(spark, d)
+      .select(z.as("z"))
+      .groupBy(graft.util.Exact.idiv(col("z"), lit(16384L)).as("z_cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+      .orderBy("z_cell")
+  }
+
+  private val lakeZorderCellsSql =
+    """WITH b AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+         FROM lineitem),
+       sx AS (SELECT x, y,
+                ((x | (x << 8)) & 16711935) AS x1,
+                ((y | (y << 8)) & 16711935) AS y1
+              FROM b),
+       s2 AS (SELECT ((x1 | (x1 << 4)) & 252645135) AS x2,
+                     ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sx),
+       s3 AS (SELECT ((x2 | (x2 << 2)) & 858993459) AS x3,
+                     ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+       s4 AS (SELECT ((x3 | (x3 << 1)) & 1431655765) AS x4,
+                     ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+       zz AS (SELECT x4 | (y4 << 1) AS z FROM s4)
+       SELECT CAST(z // 16384 AS BIGINT) AS z_cell,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(MIN(z) AS BIGINT) AS z_min,
+              CAST(MAX(z) AS BIGINT) AS z_max
+       FROM zz GROUP BY 1 ORDER BY 1"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("lake_zorder_cells", lakeZorderCells, Some(lakeZorderCellsSql)))
 }
