@@ -258,8 +258,13 @@ object Sinks {
     * per-file key ranges are what make the min/max manifest selective.
     * Explicit table (re)creation: any existing content is overwritten. */
   def writeWithManifest(spark: SparkSession, df: DataFrame, targetPath: String,
-      keyCol: String, nFiles: Int = 8): Unit = {
-    df.repartitionByRange(nFiles, col(keyCol))
+      keyCol: String, nFiles: Int = 8, preclustered: Boolean = false): Unit = {
+    // preclustered: the caller already laid `df` out (e.g. Z-ordered via
+    // [[Zorder.zorderBy]]) — re-range-partitioning on the single key
+    // would DESTROY that layout, so write it as-is; the manifest's
+    // per-file [kmin, kmax] just gets wider ranges (single-key pruning
+    // degrades exactly as much as the caller's layout choice implies).
+    (if (preclustered) df else df.repartitionByRange(nFiles, col(keyCol)))
       .write.mode("overwrite").parquet(targetPath)
     val adds = manifestEntries(spark, targetPath, keyCol)
       .withColumn("action", lit("add"))

@@ -76,4 +76,67 @@ object Zorder {
     df.select(col(c).as("v"), col("_metadata.file_path").as("fp"))
       .groupBy(element_at(split(col("fp"), "/"), -1).as("file"))
       .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("rows"))
+
+  // ------------------------------------------------ manifest integration
+
+  private def zstatsDir(targetPath: String): String = targetPath + "/_zstats"
+
+  /** Write `df` as a Z-ORDERED manifest-tracked table (version 1) with a
+    * TWO-column per-file stats sidecar — Delta's `stats` per add-file,
+    * scoped to the two clustering dimensions: the data lands via
+    * [[Sinks.writeWithManifest]] `preclustered = true` (manifest keyed
+    * on `colA`, so every existing reader keeps working), and
+    * `_zstats/` (leading underscore — invisible to plain reads) holds
+    * (file, amin, amax, bmin, bmax, rows) computed in the SAME single
+    * scan discipline as the manifest entries. [[readZRange]] then
+    * prunes on EITHER column. At 100 TB this is the OPTIMIZE-output
+    * layout step; incremental upserts land through the normal
+    * manifest/DV paths (their new files simply carry no z-stats and
+    * are never pruned — correct, just unskippable until the next
+    * re-cluster, Delta's exact behavior for post-OPTIMIZE writes). */
+  def writeZTable(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      targetPath: String, colA: String, loA: Long, hiA: Long,
+      colB: String, loB: Long, hiB: Long, nFiles: Int = 16): Unit = {
+    val clustered = zorderBy(df, colA, loA, hiA, colB, loB, hiB, nFiles)
+    Sinks.writeWithManifest(spark, clustered, targetPath, colA,
+      nFiles, preclustered = true)
+    val src = spark.read.parquet(targetPath)
+    src.select(col(colA).as("a"), col(colB).as("b"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("file"))
+      .groupBy("file")
+      .agg(min("a").as("amin"), max("a").as("amax"),
+        min("b").as("bmin"), max("b").as("bmax"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(zstatsDir(targetPath))
+  }
+
+  /** Range read over EITHER z-dimension of a [[writeZTable]] table:
+    * prune to the files whose sidecar [min, max] on `c` (must be the
+    * table's colA or colB) overlaps [lo, hi], read only those, and
+    * re-apply the bounds row-level. Files missing from the sidecar
+    * (post-write upserts) are conservatively read. Assert skipping
+    * with `.inputFiles`. */
+  def readZRange(spark: org.apache.spark.sql.SparkSession,
+      targetPath: String, colA: String, colB: String,
+      c: String, lo: Long, hi: Long): DataFrame = {
+    require(c == colA || c == colB,
+      s"$c is not a z-dimension of $targetPath ($colA, $colB)")
+    val (mn, mx) = if (c == colA) ("amin", "amax") else ("bmin", "bmax")
+    val stats = spark.read.parquet(zstatsDir(targetPath))
+      .select(col("file"), col(mn).as("vmin"), col(mx).as("vmax"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val live = Sinks.manifestAt(spark, targetPath)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val keep = live.filter(f => stats.get(f) match {
+      case Some((vmin, vmax)) => !(vmax < lo || vmin > hi)
+      case None => true // unskippable newcomer — read conservatively
+    })
+    if (keep.isEmpty)
+      spark.read.parquet(live.map(f => s"$targetPath/$f"): _*)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(keep.map(f => s"$targetPath/$f"): _*)
+      .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
 }

@@ -1020,6 +1020,34 @@ object Relay {
       }
       .start()
 
+  /** S10 on the merge-on-read path: streaming upsert via
+    * [[Sinks.upsertByKeyDv]] — each micro-batch commits NEW small files
+    * + deletion-vector actions instead of rewriting touched files, so
+    * per-batch sink cost is ∝ batch size at ANY table footprint (the
+    * property a continuous ingest needs; the eager
+    * [[writeStreamUpsert]] degrades as the target grows). Within-batch
+    * duplicates collapse latest-wins on `orderCol` first (the DV
+    * commit's key-unique precondition); run [[Sinks.optimizeTable]] on
+    * a maintenance cadence to fold the accumulated DVs, exactly like
+    * Delta streaming MERGE + scheduled REORG. */
+  def writeStreamUpsertDv(df: DataFrame, targetPath: String,
+      checkpoint: String, keyCol: String, orderCol: String,
+      queryName: String = "upsert_dv",
+      trig: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val unique = graft.etl.Cleaning.latestByKey(
+          Seq(keyCol), Seq(col(orderCol)))(batch)
+        Sinks.upsertByKeyDv(batch.sparkSession, unique, targetPath, keyCol,
+          nFiles = 1)
+      }
+      .start()
+
   /** [[writeStreamUpsert]] with the partition-scoped merge
     * ([[Sinks.upsertByKeyPartitioned]]): each micro-batch rewrites only
     * the partitions it touches — the streaming cost model users of a

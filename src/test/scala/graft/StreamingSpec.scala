@@ -1131,5 +1131,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shard 0 must restart from empty (seen=1, only 99): $r3")
   }
 
+  test("streaming DV upsert ≡ batch latest-wins; old files never rewritten") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = tmp() + "/dvu_src"; val ckp = tmp() + "/dvu_ckp"
+    val dst = tmp() + "/dvu_dst"
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("k", "seq", "v").write.mode("append").parquet(src)
+    // seed the target through the SAME sink (first batch creates v1)
+    write((0L until 200L).map(k => (k, 0L, s"base$k")))
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = Relay.writeStreamUpsertDv(
+        Relay.readStreamPath(spark, src, schema), dst, ckp, "k", "seq")
+      q.awaitTermination()
+    }
+    run()
+    def files(): Map[String, Long] =
+      new java.io.File(dst).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    val before = files()
+    // micro-batch 2: updates (incl. an in-batch duplicate — seq wins) + insert
+    write(Seq((5L, 1L, "u5a"), (5L, 2L, "u5b"), (7L, 1L, "u7"),
+      (9999L, 1L, "new")))
+    run()
+    val after = files()
+    before.foreach { case (f, len) =>
+      assert(after.get(f).contains(len),
+        s"DV streaming sink rewrote pre-existing file $f") }
+    val out = io.Sinks.readVersioned(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out(5L) == "u5b" && out(7L) == "u7" && out(9999L) == "new"
+      && out(6L) == "base6" && out.size == 201,
+      s"latest-wins content wrong: ${out.toSeq.filter(_._1 < 10)}")
+    // fold the accumulated DVs; content identical
+    io.Sinks.optimizeTable(spark, dst, "k", targetRows = 1000000L)
+    val folded = io.Sinks.readVersioned(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(folded == out, "OPTIMIZE changed streaming-upserted content")
+  }
+
   override def afterAll(): Unit = spark.stop()
 }

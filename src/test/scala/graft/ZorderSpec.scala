@@ -74,5 +74,34 @@ class ZorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(zDir).count() == 65536L)
   }
 
+  test("writeZTable + readZRange: manifest z-table prunes files on " +
+      "either dimension and returns exact rows") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = (0 until 65536).map(i => ((i % 256).toLong, (i / 256).toLong))
+    val df = pts.toDF("a", "b")
+    val dir = tmp() + "/ztable"
+    Zorder.writeZTable(spark, df, dir, "a", 0L, 255L, "b", 0L, 255L,
+      nFiles = 16)
+    val nLive = io.Sinks.manifestAt(spark, dir).count()
+    assert(nLive >= 8, s"expected a multi-file table, got $nLive")
+    def check(c: String): Unit = {
+      val got = Zorder.readZRange(spark, dir, "a", "b", c, 100L, 107L)
+      assert(got.inputFiles.length <= nLive / 2,
+        s"$c-range read must prune: opened ${got.inputFiles.length}/$nLive")
+      val expect = df.filter(col(c) >= 100L && col(c) <= 107L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rows = got.select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === expect, s"$c-range rows wrong: ${rows.size} vs ${expect.size}")
+    }
+    check("a")
+    check("b")
+    // an ordinary readVersioned still sees the whole table (manifest
+    // compatibility of the preclustered write)
+    assert(io.Sinks.readVersioned(spark, dir).count() === 65536L)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
