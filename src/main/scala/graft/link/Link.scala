@@ -32,12 +32,20 @@ object Link {
     * Levenshtein distance 1, via deletion-neighborhood blocking.
     * Returns (id_a, id_b, key_a, key_b, dist). */
   def fuzzyPairs(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    val v = df
+    val base = df
       .select(col(idCol).as("id"), col(keyCol).as("key"))
       .filter(col("key").isNotNull)
+    // Variant rows carry (id, variant) ONLY: the key strings would
+    // otherwise ride through the variant distinct + both sides of the
+    // block join + the candidate distinct (the three widest shuffles
+    // here) just to be read once at the final verify — instead the
+    // candidate ids re-attach keys from the (broadcastable) base
+    // relation after candidate dedup. Same candidate set, ~half the
+    // shuffle bytes.
+    val v = base
       .select(col("id"), col("key"),
         explode(sequence(lit(0), length(col("key")))).as("i"))
-      .select(col("id"), col("key"),
+      .select(col("id"),
         expr("CASE WHEN i = 0 THEN key " +
           "ELSE concat(substring(key, 1, i - 1), " +
           "substring(key, i + 1, 2147483647)) END").as("variant"))
@@ -52,11 +60,15 @@ object Link {
     val cand = v.alias("a")
       .join(v.alias("b"),
         col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
+      .join(broadcast(base.select(col("id").as("id_a"), col("key").as("key_a"))),
+        "id_a")
+      .join(broadcast(base.select(col("id").as("id_b"), col("key").as("key_b"))),
+        "id_b")
       .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
       .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "key_a", "key_b", "dist")
   }
 }
