@@ -41,15 +41,27 @@ object LakeQ extends QueryPack {
           col("l_shipdate").cast("string"),
           col("l_extendedprice").cast("string")).as("v"))
 
-  /** 64 keys spread uniformly across the key domain — each lands in a
-    * different region, so the eager path's range join touches ~every
-    * file while the DV path's commit stays O(64 keys). */
-  private def spreadKeys(spark: SparkSession, d: String): DataFrame =
-    base(spark, d)
-      .select(col("k"), pmod(col("k"), lit(997L)).as("m"))
-      .filter(col("m") === 0L)
+  /** 64 keys spread uniformly across the WHOLE key domain (an every-
+    * (n/64)th stride over the pmod-thinned candidates, ordered by key)
+    * — each lands in a different file's range, so the eager path's
+    * range join touches ~every file while the DV path's commit stays
+    * O(64 keys). A bare `limit` would cluster at whatever range the
+    * first-scanned partition covers and undersell the eager cost. */
+  private def spreadKeys(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = base(spark, d)
+      .filter(pmod(col("k"), lit(997L)) === 0L)
+      .select(col("k"))
+    val w = Window.orderBy("k")
+    cand
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rn") % greatest(lit(1L),
+        graft.util.Exact.idiv(col("n"), lit(UpdateKeys.toLong))) === 0L)
       .limit(UpdateKeys)
       .select(col("k"), concat(lit("upd_"), col("k")).as("v"))
+  }
 
   private def lakeBuild(spark: SparkSession, d: String): DataFrame = {
     val prev = dirs.remove((spark, d))
