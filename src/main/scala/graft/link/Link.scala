@@ -39,9 +39,13 @@ object Link {
     // otherwise ride through the variant distinct + both sides of the
     // block join + the candidate distinct (the three widest shuffles
     // here) just to be read once at the final verify — instead the
-    // candidate ids re-attach keys from the (broadcastable) base
-    // relation after candidate dedup. Same candidate set, ~half the
-    // shuffle bytes.
+    // candidate ids re-attach keys from the base relation after
+    // candidate dedup. Same candidate set, ~half the shuffle bytes.
+    // The re-attach joins carry NO broadcast hint: base is the whole
+    // input table, so forcing a broadcast would hit the 8 GB broadcast
+    // limit (or OOM the driver) at scale — the planner/AQE broadcasts
+    // when base's runtime size allows and shuffles otherwise, and the
+    // ids-only shuffle-bytes win holds either way.
     val v = base
       .select(col("id"), col("key"),
         explode(sequence(lit(0), length(col("key")))).as("i"))
@@ -63,9 +67,9 @@ object Link {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
-      .join(broadcast(base.select(col("id").as("id_a"), col("key").as("key_a"))),
+      .join(base.select(col("id").as("id_a"), col("key").as("key_a")),
         "id_a")
-      .join(broadcast(base.select(col("id").as("id_b"), col("key").as("key_b"))),
+      .join(base.select(col("id").as("id_b"), col("key").as("key_b")),
         "id_b")
       .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
       .filter(col("dist") <= 1)

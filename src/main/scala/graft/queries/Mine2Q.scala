@@ -297,10 +297,22 @@ object Mine2Q extends QueryPack {
   private val knnSimsCache = graft.util.ManagedCaches.register()
   private val knnCcCache = graft.util.ManagedCaches.register()
 
-  /** Max k over every consumer config (sim_knn_cc's 3, PurityConfigs'
-    * 8) — the cached ranked-kNN materialization keeps ranks up to
-    * here; each config is then a bare `rank <= k` filter. */
-  private val KnnMaxK = 8
+  /** The (k, snn_min) dial points `sim_knn_purity` measures (declared
+    * here, above [[KnnMaxK]], so the cache depth DERIVES from the
+    * consumer configs — adding a config can never under-fill the
+    * shared ranked build). */
+  private val PurityConfigs = Seq((3, 0), (8, 1))
+
+  /** The k `sim_knn_cc` clusters at (shared with PurityConfigs' first
+    * row). */
+  private val KnnCcK = 3
+
+  /** Max k over every consumer config — the cached ranked-kNN
+    * materialization keeps ranks up to here; each config is then a
+    * bare `rank <= k` filter. Computed, not hand-written: a config
+    * with k beyond the cache would otherwise silently cluster from an
+    * under-filled neighbor list. */
+  private val KnnMaxK = (PurityConfigs.map(_._1) :+ KnnCcK).max
 
   private def knnSims(spark: SparkSession, d: String): DataFrame =
     graft.util.ManagedCaches.checkpointCache(knnSimsCache, spark, d) {
@@ -319,7 +331,7 @@ object Mine2Q extends QueryPack {
   private def knnCluster3(spark: SparkSession, d: String): DataFrame =
     graft.util.ManagedCaches.checkpointCache(knnCcCache, spark, d)(
       graft.sim.Similarity.mutualKnnClustersFromRanked(
-        Tables.embeddings(spark, d), knnSims(spark, d), k = 3))
+        Tables.embeddings(spark, d), knnSims(spark, d), k = KnnCcK))
 
   private def simKnnCc(spark: SparkSession, d: String): DataFrame =
     knnCluster3(spark, d).orderBy("vec_id")
@@ -412,14 +424,16 @@ object Mine2Q extends QueryPack {
     * k=8 + SNN≥1 recovers label-aligned granularity — singletons are
     * reported alongside because an unclustered vector is its own
     * majority and inflates naive purity. Everything after each
-    * clustering is (cluster × label)-sized. */
-  private val PurityConfigs = Seq((3, 0), (8, 1))
-
+    * clustering is (cluster × label)-sized. The configs live in
+    * [[PurityConfigs]] (declared beside [[KnnMaxK]], which derives
+    * from them). */
   private def simKnnPurity(spark: SparkSession, d: String): DataFrame = {
     val labels = Tables.embeddings(spark, d).select("vec_id", "label")
     PurityConfigs.map { case (k, snn) =>
+      require(k <= KnnMaxK,
+        s"purity config k=$k exceeds the shared ranked-kNN cache depth $KnnMaxK")
       val cl =
-        if (k == 3 && snn == 0) knnCluster3(spark, d)
+        if (k == KnnCcK && snn == 0) knnCluster3(spark, d)
         else graft.sim.Similarity.mutualKnnClustersFromRanked(
           Tables.embeddings(spark, d), knnSims(spark, d), k = k,
           snnMin = snn)

@@ -79,8 +79,13 @@ object Stats4Q extends QueryPack {
       .select(col("h"),
         (col("l") + col("h") * col("b")).as("forecast_c"),
         col("l").as("level_c"), col("b").as("trend_c"),
-        expr("(eh - pmod(eh, n - 2)) div (n - 2)").as("holt_mae_c"),
-        expr("(en - pmod(en, n - 2)) div (n - 2)").as("naive_mae_c"))
+        // n = 2 (the shortest foldable series) has ZERO scored backtest
+        // points — the MAEs are undefined, not infinite: guard to null
+        // (mirrored by CASE WHEN in the oracle) instead of dividing by 0.
+        expr("CASE WHEN n > 2 THEN (eh - pmod(eh, n - 2)) div (n - 2) END")
+          .as("holt_mae_c"),
+        expr("CASE WHEN n > 2 THEN (en - pmod(en, n - 2)) div (n - 2) END")
+          .as("naive_mae_c"))
   }
 
   // DuckDB's `//` TRUNCATES toward zero on negatives (−7//2 = −3), so
@@ -122,8 +127,10 @@ object Stats4Q extends QueryPack {
        SELECT CAST(h AS BIGINT) AS h,
               CAST(l + h * b AS BIGINT) AS forecast_c,
               l AS level_c, b AS trend_c,
-              CAST(eh // (n - 2) AS BIGINT) AS holt_mae_c,
-              CAST(en // (n - 2) AS BIGINT) AS naive_mae_c
+              CAST(CASE WHEN n > 2 THEN eh // (n - 2) END AS BIGINT)
+                AS holt_mae_c,
+              CAST(CASE WHEN n > 2 THEN en // (n - 2) END AS BIGINT)
+                AS naive_mae_c
        FROM fin CROSS JOIN range(1, ${Horizon + 1}) r(h)"""
 
   // ----------------------------------------------------------- e_km_survival
