@@ -576,7 +576,14 @@ object Relay {
     * id order per shard across batches; within a batch, documents sort
     * by id before folding. Streaming ≡ batch asserted in StreamingSpec
     * across a micro-batch boundary (the open bin must keep filling from
-    * carried state, not restart). */
+    * carried state, not restart).
+    *
+    * No TTL option ON PURPOSE: unlike the user-/entity-keyed twins,
+    * state here is keyed by shard — a PINNED partition count chosen at
+    * start — so total state is O(shards) by construction and never
+    * grows with the stream. Evicting an idle shard's open bin would
+    * only corrupt its packing (the next document would reopen bin 0)
+    * for zero space win. */
   def packStream(docs: DataFrame, budget: Long, shards: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -632,9 +639,25 @@ object Relay {
     * MIN-within-window, so streamed step counts equal the batch funnel
     * (StreamingSpec). Micros precision is preserved (`getTime` ms +
     * sub-ms nanos), matching the batch side's full-timestamp
-    * comparisons bit-for-bit. */
+    * comparisons bit-for-bit.
+    *
+    * Bounded state (`ttlSeconds` > 0): keyed by user, the three-micros
+    * state row otherwise lives forever per DISTINCT user — O(1) per key
+    * but an unbounded key space on an infinite stream. With a TTL the
+    * input is watermarked on `ts` and a user idle for `ttlSeconds` of
+    * event time silently drops their funnel progress. Re-admission
+    * semantics: a post-eviction signup STARTS A FRESH FUNNEL — the user
+    * can re-fire steps they completed before the horizon, so distinct
+    * step counts become per-horizon, not per-lifetime (pick
+    * `ttlSeconds` ≥ the funnel's business lifetime, and at least
+    * `2 × windowSec`, to make that unobservable in practice). A
+    * half-open funnel whose next step arrives after the horizon is
+    * never completed — steps don't chain across the horizon. Within
+    * the horizon, output is identical to the unbounded path
+    * (StreamingSpec TTL test). */
   def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
-      windowSec: Long): DataFrame = {
+      windowSec: Long, ttlSeconds: Long = 0L,
+      watermark: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -649,13 +672,22 @@ object Relay {
     def stepOrd(e: FunnelEvent): Int = e.event_type match {
       case "signup" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
     }
-    events.groupByKey(_.user_id)
+    val src = if (ttlSeconds > 0) events.withWatermark("ts", watermark)
+              else events
+    val timeout = if (ttlSeconds > 0) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (uid, batch, state: GroupState[FunnelState]) =>
+         if (batch.isEmpty && state.hasTimedOut) {
+          state.remove() // idle past the horizon: funnel progress expires
+          Iterator.empty
+         } else {
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
-          batch.toSeq.sortBy(e => (micros(e.ts), stepOrd(e))).foreach { e =>
+          val ordered = batch.toSeq.sortBy(e => (micros(e.ts), stepOrd(e)))
+          ordered.foreach { e =>
             val t = micros(e.ts)
             e.event_type match {
               case "signup" if st.sTs < 0 =>
@@ -673,13 +705,22 @@ object Relay {
             }
           }
           state.update(st)
+          if (ttlSeconds > 0) {
+            val lastMs = ordered.lastOption.map(_.ts.getTime)
+              .getOrElse(state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, lastMs + ttlSeconds * 1000))
+          }
           out.iterator
+         }
       }
       .toDF()
   }
 
-  /** One event for the streaming transition tracker. */
-  final case class SeqEvent(ent: Long, ord: Long, state: String)
+  /** One event for the streaming transition tracker (`ts` = event time,
+    * required only on the TTL path; null on the unbounded path). */
+  final case class SeqEvent(ent: Long, ord: Long, state: String,
+      ts: java.sql.Timestamp = null)
 
   /** Per-entity carried state: the LAST event seen (order + state). */
   final case class SeqLast(ord: Long, state: String)
@@ -709,22 +750,46 @@ object Relay {
   def contentHashStream(docs: DataFrame, cols: Seq[String]): DataFrame =
     graft.text.ContentHash.fingerprint(docs, cols)
 
-  def transitionStream(events: org.apache.spark.sql.Dataset[SeqEvent]): DataFrame = {
+  /** Bounded state (`ttlSeconds` > 0, requires `ts` on the rows): keyed
+    * by entity, the held last event otherwise lives forever per DISTINCT
+    * entity. With a TTL the input is watermarked on `ts` and an entity
+    * idle for `ttlSeconds` of event time drops its held event.
+    * Re-admission semantics: the entity's first post-eviction event
+    * emits NO pair (pairs never span the horizon — the `(pre-horizon,
+    * post-horizon)` transition is deliberately uncounted, exactly like
+    * a batch job scoped to the horizon window); subsequent pairs are
+    * identical to the unbounded path. */
+  def transitionStream(events: org.apache.spark.sql.Dataset[SeqEvent],
+      ttlSeconds: Long = 0L, watermark: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.ent)
+    val src = if (ttlSeconds > 0) events.withWatermark("ts", watermark)
+              else events
+    val timeout = if (ttlSeconds > 0) GroupStateTimeout.EventTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.ent)
       .flatMapGroupsWithState[SeqLast, SeqPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (_, batch, state: GroupState[SeqLast]) =>
+         if (batch.isEmpty && state.hasTimedOut) {
+          state.remove() // idle past the horizon: the held event expires
+          Iterator.empty
+         } else {
           var held = state.getOption
+          var lastMs = 0L
           val out = batch.toSeq.sortBy(_.ord).map { r =>
+            if (r.ts != null) lastMs = math.max(lastMs, r.ts.getTime)
             val pair = held.map(h => SeqPair(h.state, r.state))
             held = Some(SeqLast(r.ord, r.state))
             pair
           }.flatten
           held.foreach(state.update)
+          if (ttlSeconds > 0)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, lastMs + ttlSeconds * 1000))
           out.iterator
+         }
       }
       .toDF()
   }
@@ -759,10 +824,26 @@ object Relay {
     * (tts, tid) exactly as the batch windows do. Downstream,
     * [[graft.etl.Attribution.channelReport]] over the emitted rows is
     * the live channel report (StreamingSpec: ≡ batch across a
-    * micro-batch boundary). */
+    * micro-batch boundary).
+    *
+    * Bounded state (`ttlSeconds` > 0): the touch list is already pruned
+    * to `windowSec` per event, but the KEY row itself otherwise lives
+    * forever per DISTINCT user. With a TTL the input is watermarked on
+    * `ts` and a user idle for `ttlSeconds` of event time drops their
+    * state row. Re-admission semantics: for `ttlSeconds` ≥ `windowSec`
+    * (required) eviction is LOSSLESS under the per-key in-order
+    * contract — every evicted touch is older than the watermark by
+    * ≥ ttl ≥ windowSec, so any later purchase (ts ≥ watermark) would
+    * have pruned it anyway; in-horizon output is BIT-IDENTICAL to the
+    * unbounded path, making this the rare TTL with no semantic trade
+    * (StreamingSpec TTL test asserts both identity and eviction). */
   def attributionStream(events: org.apache.spark.sql.Dataset[AttEvent],
-      windowSec: Long = 3600L): DataFrame = {
+      windowSec: Long = 3600L, ttlSeconds: Long = 0L,
+      watermark: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(ttlSeconds <= 0 || ttlSeconds >= windowSec,
+      s"attribution TTL ($ttlSeconds s) must be >= the lookback window " +
+        s"($windowSec s), or eviction could drop still-attributable touches")
     val spark = events.sparkSession
     import spark.implicits._
     val wMicros = windowSec * 1000000L
@@ -770,16 +851,28 @@ object Relay {
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     def kindOrd(e: AttEvent): Int =
       if (e.event_type == "purchase") 1 else 0
-    events.groupByKey(_.user_id)
+    val src = if (ttlSeconds > 0) events.withWatermark("ts", watermark)
+              else events
+    val timeoutConf = if (ttlSeconds > 0) GroupStateTimeout.EventTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[AttState, AttRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_, batch, state: GroupState[AttState]) =>
+         if (batch.isEmpty && state.hasTimedOut) {
+          // idle past the horizon: every carried touch is already
+          // outside any future in-order purchase's lookback — lossless
+          state.remove()
+          Iterator.empty
+         } else {
           var touches = state.getOption.map(_.touches.toVector)
             .getOrElse(Vector.empty[AttTouch])
           val out = scala.collection.mutable.ListBuffer.empty[AttRow]
-          batch.toSeq
+          // batch is a one-shot iterator: materialize ONCE (the sort
+          // needs it anyway); the TTL base below reuses this seq
+          val ordered = batch.toSeq
             .sortBy(e => (micros(e.ts), kindOrd(e), e.event_id))
-            .foreach { e =>
+          ordered.foreach { e =>
               val t = micros(e.ts)
               touches = touches.filter(_.tts > t - wMicros)
               e.event_type match {
@@ -804,7 +897,14 @@ object Relay {
               }
             }
           state.update(AttState(touches))
+          if (ttlSeconds > 0) {
+            val lastMs = ordered.lastOption.map(_.ts.getTime)
+              .getOrElse(state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, lastMs + ttlSeconds * 1000))
+          }
           out.iterator
+         }
       }
       .toDF()
   }

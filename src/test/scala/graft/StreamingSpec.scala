@@ -556,7 +556,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val states = Seq("a", "b", "a", "c", "b", "a")
     val events = for (ent <- 1L to 4L; ord <- 1L to 6L)
       yield (ent, ord, states((ord.toInt - 1 + ent.toInt) % 6))
+    // null ts: the unbounded path needs no event time (TTL path only)
     val df = events.toDF("ent", "ord", "state")
+      .withColumn("ts", lit(null).cast("timestamp"))
     val srcDir = tmp() + "/trans_src"
     df.filter(col("ord") <= 3).coalesce(1).write.mode("append").parquet(srcDir)
     new java.io.File(srcDir).listFiles().foreach(f =>
@@ -961,6 +963,149 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // expired keys' state rows are gone: only user1's C and user3's W remain
     assert(lastStateRows == 2L,
       s"state must hold exactly the 2 live open versions, got $lastStateRows")
+  }
+
+  test("funnel TTL drops idle funnel progress and keeps in-horizon steps") {
+    import spark.implicits._
+    val src = tmp() + "/fntsrc"; val ckp = tmp() + "/fntckp"
+    val dst = tmp() + "/fntdst"
+    def write(rows: Seq[(Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("user_id", "ts", "event_type")
+        .write.mode("append").parquet(src)
+    // user 1 completes signup+click in-horizon; user 2 signs up only
+    write(Seq((1L, tt(0), "signup"), (1L, tt(10), "click"),
+      (2L, tt(0), "signup")))
+    val schema = spark.read.parquet(src).schema
+    var lastStateRows = -1L
+    def run(): Unit = {
+      val stream = Relay.readStreamPath(spark, src, schema)
+        .as[Relay.FunnelEvent]
+      val q = Relay.funnelStream(stream, windowSec = 100L,
+          ttlSeconds = 300L, watermark = "0 seconds")
+        .writeStream.format("parquet").option("path", dst)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp).start()
+      q.awaitTermination()
+      lastStateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    }
+    run()
+    val r1 = spark.read.parquet(dst).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(r1 === Set((1L, 1), (1L, 2), (2L, 1)), s"run1: $r1")
+    // far-future event advances the watermark past both users' TTL
+    write(Seq((9L, tt(1000), "signup")))
+    run()
+    assert(lastStateRows == 1L,
+      s"only user 9's fresh state must survive the horizon, got $lastStateRows")
+    // user 1's purchase arrives post-eviction: the click it would chain
+    // from is gone — step 3 must NOT fire (steps don't cross the horizon);
+    // a fresh signup from user 2 re-fires step 1 (per-horizon counting)
+    write(Seq((1L, tt(1050), "purchase"), (2L, tt(1050), "signup")))
+    run()
+    val r3 = spark.read.parquet(dst).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(r3 === r1 ++ Set((9L, 1), (2L, 1)),
+      s"run3: no cross-horizon purchase, fresh user-2 funnel: $r3")
+    val u2steps = spark.read.parquet(dst)
+      .filter(col("user_id") === 2L && col("step") === 1).count()
+    assert(u2steps == 2L, "user 2 re-fires step 1 in the new horizon")
+  }
+
+  test("transition TTL: pairs never span the horizon; in-horizon pairs " +
+      "match the unbounded path") {
+    import spark.implicits._
+    val src = tmp() + "/trtsrc"; val ckp = tmp() + "/trtckp"
+    val dst = tmp() + "/trtdst"
+    def write(rows: Seq[(Long, Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("ent", "ord", "state", "ts")
+        .write.mode("append").parquet(src)
+    write(Seq((1L, 1L, "a", tt(0)), (1L, 2L, "b", tt(10))))
+    val schema = spark.read.parquet(src).schema
+    var lastStateRows = -1L
+    def go(): Unit = {
+      val stream = Relay.transitionStream(
+        Relay.readStreamPath(spark, src, schema).as[Relay.SeqEvent],
+        ttlSeconds = 300L, watermark = "0 seconds")
+      val q = stream.writeStream.format("parquet").option("path", dst)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp).start()
+      q.awaitTermination()
+      lastStateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    }
+    go()
+    val r1 = spark.read.parquet(dst).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(r1 === Set(("a", "b")), s"run1: $r1")
+    // far-future entity 9 advances the watermark past entity 1's TTL
+    write(Seq((9L, 1L, "x", tt(1000))))
+    go()
+    assert(lastStateRows == 1L,
+      s"entity 1's held event must be evicted, got $lastStateRows")
+    // entity 1 re-admitted: first event emits NO (b → c) cross-horizon
+    // pair; the next in-horizon pair (c → d) emits normally
+    write(Seq((1L, 3L, "c", tt(1100)), (1L, 4L, "d", tt(1110))))
+    go()
+    val r3 = spark.read.parquet(dst).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(r3 === Set(("a", "b"), ("c", "d")),
+      s"run3 must NOT contain the cross-horizon (b,c): $r3")
+  }
+
+  test("attribution TTL is lossless in-horizon and evicts idle users") {
+    import spark.implicits._
+    val src = tmp() + "/atttsrc"; val ckp = tmp() + "/atttckp"
+    val dst = tmp() + "/atttdst"
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+        .write.mode("append").parquet(src)
+    // user 1: click then purchase in-window (in-horizon attribution)
+    write(Seq((1L, tt(0), 1L, "click", 0.0), (1L, tt(50), 2L, "purchase", 10.0)))
+    val schema = spark.read.parquet(src).schema
+    var lastStateRows = -1L
+    def run(): Unit = {
+      val stream = Relay.attributionStream(
+        Relay.readStreamPath(spark, src, schema).as[Relay.AttEvent],
+        windowSec = 100L, ttlSeconds = 300L, watermark = "0 seconds")
+      val q = stream.writeStream.format("parquet").option("path", dst)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckp).start()
+      q.awaitTermination()
+      lastStateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    }
+    run()
+    val r1 = spark.read.parquet(dst).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(r1 === Set((2L, "click", 1L)), s"run1: $r1")
+    // user 1 touches again, then goes idle past the TTL
+    write(Seq((1L, tt(100), 3L, "click", 0.0)))
+    run()
+    write(Seq((9L, tt(1000), 4L, "click", 0.0)))
+    run()
+    assert(lastStateRows == 1L,
+      s"user 1's state row must be evicted after the horizon, got $lastStateRows")
+    // post-eviction purchase: the tt(100) click is outside the 100 s
+    // window ANYWAY (tt(1100) - tt(100) >> 100 s), so losing it is
+    // lossless — the purchase reports touch-less 'direct', exactly as
+    // the unbounded path would
+    write(Seq((1L, tt(1100), 5L, "purchase", 20.0)))
+    run()
+    val r4 = spark.read.parquet(dst).filter(col("pid") === 5L).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(r4 === Set((5L, null, 0L)),
+      s"post-horizon purchase must be 'direct' (lossless eviction): $r4")
+    // ttl < window is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Relay.attributionStream(
+        Relay.readStreamPath(spark, src, schema).as[Relay.AttEvent],
+        windowSec = 400L, ttlSeconds = 300L)
+    }
+    assert(err.getMessage.contains("must be >= the lookback window"))
   }
 
   test("ffill TTL drops the carried reading after the horizon") {
