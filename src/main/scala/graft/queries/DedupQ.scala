@@ -51,6 +51,19 @@ object DedupQ extends QueryPack {
         n = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
+  /** PPJoin-style PREFIX-FILTERED exact Jaccard — the documented 100 TB
+    * answer to `d_jaccard_pairs`' deliberately naive all-pairs shape:
+    * candidates come from each document's rarest-shingle prefix only
+    * (provably lossless at the threshold), so the self-join never
+    * touches the big buckets a duplicate-heavy corpus grows. Output is
+    * IDENTICAL to `d_jaccard_pairs` (same rows, same hash — the oracle
+    * SQL is verbatim the naive oracle), which is exactly the point: the
+    * scale path must not change answers. */
+  private def dJaccardPrefix(spark: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairsPrefix(Tables.documents(spark, d), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
   private val dJaccardSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT DISTINCT doc_id,
@@ -331,6 +344,9 @@ object DedupQ extends QueryPack {
     Q("d_dedup_debt", dDedupDebt, Some(dDedupDebtSql)),
     Q("d_exact", dExact, Some(dExactSql)),
     Q("d_jaccard_pairs", dJaccard, Some(dJaccardSql)),
+    // same oracle SQL on purpose: the prefix path must hash-match the
+    // naive baseline's rows exactly
+    Q("d_jaccard_prefix", dJaccardPrefix, Some(dJaccardSql)),
     Q("d_minhash_lsh", dMinhashLsh, Some(dMinhashSql)),
     Q("d_simhash_pairs", dSimhash, Some(dSimhashSql)),
     Q("d_cc", dCc, Some(dCcSql)))
