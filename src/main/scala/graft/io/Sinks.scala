@@ -479,7 +479,7 @@ object Sinks {
     * version's deleted set. DV size ∝ deleted keys, the anti-join side
     * broadcasts, and the no-DV fast path is `base` untouched — zero
     * extra plan nodes. */
-  private def applyDv(spark: SparkSession, targetPath: String,
+  private[io] def applyDv(spark: SparkSession, targetPath: String,
       base: DataFrame, pairs: Seq[(String, Option[String])]): DataFrame = {
     val dvRefs = pairs.collect { case (f, Some(d)) => (f, d) }
     if (dvRefs.isEmpty) return base
@@ -503,7 +503,7 @@ object Sinks {
 
   /** The live (file, dv_file) pairs of a version — the driver-side
     * file list every reader resolves (O(live files), as before DVs). */
-  private def livePairs(spark: SparkSession, targetPath: String,
+  private[io] def livePairs(spark: SparkSession, targetPath: String,
       version: Long): Seq[(String, Option[String])] =
     manifestAt(spark, targetPath, version)
       .select("file", "dv_file").collect()
@@ -609,16 +609,89 @@ object Sinks {
     * and range scans over a non-partition column. */
   def readVersionedKeyRange(spark: SparkSession, targetPath: String,
       keyCol: String, lo: Any, hi: Any, version: Long = -1L): DataFrame = {
+    // Second pruning source: if a Z-order stats sidecar exists and
+    // carries keyCol, intersect its per-file [min, max] with the
+    // manifest's — on a Z-table whose manifest key ranges overlap
+    // across files (the z-curve interleaves the key), the sidecar is
+    // usually the sharper of the two. Files absent from the sidecar
+    // (post-write upserts) pass through on the manifest bound alone.
+    val zstats = zSidecarStats(spark, targetPath, keyCol)
+    val zOverlap = (f: String) => zstats.forall(_.get(f).forall {
+      case (vmin, vmax) =>
+        !(LongBound(hi).exists(_ < vmin) || LongBound(lo).exists(_ > vmax))
+    })
     val pairs = manifestAt(spark, targetPath, version)
       .filter(!(col("kmax") < lit(lo) || col("kmin") > lit(hi)))
       .select("file", "dv_file").collect()
       .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+      .filter(p => zOverlap(p._1))
     if (pairs.isEmpty) readVersioned(spark, targetPath, version).filter(lit(false))
     else {
       val base = spark.read.option("mergeSchema", "true")
         .parquet(pairs.map(p => s"$targetPath/${p._1}"): _*)
       applyDv(spark, targetPath, base, pairs)
         .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+    }
+  }
+
+  /** The numeric value of a range bound for sidecar pruning, or None if
+    * it isn't an integral type (sidecar stats are longs; a non-integral
+    * bound disables the sidecar cut, never the manifest one). */
+  private def LongBound(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Per-file [min, max] of `c` from the `_zstats` sidecar a
+    * [[Zorder.writeZTableDims]] write leaves beside the table, or None
+    * when there is no sidecar / the sidecar doesn't cover `c`. Driver
+    * work is O(files) — the same bound as the manifest itself. */
+  private def zSidecarStats(spark: SparkSession, targetPath: String,
+      c: String): Option[Map[String, (Long, Long)]] = {
+    val dir = new java.io.File(Zorder.zstatsDir(targetPath))
+    if (!dir.exists()) return None
+    val stats = spark.read.parquet(dir.toString)
+    val (mn, mx) = (s"${c}__min", s"${c}__max")
+    if (!stats.columns.contains(mn)) return None
+    Some(stats.select(col("file"), col(mn), col(mx)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap)
+  }
+
+  /** Snapshot range read pruned by the Z-ORDER STATS SIDECAR: the
+    * general-reader twin of [[readVersionedKeyRange]] for any clustered
+    * dimension that is NOT the manifest key — the manifest's kmin/kmax
+    * serve only its one key, but a [[Zorder.writeZTableDims]] table
+    * carries per-file [min, max] for EVERY clustered column, so a
+    * predicate on any of them skips files here exactly as Delta's
+    * multi-column file stats do. Files missing from the sidecar
+    * (post-write upserts through the normal manifest/DV paths) are
+    * conservatively read; deletion vectors are applied the same as
+    * every other versioned read; the residual filter re-applies the
+    * bounds row-level. Fails loudly if no sidecar covers `c` — a silent
+    * full-scan fallback would read as "pruned" in a benchmark. */
+  def readVersionedColRange(spark: SparkSession, targetPath: String,
+      c: String, lo: Long, hi: Long, version: Long = -1L): DataFrame = {
+    val stats = zSidecarStats(spark, targetPath, c).getOrElse(
+      throw new IllegalArgumentException(
+        s"$targetPath has no z-stats sidecar covering $c — use " +
+          "readVersionedKeyRange for the manifest key, or filter a " +
+          "readVersioned scan"))
+    val v = if (version > 0) version else currentVersion(targetPath)
+    val keep = livePairs(spark, targetPath, v).filter { case (f, _) =>
+      stats.get(f) match {
+        case Some((vmin, vmax)) => !(vmax < lo || vmin > hi)
+        case None => true // unskippable newcomer — read conservatively
+      }
+    }
+    if (keep.isEmpty) readVersioned(spark, targetPath, v).filter(lit(false))
+    else {
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(keep.map(p => s"$targetPath/${p._1}"): _*)
+      applyDv(spark, targetPath, base, keep)
+        .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
   }
 

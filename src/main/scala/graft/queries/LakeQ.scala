@@ -146,6 +146,49 @@ object LakeQ extends QueryPack {
               CAST(MAX(z) AS BIGINT) AS z_max
        FROM zz GROUP BY 1 ORDER BY 1"""
 
+  /** 3-D generalization of [[lakeZorderCells]] — the CORRECTNESS row
+    * for [[graft.io.Zorder.zvalueN]]'s N-ary interleave (round-11
+    * Z-order generalization): bucket three lineitem keys mod 2¹¹
+    * (= [[graft.io.Zorder.bitsFor]](3) bits each — no rescale, so the
+    * oracle needs no division arithmetic), interleave dim d's bit i to
+    * position 3i+d, and report per 2²⁷-cell counts and z-ranges over
+    * the 33-bit z-value. Both sides are the same fixed `>> & << |`
+    * tree — codegen'd in Spark, literal in DuckDB. */
+  private def lakeZorder3Cells(spark: SparkSession, d: String): DataFrame = {
+    import graft.io.Zorder
+    val b = Zorder.bitsFor(3)
+    val m = lit(1L << b)
+    val z = Zorder.zvalueN(Seq(
+      pmod(col("l_partkey"), m), pmod(col("l_suppkey"), m),
+      pmod(col("l_orderkey"), m)), b)
+    Tables.lineitem(spark, d)
+      .select(z.as("z"))
+      .groupBy(graft.util.Exact.idiv(col("z"), lit(1L << 27)).as("z_cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+      .orderBy("z_cell")
+  }
+
+  private val lakeZorder3CellsSql: String = {
+    val b = graft.io.Zorder.bitsFor(3)
+    def terms(v: String, dim: Int): String =
+      (0 until b).map(i => s"((($v >> $i) & 1) << ${i * 3 + dim})")
+        .mkString(" | ")
+    s"""WITH c AS (SELECT l_partkey % ${1L << b} AS x,
+                          l_suppkey % ${1L << b} AS y,
+                          l_orderkey % ${1L << b} AS w
+         FROM lineitem),
+       zz AS (SELECT (${terms("x", 0)}) | (${terms("y", 1)})
+                     | (${terms("w", 2)}) AS z
+              FROM c)
+       SELECT CAST(z // ${1L << 27} AS BIGINT) AS z_cell,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(MIN(z) AS BIGINT) AS z_min,
+              CAST(MAX(z) AS BIGINT) AS z_max
+       FROM zz GROUP BY 1 ORDER BY 1"""
+  }
+
   override def queries: Seq[Q] = Seq(
-    Q("lake_zorder_cells", lakeZorderCells, Some(lakeZorderCellsSql)))
+    Q("lake_zorder_cells", lakeZorderCells, Some(lakeZorderCellsSql)),
+    Q("lake_zorder3_cells", lakeZorder3Cells, Some(lakeZorder3CellsSql)))
 }

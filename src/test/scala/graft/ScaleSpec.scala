@@ -53,6 +53,35 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "single sort leaves the second column full-span per file")
   }
 
+  test("manifest reader prunes files on a SECOND z-dimension predicate " +
+      "via the z-stats sidecar") {
+    import graft.io.{Sinks, Zorder}
+    val dir = tmp() + "/zlake"
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val pkMax = li.agg(max("l_partkey")).head().getLong(0)
+    val skMax = li.agg(max("l_suppkey")).head().getLong(0)
+    Zorder.writeZTableDims(spark, li, dir,
+      Seq(("l_partkey", 1L, pkMax), ("l_suppkey", 1L, skMax)), nFiles = 8)
+    val nLive = Sinks.manifestAt(spark, dir).count()
+    assert(nLive >= 4, s"expected a multi-file table, got $nLive")
+    // the SECOND dimension — invisible to the manifest's kmin/kmax,
+    // servable only from the sidecar — must still skip files
+    val (lo, hi) = (1L, skMax / 8)
+    val pruned = Sinks.readVersionedColRange(spark, dir, "l_suppkey", lo, hi)
+    assert(pruned.inputFiles.length < nLive,
+      s"suppkey predicate must prune: opened ${pruned.inputFiles.length}/$nLive")
+    val expect = li.filter(col("l_suppkey").between(lo, hi)).count()
+    assert(pruned.count() == expect, "pruned read must not lose rows")
+    // and the manifest-key path now intersects manifest + sidecar bounds
+    val keyRead = Sinks.readVersionedKeyRange(spark, dir, "l_partkey",
+      1L, pkMax / 8)
+    assert(keyRead.inputFiles.length < nLive,
+      s"key-range read must prune: ${keyRead.inputFiles.length}/$nLive")
+    assert(keyRead.count() ==
+      li.filter(col("l_partkey").between(1L, pkMax / 8)).count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = tmp()
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$wh/graft_bkt'")

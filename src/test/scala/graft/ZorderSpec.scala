@@ -37,6 +37,70 @@ class ZorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Reference N-ary interleave, bit by bit. */
+  private def interleaveRef(xs: Seq[Long], bits: Int): Long = {
+    val n = xs.size
+    xs.zipWithIndex.foldLeft(0L) { case (acc, (x, d)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a | ((x >> i) & 1L) << (i * n + d)
+      }
+    }
+  }
+
+  test("zvalueN: n=2 @16 bits is bit-identical to the Morton fast path; " +
+      "generic n=2/n=3 match the bit-by-bit reference") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val samples = Seq((0L, 0L, 0L), (1L, 2L, 3L), (255L, 0L, 255L),
+      (65535L, 65535L, 2047L), (12345L, 54321L, 999L), (170L, 85L, 204L))
+    val got = samples.toDF("x", "y", "w")
+      .select(
+        Zorder.zvalueN(Seq(col("x"), col("y")), 16).as("z2"),
+        Zorder.zvalue(col("x"), col("y")).as("zm"),
+        Zorder.zvalueN(Seq(col("x"), col("y"), col("w")), 11).as("z3"),
+        col("x"), col("y"), col("w"))
+      .collect()
+    got.foreach { r =>
+      val (z2, zm, z3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (x, y, w) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(z2 == zm, s"n=2 fast-path divergence at ($x, $y)")
+      assert(z2 == interleaveRef(Seq(x, y), 16), s"n=2 ref at ($x, $y)")
+      assert(z3 == interleaveRef(Seq(x & 2047, y & 2047, w & 2047), 11),
+        s"n=3 ref at ($x, $y, $w): $z3")
+    }
+    assert(Zorder.bitsFor(2) == 16 && Zorder.bitsFor(3) == 11 &&
+      Zorder.bitsFor(4) == 8)
+  }
+
+  test("3-D z-table: readVersionedColRange prunes files on EVERY " +
+      "dimension and returns exact rows") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // 32^3 uniform points on a 3-D grid
+    val pts = for (i <- 0 until 32768) yield
+      ((i % 32).toLong, ((i / 32) % 32).toLong, (i / 1024).toLong)
+    val df = pts.toDF("a", "b", "c")
+    val dir = tmp() + "/z3"
+    Zorder.writeZTableDims(spark, df, dir,
+      Seq(("a", 0L, 31L), ("b", 0L, 31L), ("c", 0L, 31L)), nFiles = 16)
+    val nLive = io.Sinks.manifestAt(spark, dir).count()
+    assert(nLive >= 8, s"expected a multi-file table, got $nLive")
+    for (cName <- Seq("a", "b", "c")) {
+      val got = io.Sinks.readVersionedColRange(spark, dir, cName, 4L, 7L)
+      assert(got.inputFiles.length < nLive,
+        s"$cName-range must prune: opened ${got.inputFiles.length}/$nLive")
+      val expect = df.filter(col(cName) >= 4L && col(cName) <= 7L).count()
+      assert(got.count() == expect, s"$cName-range row count")
+    }
+    // no sidecar coverage → loud failure, not a silent full scan
+    val err = intercept[IllegalArgumentException] {
+      io.Sinks.readVersionedColRange(spark, dir, "nope", 0L, 1L)
+    }
+    assert(err.getMessage.contains("no z-stats sidecar"))
+  }
+
   test("z-ordered layout prunes files on BOTH dimensions; " +
       "single-key layout only on its own") {
     val sp = spark
@@ -101,6 +165,47 @@ class ZorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an ordinary readVersioned still sees the whole table (manifest
     // compatibility of the preclustered write)
     assert(io.Sinks.readVersioned(spark, dir).count() === 65536L)
+  }
+
+  test("readZRange honors deletion vectors: DV deletes and merge-on-read " +
+      "updates are reflected on both dimensions") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = (0 until 65536).map(i => ((i % 256).toLong, (i / 256).toLong))
+    val df = pts.toDF("a", "b")
+    val dir = tmp() + "/zdv"
+    Zorder.writeZTable(spark, df, dir, "a", 0L, 255L, "b", 0L, 255L,
+      nFiles = 16)
+    // DV DELETE of key a=100, then merge-on-read UPSERT of key a=101
+    // (replaces its 256 grid rows with one new row) — both land through
+    // the normal manifest/DV paths, no re-cluster
+    io.Sinks.deleteByKeyDv(spark, Seq(100L).toDF("a"), dir, "a")
+    io.Sinks.upsertByKeyDv(spark, Seq((101L, 999L)).toDF("a", "b"),
+      dir, "a")
+    // the DV-aware blessed reader is the oracle for both dimensions
+    def viaVersioned(c: String, lo: Long, hi: Long) =
+      io.Sinks.readVersioned(spark, dir)
+        .filter(col(c) >= lo && col(c) <= hi)
+        .select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def viaZ(c: String, lo: Long, hi: Long) =
+      Zorder.readZRange(spark, dir, "a", "b", c, lo, hi)
+        .select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotA = viaZ("a", 100L, 107L)
+    assert(gotA === viaVersioned("a", 100L, 107L),
+      "a-range read must match the DV-aware readVersioned")
+    assert(!gotA.exists(_._1 == 100L), "DV-deleted key a=100 leaked")
+    assert(gotA.count(_._1 == 101L) == 1 && gotA.contains((101L, 999L)),
+      s"upserted key a=101 must surface ONLY its new row: " +
+        gotA.filter(_._1 == 101L).take(5))
+    // the b dimension still prunes AND still applies DVs (the upsert's
+    // b=999 row is outside the old b domain — unskippable newcomer file)
+    val gotB = viaZ("b", 100L, 107L)
+    assert(gotB === viaVersioned("b", 100L, 107L),
+      "b-range read must match the DV-aware readVersioned")
+    assert(!gotB.exists(_._1 == 100L), "DV-deleted key a=100 leaked via b")
   }
 
   override def afterAll(): Unit = spark.stop()
