@@ -69,4 +69,21 @@ object TextRank {
       .filter(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("w").as("word"), col("score"))
   }
+
+  /** Warm-start twin of [[keywords]] for corpus appends/updates — the
+    * r10-verdict incremental for TextRank. The co-occurrence graphs are
+    * PER-DOCUMENT (nodes are (doc_id, word) pairs; no edge ever crosses
+    * documents), so a changed corpus invalidates exactly its changed
+    * documents: `prev` (a prior full [[keywords]] output) is reused for
+    * every untouched doc_id and only `changedDocs` (new + replaced
+    * documents, full rows) run the iterated rounds — work scales with
+    * the delta, not the corpus, and the union is bit-identical to a
+    * cold run on the merged corpus BY CONSTRUCTION (spec-asserted).
+    * Deleted documents: pass them in `changedDocs` with no rows —
+    * i.e. pre-filter `prev`; this function never resurrects them. */
+  def keywordsWarm(changedDocs: DataFrame, textCol: Column, iters: Int,
+      topK: Int, prev: DataFrame): DataFrame =
+    prev.join(changedDocs.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .unionByName(keywords(changedDocs, textCol, iters, topK))
 }

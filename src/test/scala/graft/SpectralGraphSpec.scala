@@ -50,6 +50,74 @@ class SpectralGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(2L -> 5000L, 3L -> 5000L))
   }
 
+  test("betweennessBpWarm: append(Δ) then incremental ≡ cold; only the " +
+      "sources that can see the Δ edge recompute") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // two far-apart undirected components: a 6-path 1..6 and a 6-path
+    // 11..16; Δ appends edge 15—16's... no: append a NEW edge 3—20
+    // hanging a leaf off the FIRST component. With rounds = 3, sources
+    // in the second component can never see node 3 → they must reuse.
+    val prs0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L))
+    val delta = Seq((3L, 20L), (20L, 3L))
+    val e0 = (prs0 ++ prs0.map(_.swap)).toDF("src", "dst")
+    val e1 = (prs0 ++ prs0.map(_.swap) ++ delta).toDF("src", "dst")
+    val dEdges = delta.toDF("src", "dst")
+    val sources = (Seq(1L, 2L, 4L, 6L) ++ Seq(11L, 13L, 16L)).toDF("node")
+    val rounds = 3
+    val prev = Graph.brandesPerSource(e0, sources, rounds).localCheckpoint()
+    val cold = Graph.betweennessBp(e1, sources, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (warmDf, nAffected) =
+      Graph.betweennessBpWarm(e1, sources, rounds, prev, dEdges)
+    val warm = warmDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm === cold, s"warm/cold divergence:\n  w=$warm\n  c=$cold")
+    // sources within 2 hops of Δ-source {3, 20}: 1, 2, 4 (6 is 3 hops
+    // away; the whole 11..16 component is unreachable) — strictly
+    // fewer than the 7 sources a cold run pays for
+    assert(nAffected == 3L,
+      s"expected exactly sources {1,2,4} to recompute, got $nAffected")
+    // sanity: the appended leaf actually changed the result (4 now
+    // carries no new flow but 3 does — the test isn't vacuous)
+    val before = Graph.betweennessBp(e0, sources, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before != cold, "Δ edge must change betweenness")
+  }
+
+  test("TextRank keywordsWarm: appended docs recompute alone; untouched " +
+      "docs reuse prior rows bit-exactly") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma alpha beta delta"),
+      (2L, "red green blue red green yellow")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (3L, "spark catalyst tungsten spark codegen catalyst"))
+      .toDF("doc_id", "text")
+    val all = oldDocs.unionByName(newDocs)
+    val prev = graft.text.TextRank.keywords(oldDocs, col("text"),
+      iters = 3, topK = 2).localCheckpoint()
+    val cold = graft.text.TextRank.keywords(all, col("text"),
+        iters = 3, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    val warm = graft.text.TextRank.keywordsWarm(newDocs, col("text"),
+        iters = 3, topK = 2, prev = prev)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(warm === cold, s"warm/cold divergence:\n  w=$warm\n  c=$cold")
+    // an UPDATED doc replaces its prior rows (no resurrection, no dups)
+    val doc2v2 = Seq((2L, "solo")).toDF("doc_id", "text")
+    val warm2 = graft.text.TextRank.keywordsWarm(doc2v2, col("text"),
+      iters = 3, topK = 2, prev = prev)
+    assert(warm2.filter(col("doc_id") === 2L).count() == 0,
+      "a 1-token doc has no co-occurrence graph — old rows must not leak")
+    assert(warm2.filter(col("doc_id") === 1L).count() == 2)
+  }
+
   test("powerDirection: axis-heavy 2-D cloud converges to the heavy axis") {
     val s = spark
     import s.implicits._
