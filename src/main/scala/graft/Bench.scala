@@ -35,8 +35,12 @@ package graft
 object Bench {
   /** 5 interleaved passes: a median-of-5 stays honest with up to 2 loaded
     * passes (median-of-3 reported the loaded number whenever 2 of 3
-    * passes were hit — the r6 d_semantic/d_cc artifact). */
-  private val RUNS = 5
+    * passes were hit — the r6 d_semantic/d_cc artifact).
+    * SPARK_GRAFT_RUNS overrides for large-SF records (sf1 at 5 passes
+    * is hours of wall clock; median-of-3 there trades one pass of skew
+    * tolerance for tractability — the artifact records the count). */
+  private val RUNS =
+    sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).filter(_ >= 1).getOrElse(5)
 
   /** The driver keeps a 2000-char log tail; the compact line must stay
     * comfortably under it even when timings jitter or queries fail. */
@@ -188,9 +192,13 @@ object Bench {
     }
     // Tracked full-precision twin of the compact line (every query, no
     // folding) — the durable record the judge can read from the repo.
+    // SPARK_GRAFT_BENCHFULL_OUT redirects it (e.g. BENCHFULL_sf1.json)
+    // so a large-SF record never clobbers the canonical sf0.1 artifact.
+    val fullOut =
+      sys.env.getOrElse("SPARK_GRAFT_BENCHFULL_OUT", "BENCHFULL.json")
     if (only.isEmpty)  // a filtered dev run must not clobber the tracked record
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCHFULL.json"),
+        java.nio.file.Paths.get(fullOut),
         line(_.toString, compact = false, extraFold = 0))
     val (compactLine, foldedCount) = {
       val (folded, n) = Iterator.from(0)
@@ -205,7 +213,9 @@ object Bench {
     }
     // Advance the rotation so next round's kept window starts where this
     // round's ended: over ceil(tail/kept) rounds every query gets named.
-    if (only.isEmpty) {
+    // A redirected-output run (large-SF record) is out-of-band and must
+    // not advance the canonical sf0.1 rotation.
+    if (only.isEmpty && fullOut == "BENCHFULL.json") {
       val tailSize = ok.count(r => !r._1.startsWith("fd_") && r._2 < ProtectedSec)
       val kept = math.max(tailSize - foldedCount, 1)
       java.nio.file.Files.writeString(
