@@ -695,6 +695,121 @@ object Sinks {
     }
   }
 
+  /** Incremental OPTIMIZE ZORDER — re-cluster ONLY the live files that
+    * data skipping cannot serve: files missing from the z-stats sidecar
+    * (post-write appends/upserts through the normal manifest paths) and
+    * files carrying a deletion vector (rewritten with the DV folded, so
+    * the replacement is DV-free — [[optimizeTable]]'s REORG semantics).
+    * Already-clustered DV-free files are untouched, so the cost is
+    * O(unclustered + DV'd data), NOT O(table) — what makes periodic
+    * re-clustering viable at 100 TB, where a classic full-rewrite
+    * OPTIMIZE ZORDER is a 100 TB shuffle. The trade: each incremental
+    * batch forms its own z-grid whose file rectangles overlap the
+    * original layout's (slightly weaker selectivity than one global
+    * re-layout), but every live file is sidecar-covered again, so
+    * [[readVersionedColRange]] prunes on EVERY clustered dimension.
+    *
+    * The commit carries data_change = false on every action (rows are
+    * re-laid, never changed), so [[readChanges]] returns an empty feed
+    * across it without opening a data file. Concurrency follows
+    * [[optimizeTable]]: data files are staged + adopted once; only the
+    * manifest commit retries against a moving head, and if any source
+    * file was concurrently rewritten or re-DV'd the whole pass aborts
+    * as a stale no-op (returns 0; its adopted files are orphans that
+    * [[vacuum]] reclaims). The sidecar refresh (retained rows of
+    * untouched files + fresh stats of the new files) happens after the
+    * successful commit; the sidecar stays a conservative cache — a
+    * reader in the refresh window just reads the new files unskipped.
+    *
+    * Returns the number of files re-clustered away (0 = already fully
+    * clustered, or lost to a conflicting writer). */
+  def optimizeZTable(spark: SparkSession, targetPath: String,
+      dims: Seq[(String, Long, Long)], nFiles: Int = 4,
+      maxAttempts: Int = 5): Int = {
+    import spark.implicits._
+    require(dims.nonEmpty, "need at least one z dimension")
+    val cur = currentVersion(targetPath)
+    require(cur > 0, s"$targetPath is not manifest-tracked")
+    val statCols = dims.flatMap(d => Seq(s"${d._1}__min", s"${d._1}__max"))
+    val sidecarDir = new java.io.File(Zorder.zstatsDir(targetPath))
+    // A sidecar that doesn't cover every dim means the table was
+    // clustered on different dims (or never) — rewrite everything.
+    val oldStats: Option[DataFrame] =
+      if (!sidecarDir.exists()) None
+      else {
+        val s = spark.read.parquet(sidecarDir.toString)
+        if (statCols.forall(s.columns.contains)) Some(s) else None
+      }
+    val covered: Set[String] = oldStats
+      .map(_.select("file").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val pairs = livePairs(spark, targetPath, cur)
+    val rewrite = pairs.filter { case (f, dv) => dv.nonEmpty || !covered(f) }
+    if (rewrite.isEmpty) return 0
+    val rewriteNames = rewrite.map(_._1)
+    val keyCol = dims.head._1
+    // Retained sidecar rows collect BEFORE the refresh overwrites the
+    // dir they're read from (O(live files) driver rows, like every
+    // manifest op here).
+    val statsOrder = Seq("file") ++ statCols :+ "rows"
+    val keepRows = oldStats.map(
+        _.select(statsOrder.map(col): _*)
+          .filter(!col("file").isin(rewriteNames: _*))
+          .collect().toVector)
+      .getOrElse(Vector.empty)
+    val staging = s"$targetPath.zopt-staging-${java.util.UUID.randomUUID()}"
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(rewriteNames.map(f => s"$targetPath/$f"): _*)
+    Zorder.zorderByDims(applyDv(spark, targetPath, base, rewrite), dims,
+        nFiles)
+      .write.mode("overwrite").parquet(staging)
+    val addRows = manifestEntries(spark, staging, keyCol).collect().toVector
+    val newStats =
+      Zorder.statsFor(spark.read.parquet(staging), dims)
+        .select(statsOrder.map(col): _*)
+    val statsSchema = newStats.schema
+    val newStatRows = newStats.collect().toVector
+    adoptStagedFiles(staging, targetPath)
+    val addSchema = manifestEntries(spark, targetPath, keyCol).schema
+    val kType = addSchema("kmin").dataType
+    import scala.jdk.CollectionConverters.SeqHasAsJava
+    val addsDf = spark.createDataFrame(
+        new java.util.ArrayList(SeqHasAsJava(addRows).asJava), addSchema)
+      .withColumn("action", lit("add"))
+      .withColumn("data_change", lit(false))
+      .withColumn("dv_file", lit(null).cast("string"))
+    val removesDf = rewriteNames.sorted.toDF("file").select(col("file"),
+      lit(null).cast(kType).as("kmin"), lit(null).cast(kType).as("kmax"),
+      lit(null).cast("bigint").as("rows"), lit("remove").as("action"),
+      lit(false).as("data_change"), lit(null).cast("string").as("dv_file"))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"optimizeZTable lost the commit race on $targetPath " +
+            s"$maxAttempts times — giving up loudly")
+      val head = currentVersion(targetPath)
+      // Stale iff any source file is no longer live OR its deletion
+      // vector moved under us (same rule as [[optimizeTable]]).
+      val headPairs = livePairs(spark, targetPath, head).toMap
+      val stale = rewrite.exists { case (f, dv) =>
+        !headPairs.get(f).contains(dv)
+      }
+      if (stale) return 0
+      val staged = stageManifest(addsDf.unionByName(removesDf), targetPath)
+      if (tryCommit(staged, versionDir(targetPath, head + 1))) {
+        spark.createDataFrame(
+            new java.util.ArrayList(
+              SeqHasAsJava(keepRows ++ newStatRows).asJava), statsSchema)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(Zorder.zstatsDir(targetPath))
+        return rewrite.size
+      }
+    }
+    -1 // unreachable
+  }
+
   /** S11 (file-granular, NON-partition key) — keyed MERGE whose work
     * scales with the files that actually contain matched keys, not the
     * table. Incoming keys range-join the broadcast manifest of the

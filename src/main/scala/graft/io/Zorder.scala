@@ -147,17 +147,26 @@ object Zorder {
     val clustered = zorderByDims(df, dims, nFiles)
     Sinks.writeWithManifest(spark, clustered, targetPath, dims.head._1,
       nFiles, preclustered = true)
-    val src = spark.read.parquet(targetPath)
+    statsFor(spark.read.parquet(targetPath), dims)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(zstatsDir(targetPath))
+  }
+
+  /** The sidecar relation — per-file, per-dim [min, max] (cast long) +
+    * row count of `df`'s files, ONE aggregate over the scan. Shared by
+    * [[writeZTableDims]] (initial sidecar) and
+    * [[Sinks.optimizeZTable]] (refresh rows for re-clustered files),
+    * so the two can never drift on schema. */
+  private[io] def statsFor(df: DataFrame,
+      dims: Seq[(String, Long, Long)]): DataFrame = {
     val aggs = dims.flatMap { case (c, _, _) =>
       Seq(min(col(c)).cast("long").as(s"${c}__min"),
         max(col(c)).cast("long").as(s"${c}__max"))
     } :+ count(lit(1)).as("rows")
-    src.select(dims.map(d => col(d._1)) :+
+    df.select(dims.map(d => col(d._1)) :+
         element_at(split(col("_metadata.file_path"), "/"), -1).as("file"): _*)
       .groupBy("file")
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(zstatsDir(targetPath))
   }
 
   /** 2-D convenience form of [[writeZTableDims]]. */

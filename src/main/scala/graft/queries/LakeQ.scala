@@ -99,10 +99,69 @@ object LakeQ extends QueryPack {
     Seq(Sinks.currentVersion(eager)).toDF("eager_version")
   }
 
+  // ------------------------------------------- incremental OPTIMIZE ZORDER
+
+  /** Current per-session z-table bench dir + its dims, replaced by each
+    * pass's lake3_zorder_build. */
+  private val zdirs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Seq[(String, Long, Long)])]
+
+  /** [[base]] plus a second clustering dimension (the supplier key) —
+    * Z-order needs two dims to have a story. */
+  private def base2(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select((col("l_orderkey") * 8 + col("l_linenumber"))
+          .cast("long").as("k"),
+        col("l_suppkey").cast("long").as("s"),
+        concat_ws("|", col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("string")).as("v"))
+
+  /** Round-11 rows: the incremental OPTIMIZE ZORDER cost measured.
+    * `lake3_zorder_build` lays the base out as a (k, s) Z-table;
+    * `lake4_zorder_optimize` commits a small append plus a spread DV
+    * delete through the normal manifest paths and then runs
+    * [[Sinks.optimizeZTable]] — its time is the cost of restoring
+    * full-sidecar skipping, which must track the CHURN (appended files
+    * + DV-shaded files), not the table: the artifact's lake4/lake3
+    * ratio is the measured claim. */
+  private def lakeZBuild(spark: SparkSession, d: String): DataFrame = {
+    zdirs.remove((spark, d)).foreach { case (p, _) =>
+      deleteRecursively(new java.io.File(p))
+    }
+    val z = s"/tmp/graft_lake/z_${java.util.UUID.randomUUID().toString.take(8)}"
+    val df = base2(spark, d)
+    val dom = df.agg(min("k"), max("k"), min("s"), max("s")).head()
+    val dims = Seq(("k", dom.getLong(0), dom.getLong(1)),
+      ("s", dom.getLong(2), dom.getLong(3)))
+    graft.io.Zorder.writeZTableDims(spark, df, z, dims, nFiles = 16)
+    zdirs.put((spark, d), (z, dims))
+    import spark.implicits._
+    Seq(Sinks.currentVersion(z)).toDF("z_version")
+  }
+
+  private def lakeZOptimize(spark: SparkSession, d: String): DataFrame = {
+    val (z, dims) = zdirs((spark, d))
+    Sinks.appendWithManifest(spark,
+      base2(spark, d).filter(pmod(col("k"), lit(1009L)) === 0L), z, "k",
+      nFiles = 2)
+    // A NARROW delete (the 64 lowest keys), not [[spreadKeys]]: spread
+    // keys graze every file's z-rectangle and would turn the "optimize"
+    // into a full rewrite — the incremental claim needs churn that
+    // shades only the low-k column of the grid.
+    Sinks.deleteByKeyDv(spark,
+      base2(spark, d).select("k").orderBy("k").limit(UpdateKeys), z, "k")
+    val rewritten = Sinks.optimizeZTable(spark, z, dims, nFiles = 4)
+    import spark.implicits._
+    Seq((Sinks.currentVersion(z), rewritten.toLong))
+      .toDF("z_version", "files_reclustered")
+  }
+
   override def warms: Seq[Q] = Seq(
     Q("lake0_build", lakeBuild, None),
     Q("lake1_dv_update", lakeDvUpdate, None),
-    Q("lake2_eager_update", lakeEagerUpdate, None))
+    Q("lake2_eager_update", lakeEagerUpdate, None),
+    Q("lake3_zorder_build", lakeZBuild, None),
+    Q("lake4_zorder_optimize", lakeZOptimize, None))
 
   // ------------------------------------------------------------ lake_zorder
 

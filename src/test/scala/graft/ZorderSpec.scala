@@ -208,5 +208,68 @@ class ZorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!gotB.exists(_._1 == 100L), "DV-deleted key a=100 leaked via b")
   }
 
+  test("optimizeZTable incrementally re-clusters ONLY unskippable files: " +
+      "appended + DV'd files regain sidecar pruning, rows are unchanged, " +
+      "and the change feed is empty across the optimize commit") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = (0 until 65536).map(i => ((i % 256).toLong, (i / 256).toLong))
+    val df = pts.toDF("a", "b")
+    val dir = tmp() + "/zopt"
+    val dims = Seq(("a", 0L, 271L), ("b", 0L, 255L))
+    Zorder.writeZTableDims(spark, df, dir, dims, nFiles = 16)
+    // Post-write churn through the NORMAL paths: an append of fresh keys
+    // (a in 256..271, all b values — 4 sidecar-less files) and a DV
+    // delete of key a=100 (shades one clustered file).
+    val appended = (0 until 4096).map(i => (256L + i % 16, (i / 16).toLong))
+    io.Sinks.appendWithManifest(spark, appended.toDF("a", "b"), dir, "a",
+      nFiles = 4)
+    io.Sinks.deleteByKeyDv(spark, Seq(100L).toDF("a"), dir, "a")
+    def allRows() = io.Sinks.readVersioned(spark, dir).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = allRows()
+    val vBefore = io.Sinks.currentVersion(dir)
+    val openedBefore = io.Sinks
+      .readVersionedColRange(spark, dir, "b", 100L, 107L).inputFiles.length
+    // The incremental pass must rewrite exactly the unskippable set:
+    // the 4 appended (sidecar-less) files plus every DV'd file — a key
+    // slice crosses MANY z-rectangles, so the a=100 delete shades
+    // several files — and nothing else.
+    val entriesBefore = io.Sinks.manifestAt(spark, dir).collect()
+    val nLiveBefore = entriesBefore.length.toLong
+    val coveredBefore = spark.read.parquet(dir + "/_zstats")
+      .select("file").collect().map(_.getString(0)).toSet
+    val expectRewrite = entriesBefore.count(r =>
+      r.getAs[String]("dv_file") != null ||
+        !coveredBefore(r.getAs[String]("file")))
+    val n = io.Sinks.optimizeZTable(spark, dir, dims, nFiles = 2)
+    assert(n == expectRewrite,
+      s"expected the $expectRewrite unskippable files rewritten, got $n")
+    assert(n < nLiveBefore, "incremental pass must not rewrite the table")
+    // content byte-identical (DV folded, layout-only commit)
+    assert(allRows() === before, "optimize changed rows")
+    // every live file is sidecar-covered again → the b predicate skips
+    // where it previously had to read every appended file
+    val live = io.Sinks.manifestAt(spark, dir)
+      .select("file").collect().map(_.getString(0)).toSet
+    val sidecar = spark.read.parquet(dir + "/_zstats")
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(live.subsetOf(sidecar),
+      s"uncovered live files after optimize: ${(live -- sidecar).take(3)}")
+    val prunedRead = io.Sinks
+      .readVersionedColRange(spark, dir, "b", 100L, 107L)
+    assert(prunedRead.inputFiles.length < openedBefore,
+      s"b-range must skip more after optimize: " +
+        s"${prunedRead.inputFiles.length} vs $openedBefore")
+    val expect = before.filter(p => p._2 >= 100L && p._2 <= 107L)
+    assert(prunedRead.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === expect)
+    // CDF: the optimize commit is maintenance-only — empty change feed
+    assert(io.Sinks.readChanges(spark, dir, vBefore).count() === 0L)
+    // idempotent: a second pass finds nothing unskippable
+    assert(io.Sinks.optimizeZTable(spark, dir, dims, nFiles = 2) === 0)
+  }
+
   override def afterAll(): Unit = spark.stop()
 }
