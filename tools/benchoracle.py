@@ -101,9 +101,18 @@ def main() -> int:
         return 0
 
     results = {}
+    # GATE rows (non-iterative) dispatch FIRST: a deadline-bounded run
+    # (e.g. a large-SF record killed at a wall-clock budget) still covers
+    # every row the 2x gate reads before spending time on the iterative
+    # replays it only reports. The artifact is also flushed after EVERY
+    # completion, so a killed run leaves a valid partial --out rather
+    # than nothing.
+    ordered = sorted(oracles.items(),
+                     key=lambda kv: (kv[0].startswith(ITERATIVE_PREFIXES),
+                                     kv[0]))
     with ThreadPoolExecutor(max_workers=a.jobs) as ex:
         futs = {name: ex.submit(one, name, sql, a.sf_dir, a.timeout)
-                for name, sql in sorted(oracles.items())}
+                for name, sql in ordered}
         for name, fut in futs.items():
             r = fut.result()
             row = {"iterative": name.startswith(ITERATIVE_PREFIXES)}
@@ -120,6 +129,7 @@ def main() -> int:
             print(f"{flag}{name}: oracle={row.get('oracle_sec', row)}s "
                   f"engine={row.get('engine_sec', '?')}s "
                   f"ratio={row.get('ratio', '?')}", flush=True)
+            finish(results, Path(a.sf_dir).name, a.out)
 
     finish(results, Path(a.sf_dir).name, a.out)
     return 0
