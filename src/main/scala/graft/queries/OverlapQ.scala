@@ -42,10 +42,16 @@ object OverlapQ extends QueryPack {
     val both = inter
       .join(sizes.select(col("id").as("id_s"), col("n_sh").as("n_s")), Seq("id_s"))
       .join(sizes.select(col("id").as("id_t"), col("n_sh").as("n_t")), Seq("id_t"))
-    both.select(col("id_s").as("id_a"), col("id_t").as("id_b"),
-        col("n_inter"), col("n_s").as("n_a"))
-      .unionByName(both.select(col("id_t").as("id_a"), col("id_s").as("id_b"),
-        col("n_inter"), col("n_t").as("n_a")))
+    // Both directed rows come out of ONE pass over the pair relation
+    // (explode of two structs) — a self-union of projections over the
+    // join tree would execute the shingle join TWICE (no ReusedExchange
+    // across differing union-branch projections; measured 2x at sf1).
+    both.select(explode(array(
+        struct(col("id_s").as("id_a"), col("id_t").as("id_b"),
+          col("n_inter"), col("n_s").as("n_a")),
+        struct(col("id_t").as("id_a"), col("id_s").as("id_b"),
+          col("n_inter"), col("n_t").as("n_a")))).as("r"))
+      .select("r.*")
       .withColumn("cont_bp", expr("(n_inter * 10000) div n_a"))
       .filter(col("cont_bp") >= thresholdBp)
       .select("id_a", "id_b", "n_a", "n_inter", "cont_bp")
