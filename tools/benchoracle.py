@@ -66,7 +66,17 @@ print(json.dumps({"sec": round(time.monotonic() - t0, 3), "rows": n}))
                    capture_output=True, text=True, timeout=timeout)
         if r.returncode != 0:
             return {"error": r.stderr.strip()[-200:]}
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        # The worker's own json line is LAST; anything DuckDB prints to
+        # stdout (progress, notices) precedes it. Scan backwards for the
+        # first parseable line so stray output degrades to a recorded
+        # error, never a crash of the whole run.
+        for ln in reversed(r.stdout.strip().splitlines()):
+            try:
+                return json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+        return {"error": "unparseable stdout tail: "
+                         + r.stdout.strip()[-160:]}
     except sp.TimeoutExpired:
         return {"timeout_sec": timeout}
 
