@@ -40,7 +40,8 @@ object Bench {
     * is hours of wall clock; median-of-3 there trades one pass of skew
     * tolerance for tractability — the artifact records the count). */
   private val RUNS =
-    sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).filter(_ >= 1).getOrElse(5)
+    sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.trim.toIntOption)
+      .filter(_ >= 1).getOrElse(5)
 
   /** The driver keeps a 2000-char log tail; the compact line must stay
     * comfortably under it even when timings jitter or queries fail. */

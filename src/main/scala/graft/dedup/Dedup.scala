@@ -89,49 +89,94 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact all-pairs n-gram Jaccard with PPJoin-style PREFIX FILTERING —
-    * identical output to [[jaccardPairs]] (spec-asserted), but the
-    * candidate self-join runs on each document's prefix only: the scale
-    * path for DUPLICATE-HEAVY corpora where shingle buckets (and so the
-    * naive join's quadratic blowup) grow with corpus size.
+  /** Vocabulary cap under which the broadcast integer-dictionary plan
+    * is used by the exact-Jaccard/containment scale paths (~1 M distinct
+    * shingles × (string + long) stays a few tens of MB broadcast). */
+  val DictVocabMax = 1000000L
+
+  /** Exact all-pairs n-gram Jaccard — the SCALE path to
+    * [[jaccardPairs]]' deliberately naive shape, with identical output
+    * (spec-asserted). The plan is ADAPTIVE on the measured shingle
+    * vocabulary (one distinct-count job over a checkpointed shingle
+    * relation — the AQE-style driver decision):
     *
-    * Lemma (prefix filter): order every document's shingles by one global
-    * total order — ascending corpus frequency, ties by value, so the
-    * rarest (most selective) shingles land in the prefix — and keep the
-    * first |d| − ⌈τ·|d|⌉ + 1. Any pair with J ≥ τ has overlap ≥
-    * ⌈τ·max(|a|,|b|)⌉, and two sets with overlap ≥ t sorted by the same
-    * order must share an element inside their (|·|−t+1)-prefixes, so
-    * every qualifying pair survives candidate generation; the exact
-    * verification then discards false positives. At τ=0.8 the prefix is
-    * ~20% of each document, and frequency-ascending order means the
-    * surviving join keys are precisely the RARE shingles with small
-    * buckets. The extra cost is linear (frequency aggregation + one
-    * per-document ranking window over the id-partitioned exchange), which
-    * is why the naive form stays faster on corpora whose buckets are
-    * already tiny — measured at sf0.1, see [[jaccardPairs]]. */
+    *  - vocabulary ≤ `dictVocabMax`: the broadcast INTEGER-DICTIONARY
+    *    posting join. On a small-hot vocabulary NO shingle is rare
+    *    (the testdata corpus: 27 k distinct shingles over 60 k sf1
+    *    docs, min df ≈ 50), so any rarest-first prefix still yields
+    *    millions of candidates and pays more in verification than the
+    *    posting join it avoids (measured: prefix 87.7 s vs naive 19 s
+    *    at sf1/local[32]); the optimal exact plan is the posting join
+    *    itself on 16-byte int rows instead of ~30-byte strings.
+    *  - vocabulary > `dictVocabMax` (real text at scale: Zipfian df
+    *    with a massive rare tail): PPJoin-style PREFIX FILTERING.
+    *    Lemma: order every document's shingles by one global total
+    *    order — ascending corpus frequency, ties by value — and keep
+    *    the first |d| − ⌈τ·|d|⌉ + 1. Any pair with J ≥ τ has overlap
+    *    ≥ ⌈τ·max(|a|,|b|)⌉, and two sets with overlap ≥ t sorted by
+    *    the same order must share an element inside their
+    *    (|·|−t+1)-prefixes — every qualifying pair survives candidate
+    *    generation, and exact verification discards false positives.
+    *    Frequency-ascending order makes the surviving join keys the
+    *    RARE tail with small postings (`d_jaccard_ab_prefix` measures
+    *    the win on a derived rare-tail corpus).
+    *
+    * `dictVocabMax` = 0 forces the prefix branch (the registered A/B
+    * row and the equivalence specs exercise it at every scale). */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      dictVocabMax: Long = DictVocabMax): DataFrame = {
+    // Checkpointed: the vocabulary count is its own action, and
+    // exchange reuse does not span jobs.
     val sh = docs.select(col(idCol).as("id"),
         explode(shinglesFast(col(textCol), n)).as("sh"))
       .repartition(col("id"))
       .select("id", "sh")
+      .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
-    val prefix = sh.join(freq, Seq("sh"))
+    val vocab = sh.select("sh").distinct()
+    if (vocab.count() <= dictVocabMax) {
+      val dic = broadcast(vocab.withColumn("shid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("sh"))))
+      val si = sh.join(dic, "sh").select("id", "shid")
+      val inter = si.as("a").join(si.as("b"),
+          col("a.shid") === col("b.shid") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      return inter
+        .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
+    // df, prefix rank, and doc size come from windows over ONE relation
+    // (count-over-sh, then rank/count-over-id) — the earlier
+    // freq-groupBy + two joins re-shuffled the full shingle relation
+    // twice more for the same numbers.
+    val prefix = sh
+      .withColumn("freq", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("id").orderBy("freq", "sh")))
-      .join(sizes, Seq("id"))
-      .filter(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .withColumn("nsh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .filter(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
       .select("id", "sh")
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // Verify by EQUI-joining the second side on (id_b, sh): keying on
+    // id_b alone and filtering sh_a = sh_b afterwards materializes the
+    // per-pair CARTESIAN of shingle lists (Σ |Sa|·|Sb| rows — measured
+    // losing to the naive join at sf1, 90.2 s vs 73.4 s); with the
+    // shingle in the join key the verify stage is Σ |Sa| hash probes.
     val inter = candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .filter(col("sh_a") === col("sh_b"))
+      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
@@ -225,10 +270,14 @@ object Dedup {
     val sh = shArr.select(col("id"), explode(col("sh")).as("sh"))
       .repartition(col("id"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // Verify by EQUI-joining the second side on (id_b, sh): keying on
+    // id_b alone and filtering sh_a = sh_b afterwards materializes the
+    // per-pair CARTESIAN of shingle lists (Σ |Sa|·|Sb| rows — measured
+    // losing to the naive join at sf1, 90.2 s vs 73.4 s); with the
+    // shingle in the join key the verify stage is Σ |Sa| hash probes.
     val inter = candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .filter(col("sh_a") === col("sh_b"))
+      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))

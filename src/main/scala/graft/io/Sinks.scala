@@ -651,13 +651,31 @@ object Sinks {
     * work is O(files) — the same bound as the manifest itself. */
   private def zSidecarStats(spark: SparkSession, targetPath: String,
       c: String): Option[Map[String, (Long, Long)]] = {
-    val dir = new java.io.File(Zorder.zstatsDir(targetPath))
-    if (!dir.exists()) return None
-    val stats = spark.read.parquet(dir.toString)
-    val (mn, mx) = (s"${c}__min", s"${c}__max")
-    if (!stats.columns.contains(mn)) return None
-    Some(stats.select(col("file"), col(mn), col(mx)).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap)
+    // [[optimizeZTable]] refreshes the sidecar with an atomic two-rename
+    // swap (old dir aside, new dir in). A reader landing exactly between
+    // the renames sees no dir for a few milliseconds — retry through the
+    // window instead of misreporting "table has no sidecar".
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val dir = new java.io.File(Zorder.zstatsDir(targetPath))
+      try {
+        if (dir.exists()) {
+          val stats = spark.read.parquet(dir.toString)
+          val (mn, mx) = (s"${c}__min", s"${c}__max")
+          if (!stats.columns.contains(mn)) return None
+          return Some(stats.select(col("file"), col(mn), col(mx)).collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap)
+        }
+        // dir absent: either the table truly has no sidecar (stable
+        // across retries) or a refresh swap is mid-flight — brief retry
+        // distinguishes the two.
+        Thread.sleep(50L * attempt)
+      } catch {
+        case _: Throwable if attempt < 3 => Thread.sleep(50L * attempt)
+      }
+    }
+    None
   }
 
   /** Snapshot range read pruned by the Z-ORDER STATS SIDECAR: the
@@ -718,8 +736,11 @@ object Sinks {
     * as a stale no-op (returns 0; its adopted files are orphans that
     * [[vacuum]] reclaims). The sidecar refresh (retained rows of
     * untouched files + fresh stats of the new files) happens after the
-    * successful commit; the sidecar stays a conservative cache — a
-    * reader in the refresh window just reads the new files unskipped.
+    * successful commit via an ATOMIC two-rename swap (tmp dir in, old
+    * dir aside) — a concurrent reader sees the old sidecar or the new
+    * one whole, never a half-written dir; with the old sidecar the new
+    * files are simply uncovered and read unskipped (the sidecar stays
+    * a conservative cache).
     *
     * Returns the number of files re-clustered away (0 = already fully
     * clustered, or lost to a conflicting writer). */
@@ -732,13 +753,19 @@ object Sinks {
     require(cur > 0, s"$targetPath is not manifest-tracked")
     val statCols = dims.flatMap(d => Seq(s"${d._1}__min", s"${d._1}__max"))
     val sidecarDir = new java.io.File(Zorder.zstatsDir(targetPath))
-    // A sidecar that doesn't cover every dim means the table was
-    // clustered on different dims (or never) — rewrite everything.
+    // The sidecar's stat columns must match this call's dims EXACTLY.
+    // A superset would pass a forall-subset check and then be rewritten
+    // with only this call's columns — silently and permanently dropping
+    // the other dims' stats for the whole table (later colRange reads on
+    // a dropped dim would throw). A mismatch in either direction means
+    // the table's clustered dims are changing → full rewrite, after
+    // which the sidecar accurately covers every live file for `dims`.
     val oldStats: Option[DataFrame] =
       if (!sidecarDir.exists()) None
       else {
         val s = spark.read.parquet(sidecarDir.toString)
-        if (statCols.forall(s.columns.contains)) Some(s) else None
+        val sidecarStatCols = s.columns.toSet - "file" - "rows"
+        if (sidecarStatCols == statCols.toSet) Some(s) else None
       }
     val covered: Set[String] = oldStats
       .map(_.select("file").collect().map(_.getString(0)).toSet)
@@ -799,11 +826,30 @@ object Sinks {
       if (stale) return 0
       val staged = stageManifest(addsDf.unionByName(removesDf), targetPath)
       if (tryCommit(staged, versionDir(targetPath, head + 1))) {
+        // Atomic-swap sidecar refresh: build the new sidecar in a tmp
+        // dir, rename the old one aside, rename the new one in, drop
+        // the old. A mode=overwrite in place would DELETE the dir
+        // before rewriting — a concurrent zSidecarStats in that window
+        // found no sidecar and threw. With the swap, readers see the
+        // old or the new sidecar atomically; the between-renames gap is
+        // two rename syscalls wide and zSidecarStats retries through
+        // it. (A writer crash exactly between the renames leaves no
+        // `_zstats` — colRange reads then fail LOUDLY, never wrong;
+        // rerunning optimizeZTable rebuilds it.)
+        val dst = new java.io.File(Zorder.zstatsDir(targetPath))
+        val tmp = new java.io.File(
+          s"${dst.getPath}.tmp-${java.util.UUID.randomUUID()}")
+        val old = new java.io.File(
+          s"${dst.getPath}.old-${java.util.UUID.randomUUID()}")
         spark.createDataFrame(
             new java.util.ArrayList(
               SeqHasAsJava(keepRows ++ newStatRows).asJava), statsSchema)
           .coalesce(1)
-          .write.mode("overwrite").parquet(Zorder.zstatsDir(targetPath))
+          .write.mode("overwrite").parquet(tmp.getPath)
+        if (dst.exists()) require(dst.renameTo(old),
+          s"could not move old sidecar aside: $dst")
+        require(tmp.renameTo(dst), s"could not swap in sidecar: $tmp")
+        deleteRecursively(old.toPath)
         return rewrite.size
       }
     }

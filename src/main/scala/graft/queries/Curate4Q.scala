@@ -115,10 +115,15 @@ object Curate4Q extends QueryPack {
   private def cCcnetBuckets(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, d)
+    // Materialized once: `sb` feeds both the histogram side (hist →
+    // cum) and the per-row ranking join — without the checkpoint the
+    // whole lmScore chain (bigram explode + model build ×3 consumers)
+    // evaluates TWICE. O(docs) rows × 3 columns.
     val sb = graft.text.Lm.lmScore(docs, modelTopK = 500)
       .join(docs.select("doc_id", "lang"), "doc_id")
       .select(col("doc_id"), col("lang"),
         expr("CAST(round(lm_score * 10000) AS BIGINT)").as("bp"))
+      .localCheckpoint()
     val hist = sb.groupBy("lang", "bp").agg(count(lit(1)).as("n"))
     val wDesc = Window.partitionBy("lang").orderBy(col("bp").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -51,14 +51,19 @@ object DedupQ extends QueryPack {
         n = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  /** PPJoin-style PREFIX-FILTERED exact Jaccard — the documented 100 TB
-    * answer to `d_jaccard_pairs`' deliberately naive all-pairs shape:
-    * candidates come from each document's rarest-shingle prefix only
-    * (provably lossless at the threshold), so the self-join never
-    * touches the big buckets a duplicate-heavy corpus grows. Output is
-    * IDENTICAL to `d_jaccard_pairs` (same rows, same hash — the oracle
-    * SQL is verbatim the naive oracle), which is exactly the point: the
-    * scale path must not change answers. */
+  /** PPJoin-style PREFIX-FILTERED exact Jaccard — the 100 TB answer to
+    * `d_jaccard_pairs`' deliberately naive all-pairs shape FOR LARGE-
+    * VOCABULARY corpora: candidates come from each document's rarest-
+    * shingle prefix only (provably lossless at the threshold), so the
+    * self-join's cost tracks rare-shingle postings, not hot-posting
+    * df². Its winning regime needs rare shingles to exist — the base
+    * testdata corpus has none (27 k distinct shingles over 50 k sf1
+    * docs, min df ≈ 50), so here it roughly ties the naive join; the
+    * `d_jaccard_ab_*` pair below A/Bs both plans on a derived slice
+    * with a realistic rare-shingle tail, where the filter wins
+    * outright. Output is IDENTICAL to `d_jaccard_pairs` (same rows,
+    * same hash — the oracle SQL is verbatim the naive oracle), which
+    * is exactly the point: the scale path must not change answers. */
   private def dJaccardPrefix(spark: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairsPrefix(Tables.documents(spark, d), "doc_id", "text",
         n = 3, threshold = 0.8)
@@ -81,6 +86,77 @@ object DedupQ extends QueryPack {
        JOIN sizes sb ON id_b = sb.doc_id
        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
        ORDER BY id_a, id_b"""
+
+  /** The DUPLICATE-HEAVY LARGE-VOCABULARY bench slice for the
+    * naive-vs-prefix A/B — the regime the prefix filter exists for,
+    * derived deterministically from `documents` (both engines replay
+    * it): every doc gets four doc-unique suffix tokens (large Zipfian-
+    * tail vocabulary: the suffix trigrams are df ≤ 2, i.e. RARE —
+    * the base testdata corpus has NO rare shingles, min df ≈ 50, which
+    * is why a rarest-first prefix cannot help there), and every 5th doc
+    * is duplicated verbatim under doc_id + 10⁷ (the duplicate mass).
+    * On this slice the ascending-df prefixes are almost entirely the
+    * unique suffix shingles, so candidates collapse to the true
+    * duplicate pairs while the naive join still pays the full hot-
+    * vocabulary Σ df². */
+  /** 16 doc-unique suffix tokens: at τ = 0.8 a ~90-shingle doc's prefix
+    * is ~19 slots, so the ~18 df ≤ 2 suffix shingles FILL the prefix —
+    * candidate generation collapses to true duplicate pairs while the
+    * naive join still pays the hot head's Σ df². Letters a..p, id
+    * appended (the copy keeps the ORIGINAL id's tokens — it must share
+    * them). */
+  private val UqTokens = ('a' to 'p').toSeq
+
+  private[graft] def dupHeavy(docs: DataFrame): DataFrame = {
+    val t = concat(col("text") +:
+      UqTokens.flatMap(c => Seq(lit(s" uq$c"), col("doc_id"))): _*)
+    docs.select(col("doc_id"), t.as("text"))
+      .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), t.as("text")))
+  }
+
+  private def dJaccardAbNaive(spark: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(dupHeavy(Tables.documents(spark, d)),
+        "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** dictVocabMax = 0 pins the PREFIX branch: the A/B must measure the
+    * prefix filter itself (and the correctness gate must exercise it),
+    * not the adaptive default, which would pick the dictionary plan
+    * whenever the derived corpus stays under the broadcast cap. */
+  private def dJaccardAbPrefix(spark: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairsPrefix(dupHeavy(Tables.documents(spark, d)),
+        "doc_id", "text", n = 3, threshold = 0.8, dictVocabMax = 0L)
+      .orderBy("id_a", "id_b")
+
+  /** One oracle for BOTH A/B rows (they must be row- and hash-identical
+    * — the A/B measures plans, not answers): the naive join over the
+    * derived corpus. */
+  private val dJaccardAbSql = {
+    val sfx = UqTokens.map(c => s"' uq$c' || doc_id").mkString(" || ")
+    s"""WITH corpus AS (
+         SELECT doc_id, text || $sfx AS text
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 10000000, text || $sfx
+         FROM documents WHERE doc_id % 5 = 0),
+       toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+              FROM toks WHERE len(t) >= 3),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       FROM inter
+       JOIN sizes sa ON id_a = sa.doc_id
+       JOIN sizes sb ON id_b = sb.doc_id
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+       ORDER BY id_a, id_b"""
+  }
 
   /** MinHash(k=16) + LSH(4 bands × 4 rows) with exact-Jaccard verification
     * at θ=0.8 — the 100 TB dedup path: candidates come from band-bucket
@@ -347,6 +423,8 @@ object DedupQ extends QueryPack {
     // same oracle SQL on purpose: the prefix path must hash-match the
     // naive baseline's rows exactly
     Q("d_jaccard_prefix", dJaccardPrefix, Some(dJaccardSql)),
+    Q("d_jaccard_ab_naive", dJaccardAbNaive, Some(dJaccardAbSql)),
+    Q("d_jaccard_ab_prefix", dJaccardAbPrefix, Some(dJaccardAbSql)),
     Q("d_minhash_lsh", dMinhashLsh, Some(dMinhashSql)),
     Q("d_simhash_pairs", dSimhash, Some(dSimhashSql)),
     Q("d_cc", dCc, Some(dCcSql)))

@@ -67,7 +67,26 @@ object Graph2Q extends QueryPack {
       .limit(15)
   }
 
-  private val grBetweennessSql = {
+  /** Sampled-source Brandes estimator over the SAME source list
+    * ([[graft.graph.Graph.betweennessBpSampled]], stride 8): the
+    * multiplicative-hash coin keeps ~1/8 of the sources, per-source
+    * cost divides by the sample factor, and each node's dependency sum
+    * is scaled by n_tot/n_smp — the Brandes–Pich estimator, the 100×
+    * dial for the pack's heaviest exact row. Top-15 by estimate. */
+  private def grBetweennessSampled(spark: SparkSession, d: String): DataFrame = {
+    val sources = graft.Tables.customer(spark, d)
+      .filter(col("c_custkey") % 500 === 1)
+      .select((col("c_custkey") * 2).as("node"))
+    Graph.betweennessBpSampled(GraphQ.tradeEdges(spark, d), sources,
+        rounds = BcRounds, stride = 8)
+      .orderBy(col("bc_est_bp").desc, col("node").asc)
+      .limit(15)
+  }
+
+  /** The Brandes forward/backward CTE chain (through `dl$BcRounds`),
+    * parameterized by the source-sample predicate — shared by the
+    * exact and sampled-estimator oracles. */
+  private def brandesCtes(sourceWhere: String): String = {
     // forward round l: extend the settled (s, node, dist, sigma) set by
     // one BFS layer (new nodes only; sigma = sum over predecessors)
     def fwd(l: Int) =
@@ -98,7 +117,7 @@ object Graph2Q extends QueryPack {
        dl${BcRounds - l + 1} AS MATERIALIZED (
               SELECT * FROM $prev UNION ALL SELECT * FROM b$l)"""
     }
-    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
+    s"""pairs AS (SELECT DISTINCT o_custkey * 2 AS cust_node,
                               l_suppkey * 2 + 1 AS supp_node
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        e AS MATERIALIZED (SELECT cust_node AS src, supp_node AS dst
@@ -107,17 +126,38 @@ object Graph2Q extends QueryPack {
              SELECT supp_node, cust_node FROM pairs),
        f0 AS (SELECT DISTINCT c_custkey * 2 AS s, c_custkey * 2 AS node,
                      0 AS dist, CAST(1 AS BIGINT) AS sigma
-              FROM customer WHERE c_custkey % 500 = 1),
+              FROM customer WHERE c_custkey % 500 = 1 AND ($sourceWhere)),
        ${(1 to BcRounds).map(fwd).mkString(",\n")},
        dl0 AS (SELECT s, node, CAST(0 AS BIGINT) AS delta_bp
                FROM f0 WHERE 1 = 0),
-       ${(BcRounds to 1 by -1).map(bwd).mkString(",\n")}
+       ${(BcRounds to 1 by -1).map(bwd).mkString(",\n")}"""
+  }
+
+  private val grBetweennessSql =
+    s"""WITH ${brandesCtes("TRUE")}
        SELECT node, bc_bp FROM (
          SELECT node, CAST(SUM(CAST(delta_bp AS HUGEINT)) AS BIGINT)
                   AS bc_bp
          FROM dl$BcRounds WHERE node <> s GROUP BY 1)
        ORDER BY bc_bp DESC, node LIMIT 15"""
-  }
+
+  /** The sampled-estimator oracle: same chain over the hash-coin
+    * sample, final sums scaled by n_tot // n_smp on BIGINTs — the
+    * engine's exact integer algebra. */
+  private val grBetweennessSampledSql =
+    s"""WITH ${brandesCtes("((c_custkey * 2 * 48271) % 1048573) % 8 = 0")},
+       n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot
+               FROM customer WHERE c_custkey % 500 = 1),
+       n_s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_smp
+               FROM customer WHERE c_custkey % 500 = 1
+                 AND ((c_custkey * 2 * 48271) % 1048573) % 8 = 0)
+       SELECT node, bc_est_bp FROM (
+         SELECT node,
+                (CAST(SUM(CAST(delta_bp AS HUGEINT)) AS BIGINT)
+                 * (SELECT n_tot FROM n_t))
+                // (SELECT n_smp FROM n_s) AS bc_est_bp
+         FROM dl$BcRounds WHERE node <> s GROUP BY 1)
+       ORDER BY bc_est_bp DESC, node LIMIT 15"""
 
   // ------------------------------------------------------------ gr_hyperball
 
@@ -537,6 +577,8 @@ object Graph2Q extends QueryPack {
   def queries: Seq[Q] = Seq(
     Q("gr_katz", grKatz, Some(grKatzSql)),
     Q("gr_betweenness", grBetweenness, Some(grBetweennessSql)),
+    Q("gr_betweenness_sampled", grBetweennessSampled,
+      Some(grBetweennessSampledSql)),
     Q("gr_hyperball", grHyperball, Some(grHyperballSql)),
     Q("gr_hb_closeness", grHbCloseness, Some(grHbClosenessSql)),
     Q("gr_louvain", grLouvain, Some(grLouvainSql)),

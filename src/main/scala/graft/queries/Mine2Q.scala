@@ -317,8 +317,9 @@ object Mine2Q extends QueryPack {
   private def knnSims(spark: SparkSession, d: String): DataFrame =
     graft.util.ManagedCaches.checkpointCache(knnSimsCache, spark, d) {
       import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, d)
       val sims = graft.sim.Similarity.lshCandidateSims(
-        Tables.embeddings(spark, d), Tables.embeddings(spark, d))
+        e, e, graft.sim.Similarity.annParamsFor(e, d))
       val wk = Window.partitionBy("query_id")
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       sims.withColumn("rank", row_number().over(wk))
@@ -338,31 +339,9 @@ object Mine2Q extends QueryPack {
 
   /** Config-independent CTE prefix (signatures → banded candidates →
     * rerank sims), shared by every (k, snn) chain in one statement. */
-  private val knnCommonCtes: String = {
-    val planes = graft.sim.Similarity.planeSigns(16, 64)
-    val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
-      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0")
-        .mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product(nv, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
+  private val knnCommonCtes: String =
     s"""WITH RECURSIVE
-       v AS (SELECT vec_id,
-               list_transform(embedding::DOUBLE[],
-                 x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                                embedding::DOUBLE[]))) AS nv
-             FROM embeddings),
-       sigs AS MATERIALIZED (SELECT vec_id, nv, CAST($sigExpr AS BIGINT) AS sig FROM v),
-       bb AS (SELECT vec_id, band,
-                     (sig // CAST(pow(2, band * 4) AS BIGINT)) % 16 AS bucket
-              FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-       cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS u, b.vec_id AS v2
-                FROM bb a JOIN bb b USING (band, bucket)
-                WHERE a.vec_id != b.vec_id),
-       sims AS MATERIALIZED (SELECT u, v2, round(list_dot_product(x.nv, y.nv), 4) AS sim
-                FROM cand
-                JOIN sigs x ON x.vec_id = u
-                JOIN sigs y ON y.vec_id = v2)"""
-  }
+       ${AnnSql.simsCtes("TRUE", qCol = "u", nCol = "v2")}"""
 
   /** One (k, snn) clustering chain, CTE names suffixed so several
     * configs coexist in one WITH RECURSIVE. Mirrors

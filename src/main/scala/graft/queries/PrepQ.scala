@@ -164,7 +164,8 @@ object PrepQ extends QueryPack {
     val q = e.filter(col("vec_id") % 25 === 0)
     val exact = Similarity.bruteForceTopKAgg(q, e, k = 5)
       .select("query_id", "neighbor_id")
-    val approx = Similarity.lshTopK(q, e, k = 5, planes = 16, bands = 4)
+    val approx = Similarity.lshTopK(q, e, k = 5,
+      params = Similarity.annParamsFor(e, d))
       .select("query_id", "neighbor_id")
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))

@@ -46,42 +46,21 @@ object Sim2Q extends QueryPack {
     val e = emb(spark, d)
     Similarity.graphBeamTopK(
         e.filter(col("vec_id") % 25 === 0), e, k = K,
-        rounds = Rounds, beam = Beam, graphK = GraphK, entries = Entries)
+        rounds = Rounds, beam = Beam, graphK = GraphK,
+        params = Similarity.annParamsFor(e, d), entries = Entries)
       .orderBy("query_id", "rank")
   }
 
-  /** The shared oracle prefix: normalized vectors, 16-plane signatures,
-    * the graphK-NN edge list from band collisions, and its symmetric
-    * closure — exactly [[Similarity.lshTopK]]'s algebra with
-    * corpus-vs-corpus sides. */
+  /** The shared oracle prefix: the [[AnnSql]] candidate chain with
+    * corpus-vs-corpus sides (normalized vectors, derived-band
+    * signatures, capped buckets, rerank sims as (src, dst, sim)), then
+    * the graphK-NN edge list and its symmetric closure — exactly
+    * [[Similarity.lshTopK]]'s algebra. */
   private def graphCtes: String = {
-    val planes = Similarity.planeSigns(16, 64)
-    val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
-      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0")
-        .mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product(nv, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""v AS MATERIALIZED (SELECT vec_id,
-                list_transform(embedding::DOUBLE[],
-                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
-                  AS nv
-              FROM embeddings),
-       sigs AS MATERIALIZED (SELECT vec_id, nv,
-                CAST($sigExpr AS BIGINT) AS sig FROM v),
-       gb AS (SELECT vec_id, band,
-                     (sig // CAST(pow(2, band * 4) AS BIGINT)) % 16 AS bucket
-              FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-       gcand AS (SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
-                 FROM gb a JOIN gb c USING (band, bucket)
-                 WHERE a.vec_id != c.vec_id),
-       gsims AS (SELECT src, dst,
-                        round(list_dot_product(x.nv, y.nv), 4) AS sim
-                 FROM gcand
-                 JOIN sigs x ON x.vec_id = src
-                 JOIN sigs y ON y.vec_id = dst),
+    s"""${AnnSql.simsCtes("TRUE", qCol = "src", nCol = "dst")},
        knn AS (SELECT src, dst FROM (
                  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-                        ORDER BY sim DESC, dst) AS rk FROM gsims)
+                        ORDER BY sim DESC, dst) AS rk FROM sims)
                WHERE rk <= $GraphK),
        sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
                  SELECT src, dst FROM knn
@@ -139,7 +118,7 @@ object Sim2Q extends QueryPack {
     // computation, so both dial settings come from the same chain.
     val at = Similarity.graphBeamTopKAt(q, e, k = K,
       roundsAt = Seq(1, Rounds), beam = Beam, graphK = GraphK,
-      entries = Entries)
+      params = Similarity.annParamsFor(e, d), entries = Entries)
     def hits(rounds: Int, as: String): DataFrame =
       ex.join(at(rounds).select("query_id", "neighbor_id"),
           Seq("query_id", "neighbor_id"), "left_semi")
@@ -199,7 +178,7 @@ object Sim2Q extends QueryPack {
   private def simLabelProp(spark: SparkSession, d: String): DataFrame = {
     val e = emb(spark, d)
     Similarity.labelPropagateKnn(e, rounds = LpRounds, graphK = GraphK,
-        keepEvery = KeepEvery)
+        keepEvery = KeepEvery, params = Similarity.annParamsFor(e, d))
       .filter(!col("is_seed"))
       .groupBy("true_label")
       .agg(count(lit(1)).cast("long").as("n_unlabeled"),
@@ -442,61 +421,21 @@ object Sim2Q extends QueryPack {
   // ---------------------------------------------------- sim_mp / recall
 
   /** Multi-probe LSH top-5 for the %25 query slice
-    * ([[Similarity.lshTopKMultiprobe]], full Hamming-1 shell): the
-    * SAME 16-plane/4-band index as `sim_lsh_topk`, with each query
-    * band probing its bucket plus all 4 one-bit perturbations — more
-    * recall from the same index, the Lv et al. 2007 trade. */
+    * ([[Similarity.lshTopKMultiprobe]]): the SAME derived-band capped
+    * index as `sim_lsh_topk`, with each query band probing its bucket
+    * plus 4 one-bit perturbations — more recall from the same index,
+    * the Lv et al. 2007 trade. */
   private def simMpTopk(spark: SparkSession, d: String): DataFrame = {
     val e = emb(spark, d)
     Similarity.lshTopKMultiprobe(
         e.filter(col("vec_id") % 25 === 0), e, k = 5,
-        planes = 16, bands = 4, probes = 4)
+        params = Similarity.annParamsFor(e, d), probes = 4)
       .orderBy("query_id", "rank")
   }
 
   /** The multiprobe oracle: [[SimQ.simLshSql]]'s algebra with the
-    * query-side probe explosion (xor of one band bit). */
-  private val simMpSql = {
-    val planes = Similarity.planeSigns(16, 64)
-    val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
-      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0")
-        .mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product(nv, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH v AS (SELECT vec_id,
-                list_transform(embedding::DOUBLE[],
-                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                                 embedding::DOUBLE[])))
-                  AS nv
-              FROM embeddings),
-       sigs AS MATERIALIZED (SELECT vec_id, nv,
-                CAST($sigExpr AS BIGINT) AS sig FROM v),
-       q AS (SELECT vec_id AS query_id, nv AS qv, sig AS qsig FROM sigs
-             WHERE vec_id % 25 = 0),
-       qb AS (SELECT query_id, band,
-                xor((qsig // CAST(pow(2, band * 4) AS BIGINT)) % 16,
-                    CASE WHEN p = 0 THEN 0
-                         ELSE CAST(pow(2, p - 1) AS BIGINT) END) AS bucket
-              FROM q
-              CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
-              CROSS JOIN (SELECT unnest(range(0, 5)) AS p) pr),
-       cb AS (SELECT vec_id AS neighbor_id, band,
-                     (sig // CAST(pow(2, band * 4) AS BIGINT)) % 16 AS bucket
-              FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-       cand AS (SELECT DISTINCT query_id, neighbor_id
-                FROM qb JOIN cb USING (band, bucket)
-                WHERE query_id != neighbor_id),
-       sims AS (SELECT query_id, neighbor_id,
-                       round(list_dot_product(q.qv, s.nv), 4) AS sim
-                FROM cand
-                JOIN q USING (query_id)
-                JOIN sigs s ON s.vec_id = neighbor_id)
-       SELECT query_id, rank, neighbor_id, sim FROM (
-         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
-         FROM sims) t
-       WHERE rank <= 5 ORDER BY query_id, rank"""
-  }
+    * query-side probe explosion ([[AnnSql]] probes = 4). */
+  private val simMpSql = AnnSql.topKSql("vec_id % 25 = 0", k = 5, probes = 4)
 
   /** Recall@5 of plain LSH vs multi-probe LSH at the SAME index, side
     * by side per query — the lift the Hamming-1 probes buy, measured
@@ -511,11 +450,12 @@ object Sim2Q extends QueryPack {
       exact.join(approx.select("query_id", "neighbor_id"),
           Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as(as))
+    val p = Similarity.annParamsFor(e, d)
     exact.select("query_id").distinct()
-      .join(hits(Similarity.lshTopK(q, e, k = 5, planes = 16, bands = 4),
+      .join(hits(Similarity.lshTopK(q, e, k = 5, params = p),
         "hits_lsh"), Seq("query_id"), "left")
       .join(hits(Similarity.lshTopKMultiprobe(q, e, k = 5,
-        planes = 16, bands = 4, probes = 4), "hits_mp"),
+        params = p, probes = 4), "hits_mp"),
         Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("hits_lsh"), lit(0L)).as("hits_lsh"),

@@ -76,53 +76,24 @@ object SimQ extends QueryPack {
        WHERE round(list_dot_product(a.nv, b.nv), 4) >= 0.4
        ORDER BY id_a, id_b"""
 
-  /** LSH-bucketed approximate top-k (scale path: candidates from band
-    * collisions only). The pipeline is deterministic end-to-end (md5
-    * hyperplanes, rounded rerank sims, id tie-breaks), so the oracle SQL
-    * is GENERATED with the same ±1 plane constants embedded — DuckDB
-    * reproduces signatures, buckets, candidates, and rerank exactly. */
+  /** LSH-bucketed approximate top-k (scale path: candidates from
+    * capped, corpus-size-derived band collisions only —
+    * [[graft.sim.AnnParams]]). The pipeline is deterministic end-to-end
+    * (md5 hyperplanes, rounded rerank sims, id tie-breaks), so the
+    * oracle SQL is GENERATED with the same ±1 plane constants and the
+    * same COUNT(*)-derived band-bits ladder embedded — DuckDB
+    * reproduces signatures, buckets, caps, candidates, and rerank
+    * exactly ([[AnnSql]]). */
   private def simLshTopk(spark: SparkSession, d: String): DataFrame = {
     val e = emb(spark, d)
     Similarity.lshTopK(
         e.filter(col("vec_id") % 25 === 0), e, k = 5,
-        planes = 16, bands = 4)
+        params = Similarity.annParamsFor(e, d))
       .orderBy("query_id", "rank")
   }
 
-  private[queries] val simLshSql: String = {
-    val planes = Similarity.planeSigns(16, 64)
-    val sigExpr = planes.zipWithIndex.map { case (plane, p) =>
-      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product(nv, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH v AS (SELECT vec_id,
-                list_transform(embedding::DOUBLE[],
-                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
-                  AS nv
-              FROM embeddings),
-       sigs AS (SELECT vec_id, nv, CAST($sigExpr AS BIGINT) AS sig FROM v),
-       q AS (SELECT vec_id AS query_id, nv AS qv, sig AS qsig FROM sigs
-             WHERE vec_id % 25 = 0),
-       qb AS (SELECT query_id, band,
-                     (qsig // CAST(pow(2, band * 4) AS BIGINT)) % 16 AS bucket
-              FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-       cb AS (SELECT vec_id AS neighbor_id, band,
-                     (sig // CAST(pow(2, band * 4) AS BIGINT)) % 16 AS bucket
-              FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-       cand AS (SELECT DISTINCT query_id, neighbor_id
-                FROM qb JOIN cb USING (band, bucket)
-                WHERE query_id != neighbor_id),
-       sims AS (SELECT query_id, neighbor_id,
-                       round(list_dot_product(q.qv, s.nv), 4) AS sim
-                FROM cand
-                JOIN q USING (query_id)
-                JOIN sigs s ON s.vec_id = neighbor_id)
-       SELECT query_id, rank, neighbor_id, sim FROM (
-         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
-         FROM sims) t
-       WHERE rank <= 5 ORDER BY query_id, rank"""
-  }
+  private[queries] val simLshSql: String =
+    AnnSql.topKSql("vec_id % 25 = 0", k = 5)
 
   /** IVF ANN top-k (the second scale path beside LSH): deterministic
     * centroid codebook (vec_id % 50), nearest-cell assignment, nprobe=4
@@ -238,9 +209,19 @@ object SimQ extends QueryPack {
     * probe/rerank plan as `sim_ivf_topk` — the production composition
     * (train once, search many). The oracle replays the full chain:
     * integer k-means, centroid rescale, cosine probes, rerank. */
+  /** Codebook size derived from the corpus (the `semanticCellCount`
+    * discipline): k = max(4, ⌈n/1024⌉), so expected cell occupancy
+    * stays ≈ 1024 and the nprobe/k probed fraction SHRINKS as the
+    * corpus grows — a pinned k = 4 meant nprobe = 2 probed HALF the
+    * corpus at every scale (measured 14.2 s / 4.4× the oracle at sf1;
+    * rerank was |corpus|/2 pairs). Floor 4 keeps the sf0.01 gate's
+    * behavior byte-identical to the pre-derivation rows. */
+  private def ivftK(n: Long): Int = math.max(4L, (n + 1023) / 1024).toInt
+
   private def simIvfTrained(spark: SparkSession, d: String): DataFrame = {
     val e = emb(spark, d)
-    val cent = graft.sim.KMeans.train(e, "vec_id", "embedding", k = 4,
+    val kk = ivftK(graft.sim.AnnParams.corpusCount(e, Some(d)))
+    val cent = graft.sim.KMeans.train(e, "vec_id", "embedding", k = kk,
         iters = 1, trainBuckets = 2)
       .select(col("cid").as("cent_id"),
         Similarity.l2NormalizeCol(expr("transform(c, x -> x / 1048576.0D)"))
@@ -256,8 +237,11 @@ object SimQ extends QueryPack {
                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS v
            FROM embeddings),
        skv AS (SELECT * FROM kv WHERE $sampleWhere),
-       c0k AS (SELECT id AS cid, v AS c
-               FROM (SELECT * FROM skv ORDER BY id LIMIT 4)),
+       kpk AS (SELECT GREATEST(4, (COUNT(*) + 1023) // 1024) AS kk
+               FROM embeddings),
+       c0k AS (SELECT id AS cid, v AS c FROM (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM skv)
+               WHERE rn <= (SELECT kk FROM kpk)),
        d0k AS (SELECT skv.id, c0k.cid,
                 CAST(list_sum(list_transform(range(1, 65),
                   i -> (skv.v[i] - c0k.c[i]) * (skv.v[i] - c0k.c[i]))) AS BIGINT) AS d2

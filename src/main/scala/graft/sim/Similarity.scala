@@ -384,11 +384,15 @@ object Similarity {
       .select(col("id").as("query_id"), col("nv").as("qv"))
     val wA = Window.partitionBy("id")
       .orderBy(col("cd").desc, col("cent_id").asc)
+    // The assignment CARRIES nv: the earlier shape dropped it and
+    // re-joined the corpus on neighbor_id after candidate generation —
+    // a second full-corpus shuffle for vectors the assignment already
+    // held in hand.
     val assigned = c.crossJoin(broadcast(cent))
-      .select(col("id"), col("cent_id"),
+      .select(col("id"), col("cent_id"), col("nv"),
         round(dotFast(col("nv"), col("cv")), 4).as("cd"))
       .withColumn("r", row_number().over(wA)).filter(col("r") === 1)
-      .select("id", "cent_id")
+      .select("id", "cent_id", "nv")
     val wQ = Window.partitionBy("query_id")
       .orderBy(col("cd").desc, col("cent_id").asc)
     val probes = q.crossJoin(broadcast(cent))
@@ -396,45 +400,29 @@ object Similarity {
         round(dotFast(col("qv"), col("cv")), 4).as("cd"))
       .withColumn("r", row_number().over(wQ)).filter(col("r") <= nprobe)
       .select("query_id", "cent_id")
-    val wR = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    probes.join(assigned, Seq("cent_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .join(q, Seq("query_id"))
-      .join(c.select(col("id").as("neighbor_id"), col("nv").as("nv2")),
-        Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dotFast(col("qv"), col("nv2")), 4).as("sim"))
-      .withColumn("rank", row_number().over(wR))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
-  }
-
-  /** LSH-bucketed approximate top-k: candidates = corpus rows sharing the
-    * query's signature bucket on ANY of the `bands` signature bands;
-    * exact cosine rerank (single dot fold) only on candidates. Fewer than
-    * k results when buckets are sparse — the standard ANN recall/latency
-    * trade. Shift-by-column isn't in the Column API, so band buckets use
-    * integer division: bucket = (sig div 2^(band*r)) & mask. */
-  /** Bucket-growth rule for banded LSH — the [[graft.dedup.Dedup
-    * .semanticCellCount]] discipline applied to band buckets: a band
-    * with r planes has 2^r buckets, so expected occupancy is n/2^r and
-    * the within-bucket candidate join degenerates quadratic if r is
-    * pinned while n grows 100×. r = ⌈log₂(n / targetOccupancy)⌉
-    * (clamped to [4, 16]) keeps occupancy ≈ targetOccupancy at every
-    * scale: n = 10⁶ → r = 10 (1024 buckets/band), n = 10⁹ → r = 16
-    * (the clamp — 65 536 buckets/band, occupancy ~15 k, still
-    * join-safe). Callers at scale pass `planes = bands *
-    * lshPlanesPerBand(n)`; the REGISTERED queries pin 16/4 because the
-    * oracle bakes the plane constants into generated SQL (same
-    * replayability trade as the pinned sample buckets elsewhere). */
-  def lshPlanesPerBand(n: Long, targetOccupancy: Long = 1024L): Int = {
-    val cells = math.max(1L, (n + targetOccupancy - 1) / targetOccupancy)
-    val r =
-      if (cells <= 1L) 1
-      else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
-    math.min(16, math.max(4, r))
+    // Probes (|queries|·nprobe rows) are BROADCAST: cent_id has only
+    // |codebook| distinct values, so an exchange-keyed join on it lands
+    // the whole corpus on ≤ |codebook| reducers (measured as the
+    // dominant stage of `sim_ivft` at sf1 with its 4-cell codebook);
+    // broadcasting the tiny side streams the assignment with no
+    // cent_id exchange at all. The per-query top-k is the typed
+    // [[graft.plans.TopKAggregator]] — map-side partial top-k, so only
+    // k·partitions rows per query shuffle instead of every candidate
+    // through a rank window (identical output and tie-breaks —
+    // [[bruteForceTopKAgg]]'s contract).
+    val sims = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(dotFast(col("qv"), col("nv")), 4).as("sim"))
+    sims.groupBy("query_id")
+      .agg(graft.plans.TopKAggregator.topK(k)(
+        col("sim"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"))
   }
 
   /** Mutual-kNN graph clustering: LSH-banded candidates → per-vector
@@ -452,14 +440,13 @@ object Similarity {
     * the mutuality filter is a self-join of the |V|·k edge list on the
     * reversed key, and the closure is the shared CC kernel (bounded
     * rounds, localCheckpoint lineage). Everything after the band join
-    * is O(|V|·k); the band join itself is occupancy-bounded ONLY if
-    * planes grow with the corpus — see [[lshPlanesPerBand]] (the
-    * registered query pins 16/4 for oracle replay; pass
-    * `planes = bands * lshPlanesPerBand(n)` at scale). */
-  def mutualKnnClusters(vecs: DataFrame, k: Int, planes: Int = 16,
-      bands: Int = 4, dims: Int = 64, snnMin: Int = 0): DataFrame =
+    * is O(|V|·k); the band join itself is occupancy-bounded because
+    * [[AnnParams]] derives the band-bucket space from the corpus size
+    * and caps hot buckets — see [[lshCandidateSims]]. */
+  def mutualKnnClusters(vecs: DataFrame, k: Int, params: AnnParams,
+      dims: Int = 64, snnMin: Int = 0): DataFrame =
     mutualKnnClustersFromSims(vecs,
-      lshCandidateSims(vecs, vecs, planes, bands, dims), k, snnMin)
+      lshCandidateSims(vecs, vecs, params, dims), k, snnMin)
 
   /** [[mutualKnnClusters]] over a PRE-BUILT candidate-sims relation
     * ([[lshCandidateSims]] output, typically a [[graft.util
@@ -570,10 +557,10 @@ object Similarity {
     * ≈ graph diameter within a cluster (≈ log_degree(cluster size)).
     * Per-query cost stays O(rounds·beam·degree) — the whole point. */
   def graphBeamTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      rounds: Int, beam: Int, graphK: Int, entries: Int = 16,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64): DataFrame =
+      rounds: Int, beam: Int, graphK: Int, params: AnnParams,
+      entries: Int = 16, dims: Int = 64): DataFrame =
     graphBeamTopKAt(queries, corpus, k, Seq(rounds), beam, graphK,
-      entries, planes, bands, dims)(rounds)
+      params, entries, dims)(rounds)
 
   /** [[graphBeamTopK]] returning a SNAPSHOT per requested round count
     * from ONE build and ONE walk — round r's beam is a prefix of round
@@ -581,12 +568,11 @@ object Similarity {
     * pays the graph build and the shared walk prefix once instead of
     * once per setting. */
   def graphBeamTopKAt(queries: DataFrame, corpus: DataFrame, k: Int,
-      roundsAt: Seq[Int], beam: Int, graphK: Int, entries: Int = 16,
-      planes: Int = 16, bands: Int = 4,
-      dims: Int = 64): Map[Int, DataFrame] = {
+      roundsAt: Seq[Int], beam: Int, graphK: Int, params: AnnParams,
+      entries: Int = 16, dims: Int = 64): Map[Int, DataFrame] = {
     require(roundsAt.nonEmpty && roundsAt.forall(_ >= 0) && beam >= 1 &&
       graphK >= 1 && entries >= 1)
-    val knn = lshTopK(corpus, corpus, graphK, planes, bands, dims)
+    val knn = lshTopK(corpus, corpus, graphK, params, dims)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val sym = knn
       .union(knn.select(col("dst").as("src"), col("src").as("dst")))
@@ -647,10 +633,9 @@ object Similarity {
     * (the registered harness reports per-label coverage and accuracy
     * in exact bp — measured, not asserted). */
   def labelPropagateKnn(vecs: DataFrame, rounds: Int, graphK: Int,
-      keepEvery: Int, planes: Int = 16, bands: Int = 4,
-      dims: Int = 64): DataFrame = {
+      keepEvery: Int, params: AnnParams, dims: Int = 64): DataFrame = {
     require(rounds >= 1 && graphK >= 1 && keepEvery >= 2)
-    val knn = lshTopK(vecs, vecs, graphK, planes, bands, dims)
+    val knn = lshTopK(vecs, vecs, graphK, params, dims)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val sym = knn
       .union(knn.select(col("dst").as("src"), col("src").as("dst")))
@@ -682,36 +667,76 @@ object Similarity {
         col("seed").isNotNull.as("is_seed"), col("cur").as("pred"))
   }
 
-  /** Multi-probe LSH top-k (Lv et al. 2007, the all-Hamming-1
-    * simplification): identical CORPUS index to [[lshTopK]] — same
-    * signatures, same bands, same buckets — but each query band
-    * additionally probes every 1-bit perturbation of its bucket
-    * (`probes` of the r band bits flipped, one at a time). Recall
-    * strictly dominates plain LSH at the same index size because the
-    * candidate set is a superset; the cost is only the query-side
-    * explode growing ×(1+probes) — the corpus is NOT re-indexed or
-    * re-exploded, which is the technique's entire selling point (more
-    * recall without more index). With probes = r this probes the full
-    * Hamming-1 shell. Output schema = [[lshTopK]]. */
-  def lshTopKMultiprobe(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64, probes: Int = 4,
+  /** The config-independent CORE of the LSH family: signatures →
+    * capped banded candidates → exact-cosine rerank sims, WITHOUT the
+    * top-k rank cut. Everything a family of (k, snn, …) consumers
+    * shares — the rank window is the only per-config step, so several
+    * clusterings / top-k reads over the same corpus should build THIS
+    * once (a [[graft.util.ManagedCaches]] warm entry) and cut per
+    * config, exactly as the DuckDB oracle shares its
+    * `sims AS MATERIALIZED` CTE across chains.
+    *
+    * Banding ([[AnnParams]] — derive with [[AnnParams.forCount]] /
+    * [[annParamsFor]]): the signature is `bands`·`slotBits` planes and
+    * band b's bucket is the LOW `bandBits` r bits of its slot —
+    * `shiftright(sig, b·slotBits) & (2^r − 1)` (integer shifts, never
+    * double division: a 60-bit signature overflows a double mantissa).
+    * Deriving r from the corpus size keeps expected bucket occupancy
+    * constant, making expected candidates ≈ bands·n·occupancy — LINEAR
+    * in n where the old pinned 16-bucket space was ~n²/16.
+    *
+    * Skew guard: each (band, bucket) posting list is truncated to
+    * `bucketCap` members under a deterministic multiplicative-hash
+    * shuffle order ((id·48271) % 1048573, id tie-break — engine- and
+    * oracle-reproducible), bounding worst-case candidates at
+    * bands·n·cap. A query band whose BASE bucket overflowed re-probes
+    * that band's full Hamming-1 shell (the Lv et al. 2007 multiprobe
+    * move), buying truncated recall back from neighboring buckets.
+    *
+    * `probes` > 0 additionally probes `probes` static 1-bit
+    * perturbations per band for EVERY query (classic multiprobe — more
+    * recall from the same index; the corpus side is never re-exploded).
+    *
+    * Band join + distinct run on IDs ONLY — shuffling the 64-double
+    * vectors through the band explosion and hashing them in the
+    * distinct would dominate; vectors are re-attached once per
+    * surviving pair. Output: (query_id, neighbor_id, sim) for every
+    * surviving candidate pair. Oracle mirror: [[graft.queries.AnnSql]].
+    */
+  def lshCandidateSims(queries: DataFrame, corpus: DataFrame,
+      params: AnnParams, dims: Int = 64, probes: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(planes % bands == 0)
-    val r = planes / bands
-    require(probes >= 0 && probes <= r,
-      s"probes must be in [0, $r], got $probes")
-    val mask = (1L << r) - 1
-    def bandBucket(sig: Column, band: Column): Column =
-      pmod(floor(sig / pow(lit(2.0), band * lit(r))).cast("long"), lit(mask + 1))
+    require(probes >= 0 && probes <= params.bandBits,
+      s"probes must be in [0, ${params.bandBits}], got $probes")
+    val slot = params.slotBits
+    // signature + normalize computed once per side behind the exchange
     val q = normalized(queries, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("nv"), planes, dims))
+      .withColumn("sig", lshSignature(col("nv"), params.planes, dims))
       .select(col("id").as("query_id"), col("nv").as("qv"), col("sig"))
     val c = normalized(corpus, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("nv"), planes, dims))
+      .withColumn("sig", lshSignature(col("nv"), params.planes, dims))
       .select(col("id").as("neighbor_id"), col("nv").as("cv"), col("sig"))
-    val qb = q.select(col("query_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .withColumn("base", bandBucket(col("sig"), col("band")))
+    val bucketOf = expr(s"shiftright(sig, band * $slot) & ${params.mask}")
+    val sized = c.select(col("neighbor_id"),
+        explode(sequence(lit(0), lit(params.bands - 1))).as("band"), col("sig"))
+      .withColumn("bucket", bucketOf)
+      .select("neighbor_id", "band", "bucket")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "bucket")
+          .orderBy(expr("(neighbor_id * 48271) % 1048573").asc,
+            col("neighbor_id").asc)))
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy("band", "bucket")))
+    val cb = sized.filter(col("rn") <= params.bucketCap)
+      .select("neighbor_id", "band", "bucket")
+    val hot = sized.filter(col("sz") > params.bucketCap)
+      .select(col("band").as("hband"), col("bucket").as("hbucket"))
+      .distinct()
+    val qs = q.select(col("query_id"),
+        explode(sequence(lit(0), lit(params.bands - 1))).as("band"), col("sig"))
+      .withColumn("base", bucketOf)
+      .select("query_id", "band", "base")
+    val statics = qs
       .select(col("query_id"), col("band"),
         explode(sequence(lit(0), lit(probes))).as("p"), col("base"))
       .withColumn("bucket",
@@ -719,78 +744,59 @@ object Similarity {
           when(col("p") === 0, lit(0L))
             .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(p - 1 AS INT))"))))
       .select("query_id", "band", "bucket")
-    val cb = c.select(col("neighbor_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .withColumn("bucket", bandBucket(col("sig"), col("band")))
-      .select("neighbor_id", "band", "bucket")
-    val candidateIds = qb.join(cb, Seq("band", "bucket"))
+    val reprobes = qs
+      .join(hot, col("band") === col("hband") && col("base") === col("hbucket"),
+        "left_semi")
+      .select(col("query_id"), col("band"),
+        explode(sequence(lit(0), lit(params.bandBits - 1))).as("i"), col("base"))
+      .withColumn("bucket",
+        col("base").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")))
+      .select("query_id", "band", "bucket")
+    val candidateIds = statics.unionAll(reprobes)
+      .join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
     candidateIds
       .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
       .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dotFast(col("qv"), col("cv")), 4).as("sim"))
+  }
+
+  /** Derived [[AnnParams]] for a corpus, count memoized by `cacheKey`
+    * (a testdata dir — same immutability contract as
+    * [[cacheNormalizedCorpus]]). */
+  def annParamsFor(corpus: DataFrame, cacheKey: String): AnnParams =
+    AnnParams.forCorpus(corpus, Some(cacheKey))
+
+  /** LSH-bucketed approximate top-k: [[lshCandidateSims]] + the
+    * per-query rank cut. Fewer than k results when buckets are sparse —
+    * the standard ANN recall/latency trade. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      params: AnnParams, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    lshCandidateSims(queries, corpus, params, dims, 0, idCol, vecCol)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
-  /** The config-independent PREFIX of [[lshTopK]]: signatures → banded
-    * candidates → exact-cosine rerank sims, WITHOUT the top-k rank cut.
-    * Everything a family of (k, snn, …) consumers shares — the rank
-    * window is the only per-config step, so several clusterings /
-    * top-k reads over the same corpus should build THIS once (a
-    * [[graft.util.ManagedCaches]] warm entry) and cut per config,
-    * exactly as the DuckDB oracle shares its `sims AS MATERIALIZED`
-    * CTE across chains. Output: (query_id, neighbor_id, sim) for every
-    * band-colliding candidate pair. */
-  def lshCandidateSims(queries: DataFrame, corpus: DataFrame,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(planes % bands == 0)
-    val r = planes / bands
-    val mask = (1L << r) - 1
-    def bandBucket(sig: Column, band: Column): Column =
-      pmod(floor(sig / pow(lit(2.0), band * lit(r))).cast("long"), lit(mask + 1))
-    // signature + normalize computed once per side behind the exchange
-    val q = normalized(queries, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("nv"), planes, dims))
-      .select(col("id").as("query_id"), col("nv").as("qv"), col("sig"))
-    val c = normalized(corpus, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("nv"), planes, dims))
-      .select(col("id").as("neighbor_id"), col("nv").as("cv"), col("sig"))
-    // Band join + distinct run on IDs ONLY — shuffling the 64-double
-    // vectors through the band explosion and hashing them in the distinct
-    // would dominate; vectors are re-attached once per surviving pair.
-    val qb = q.select(col("query_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .withColumn("bucket", bandBucket(col("sig"), col("band")))
-      .select("query_id", "band", "bucket")
-    val cb = c.select(col("neighbor_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .withColumn("bucket", bandBucket(col("sig"), col("band")))
-      .select("neighbor_id", "band", "bucket")
-    val candidateIds = qb.join(cb, Seq("band", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-      .distinct()
-    candidateIds
-      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
-      .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dotFast(col("qv"), col("cv")), 4).as("sim"))
-  }
-
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 16, bands: Int = 4, dims: Int = 64,
+  /** Multi-probe LSH top-k (Lv et al. 2007, the all-Hamming-1
+    * simplification): identical CORPUS index to [[lshTopK]] — same
+    * signatures, same bands, same capped buckets — but each query band
+    * additionally probes `probes` 1-bit perturbations of its bucket.
+    * Recall strictly dominates plain LSH at the same index size because
+    * the candidate set is a superset; the cost is only the query-side
+    * explode growing ×(1+probes). Output schema = [[lshTopK]]. */
+  def lshTopKMultiprobe(queries: DataFrame, corpus: DataFrame, k: Int,
+      params: AnnParams, probes: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    lshCandidateSims(queries, corpus, planes, bands, dims, idCol, vecCol)
+    lshCandidateSims(queries, corpus, params, dims, probes, idCol, vecCol)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")

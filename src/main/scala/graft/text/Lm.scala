@@ -72,7 +72,12 @@ object Lm {
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", modelTopK: Int = 0,
       minCount: Long = 1L): DataFrame = {
-    val b = bigrams(docs, idCol, textCol)
+    // Materialized ONCE: three consumers (model counts, unigram
+    // denominators, the scoring join) otherwise each re-run the
+    // interpreted-lambda bigram explode — measured as 2/3 of the whole
+    // chain's cost at sf1 (the explode is a Generate over a lambda
+    // `transform`, which never enters codegen).
+    val b = bigrams(docs, idCol, textCol).localCheckpoint()
     val model = bigramModel(b, modelTopK, minCount)
     val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
     val trimmed = modelTopK > 0 || minCount > 1L

@@ -164,6 +164,24 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and at a second threshold, where prefix lengths differ
     assert(rows(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)) ==
       rows(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)))
+    // BOTH adaptive branches: dictVocabMax = 0 pins the prefix filter,
+    // the default picks the broadcast-dictionary posting join on this
+    // small-vocabulary corpus — identical output either way
+    assert(rows(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8,
+        dictVocabMax = 0L)) ==
+      rows(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)))
+  }
+
+  test("containmentPairs: dictionary and prefix branches agree exactly") {
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val dict = rows(graft.queries.OverlapQ.containmentPairs(docs, 9000L))
+    val pref = rows(graft.queries.OverlapQ.containmentPairs(docs, 9000L,
+      dictVocabMax = 0L))
+    assert(dict == pref, "containment plan branches diverged")
+    assert(dict.nonEmpty)
   }
 
   test("int8 quantization reconstructs within one step per dimension") {
@@ -400,7 +418,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bf = Similarity.bruteForceTopK(queries, emb, 5)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(queries, emb, 5, 16, 4)
+    val lsh = Similarity.lshTopK(queries, emb, 5,
+        graft.sim.Similarity.annParamsFor(emb, sf))
       .select("query_id", "rank", "neighbor_id", "sim").collect()
     assert(lsh.forall(_.getInt(1) <= 5))
     val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -417,11 +436,12 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = pairs(Similarity.lshTopK(queries, emb, 5, 16, 4))
-    val mp = pairs(Similarity.lshTopKMultiprobe(queries, emb, 5, 16, 4,
+    val ap = graft.sim.Similarity.annParamsFor(emb, sf)
+    val lsh = pairs(Similarity.lshTopK(queries, emb, 5, ap))
+    val mp = pairs(Similarity.lshTopKMultiprobe(queries, emb, 5, ap,
       probes = 4))
     // probes=0 degenerates to EXACTLY plain LSH (superset law base case)
-    val mp0 = pairs(Similarity.lshTopKMultiprobe(queries, emb, 5, 16, 4,
+    val mp0 = pairs(Similarity.lshTopKMultiprobe(queries, emb, 5, ap,
       probes = 0))
     assert(mp0 === lsh)
     // per-query true-hit dominance: the candidate set is a superset,

@@ -47,6 +47,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the HLL output row cross-joins the ONE-row estimate with the
     // ONE-row exact countDistinct — both scalar by construction
     "t_hll_distinct",
+    // the sampled-Brandes estimator cross-joins the ONE-row n_tot and
+    // n_smp source-count aggregates into the per-node scale-up — both
+    // scalar by construction
+    "gr_betweenness_sampled",
     // the mix-drift grid crosses the |periods| dim with the broadcast
     // |categories| dim and the ONE-row global total — dim/scalar sides
     // by construction

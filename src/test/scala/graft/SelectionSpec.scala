@@ -37,17 +37,26 @@ class SelectionSpec extends AnyFunSuite {
     ranks(Seq.fill(10)(7L))
   }
 
-  test("lshPlanesPerBand: occupancy-bounded bucket growth with clamps") {
-    import graft.sim.Similarity.lshPlanesPerBand
-    assert(lshPlanesPerBand(1000L) === 4) // clamp floor
-    assert(lshPlanesPerBand(1000000L) === 10) // 1024 buckets/band
-    assert(lshPlanesPerBand(1000000000L) === 16) // clamp ceiling
+  test("AnnParams.bandBitsFor: occupancy-bounded bucket growth with clamps") {
+    import graft.sim.AnnParams
+    assert(AnnParams.bandBitsFor(500L) === 4) // clamp floor (sf0.01)
+    assert(AnnParams.bandBitsFor(1024L) === 4) // ladder boundary inclusive
+    assert(AnnParams.bandBitsFor(1025L) === 5) // first step past it
+    assert(AnnParams.bandBitsFor(2000L) === 5) // sf0.1
+    assert(AnnParams.bandBitsFor(20000L) === 9) // sf1: 512 buckets/band
+    assert(AnnParams.bandBitsFor(1000000000L) === AnnParams.SlotBits) // clamp
     // monotone in n: more data never means fewer buckets
     val rs = Seq(1L, 10L, 100L, 10000L, 100000000L, Long.MaxValue / 2)
-      .map(lshPlanesPerBand(_))
+      .map(AnnParams.bandBitsFor)
     assert(rs === rs.sorted)
-    // the rule keeps occupancy ≈ target at the unclamped points
-    assert(math.abs(1000000L / (1L << 10) - 1024L) < 1024L)
+    // SQL ladder and Scala derivation agree term for term: the CASE arms
+    // are generated from the same thresholds
+    val sql = graft.queries.AnnSql.bandBitsCase("n")
+    (4 until AnnParams.SlotBits).foreach { r =>
+      assert(sql.contains(s"<= ${AnnParams.TargetOccupancy << r} THEN $r"))
+    }
+    // derived params stay within the signature the oracle can replay
+    assert(AnnParams.forCount(Long.MaxValue / 2).planes <= 62)
   }
 
   test("median/p90 formulas against a known 6-element multiset") {

@@ -86,6 +86,40 @@ class SpectralGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before != cold, "Δ edge must change betweenness")
   }
 
+  test("betweennessBpSampled: stride=1 recovers exact bit-for-bit; " +
+      "stride>1 runs a strict source subsample and scales") {
+    val s = spark
+    import s.implicits._
+    val prs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 7L), (7L, 4L))
+    val edges = (prs ++ prs.map(_.swap)).toDF("src", "dst")
+    val sources = (1L to 7L).toDF("node")
+    val exact = Graph.betweennessBp(edges, sources, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the estimator at stride 1 IS the exact path: sample = all
+    // sources, scale factor n/n = 1
+    val full = Graph.betweennessBpSampled(edges, sources, rounds = 3,
+        stride = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === exact, s"stride=1 must equal exact:\n  s=$full\n  e=$exact")
+    // stride 3: the hash coin keeps a strict non-empty subsample, and
+    // the scaled estimate stays in the right regime (same support
+    // shape, integer-exact arithmetic)
+    val kept = (1L to 7L).filter(v => ((v * 48271) % 1048573) % 3 == 0)
+    assert(kept.nonEmpty && kept.size < 7)
+    val est = Graph.betweennessBpSampled(edges, sources, rounds = 3,
+        stride = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-check: estimate = (Σ over kept sources of delta) * 7 div kept
+    val per = Graph.brandesPerSource(edges,
+        kept.toDF("node"), rounds = 3)
+      .filter(org.apache.spark.sql.functions.col("node") =!=
+        org.apache.spark.sql.functions.col("s"))
+      .groupBy("node").agg(org.apache.spark.sql.functions.sum("delta_bp").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1) * 7 / kept.size).toMap
+    assert(est === per, s"estimator algebra drifted:\n  got=$est\n  want=$per")
+  }
+
   test("TextRank keywordsWarm: appended docs recompute alone; untouched " +
       "docs reuse prior rows bit-exactly") {
     val s = spark

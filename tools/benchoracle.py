@@ -154,7 +154,14 @@ def finish(results: dict, sf: str, out_path: str) -> None:
     out = {"sf": sf, "queries": results,
            "gate": {"min_oracle_sec": 0.5, "max_ratio": 2.0,
                     "relational_over_2x": [n for n, _ in slow]}}
-    Path(out_path).write_text(json.dumps(out, indent=1, sort_keys=True))
+    # Atomic flush: write_text truncates in place, so a deadline kill
+    # landing mid-write would leave a corrupt partial --out (breaking
+    # the "killed run leaves a valid partial" contract and
+    # merge_benchoracle downstream). os.replace is atomic on POSIX.
+    import os
+    tmp = out_path + ".tmp"
+    Path(tmp).write_text(json.dumps(out, indent=1, sort_keys=True))
+    os.replace(tmp, out_path)
     print(f"\n== {len(results)} timed; relational >2x (oracle>=0.5s): "
           f"{[n for n, _ in slow] or 'NONE'} ==")
 
