@@ -90,21 +90,19 @@ object DedupQ extends QueryPack {
   /** The DUPLICATE-HEAVY LARGE-VOCABULARY bench slice for the
     * naive-vs-prefix A/B — the regime the prefix filter exists for,
     * derived deterministically from `documents` (both engines replay
-    * it): every doc gets four doc-unique suffix tokens (large Zipfian-
-    * tail vocabulary: the suffix trigrams are df ≤ 2, i.e. RARE —
-    * the base testdata corpus has NO rare shingles, min df ≈ 50, which
-    * is why a rarest-first prefix cannot help there), and every 5th doc
-    * is duplicated verbatim under doc_id + 10⁷ (the duplicate mass).
-    * On this slice the ascending-df prefixes are almost entirely the
-    * unique suffix shingles, so candidates collapse to the true
-    * duplicate pairs while the naive join still pays the full hot-
-    * vocabulary Σ df². */
-  /** 16 doc-unique suffix tokens: at τ = 0.8 a ~90-shingle doc's prefix
-    * is ~19 slots, so the ~18 df ≤ 2 suffix shingles FILL the prefix —
-    * candidate generation collapses to true duplicate pairs while the
-    * naive join still pays the hot head's Σ df². Letters a..p, id
-    * appended (the copy keeps the ORIGINAL id's tokens — it must share
-    * them). */
+    * it): every doc gets 16 doc-unique suffix tokens (a Zipfian rare
+    * tail: the ~18 suffix trigrams are df ≤ 2 where the base corpus
+    * has NO rare shingles, min df ≈ 50 — which is why a rarest-first
+    * prefix cannot help there), and every 5th doc is duplicated
+    * verbatim under doc_id + 10⁹ — far above the testdata's
+    * replica-offset id space, which reaches 9·10⁷ at sf1 (a +10⁷
+    * offset COLLIDED there: one id, two texts, and the two engines
+    * dedup shingles across the collision differently). At τ = 0.8 a
+    * ~90-shingle doc's prefix is ~19 slots, so the suffix shingles
+    * FILL the prefix — candidates collapse to true duplicate pairs
+    * while the naive join still pays the hot head's Σ df². Letters
+    * a..p, id appended (the copy keeps the ORIGINAL id's tokens — it
+    * must share them). */
   private val UqTokens = ('a' to 'p').toSeq
 
   private[graft] def dupHeavy(docs: DataFrame): DataFrame = {
@@ -112,7 +110,7 @@ object DedupQ extends QueryPack {
       UqTokens.flatMap(c => Seq(lit(s" uq$c"), col("doc_id"))): _*)
     docs.select(col("doc_id"), t.as("text"))
       .unionAll(docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), t.as("text")))
+        .select((col("doc_id") + 1000000000L).as("doc_id"), t.as("text")))
   }
 
   private def dJaccardAbNaive(spark: SparkSession, d: String): DataFrame =
@@ -138,7 +136,7 @@ object DedupQ extends QueryPack {
          SELECT doc_id, text || $sfx AS text
          FROM documents
          UNION ALL
-         SELECT doc_id + 10000000, text || $sfx
+         SELECT doc_id + 1000000000, text || $sfx
          FROM documents WHERE doc_id % 5 = 0),
        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
        sh AS (SELECT DISTINCT doc_id,

@@ -25,7 +25,17 @@ object Sim2Q extends QueryPack {
   private val Beam = 16
   private val K = 5
   private val Rounds = 3
-  private val Entries = 16
+  /** Corpus-derived multi-start count (the [[graft.sim.AnnParams]]
+    * discipline applied to the NSW entry points): the symmetric kNN
+    * graph's component count grows with the corpus, so a PINNED
+    * entry-point count starves recall at scale — measured r3 recall@5
+    * fell 84% (500 vectors) → 47% (2 000) → 1.3% (20 000) with
+    * entries = 16 pinned; deriving entries ≈ n/125 (clamped [16, 256])
+    * keeps one start per expected ~125-vector neighborhood. Both gate
+    * scales derive 16 (hashes unchanged); sf1 derives 160. The oracle
+    * embeds the same integer formula over COUNT(*). */
+  private def entriesFor(n: Long): Int =
+    math.max(16L, math.min(256L, (n + 124) / 125)).toInt
 
   private def emb(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(spark, d)
@@ -39,15 +49,17 @@ object Sim2Q extends QueryPack {
       None))
 
   /** Graph-descent top-5 for the %25 query slice: 3 beam rounds over
-    * the symmetric LSH-kNN graph (degree ≤ 8), beam 8, starting from 16
-    * id-stride entry points (the kNN graph is disconnected across the
-    * planted clusters, so multi-start is what makes it navigable). */
+    * the symmetric LSH-kNN graph (degree ≤ 8), beam 16, starting from
+    * the corpus-derived id-stride entry points ([[entriesFor]] — the
+    * kNN graph is disconnected across the planted clusters, so
+    * multi-start is what makes it navigable). */
   private def simNswTopk(spark: SparkSession, d: String): DataFrame = {
     val e = emb(spark, d)
     Similarity.graphBeamTopK(
         e.filter(col("vec_id") % 25 === 0), e, k = K,
         rounds = Rounds, beam = Beam, graphK = GraphK,
-        params = Similarity.annParamsFor(e, d), entries = Entries)
+        params = Similarity.annParamsFor(e, d),
+        entries = entriesFor(graft.sim.AnnParams.corpusCount(e, Some(d))))
       .orderBy("query_id", "rank")
   }
 
@@ -67,8 +79,10 @@ object Sim2Q extends QueryPack {
                  UNION ALL SELECT dst AS src, src AS dst FROM knn)),
        q AS MATERIALIZED (SELECT vec_id AS query_id, nv AS qv FROM v
                           WHERE vec_id % 25 = 0),
+       epar AS (SELECT GREATEST(16, LEAST(256, (COUNT(*) + 124) // 125))
+                  AS e FROM embeddings),
        ent AS (SELECT MIN(vec_id) AS cand_id FROM v
-               GROUP BY vec_id % $Entries)"""
+               GROUP BY vec_id % (SELECT e FROM epar))"""
   }
 
   /** One unrolled search round: expand beam out-edges, union the beam,
@@ -118,7 +132,8 @@ object Sim2Q extends QueryPack {
     // computation, so both dial settings come from the same chain.
     val at = Similarity.graphBeamTopKAt(q, e, k = K,
       roundsAt = Seq(1, Rounds), beam = Beam, graphK = GraphK,
-      params = Similarity.annParamsFor(e, d), entries = Entries)
+      params = Similarity.annParamsFor(e, d),
+      entries = entriesFor(graft.sim.AnnParams.corpusCount(e, Some(d))))
     def hits(rounds: Int, as: String): DataFrame =
       ex.join(at(rounds).select("query_id", "neighbor_id"),
           Seq("query_id", "neighbor_id"), "left_semi")

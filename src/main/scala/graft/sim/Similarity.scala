@@ -549,13 +549,17 @@ object Similarity {
     * the DuckDB oracle replays build + every round exactly.
     *
     * Recall scales with EXPLORATION, not corpus size: the registered
-    * harness measures r3 recall@5 of 84% at 500 vectors falling to 55%
-    * at 2 000 with entries/beam/rounds PINNED (for oracle replay — the
-    * `sim_knn_cc` discipline). At scale grow the dials with the
-    * corpus: entries ≈ expected cluster count (the graph's component
-    * count — [[mutualKnnClusters]] measures it), beam ≈ 2–3·k, rounds
-    * ≈ graph diameter within a cluster (≈ log_degree(cluster size)).
-    * Per-query cost stays O(rounds·beam·degree) — the whole point. */
+    * harness measures r3 recall@5 of 84% at 500 vectors, 47% at 2 000,
+    * 8.8% at 20 000 — the registered query derives `entries` from the
+    * corpus count (one start per ~125 vectors, Sim2Q.entriesFor; a
+    * PINNED 16 read 1.3% at 20 000) while beam/rounds stay pinned for
+    * oracle replay. The residual decay is the CORPUS, not the index:
+    * these embeddings are near-random (max cosine ≈ 0.51 vs ≈ 0.45
+    * noise floor), so at scale the true top-5 sit barely above noise
+    * and greedy descent stalls (r1 ≈ r3) — on clustered production
+    * embeddings grow beam ≈ 2–3·k and rounds ≈ within-cluster diameter
+    * too. Per-query cost stays O(rounds·beam·degree) — the whole
+    * point. */
   def graphBeamTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       rounds: Int, beam: Int, graphK: Int, params: AnnParams,
       entries: Int = 16, dims: Int = 64): DataFrame =
