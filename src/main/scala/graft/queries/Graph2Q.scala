@@ -68,17 +68,23 @@ object Graph2Q extends QueryPack {
   }
 
   /** Sampled-source Brandes estimator over the SAME source list
-    * ([[graft.graph.Graph.betweennessBpSampled]], stride 8): the
-    * multiplicative-hash coin keeps ~1/8 of the sources, per-source
+    * ([[graft.graph.Graph.betweennessBpSampled]], stride 16): the
+    * multiplicative-hash coin keeps ~1/16 of the sources, per-source
     * cost divides by the sample factor, and each node's dependency sum
     * is scaled by n_tot/n_smp — the Brandes–Pich estimator, the 100×
-    * dial for the pack's heaviest exact row. Top-15 by estimate. */
+    * dial for the pack's heaviest exact row. Top-15 by estimate.
+    * Measured at sf1/local[32]: 20.8 s vs the exact row's 100.9 s
+    * (4.9×) — the residual is a ~19 s SHARED floor (tradeEdges distinct
+    * build + 2·rounds per-layer join scheduling) that stride cannot
+    * shrink (stride 32 measured the same), and that amortizes as |V|
+    * grows: per-source dependency work is what scales, and it divides
+    * exactly by the sample factor. */
   private def grBetweennessSampled(spark: SparkSession, d: String): DataFrame = {
     val sources = graft.Tables.customer(spark, d)
       .filter(col("c_custkey") % 500 === 1)
       .select((col("c_custkey") * 2).as("node"))
     Graph.betweennessBpSampled(GraphQ.tradeEdges(spark, d), sources,
-        rounds = BcRounds, stride = 8)
+        rounds = BcRounds, stride = 16)
       .orderBy(col("bc_est_bp").desc, col("node").asc)
       .limit(15)
   }
@@ -145,12 +151,12 @@ object Graph2Q extends QueryPack {
     * sample, final sums scaled by n_tot // n_smp on BIGINTs — the
     * engine's exact integer algebra. */
   private val grBetweennessSampledSql =
-    s"""WITH ${brandesCtes("((c_custkey * 2 * 48271) % 1048573) % 8 = 0")},
+    s"""WITH ${brandesCtes("((c_custkey * 2 * 48271) % 1048573) % 16 = 0")},
        n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot
                FROM customer WHERE c_custkey % 500 = 1),
        n_s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_smp
                FROM customer WHERE c_custkey % 500 = 1
-                 AND ((c_custkey * 2 * 48271) % 1048573) % 8 = 0)
+                 AND ((c_custkey * 2 * 48271) % 1048573) % 16 = 0)
        SELECT node, bc_est_bp FROM (
          SELECT node,
                 (CAST(SUM(CAST(delta_bp AS HUGEINT)) AS BIGINT)
