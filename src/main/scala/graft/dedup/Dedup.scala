@@ -94,6 +94,43 @@ object Dedup {
     * shingles × (string + long) stays a few tens of MB broadcast). */
   val DictVocabMax = 1000000L
 
+  /** Σ df² budget for the posting-join branch (VERDICT r12 #4): the
+    * posting self-join emits ≈ Σ_sh C(df_sh, 2) ≈ Σdf²/2 rows before
+    * its partial agg, and with a FIXED hot vocabulary Σdf² grows
+    * QUADRATICALLY in corpus size even though the vocabulary count
+    * stays small — so the branch switch must key on the measured Σdf²,
+    * not vocabulary count alone. Anchor: the sf1 hot corpus measures
+    * Σdf² ≈ 10⁹ → 25 s at local[32], the regime's optimum; 2·10¹⁰ is
+    * ~20× that — past it the quadratic join's shuffle dominates any
+    * verify cost the prefix plan could pay, hot vocabulary or not.
+    * A corpus that is BOTH huge and hot-vocab degrades either exact
+    * plan (prefix prefixes are hot too) — the documented escape hatch
+    * at that regime is the MinHash/LSH estimate path
+    * ([[minhashLshPairs]], `d_minhash_est` measures its accuracy),
+    * which is what production dedup runs at 100 TB anyway. */
+  val SumDf2Max = 20000000000L
+
+  /** The adaptive-plan cost probe shared by [[jaccardPairsPrefix]] and
+    * [[graft.queries.OverlapQ.containmentPairs]]: ONE aggregate job over
+    * the (checkpointed) shingle relation returns the vocabulary count
+    * and Σ df² together; the broadcast-dictionary posting join is only
+    * taken when BOTH fit (dictionary broadcastable AND join output
+    * bounded). Σ df² rides DECIMAL(38,0) — df can reach corpus size, so
+    * the long square overflows past ~3·10⁹ docs on one shingle. */
+  private[graft] def postingJoinFits(sh: DataFrame,
+      dictVocabMax: Long, sumDf2Max: Long): Boolean = {
+    if (dictVocabMax <= 0L) return false
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val st = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("vocab_n"),
+        sum(col("df").cast(d38) * col("df")).as("sum_df2"))
+      .head()
+    val vocabN = st.getLong(0)
+    val sumDf2 = Option(st.getDecimal(1))
+      .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    vocabN <= dictVocabMax && sumDf2 <= BigDecimal(sumDf2Max)
+  }
+
   /** Exact all-pairs n-gram Jaccard — the SCALE path to
     * [[jaccardPairs]]' deliberately naive shape, with identical output
     * (spec-asserted). The plan is ADAPTIVE on the measured shingle
@@ -121,12 +158,18 @@ object Dedup {
     *    RARE tail with small postings (`d_jaccard_ab_prefix` measures
     *    the win on a derived rare-tail corpus).
     *
+    * The dictionary branch is gated on BOTH the vocabulary count and
+    * the measured Σ df² ([[SumDf2Max]] — the posting join's output
+    * size, which grows quadratically in corpus size on a FIXED hot
+    * vocabulary): both stats come from ONE aggregate job over the
+    * checkpointed shingle relation, so the cost model costs one action.
     * `dictVocabMax` = 0 forces the prefix branch (the registered A/B
     * row and the equivalence specs exercise it at every scale). */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      dictVocabMax: Long = DictVocabMax): DataFrame = {
-    // Checkpointed: the vocabulary count is its own action, and
+      dictVocabMax: Long = DictVocabMax,
+      sumDf2Max: Long = SumDf2Max): DataFrame = {
+    // Checkpointed: the branch-stats aggregate is its own action, and
     // exchange reuse does not span jobs.
     val sh = docs.select(col(idCol).as("id"),
         explode(shinglesFast(col(textCol), n)).as("sh"))
@@ -134,10 +177,10 @@ object Dedup {
       .select("id", "sh")
       .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val vocab = sh.select("sh").distinct()
-    if (vocab.count() <= dictVocabMax) {
-      val dic = broadcast(vocab.withColumn("shid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("sh"))))
+    if (postingJoinFits(sh, dictVocabMax, sumDf2Max)) {
+      val dic = broadcast(sh.select("sh").distinct()
+        .withColumn("shid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("sh"))))
       val si = sh.join(dic, "sh").select("id", "shid")
       val inter = si.as("a").join(si.as("b"),
           col("a.shid") === col("b.shid") && col("a.id") < col("b.id"))

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,12 +34,13 @@ object Graph {
 
   private val Scale = 1000000L
 
-  /** Loop-invariant state: deduped edges, the node universe, edges with
-    * out-degree pre-joined, and (when correcting for dangling mass) the
-    * dangling-node set + node count. Built once, localCheckpointed, shared
-    * by every round of [[pageRank]] / [[pageRankUntil]]. */
+  /** Loop-invariant state: the node universe (carrying a `dang` flag
+    * when correcting for dangling mass), edges with out-degree
+    * pre-joined, and the one-time counts the share arithmetic needs.
+    * Built once, localCheckpointed, shared by every round of
+    * [[pageRank]] / [[pageRankUntil]]. */
   private final case class PrGraph(nodes: DataFrame, eDeg: DataFrame,
-      dangling: DataFrame, nNodes: Long)
+      nNodes: Long, nDangling: Long, redistribute: Boolean)
 
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
       redistributeDangling: Boolean): PrGraph = {
@@ -49,44 +50,87 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
     // out-degree folded into the edge list once — each iteration then
     // only joins scores and aggregates, never recomputes degrees
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint()
-    val dangling =
-      if (!redistributeDangling) null
-      else nodes.join(e.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti").localCheckpoint()
-    val nNodes = if (redistributeDangling) nodes.count() else 0L
-    PrGraph(nodes, eDeg, dangling, nNodes)
+    if (!redistributeDangling)
+      PrGraph(nodes0.localCheckpoint(), eDeg, 0L, 0L, redistribute = false)
+    else {
+      // dangling flag folded INTO the node table (replacing the old
+      // separate dangling relation + per-round semi-join), and both
+      // counts ride the node checkpoint as an Observation — zero extra
+      // driver actions for the correction setup.
+      val obs = Observation()
+      val nodes = nodes0
+        .join(e.select(col("src").as("node")).distinct()
+            .withColumn("__out", lit(true)), Seq("node"), "left")
+        .select(col("node"), col("__out").isNull.as("dang"))
+        .observe(obs, count(lit(1)).as("n"),
+          sum(when(col("dang"), lit(1L)).otherwise(lit(0L))).as("nd"))
+        .localCheckpoint()
+      PrGraph(nodes, eDeg,
+        Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(obs.get("nd")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        redistribute = true)
+    }
+  }
+
+  /** The per-round incoming-mass aggregate: Σ_{u→v} score_t(u) div
+    * outdeg(u), one |edges| equi-join + one partial-agg sum. */
+  private def contribOf(g: PrGraph, score: DataFrame): DataFrame =
+    g.eDeg
+      .join(score.select(col("node").as("src"), col("score")), "src")
+      .select(col("dst").as("node"), expr("score div outdeg").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("in_sum"))
+
+  private def dampedScore(share: Long): Column =
+    (lit(150000L) +
+      expr(s"(85 * (coalesce(in_sum, CAST(0 AS BIGINT)) + ${share}L)) div 100"))
+      .as("score")
+
+  /** Equal floor-share of the INITIAL (uniform 10⁶) dangling pool —
+    * round 1's share before any score has been materialized. */
+  private def initShare(g: PrGraph): Long =
+    if (!g.redistribute || g.nNodes == 0L) 0L
+    else (Scale * g.nDangling) / g.nNodes
+
+  /** Checkpoint a built score frame; when redistributing, the NEXT
+    * round's dangling pool rides the SAME materialization job as an
+    * Observation (the [[graft.etl.Cleaning.observedNullAudit]]
+    * pattern) — one blocking job per round where the old shape ran a
+    * separate driver aggregate plus the checkpoint. */
+  private def checkpointWithShare(g: PrGraph, built: DataFrame)
+      : (DataFrame, Long) = {
+    if (!g.redistribute) (built.localCheckpoint(), 0L)
+    else {
+      val obs = Observation()
+      val cp = built
+        .observe(obs,
+          sum(when(col("dang"), col("score")).otherwise(lit(0L))).as("dsum"))
+        .localCheckpoint()
+      val share = Option(obs.get("dsum"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L) / g.nNodes
+      (cp, share)
+    }
   }
 
   /** One damped round: score_{t+1}(v) = 150000 + (85 · (Σ_{u→v}
-    * score_t(u) div outdeg(u) + danglingShare)) div 100. The dangling
-    * share is a ONE-row aggregate (same discipline as the CC convergence
-    * check) — never a data-sized collect. */
-  private def step(g: PrGraph, score: DataFrame): DataFrame = {
-    val contrib = g.eDeg
-      .join(score.withColumnRenamed("node", "src"), "src")
-      .select(col("dst").as("node"), expr("score div outdeg").as("c"))
-      .groupBy("node").agg(sum(col("c")).as("in_sum"))
-    // equal floor-share of the dangling pool, added to every node's
-    // incoming mass (0 when redistribution is off or nothing dangles)
-    val share =
-      if (g.dangling == null) 0L
-      else Option(score.join(g.dangling, Seq("node"), "left_semi")
-          .agg(sum(col("score"))).head().get(0))
-        .map(_.asInstanceOf[Long] / g.nNodes).getOrElse(0L)
-    g.nodes.join(contrib, Seq("node"), "left")
-      .select(col("node"),
-        (lit(150000L) +
-          expr(s"(85 * (coalesce(in_sum, CAST(0 AS BIGINT)) + ${share}L)) div 100"))
-          .as("score"))
-      .localCheckpoint()
+    * score_t(u) div outdeg(u) + share)) div 100. `share` is the equal
+    * floor-share of the dangling pool measured from the PREVIOUS
+    * round's score (0 when redistribution is off); this round's pool
+    * is observed during this round's checkpoint, so each round is
+    * exactly ONE blocking job — never a data-sized collect, and never
+    * a second scan for the one-row aggregate. */
+  private def step(g: PrGraph, score: DataFrame, share: Long)
+      : (DataFrame, Long) = {
+    val carry = if (g.redistribute) Seq(col("dang")) else Nil
+    val built = g.nodes.join(contribOf(g, score), Seq("node"), "left")
+      .select((col("node") +: carry) :+ dampedScore(share): _*)
+    checkpointWithShare(g, built)
   }
 
   /** `iters` rounds of damped PageRank (d = 0.85) over directed edges
@@ -104,8 +148,12 @@ object Graph {
       redistributeDangling: Boolean = false): DataFrame = {
     val g = prepare(edges, srcCol, dstCol, redistributeDangling)
     var score = g.nodes.withColumn("score", lit(Scale))
-    for (_ <- 1 to iters) score = step(g, score)
-    score
+    var share = initShare(g)
+    for (_ <- 1 to iters) {
+      val (next, nextShare) = step(g, score, share)
+      score = next; share = nextShare
+    }
+    score.select("node", "score")
   }
 
   /** Personalized PageRank: the teleport mass returns to the SOURCE set
@@ -465,7 +513,8 @@ object Graph {
     * in-edges have auth 0, no out-edges hub 0.
     *
     * Scale shape: per half-step one |edges| equi-join + one partial-agg
-    * sum, same as [[pageRank]]; the max is a ONE-row aggregate (the CC
+    * sum, same as [[pageRank]]; the max is a ONE-row aggregate riding
+    * the half-step's checkpoint as an Observation (the CC
     * convergence-check discipline, never a data-sized collect). The
     * rescale product runs in DECIMAL(38,0): raw ≤ 10⁶·maxdeg and the
     * ·10⁶ product overflows 2⁶³ once in-degrees pass ~10⁷ — hub graphs
@@ -476,13 +525,19 @@ object Graph {
     val g = prepare(edges, srcCol, dstCol, redistributeDangling = false)
     val e = g.eDeg.select("src", "dst")
     def rescale(raw: DataFrame, out: String): DataFrame = {
-      val mx = Option(raw.agg(max(col("raw"))).head().get(0))
+      // The max rides the checkpoint job as an Observation: the gather
+      // join materializes ONCE (the old shape ran it twice — once for
+      // the driver max(), once for the checkpoint), and the rescaled
+      // projection stays lazy over the checkpoint (1-deep lineage), so
+      // each half-step is exactly one blocking job.
+      val obs = Observation()
+      val cp = raw.observe(obs, max(col("raw")).as("mx")).localCheckpoint()
+      val mx = Option(obs.get("mx"))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      raw.select(col("node"),
+      cp.select(col("node"),
         (if (mx == 0L) lit(0L)
          else expr(s"(CAST(raw AS DECIMAL(38,0)) * 1000000) div ${mx}L"))
           .as(out))
-        .localCheckpoint()
     }
     def gather(score: DataFrame, scoreCol: String, from: String,
         to: String): DataFrame =
@@ -537,8 +592,11 @@ object Graph {
     * (spec-asserted), since both fold the same [[step]].
     *
     * The delta is a ONE-row aggregate per round (the CC convergence
-    * shape, [[graft.dedup.Dedup.connectedComponents]]) — the only
-    * driver-side value in the loop; never a data-sized collect.
+    * shape, [[graft.dedup.Dedup.connectedComponents]]) joining the two
+    * checkpointed score relations — a second, cheap action beside the
+    * round's checkpoint job (which carries the dangling share as an
+    * Observation); never a data-sized collect. See the in-loop comment
+    * for why the delta must NOT be folded into the checkpoint job.
     * Returns (scores, roundsRun). */
   def pageRankUntil(edges: DataFrame, eps: Long, maxIters: Int,
       srcCol: String = "src", dstCol: String = "dst",
@@ -554,26 +612,46 @@ object Graph {
     // the converged scores terminates at the first delta check). New
     // nodes absent from the prior run enter at the cold 10⁶; stale
     // nodes no longer in the graph are dropped by the node-table join.
+    val carry = if (g.redistribute) Seq(col("dang")) else Nil
+    var share = initShare(g)
     var score = warmStart match {
       case None => g.nodes.withColumn("score", lit(Scale))
-      case Some(prev) => g.nodes
-        .join(prev.select(col("node").cast("long").as("node"),
-          col("score").cast("long").as("prev")), Seq("node"), "left")
-        .select(col("node"), coalesce(col("prev"), lit(Scale)).as("score"))
-        .localCheckpoint()
+      case Some(prev) =>
+        val built = g.nodes
+          .join(prev.select(col("node").cast("long").as("node"),
+            col("score").cast("long").as("prev")), Seq("node"), "left")
+          .select((col("node") +: carry) :+
+            coalesce(col("prev"), lit(Scale)).as("score"): _*)
+        // warm scores are non-uniform, so round 1's dangling share must
+        // be measured from them — observed during the seed checkpoint
+        val (cp, warmShare) = checkpointWithShare(g, built)
+        share = warmShare
+        cp
     }
     var rounds = 0
     var delta = Long.MaxValue
     while (delta >= eps && rounds < maxIters) {
-      val next = step(g, score)
+      // One checkpoint job per round (next dangling share rides it as
+      // an Observation); the L1 delta is a second, cheap action joining
+      // the two CHECKPOINTED score relations. Folding the delta into
+      // the checkpoint job would reference the prev checkpoint TWICE in
+      // one materialized plan (once per-edge in contrib, once per-node
+      // for the delta) — Catalyst's estimated sizeInBytes is a product
+      // over joins, so a double reference DOUBLES the estimate's bit
+      // length every round and the stats visitor ends up multiplying
+      // astronomically wide BigInts (measured: minutes of driver CPU by
+      // round ~25). Two bounded jobs beat one exponential estimate.
+      val (next, nextShare) = step(g, score, share)
       delta = Option(next
-          .join(score.withColumnRenamed("score", "prev"), Seq("node"))
-          .agg(sum(abs(col("score") - col("prev")))).head().get(0))
+          .join(score.select(col("node"), col("score").as("__prev")),
+            Seq("node"))
+          .agg(sum(abs(col("score") - col("__prev")))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      share = nextShare
       score = next
       rounds += 1
     }
-    (score, rounds)
+    (score.select("node", "score"), rounds)
   }
 
   /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009): for

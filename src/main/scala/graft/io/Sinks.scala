@@ -654,7 +654,12 @@ object Sinks {
     // [[optimizeZTable]] refreshes the sidecar with an atomic two-rename
     // swap (old dir aside, new dir in). A reader landing exactly between
     // the renames sees no dir for a few milliseconds — retry through the
-    // window instead of misreporting "table has no sidecar".
+    // window instead of misreporting "table has no sidecar". The retry
+    // is GATED on evidence of an in-flight swap (a sibling `.tmp-*` /
+    // `.old-*` dir): a table that legitimately has no sidecar returns
+    // None immediately instead of paying 300 ms of sleeps on every
+    // colRange read, and the catch is narrowed to read-path failures so
+    // genuine sidecar corruption surfaces instead of being retried away.
     var attempt = 0
     while (attempt < 3) {
       attempt += 1
@@ -667,15 +672,28 @@ object Sinks {
           return Some(stats.select(col("file"), col(mn), col(mx)).collect()
             .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap)
         }
-        // dir absent: either the table truly has no sidecar (stable
-        // across retries) or a refresh swap is mid-flight — brief retry
-        // distinguishes the two.
+        if (!zSwapInFlight(dir)) return None
         Thread.sleep(50L * attempt)
       } catch {
-        case _: Throwable if attempt < 3 => Thread.sleep(50L * attempt)
+        case e @ (_: java.io.IOException
+            | _: org.apache.spark.sql.AnalysisException) =>
+          // dir vanished between exists() and the read (swap window) —
+          // retry; rethrow once the retries are spent
+          if (attempt >= 3) throw e
+          Thread.sleep(50L * attempt)
       }
     }
     None
+  }
+
+  /** Evidence that an [[optimizeZTable]] sidecar swap is mid-flight: a
+    * sibling `_zstats.tmp-*` (new sidecar being staged) or
+    * `_zstats.old-*` (old sidecar moved aside) directory. */
+  private def zSwapInFlight(zstatsDir: java.io.File): Boolean = {
+    val base = zstatsDir.getName
+    val sib = Option(zstatsDir.getParentFile).map(_.list()).flatMap(Option(_))
+      .getOrElse(Array.empty[String])
+    sib.exists(n => n.startsWith(s"$base.tmp-") || n.startsWith(s"$base.old-"))
   }
 
   /** Snapshot range read pruned by the Z-ORDER STATS SIDECAR: the
@@ -753,6 +771,21 @@ object Sinks {
     require(cur > 0, s"$targetPath is not manifest-tracked")
     val statCols = dims.flatMap(d => Seq(s"${d._1}__min", s"${d._1}__max"))
     val sidecarDir = new java.io.File(Zorder.zstatsDir(targetPath))
+    // Reclaim swap garbage from CRASHED prior runs: a writer dying
+    // mid-swap leaves `_zstats.tmp-<uuid>` / `_zstats.old-<uuid>` dirs
+    // that nothing else tracks (vacuum reclaims data files, not these).
+    // Age-gated so a concurrent optimize's seconds-wide in-flight swap
+    // is never yanked out from under it.
+    val staleMs = 10L * 60L * 1000L
+    Option(sidecarDir.getParentFile).map(_.listFiles())
+      .flatMap(Option(_)).getOrElse(Array.empty[java.io.File])
+      .filter { f =>
+        val n = f.getName
+        (n.startsWith(s"${sidecarDir.getName}.tmp-") ||
+          n.startsWith(s"${sidecarDir.getName}.old-")) &&
+          System.currentTimeMillis() - f.lastModified() > staleMs
+      }
+      .foreach(f => deleteRecursively(f.toPath))
     // The sidecar's stat columns must match this call's dims EXACTLY.
     // A superset would pass a forall-subset check and then be rewritten
     // with only this call's columns — silently and permanently dropping

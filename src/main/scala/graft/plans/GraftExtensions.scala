@@ -36,6 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         MinHashSigExpr(args.head, intArg(args(1), "signature size k"))))
     ext.injectFunction((
+      new FunctionIdentifier("bigrams_arr"),
+      new ExpressionInfo(classOf[BigramsExpr].getName, "bigrams_arr"),
+      (args: Seq[Expression]) => BigramsExpr(args.head,
+        withPos = args.length > 1 && (args(1) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"withPos must be a boolean literal, got $other")
+        }))))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
       (args: Seq[Expression]) => SimHashExpr(args.head)))

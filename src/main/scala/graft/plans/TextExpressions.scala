@@ -96,6 +96,30 @@ object TextKernels {
         : Array[Any])
   }
 
+  /** Adjacent-token bigram structs in ONE pass: (w1, w2) per adjacent
+    * pair, or (p, w1, w2) with p = the 1-based token position of w2
+    * when `withPos` — bit-identical to the HOF forms
+    * `transform(slice(s, 1, size(s)-1), (w,i) -> struct(w, s[i+1]))`
+    * and `transform(sequence(1, size(t)-1), i -> struct(i, t[i-1], t[i]))`
+    * (asserted in ExtensionsSpec), but evaluated as tight JVM code
+    * instead of an interpreted per-element lambda. Empty for < 2
+    * tokens (explode then drops the row, matching the HOF forms). */
+  def bigramsArrayData(text: UTF8String, withPos: Boolean): ArrayData = {
+    val toks = tokens(text.toString)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      val w1 = UTF8String.fromString(toks(i))
+      val w2 = UTF8String.fromString(toks(i + 1))
+      out(i) =
+        if (withPos) new GenericInternalRow(Array[Any](i + 1, w1, w2))
+        else new GenericInternalRow(Array[Any](w1, w2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over distinct tokens. 64 bits (vs the round-2 32) is
     * the scale requirement: pigeonhole banding at maxHamming=3 gives 4
     * bands of 16 bits = 65,536 buckets per band, so candidate generation
@@ -296,6 +320,34 @@ case class Md5BucketExpr(child: Expression, buckets: Long)
   override protected def withNewChildInternal(newChild: Expression): Md5BucketExpr =
     copy(child = newChild)
   override def prettyName: String = "md5_bucket"
+}
+
+/** bigrams_arr(text[, withPos]) → array<struct<[p,]w1,w2>>: adjacent-token
+  * pairs in one codegen'd pass (see [[TextKernels.bigramsArrayData]] for the
+  * bit-parity contract with the interpreted HOF forms). The array feeds
+  * Spark's own `explode`, which GenerateExec keeps inside WholeStageCodegen,
+  * so the whole scan → bigrams → explode pipeline is generated code — the
+  * lambda `transform` it replaces never enters codegen and measured as the
+  * dominant cost of the lmScore chain at sf1. */
+case class BigramsExpr(child: Expression, withPos: Boolean = false)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    if (withPos) StructType(Seq(
+      StructField("p", IntegerType, nullable = false),
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false)))
+    else StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bigramsArrayData(input.asInstanceOf[UTF8String], withPos)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.bigramsArrayData($c, $withPos)")
+  override protected def withNewChildInternal(newChild: Expression): BigramsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bigrams_arr"
 }
 
 /** shingles(text, n) → array<string>: distinct word n-grams. */

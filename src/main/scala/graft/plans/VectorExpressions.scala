@@ -56,15 +56,24 @@ object VectorKernels {
     * interpreted folds per row. A vector/dims mismatch fails LOUDLY:
     * the HOF formulation would null-pad and silently zero every bit,
     * which is never what the caller meant. */
-  def srpSignature(v: ArrayData, planes: Int, dims: Int): Long = {
+  def srpSignature(v: ArrayData, planes: Int, dims: Int): Long =
+    srpSignatureAt(v, 0, planes, dims)
+
+  /** [[srpSignature]] over planes [offset, offset + planes): bit p of
+    * the result is the sign of plane (offset + p) — the WORD-w slice of
+    * a multi-word signature (wide layouts split bands across several
+    * BIGINTs so each word stays inside the engines' signed-64 algebra;
+    * see [[graft.sim.AnnParams.forCountWide]]). offset = 0 is the
+    * classic single-word signature. */
+  def srpSignatureAt(v: ArrayData, offset: Int, planes: Int, dims: Int): Long = {
     if (v.numElements() != dims)
       throw new IllegalArgumentException(
         s"srp_signature: vector has ${v.numElements()} dims, expected $dims")
-    val ss = signs(planes, dims)
+    val ss = signs(offset + planes, dims)
     var sig = 0L
     var p = 0
     while (p < planes) {
-      val plane = ss(p)
+      val plane = ss(offset + p)
       var s = 0.0
       var i = 0
       val n = v.numElements()
@@ -146,17 +155,22 @@ case class DotExpr(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
-/** srp_signature(v, planes, dims) → long: packed sign-random-projection
-  * LSH signature over md5-derived ±1 hyperplanes. */
-case class LshSignatureExpr(child: Expression, planes: Int, dims: Int)
+/** srp_signature(v, planes, dims[, offset]) → long: packed
+  * sign-random-projection LSH signature over md5-derived ±1 hyperplanes
+  * [offset, offset + planes) — bit p is plane offset + p. offset > 0 is
+  * the word-slice form for multi-word (wide) signatures. */
+case class LshSignatureExpr(child: Expression, planes: Int, dims: Int,
+    offset: Int = 0)
     extends UnaryExpression {
   require(planes >= 1 && planes <= 64, "planes must fit a long")
+  require(offset >= 0, "plane offset must be >= 0")
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    VectorKernels.srpSignature(input.asInstanceOf[ArrayData], planes, dims)
+    VectorKernels.srpSignatureAt(
+      input.asInstanceOf[ArrayData], offset, planes, dims)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.VectorKernels.srpSignature($c, $planes, $dims)")
+      c => s"graft.plans.VectorKernels.srpSignatureAt($c, $offset, $planes, $dims)")
   override protected def withNewChildInternal(newChild: Expression): LshSignatureExpr =
     copy(child = newChild)
   override def prettyName: String = "srp_signature"

@@ -32,27 +32,34 @@ import graft.sim.{AnnParams, Similarity}
   */
 object AnnSql {
 
-  /** The 60-plane packed-signature expression over a normalized-vector
-    * column `nv` — same md5-derived ±1 constants as the engine kernel
-    * ([[graft.plans.VectorKernels.planeSign]]). */
-  def sigExpr(dims: Int = 64): String = {
-    val planes = Similarity.planeSigns(AnnParams.Bands * AnnParams.SlotBits, dims)
-    planes.zipWithIndex.map { case (plane, p) =>
-      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0")
+  /** Packed-signature expression for planes [offset, offset + planes)
+    * over a normalized-vector column `nv` (bit p = plane offset + p) —
+    * same md5-derived ±1 constants as the engine kernel
+    * ([[graft.plans.VectorKernels.planeSign]]). offset > 0 builds the
+    * later WORDS of a wide multi-word signature. */
+  def sigExprAt(offset: Int, planes: Int, dims: Int = 64): String = {
+    val all = Similarity.planeSigns(offset + planes, dims)
+    (0 until planes).map { p =>
+      val arr = all(offset + p).map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(nv, $arr) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
   }
 
-  /** r = clamp(⌈log₂(n / TargetOccupancy)⌉, 4, SlotBits) as an integer
+  /** The classic 60-plane single-word signature expression. */
+  def sigExpr(dims: Int = 64): String =
+    sigExprAt(0, AnnParams.Bands * AnnParams.SlotBits, dims)
+
+  /** r = clamp(⌈log₂(n / TargetOccupancy)⌉, 4, slotBits) as an integer
     * CASE ladder — term-for-term the `find` in
-    * [[graft.sim.AnnParams.bandBitsFor]], so the engines cannot disagree
-    * at a threshold boundary. */
-  def bandBitsCase(nExpr: String): String = {
-    val arms = (4 until AnnParams.SlotBits).map { r =>
+    * [[graft.sim.AnnParams.bandBitsFor]] (and its wide twin), so the
+    * engines cannot disagree at a threshold boundary. */
+  def bandBitsCase(nExpr: String,
+      slotBits: Int = AnnParams.SlotBits): String = {
+    val arms = (4 until slotBits).map { r =>
       s"WHEN $nExpr <= ${AnnParams.TargetOccupancy << r} THEN $r"
     }.mkString(" ")
-    s"CASE $arms ELSE ${AnnParams.SlotBits} END"
+    s"CASE $arms ELSE $slotBits END"
   }
 
   /** The full candidate-generation CTE chain (no trailing comma).
@@ -66,12 +73,36 @@ object AnnSql {
     */
   def simsCtes(queryPred: String, probes: Int = 0,
       qCol: String = "query_id", nCol: String = "neighbor_id",
-      table: String = "embeddings", dims: Int = 64): String = {
+      table: String = "embeddings", dims: Int = 64): String =
+    simsCtesLayout(words = 1, slotBits = AnnParams.SlotBits,
+      queryPred, probes, qCol, nCol, table, dims)
+
+  /** [[simsCtes]] for the WIDE two-word layout
+    * ([[graft.sim.AnnParams.forCountWide]] — 4 bands × 30-bit slots
+    * across two BIGINT signature words). */
+  def simsCtesWide(queryPred: String, probes: Int = 0,
+      qCol: String = "query_id", nCol: String = "neighbor_id",
+      table: String = "embeddings", dims: Int = 64): String =
+    simsCtesLayout(words = 2, slotBits = AnnParams.WideSlotBits,
+      queryPred, probes, qCol, nCol, table, dims)
+
+  private def simsCtesLayout(words: Int, slotBits: Int,
+      queryPred: String, probes: Int,
+      qCol: String, nCol: String, table: String, dims: Int): String = {
     require(probes >= 0 && probes <= 4,
       s"probes=$probes above the derived band-bits floor (4)")
-    val slot = AnnParams.SlotBits
+    val slot = slotBits
     val bands = AnnParams.Bands
+    val bpw = bands / words
     val cap = AnnParams.BucketCap
+    // one signature column per word; band b reads word b div bpw at
+    // slot b mod bpw — the exact engine bucket algebra
+    val sigCols = (0 until words).map { w =>
+      s"CAST(${sigExprAt(w * bpw * slot, bpw * slot, dims)} AS BIGINT) AS sig$w"
+    }.mkString(",\n                ")
+    val bucketExpr = "(CASE " + (0 until words).map { w =>
+      s"WHEN band < ${(w + 1) * bpw} THEN (sig$w >> ((band - ${w * bpw}) * $slot)) "
+    }.mkString + "END) & pr.mask"
     s"""v AS (SELECT vec_id,
                 list_transform(embedding::DOUBLE[],
                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
@@ -79,23 +110,23 @@ object AnnSql {
                   AS nv
               FROM $table),
        pr AS (SELECT r, ((1::BIGINT << r) - 1) AS mask FROM
-                (SELECT ${bandBitsCase("n")} AS r FROM
+                (SELECT ${bandBitsCase("n", slotBits)} AS r FROM
                   (SELECT COUNT(*) AS n FROM $table))),
        sigs AS MATERIALIZED (SELECT vec_id, nv,
-                CAST(${sigExpr(dims)} AS BIGINT) AS sig FROM v),
+                $sigCols FROM v),
        cb0 AS (SELECT vec_id, band, bucket,
                  ROW_NUMBER() OVER (PARTITION BY band, bucket
                    ORDER BY (vec_id * 48271) % 1048573, vec_id) AS rn,
                  COUNT(*) OVER (PARTITION BY band, bucket) AS sz
                FROM (SELECT vec_id, band,
-                       (sig >> (band * $slot)) & pr.mask AS bucket
+                       $bucketExpr AS bucket
                      FROM sigs CROSS JOIN pr
                      CROSS JOIN (SELECT unnest(range(0, $bands)) AS band) b)),
        cbc AS MATERIALIZED (SELECT vec_id, band, bucket FROM cb0
                WHERE rn <= $cap),
        hot AS (SELECT DISTINCT band, bucket FROM cb0 WHERE sz > $cap),
        qs AS (SELECT vec_id, band,
-                (sig >> (band * $slot)) & pr.mask AS base
+                $bucketExpr AS base
               FROM sigs CROSS JOIN pr
               CROSS JOIN (SELECT unnest(range(0, $bands)) AS band) b
               WHERE $queryPred),
@@ -124,7 +155,15 @@ object AnnSql {
     * .lshTopK]] / `lshTopKMultiprobe` over `queryPred` queries. */
   def topKSql(queryPred: String, k: Int, probes: Int = 0,
       table: String = "embeddings"): String =
-    s"""WITH ${simsCtes(queryPred, probes, table = table)}
+    topKOver(simsCtes(queryPred, probes, table = table), k)
+
+  /** The wide-layout twin of [[topKSql]]. */
+  def topKSqlWide(queryPred: String, k: Int, probes: Int = 0,
+      table: String = "embeddings"): String =
+    topKOver(simsCtesWide(queryPred, probes, table = table), k)
+
+  private def topKOver(ctes: String, k: Int): String =
+    s"""WITH $ctes
        SELECT query_id, rank, neighbor_id, sim FROM (
          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY sim DESC, neighbor_id) AS INT) AS rank

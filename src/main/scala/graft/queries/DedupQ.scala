@@ -108,9 +108,17 @@ object DedupQ extends QueryPack {
   private[graft] def dupHeavy(docs: DataFrame): DataFrame = {
     val t = concat(col("text") +:
       UqTokens.flatMap(c => Seq(lit(s" uq$c"), col("doc_id"))): _*)
-    docs.select(col("doc_id"), t.as("text"))
+    // Loud guard (the triangleCounts raise_error discipline, zero extra
+    // jobs): at a scale factor whose replica-offset doc_ids reach 10⁹
+    // the +10⁹ copy offset would COLLIDE again (the exact bug class the
+    // r12 sf1 hash check caught at +10⁷) — fail at scan time instead of
+    // silently diverging the two engines' shingle dedup.
+    val id = when(col("doc_id") >= lit(1000000000L), raise_error(
+        lit("dupHeavy: doc_id >= 1e9 collides with the +1e9 copy offset")))
+      .otherwise(col("doc_id"))
+    docs.select(id.as("doc_id"), t.as("text"))
       .unionAll(docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000000L).as("doc_id"), t.as("text")))
+        .select((id + 1000000000L).as("doc_id"), t.as("text")))
   }
 
   private def dJaccardAbNaive(spark: SparkSession, d: String): DataFrame =

@@ -54,10 +54,10 @@ object Mine2Q extends QueryPack {
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val n = uni.agg(sum(col("c1")).cast("long").as("n_tokens"))
-    val big = toks.filter(size(col("t")) >= 2)
-      .select(expr(
-        """explode(transform(sequence(1, size(t) - 1),
-             i -> struct(t[i - 1] AS w1, t[i] AS w2)))""").as("b"))
+    // codegen'd bigram extraction (BigramsExpr; empty array for <2
+    // tokens, so explode subsumes the old size(t) >= 2 prefilter)
+    val big = Tables.documents(spark, d)
+      .select(explode(Text.bigramsArr(col("text"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= MinC)
@@ -123,10 +123,9 @@ object Mine2Q extends QueryPack {
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
     val before = toks.agg(sum(size(col("t"))).cast("long")
       .as("tokens_before"))
-    val pos = toks.filter(size(col("t")) >= 2)
-      .select(col("doc_id"), expr(
-        """explode(transform(sequence(1, size(t) - 1),
-             i -> struct(i AS p, t[i - 1] AS w1, t[i] AS w2)))""").as("b"))
+    val pos = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        explode(Text.bigramsArr(col("text"), withPos = true)).as("b"))
       .select(col("doc_id"), col("b.p").as("p"), col("b.w1").as("w1"),
         col("b.w2").as("w2"))
     val matches = pos

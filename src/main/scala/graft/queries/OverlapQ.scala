@@ -27,31 +27,35 @@ object OverlapQ extends QueryPack {
   /** Directional containment pairs: cont(a→b) = |Sa∩Sb| / |Sa| in basis
     * points, kept at ≥ 9000. Integer bp arithmetic — engine-exact.
     *
-    * ADAPTIVE candidate plan, picked by the measured shingle-vocabulary
-    * size (one distinct-count job, the AQE-style driver decision):
-    * small vocabularies get the broadcast integer-dictionary posting
-    * join (the measured optimum on corpora where no shingle is rare —
-    * a prefix filter there pays more in verification than it saves),
-    * large vocabularies get the positional prefix filter (PPJoin
+    * ADAPTIVE candidate plan, picked by ONE measured-stats job
+    * ([[Dedup.postingJoinFits]] — vocabulary count AND Σ df², the
+    * AQE-style driver decision): corpora where the dictionary is
+    * broadcastable AND the posting join's Σdf²-sized output fits the
+    * [[Dedup.SumDf2Max]] budget get the broadcast integer-dictionary
+    * posting join (the measured optimum on corpora where no shingle is
+    * rare — a prefix filter there pays more in verification than it
+    * saves); everything else gets the positional prefix filter (PPJoin
     * bound — the plan whose cost tracks RARE-shingle postings instead
-    * of hot-posting df²). Both plans are exact, so both share the
-    * NAIVE oracle SQL below — same rows, hash-exact either way. Both
-    * directed rows are emitted from one pass over the pair relation
-    * (explode of two structs). */
+    * of hot-posting df²). The Σdf² gate matters because a FIXED hot
+    * vocabulary keeps the count small while Σdf² grows quadratically
+    * in corpus size — vocabulary count alone would ride the dictionary
+    * branch into n² work (VERDICT r12 #4). Both plans are exact, so
+    * both share the NAIVE oracle SQL below — same rows, hash-exact
+    * either way. Both directed rows are emitted from one pass over the
+    * pair relation (explode of two structs). */
   private[graft] def containmentPairs(docs: DataFrame,
       thresholdBp: Long,
-      dictVocabMax: Long = Dedup.DictVocabMax): DataFrame = {
+      dictVocabMax: Long = Dedup.DictVocabMax,
+      sumDf2Max: Long = Dedup.SumDf2Max): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Materialized once: the vocabulary count below is its own ACTION,
+    // Materialized once: the branch-stats aggregate is its own ACTION,
     // and exchange reuse does not span jobs — without the checkpoint
-    // the shingle explosion runs once for the count and again for the
+    // the shingle explosion runs once for the stats and again for the
     // main job.
     val s = sh(docs).localCheckpoint()
     val sizes = s.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val vocab = s.select("sh").distinct()
-    val vocabN = vocab.count()
     val inter =
-      if (vocabN <= dictVocabMax) {
+      if (Dedup.postingJoinFits(s, dictVocabMax, sumDf2Max)) {
         // SMALL-VOCABULARY regime (the testdata corpus: 27 k distinct
         // shingles over 50 k docs at sf1, min df ≈ 50 — NO shingle is
         // rare, so a rarest-first prefix filter still produces millions
@@ -62,7 +66,7 @@ object OverlapQ extends QueryPack {
         // dictionary is broadcast (no shuffle to attach ids), the
         // self-join shuffles 16-byte rows instead of ~30-byte strings,
         // and the Σ df² join output feeds a partial agg directly.
-        val dic = broadcast(vocab.withColumn("shid",
+        val dic = broadcast(s.select("sh").distinct().withColumn("shid",
           row_number().over(Window.orderBy("sh"))))
         val si = s.join(dic, "sh").select("id", "shid")
         si.as("a").join(si.as("b"),

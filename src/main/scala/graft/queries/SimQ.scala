@@ -76,6 +76,79 @@ object SimQ extends QueryPack {
        WHERE round(list_dot_product(a.nv, b.nv), 4) >= 0.4
        ORDER BY id_a, id_b"""
 
+  /** BANDED near-dup pairs at θ=0.4 — the registered 100 TB path for the
+    * threshold join (VERDICT r12 #3): candidates come from the capped,
+    * corpus-size-derived LSH banding ([[graft.sim.Similarity
+    * .lshCandidateSims]] — expected candidates ≈ bands·n·occupancy,
+    * LINEAR in n) instead of [[Similarity.allPairsAboveThreshold]]'s
+    * exact n²/2 flops; surviving pairs are exact-cosine reranked,
+    * thresholded, and canonicalized to (id_a < id_b). `sim_near_dup`
+    * stays registered as the exactness-contract anchor; what this path
+    * trades away is MEASURED, not asserted, by `sim_recall_banded_nd`.
+    * Deterministic end-to-end → full generated DuckDB oracle
+    * ([[AnnSql]]). */
+  private def simNearDupBanded(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    Similarity.lshCandidateSims(e, e, Similarity.annParamsFor(e, d))
+      .filter(col("sim") >= 0.4)
+      .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"),
+        col("sim"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  private val simNearDupBandedSql =
+    s"""WITH ${AnnSql.simsCtes("TRUE")}
+       SELECT DISTINCT least(query_id, neighbor_id) AS id_a,
+              greatest(query_id, neighbor_id) AS id_b, sim
+       FROM sims WHERE sim >= 0.4
+       ORDER BY id_a, id_b"""
+
+  /** Pair recall of the banded near-dup path against the exact all-pairs
+    * contract (`sim_near_dup`), one summary row: exact pairs, banded
+    * pairs, their intersection, and integer-bp recall — the
+    * `sim_recall_lsh` discipline applied to the threshold join, so the
+    * banded path's promotion to 100 TB default is graded, not claimed.
+    * (Runs the exact side too, so it prices as an exact row — the
+    * harness's recall rows always pay for their own ground truth.) */
+  private def simRecallBandedNd(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    val exact = Similarity.allPairsAboveThreshold(e, 0.4, cacheKey = Some(d))
+      .select("id_a", "id_b")
+    val banded = Similarity
+      .lshCandidateSims(e, e, Similarity.annParamsFor(e, d))
+      .filter(col("sim") >= 0.4)
+      .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"))
+      .distinct()
+    val hit = exact.join(banded, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(banded.agg(count(lit(1)).as("n_banded")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_banded"), col("n_hit"),
+        expr("CASE WHEN n_exact = 0 THEN 10000 " +
+          "ELSE (n_hit * 10000) div n_exact END").as("recall_bp"))
+  }
+
+  private val simRecallBandedNdSql =
+    s"""WITH ${AnnSql.simsCtes("TRUE")},
+       banded AS (SELECT DISTINCT least(query_id, neighbor_id) AS id_a,
+                         greatest(query_id, neighbor_id) AS id_b
+                  FROM sims WHERE sim >= 0.4),
+       exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM v a JOIN v b ON a.vec_id < b.vec_id
+                 WHERE round(list_dot_product(a.nv, b.nv), 4) >= 0.4),
+       h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+             FROM exact e JOIN banded b USING (id_a, id_b))
+       SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+              CAST((SELECT COUNT(*) FROM banded) AS BIGINT) AS n_banded,
+              h.n_hit,
+              CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 10000
+                   ELSE (h.n_hit * 10000) // (SELECT COUNT(*) FROM exact)
+                   END AS BIGINT) AS recall_bp
+       FROM h"""
+
   /** LSH-bucketed approximate top-k (scale path: candidates from
     * capped, corpus-size-derived band collisions only —
     * [[graft.sim.AnnParams]]). The pipeline is deterministic end-to-end
@@ -94,6 +167,28 @@ object SimQ extends QueryPack {
 
   private[queries] val simLshSql: String =
     AnnSql.topKSql("vec_id % 25 = 0", k = 5)
+
+  /** WIDE-layout LSH top-k — the >2 M-vector rung (VERDICT r12 #6):
+    * [[graft.sim.AnnParams.forCountWide]] splits the 4 bands across TWO
+    * 30-bit-slot BIGINT signature words, so the r ladder's ceiling is
+    * 30 and expected bucket occupancy stays at target out to
+    * ~6.9 · 10¹⁰ vectors, where the single-word layout's 15-bit clamp
+    * saturates at ~2.1 M. Registered with the generated two-word oracle
+    * ([[AnnSql.topKSqlWide]]) so the wide algebra's PARITY is proven at
+    * every SF the driver checks, not just argued from the ladder math
+    * (occupancy boundedness itself is spec-asserted in
+    * ExtensionsSpec). */
+  private def simLshTopkWide(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    Similarity.lshTopK(
+        e.filter(col("vec_id") % 25 === 0), e, k = 5,
+        params = graft.sim.AnnParams.forCountWide(
+          graft.sim.AnnParams.corpusCount(e, Some(d))))
+      .orderBy("query_id", "rank")
+  }
+
+  private val simLshWideSql: String =
+    AnnSql.topKSqlWide("vec_id % 25 = 0", k = 5)
 
   /** IVF ANN top-k (the second scale path beside LSH): deterministic
     * centroid codebook (vec_id % 50), nearest-cell assignment, nprobe=4
@@ -561,7 +656,10 @@ object SimQ extends QueryPack {
     Q("sim_ivft", simIvfTrained, Some(simIvfTrainedSql)),
     Q("sim_topk_agg", simTopkAgg, Some(simTopkSql)),
     Q("sim_near_dup", simNearDup, Some(simNearDupSql)),
+    Q("sim_near_dup_banded", simNearDupBanded, Some(simNearDupBandedSql)),
+    Q("sim_recall_banded_nd", simRecallBandedNd, Some(simRecallBandedNdSql)),
     Q("sim_lsh_topk", simLshTopk, Some(simLshSql)),
+    Q("sim_lsh_topk_wide", simLshTopkWide, Some(simLshWideSql)),
     Q("sim_ivf_topk", simIvfTopk, Some(simIvfSql)),
     Q("sim_kmeans", simKmeans, Some(simKmeansSql)))
 }

@@ -36,14 +36,21 @@ import org.apache.spark.sql.DataFrame
   * multiprobe move), so the recall lost to truncation is bought back
   * from the bucket's neighbors rather than silently dropped. */
 final case class AnnParams(bands: Int, slotBits: Int, bandBits: Int,
-    bucketCap: Int) {
-  require(bands >= 1 && slotBits >= 1 && bands * slotBits <= 62,
-    s"signature must fit a positive long: bands=$bands slotBits=$slotBits")
+    bucketCap: Int, words: Int = 1) {
+  require(words >= 1 && bands % words == 0,
+    s"bands=$bands must split evenly across words=$words")
+  require(bands >= 1 && slotBits >= 1 && (bands / words) * slotBits <= 62,
+    s"each signature word must fit a positive long: " +
+      s"bands=$bands slotBits=$slotBits words=$words")
   require(bandBits >= 1 && bandBits <= slotBits,
     s"bandBits=$bandBits outside [1, $slotBits]")
   require(bucketCap >= 1)
-  /** Total hyperplanes in the signature (= signature bit width). */
+  /** Total hyperplanes in the signature (across all words). */
   def planes: Int = bands * slotBits
+  /** Bands carried per signature word. */
+  def bandsPerWord: Int = bands / words
+  /** Hyperplanes per signature word (= one word's bit width). */
+  def planesPerWord: Int = bandsPerWord * slotBits
   /** Low-bits bucket mask for one band. */
   def mask: Long = (1L << bandBits) - 1
 }
@@ -66,13 +73,43 @@ object AnnParams {
     * the SAME integer threshold ladder the generated oracle SQL embeds
     * ([[graft.queries.AnnSql.bandBitsCase]]) — `find` over
     * `n <= TargetOccupancy · 2^r` so the two engines cannot disagree
-    * at a boundary (no floating log). */
+    * at a boundary (no floating log).
+    *
+    * CEILING (the honest limit of the single-word layout): the 60-bit
+    * signature fixes r ≤ 15, so past n ≈ TargetOccupancy · 2¹⁵ ≈ 2.1 M
+    * vectors the clamp saturates, expected occupancy grows linearly
+    * again, and recall leans entirely on the bucket cap + Hamming-1
+    * re-probe. The next rung is the WIDE layout ([[forCountWide]]):
+    * the same 4 bands split across TWO signature words (30-bit slots,
+    * r ≤ 30 — occupancy stays at target out to ~6.9 · 10¹⁰ vectors),
+    * same integer ladder, same generated-oracle discipline
+    * ([[graft.queries.AnnSql.simsCtesWide]]). */
   def bandBitsFor(n: Long): Int =
     (4 until SlotBits).find(r => n <= (TargetOccupancy << r))
       .getOrElse(SlotBits)
 
   def forCount(n: Long): AnnParams =
     AnnParams(Bands, SlotBits, bandBitsFor(n), BucketCap)
+
+  /** Hyperplanes per band slot in the WIDE two-word layout: 2 bands ×
+    * 30 bits per BIGINT word (60 bits — the same signed-64 headroom
+    * contract per word as the single-word layout). */
+  val WideSlotBits = 30
+
+  /** The wide layout's r ladder — same integer `find`, ceiling 30:
+    * occupancy stays at [[TargetOccupancy]] out to
+    * 64 · 2³⁰ ≈ 6.9 · 10¹⁰ vectors (vs 2.1 M for the 15-bit clamp). */
+  def bandBitsForWide(n: Long): Int =
+    (4 until WideSlotBits).find(r => n <= (TargetOccupancy << r))
+      .getOrElse(WideSlotBits)
+
+  /** Wide two-word parameters for corpora past the single-word clamp:
+    * 4 bands × 30-bit slots across two BIGINT words. Both layouts run
+    * the same capped-banding plan ([[graft.sim.Similarity
+    * .lshCandidateSims]] branches only on the per-word bucket
+    * extraction) and both have generated DuckDB oracles. */
+  def forCountWide(n: Long): AnnParams =
+    AnnParams(Bands, WideSlotBits, bandBitsForWide(n), BucketCap, words = 2)
 
   /** The pre-derivation legacy layout (contiguous r-bit bands, no cap) —
     * kept for spec-level A/Bs of the banding algebra itself; registered
@@ -90,10 +127,16 @@ object AnnParams {
 
   /** The memoized corpus count itself — shared by every corpus-size-
     * derived parameter (band bits here, trained-codebook cell counts in
-    * the IVF family). */
+    * the IVF family). The memo key folds in the corpus plan's semantic
+    * hash, not the caller key alone: a caller passing a FILTERED or
+    * derived relation under the same testdata key must get its own
+    * count, not the first caller's full-corpus count (which would
+    * silently derive wrong band bits). */
   def corpusCount(corpus: DataFrame, cacheKey: Option[String] = None): Long =
     cacheKey match {
-      case Some(k) => countMemo.computeIfAbsent(k, _ => corpus.count()).longValue()
+      case Some(k) =>
+        val key = s"$k#${corpus.queryExecution.analyzed.semanticHash()}"
+        countMemo.computeIfAbsent(key, _ => corpus.count()).longValue()
       case None => corpus.count()
     }
 

@@ -266,6 +266,16 @@ object Similarity {
       graft.plans.LshSignatureExpr(
         org.apache.spark.sql.GraftBridge.expression(vec), planes, dims))
 
+  /** Word-slice signature over planes [offset, offset + planes) — the
+    * multi-word (wide) layout's per-word form; offset = 0 ≡
+    * [[lshSignature]]. */
+  def lshSignatureAt(vec: Column, offset: Int, planes: Int,
+      dims: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.LshSignatureExpr(
+        org.apache.spark.sql.GraftBridge.expression(vec), planes, dims,
+        offset))
+
   /** Reference HOF formulation of [[lshSignature]] (plane vectors embedded
     * as literal arrays, one interpreted fold per plane). */
   def lshSignatureHof(vec: Column, planes: Int, dims: Int): Column = {
@@ -372,16 +382,32 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Query batches up to this size ride the broadcast probe/query plan
+    * in [[ivfTopKWithCentroids]] (64 k × ~0.5 KB normalized vector ≈
+    * 35 MB on the driver — comfortably inside executor/driver broadcast
+    * budgets); larger batches fall back to the shuffle join, whose cost
+    * scales with the batch instead of blowing the broadcast. */
+  val BroadcastQueryMax = 65536L
+
   /** [[ivfTopK]] with an EXTERNAL codebook — `cent` is (cent_id, cv)
     * with cv already L2-normalized. This is the production seam: pass
     * [[KMeans]]-trained centroids (or any codebook) without changing
-    * the search plan. */
+    * the search plan. The 'search many' framing is size-guarded: the
+    * query side is broadcast only when a bounded probe (LocalLimit —
+    * scans at most [[BroadcastQueryMax]]+1 rows, never the batch) shows
+    * the batch fits; above that the probe/query joins revert to
+    * exchanges, trading the no-shuffle plan for one that scales with
+    * the batch. */
   def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
       cent: DataFrame, k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = normalized(corpus, idCol, vecCol)
     val q = normalized(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("nv").as("qv"))
+    val qFits =
+      queries.select(col(idCol)).limit((BroadcastQueryMax + 1).toInt)
+        .count() <= BroadcastQueryMax
+    def qSide(df: DataFrame): DataFrame = if (qFits) broadcast(df) else df
     val wA = Window.partitionBy("id")
       .orderBy(col("cd").desc, col("cent_id").asc)
     // The assignment CARRIES nv: the earlier shape dropped it and
@@ -400,19 +426,19 @@ object Similarity {
         round(dotFast(col("qv"), col("cv")), 4).as("cd"))
       .withColumn("r", row_number().over(wQ)).filter(col("r") <= nprobe)
       .select("query_id", "cent_id")
-    // Probes (|queries|·nprobe rows) are BROADCAST: cent_id has only
-    // |codebook| distinct values, so an exchange-keyed join on it lands
-    // the whole corpus on ≤ |codebook| reducers (measured as the
-    // dominant stage of `sim_ivft` at sf1 with its 4-cell codebook);
-    // broadcasting the tiny side streams the assignment with no
-    // cent_id exchange at all. The per-query top-k is the typed
-    // [[graft.plans.TopKAggregator]] — map-side partial top-k, so only
-    // k·partitions rows per query shuffle instead of every candidate
-    // through a rank window (identical output and tie-breaks —
-    // [[bruteForceTopKAgg]]'s contract).
-    val sims = assigned.join(broadcast(probes), Seq("cent_id"))
+    // Probes (|queries|·nprobe rows) are BROADCAST when the batch fits:
+    // cent_id has only |codebook| distinct values, so an exchange-keyed
+    // join on it lands the whole corpus on ≤ |codebook| reducers
+    // (measured as the dominant stage of `sim_ivft` at sf1 with its
+    // 4-cell codebook); broadcasting the tiny side streams the
+    // assignment with no cent_id exchange at all. The per-query top-k
+    // is the typed [[graft.plans.TopKAggregator]] — map-side partial
+    // top-k, so only k·partitions rows per query shuffle instead of
+    // every candidate through a rank window (identical output and
+    // tie-breaks — [[bruteForceTopKAgg]]'s contract).
+    val sims = assigned.join(qSide(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("id"))
-      .join(broadcast(q), Seq("query_id"))
+      .join(qSide(q), Seq("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(dotFast(col("qv"), col("nv")), 4).as("sim"))
     sims.groupBy("query_id")
@@ -713,16 +739,30 @@ object Similarity {
     require(probes >= 0 && probes <= params.bandBits,
       s"probes must be in [0, ${params.bandBits}], got $probes")
     val slot = params.slotBits
+    val bpw = params.bandsPerWord
+    // One signature column per word (word w = planes [w·bpw·slot,
+    // (w+1)·bpw·slot)): the single-word layout is words = 1; the WIDE
+    // layout splits the bands across two BIGINT words so 30-bit slots
+    // stay inside both engines' signed-64 algebra (AnnParams ceiling).
+    val sigRefs = (0 until params.words).map(w => col(s"sig$w"))
+    def withSigs(side: DataFrame): DataFrame =
+      (0 until params.words).foldLeft(side)((df, w) =>
+        df.withColumn(s"sig$w", lshSignatureAt(col("nv"),
+          w * params.planesPerWord, params.planesPerWord, dims)))
     // signature + normalize computed once per side behind the exchange
-    val q = normalized(queries, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("nv"), params.planes, dims))
-      .select(col("id").as("query_id"), col("nv").as("qv"), col("sig"))
-    val c = normalized(corpus, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("nv"), params.planes, dims))
-      .select(col("id").as("neighbor_id"), col("nv").as("cv"), col("sig"))
-    val bucketOf = expr(s"shiftright(sig, band * $slot) & ${params.mask}")
-    val sized = c.select(col("neighbor_id"),
-        explode(sequence(lit(0), lit(params.bands - 1))).as("band"), col("sig"))
+    val q = withSigs(normalized(queries, idCol, vecCol))
+      .select(col("id").as("query_id") +: col("nv").as("qv") +: sigRefs: _*)
+    val c = withSigs(normalized(corpus, idCol, vecCol))
+      .select(col("id").as("neighbor_id") +: col("nv").as("cv") +: sigRefs: _*)
+    // band b's bucket comes from word b div bpw, slot b mod bpw
+    val bucketOf = expr("(CASE " +
+      (0 until params.words).map(w =>
+        s"WHEN band < ${(w + 1) * bpw} " +
+          s"THEN shiftright(sig$w, (band - ${w * bpw}) * $slot) ").mkString +
+      s"END) & ${params.mask}")
+    val sized = c.select(col("neighbor_id") +:
+        explode(sequence(lit(0), lit(params.bands - 1))).as("band") +:
+        sigRefs: _*)
       .withColumn("bucket", bucketOf)
       .select("neighbor_id", "band", "bucket")
       .withColumn("rn", row_number().over(
@@ -736,8 +776,9 @@ object Similarity {
     val hot = sized.filter(col("sz") > params.bucketCap)
       .select(col("band").as("hband"), col("bucket").as("hbucket"))
       .distinct()
-    val qs = q.select(col("query_id"),
-        explode(sequence(lit(0), lit(params.bands - 1))).as("band"), col("sig"))
+    val qs = q.select(col("query_id") +:
+        explode(sequence(lit(0), lit(params.bands - 1))).as("band") +:
+        sigRefs: _*)
       .withColumn("base", bucketOf)
       .select("query_id", "band", "base")
     val statics = qs

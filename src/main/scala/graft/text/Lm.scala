@@ -29,9 +29,22 @@ import org.apache.spark.sql.functions._
 object Lm {
 
   /** Adjacent-pair extraction: one row per (doc, w1, w2) bigram token.
-    * SHUFFLE-FREE — an array transform over the split tokens (no
-    * self-join, no per-doc window sort); fuses into the scan. */
+    * SHUFFLE-FREE and fully codegen'd — [[graft.plans.BigramsExpr]]
+    * builds the pair array in one JVM pass and Spark's own `explode`
+    * stays inside WholeStageCodegen, so the extraction fuses into the
+    * scan (the interpreted-lambda `transform` it replaces measured as
+    * 2/3 of the whole lmScore chain's cost at sf1). */
   def bigrams(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(Text.bigramsArr(col(textCol))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** The higher-order-function formulation of [[bigrams]] — kept as the
+    * bit-parity reference for the codegen'd expression (ExtensionsSpec
+    * asserts equality); not on any hot path. */
+  def bigramsHof(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("s"))

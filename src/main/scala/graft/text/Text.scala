@@ -27,6 +27,16 @@ object Text {
   def tokensBpeish(text: Column): Column =
     split(text, "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])")
 
+  /** Adjacent-token bigram array straight from the text column
+    * ([[graft.plans.BigramsExpr]]): array<struct<w1,w2>>, or
+    * array<struct<p,w1,w2>> with the 1-based position of w2 when
+    * `withPos` — one codegen'd JVM pass, bit-identical to the
+    * interpreted `transform` HOF forms it replaces (ExtensionsSpec). */
+  def bigramsArr(text: Column, withPos: Boolean = false): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.BigramsExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), withPos))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def distinctTokenCount(text: Column): Column =

@@ -97,6 +97,35 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bigrams_arr kernel is bit-identical to the HOF formulations") {
+    val docs = Tables.documents(spark, sf)
+    // pair form vs the slice/transform HOF (multiset equality)
+    val fast = graft.text.Lm.bigrams(docs)
+    val slow = graft.text.Lm.bigramsHof(docs)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      "bigrams_arr drifted from the transform/slice HOF form")
+    // positional form vs the sequence/transform HOF (p = 1-based pos of w2)
+    val fastPos = docs.select(col("doc_id"),
+        explode(Text.bigramsArr(col("text"), withPos = true)).as("b"))
+      .select(col("doc_id"), col("b.p"), col("b.w1"), col("b.w2"))
+    val slowPos = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(1, size(t) - 1),
+             i -> struct(i AS p, t[i - 1] AS w1, t[i] AS w2)))""").as("b"))
+      .select(col("doc_id"), col("b.p"), col("b.w1"), col("b.w2"))
+    assert(fastPos.exceptAll(slowPos).isEmpty &&
+      slowPos.exceptAll(fastPos).isEmpty,
+      "positional bigrams_arr drifted from the sequence/transform HOF form")
+    // empty and single-token docs yield no rows, matching the HOF forms
+    val edge = spark.createDataFrame(Seq((1L, ""), (2L, "solo"),
+      (3L, "a b"))).toDF("doc_id", "text")
+    val edgeRows = graft.text.Lm.bigrams(edge).collect()
+    assert(edgeRows.length == 1 &&
+      edgeRows(0).getString(1) == "a" && edgeRows(0).getString(2) == "b")
+  }
+
   test("text-stats/quality/langId kernels are bit-identical to the HOF formulations") {
     val docs = Tables.documents(spark, sf)
     val en = Text.langStopwords.toMap.apply("en")
@@ -182,6 +211,61 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       dictVocabMax = 0L))
     assert(dict == pref, "containment plan branches diverged")
     assert(dict.nonEmpty)
+    // Σdf²-forced prefix route (budget below the corpus's Σdf²) is the
+    // same exact relation — the huge-hot regime's branch, VERDICT r12 #4
+    val df2Routed = rows(graft.queries.OverlapQ.containmentPairs(docs, 9000L,
+      sumDf2Max = 1L))
+    assert(dict == df2Routed, "Σdf²-routed prefix branch diverged")
+  }
+
+  test("wide ANN layout keeps occupancy bounded past the single-word clamp") {
+    import graft.sim.AnnParams
+    // Single-word ceiling: r clamps at 15, so occupancy grows linearly
+    // past ~2.1M vectors; the wide ladder keeps it at target.
+    def occupancy(n: Long, r: Int): Long = n / (1L << r)
+    val n4m = 4000000L
+    assert(AnnParams.bandBitsFor(n4m) == AnnParams.SlotBits,
+      "4M vectors must saturate the single-word clamp")
+    assert(occupancy(n4m, AnnParams.bandBitsFor(n4m)) >
+      AnnParams.TargetOccupancy,
+      "clamped layout is past its occupancy target at 4M — the ceiling")
+    assert(occupancy(n4m, AnnParams.bandBitsForWide(n4m)) <=
+      AnnParams.TargetOccupancy,
+      "wide ladder must hold occupancy at target at 4M vectors")
+    // ...and out to 10^9 (occupancy ≤ target until ~6.9e10)
+    assert(occupancy(1000000000L,
+      AnnParams.bandBitsForWide(1000000000L)) <= AnnParams.TargetOccupancy)
+    // word layout invariants: each word fits signed-64, bands split evenly
+    val wide = AnnParams.forCountWide(n4m)
+    assert(wide.words == 2 && wide.planesPerWord == 60 && wide.planes == 120)
+    // the wide engine path runs and is deterministic on a real corpus
+    val e = Tables.embeddings(spark, sf)
+    val p = AnnParams.forCountWide(graft.sim.AnnParams.corpusCount(e))
+    val out1 = Similarity.lshTopK(e.filter(col("vec_id") % 100 === 0), e,
+      k = 3, params = p).collect().toSet
+    val out2 = Similarity.lshTopK(e.filter(col("vec_id") % 100 === 0), e,
+      k = 3, params = p).collect().toSet
+    assert(out1 == out2 && out1.nonEmpty, "wide path must be deterministic")
+  }
+
+  test("postingJoinFits gates on Σdf², not vocabulary count alone") {
+    // Synthetic HUGE-HOT corpus: every doc shares the same 4 shingles
+    // (vocab stays tiny as docs grow) — the regime where Σdf² grows
+    // quadratically in corpus size while the vocabulary count would
+    // happily pick the posting join forever.
+    val docs = spark.createDataFrame(
+      (1L to 60L).map(i => (i, "a b c d e f"))).toDF("doc_id", "text")
+    val shRel = docs.select(col("doc_id").as("id"),
+      explode(Dedup.shinglesFast(col("text"), 3)).as("sh"))
+    // 4 distinct shingles, df = 60 each → Σdf² = 4·3600 = 14400
+    assert(Dedup.postingJoinFits(shRel, 1000000L, 14400L),
+      "exact budget boundary should still fit")
+    assert(!Dedup.postingJoinFits(shRel, 1000000L, 14399L),
+      "Σdf² above budget must route off the posting join")
+    assert(!Dedup.postingJoinFits(shRel, 3L, Long.MaxValue),
+      "vocabulary gate still applies")
+    assert(!Dedup.postingJoinFits(shRel, 0L, Long.MaxValue),
+      "dictVocabMax = 0 forces the prefix branch without a stats job")
   }
 
   test("int8 quantization reconstructs within one step per dimension") {

@@ -81,6 +81,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hard-negative mining broadcasts the (small) query side — the
     // sim_topk ANN shape with a label-disequality filter
     "sim_hard_neg",
+    // the banded-near-dup recall harness pays for its own ground truth:
+    // the exact side IS sim_near_dup's contracted SHUFFLE_REPLICATE_NL
+    // all-pairs join, and the summary row crosses three ONE-row counts
+    // (scalar by construction). The banded side under grade is
+    // sim_near_dup_banded's audited equi-join plan.
+    "sim_recall_banded_nd",
     // temperature mixing crosses the |sources| weight table with its
     // ONE-row max aggregate — dim/scalar sides by construction
     "c_mix_temp",
@@ -257,6 +263,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       classOf[graft.plans.ShinglesExpr], classOf[graft.plans.MinHashSigExpr],
       classOf[graft.plans.TextStatsExpr], classOf[graft.plans.QualityStatsExpr],
       classOf[graft.plans.LangIdExpr], classOf[graft.plans.DotExpr],
+      classOf[graft.plans.BigramsExpr],
       classOf[graft.plans.LshSignatureExpr], classOf[graft.plans.SqDistExpr],
       classOf[graft.plans.L2NormalizeExpr]).map(_.getName)
     def exprClasses(node: SparkPlan): Set[String] =
