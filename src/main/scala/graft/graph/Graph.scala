@@ -37,53 +37,136 @@ object Graph {
   /** Loop-invariant state: the node universe (carrying a `dang` flag
     * when correcting for dangling mass), edges with out-degree
     * pre-joined, and the one-time counts the share arithmetic needs.
-    * Built once, localCheckpointed, shared by every round of
-    * [[pageRank]] / [[pageRankUntil]]. */
+    * Built once, PERSISTED columnar (InMemoryRelation — a vectorized
+    * codegen scan per round, where a localCheckpoint's LogicalRDD
+    * deserializes row objects: measured ~1 s/round of pure scan tax on
+    * sf1's 11.7 M-edge trade graph), shared by every round. `release()`
+    * drops the invariant blocks once the loop is done — per-round score
+    * SNAPSHOTS still localCheckpoint (lineage truncation is what they
+    * need), so released invariants are unreachable from returned
+    * plans once at least one round ran. */
   private final case class PrGraph(nodes: DataFrame, eDeg: DataFrame,
-      nNodes: Long, nDangling: Long, redistribute: Boolean)
+      nNodes: Long, nDangling: Long, redistribute: Boolean,
+      invariants: Seq[DataFrame]) {
+    def release(): Unit =
+      invariants.foreach(_.unpersist(blocking = false))
+  }
 
+  /** Score/node tables up to this many rows carry an explicit broadcast
+    * hint into the per-round edge join (≤ ~24 MB of (node, score)
+    * rows): a checkpointed LogicalRDD inherits its ORIGIN plan's
+    * sizeInBytes estimate — a product over the joins that built it —
+    * so without the hint the planner sees the dim-sized score table as
+    * huge and shuffles the FULL edge list every round. Above the gate
+    * the join reverts to exchanges, which is also correct: a 10⁹-node
+    * graph's score table must never be broadcast. */
+  private val BroadcastNodesMax = 1000000L
+
+  private def dimHint(g: PrGraph, df: DataFrame): DataFrame =
+    if (g.nNodes > 0L && g.nNodes <= BroadcastNodesMax) broadcast(df) else df
+
+  /** `assumeDistinct`: the caller asserts `edges` is already a deduped,
+    * null-free (src, dst) long relation — typically a warm managed
+    * cache shared by a whole query family — so prepare neither
+    * re-distincts nor re-persists it; per-round scans hit the caller's
+    * columnar cache directly. Wrong assertions change results (parallel
+    * edges would double-count), which is why the default stays false. */
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
-      redistributeDangling: Boolean): PrGraph = {
-    val e = edges
+      redistributeDangling: Boolean,
+      assumeDistinct: Boolean = false): PrGraph = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .localCheckpoint()
+    val e =
+      if (assumeDistinct) e0
+      else e0.filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+        .persist(mad)
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
     // out-degree folded into the edge list once — each iteration then
     // only joins scores and aggregates, never recomputes degrees
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint()
-    if (!redistributeDangling)
-      PrGraph(nodes0.localCheckpoint(), eDeg, 0L, 0L, redistribute = false)
-    else {
+      .persist(mad)
+    // ONE materializing action: counting nodes populates e's and nodes'
+    // caches and returns the broadcast-gate count ([[dimHint]]); eDeg
+    // fills lazily on the first round (every later round reads cache).
+    val owned = if (assumeDistinct) Seq(eDeg) else Seq(e, eDeg)
+    if (!redistributeDangling) {
+      val nodes = nodes0.persist(mad)
+      val n = nodes.count()
+      PrGraph(nodes, eDeg, n, 0L, redistribute = false,
+        invariants = owned :+ nodes)
+    } else {
       // dangling flag folded INTO the node table (replacing the old
-      // separate dangling relation + per-round semi-join), and both
-      // counts ride the node checkpoint as an Observation — zero extra
-      // driver actions for the correction setup.
+      // separate dangling relation + per-round semi-join); the dangling
+      // count rides the materializing count() as an Observation.
       val obs = Observation()
       val nodes = nodes0
         .join(e.select(col("src").as("node")).distinct()
             .withColumn("__out", lit(true)), Seq("node"), "left")
         .select(col("node"), col("__out").isNull.as("dang"))
-        .observe(obs, count(lit(1)).as("n"),
+        .observe(obs,
           sum(when(col("dang"), lit(1L)).otherwise(lit(0L))).as("nd"))
-        .localCheckpoint()
-      PrGraph(nodes, eDeg,
-        Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        .persist(mad)
+      val n = nodes.count()
+      PrGraph(nodes, eDeg, n,
         Option(obs.get("nd")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        redistribute = true)
+        redistribute = true, invariants = owned :+ nodes)
     }
   }
 
+  /** Loop-invariant builders for the CALLER-MANAGED prepared-graph path
+    * ([[pageRankOn]] / [[hitsOn]]): a query family running several
+    * algorithms over ONE edge set caches these once (the ManagedCaches
+    * warm-row discipline, `gr_edges_build`) so each member query pays
+    * for its ROUNDS, not a rebuild of the graph. `e` must be a deduped,
+    * null-free (src, dst) long relation. */
+  def nodesOf(e: DataFrame, withDanglingFlag: Boolean = false): DataFrame = {
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    if (!withDanglingFlag) nodes0
+    else nodes0
+      .join(e.select(col("src").as("node")).distinct()
+          .withColumn("__out", lit(true)), Seq("node"), "left")
+      .select(col("node"), col("__out").isNull.as("dang"))
+  }
+
+  /** Edges with out-degree pre-joined — [[pageRankOn]]'s edge relation. */
+  def eDegOf(e: DataFrame): DataFrame =
+    e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+
+  /** PageRank over CALLER-prepared invariants ([[nodesOf]] /
+    * [[eDegOf]]; when `redistributeDangling`, `nodes` must carry the
+    * `dang` flag and `nDangling` its count). Nothing is persisted or
+    * released here — invariant lifecycle belongs to the caller. Same
+    * per-round algebra as [[pageRank]] (which delegates here), so the
+    * oracle is unchanged. */
+  def pageRankOn(nodes: DataFrame, eDeg: DataFrame, nNodes: Long,
+      nDangling: Long, iters: Int,
+      redistributeDangling: Boolean): DataFrame = {
+    val g = PrGraph(nodes, eDeg, nNodes, nDangling,
+      redistribute = redistributeDangling, invariants = Nil)
+    var score = g.nodes.withColumn("score", lit(Scale))
+    var share = initShare(g)
+    for (_ <- 1 to iters) {
+      val (next, nextShare) = step(g, score, share)
+      score = next; share = nextShare
+    }
+    score.select("node", "score")
+  }
+
   /** The per-round incoming-mass aggregate: Σ_{u→v} score_t(u) div
-    * outdeg(u), one |edges| equi-join + one partial-agg sum. */
+    * outdeg(u), one |edges| equi-join + one partial-agg sum. The score
+    * side is dim-sized (|V| rows) — broadcast when the gate allows, so
+    * the |E|-row side never shuffles. */
   private def contribOf(g: PrGraph, score: DataFrame): DataFrame =
     g.eDeg
-      .join(score.select(col("node").as("src"), col("score")), "src")
+      .join(dimHint(g, score.select(col("node").as("src"), col("score"))),
+        "src")
       .select(col("dst").as("node"), expr("score div outdeg").as("c"))
       .groupBy("node").agg(sum(col("c")).as("in_sum"))
 
@@ -128,7 +211,8 @@ object Graph {
   private def step(g: PrGraph, score: DataFrame, share: Long)
       : (DataFrame, Long) = {
     val carry = if (g.redistribute) Seq(col("dang")) else Nil
-    val built = g.nodes.join(contribOf(g, score), Seq("node"), "left")
+    val built = g.nodes
+      .join(dimHint(g, contribOf(g, score)), Seq("node"), "left")
       .select((col("node") +: carry) :+ dampedScore(share): _*)
     checkpointWithShare(g, built)
   }
@@ -145,15 +229,16 @@ object Graph {
     * nodes and the aggregate is a wasted job. */
   def pageRank(edges: DataFrame, iters: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      redistributeDangling: Boolean = false): DataFrame = {
-    val g = prepare(edges, srcCol, dstCol, redistributeDangling)
-    var score = g.nodes.withColumn("score", lit(Scale))
-    var share = initShare(g)
-    for (_ <- 1 to iters) {
-      val (next, nextShare) = step(g, score, share)
-      score = next; share = nextShare
-    }
-    score.select("node", "score")
+      redistributeDangling: Boolean = false,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val g = prepare(edges, srcCol, dstCol, redistributeDangling,
+      assumeDistinct)
+    val out = pageRankOn(g.nodes, g.eDeg, g.nNodes, g.nDangling, iters,
+      redistributeDangling)
+    // after ≥1 round the result is a projection over a checkpoint —
+    // the invariant caches are unreachable from it and can be dropped
+    if (iters >= 1) g.release()
+    out
   }
 
   /** Personalized PageRank: the teleport mass returns to the SOURCE set
@@ -176,9 +261,11 @@ object Graph {
     * a broadcast left join onto the node table. */
   def personalizedPageRank(edges: DataFrame, sources: DataFrame, iters: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      sourceCol: String = "node"): DataFrame = {
+      sourceCol: String = "node",
+      assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val g = prepare(edges, srcCol, dstCol, redistributeDangling = false)
+    val g = prepare(edges, srcCol, dstCol, redistributeDangling = false,
+      assumeDistinct)
     val s = sources.select(col(sourceCol).cast("long").as("node"))
       .filter(col("node").isNotNull).distinct()
       .join(g.nodes, Seq("node"), "left_semi")
@@ -190,10 +277,10 @@ object Graph {
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = g.eDeg
-        .join(score.withColumnRenamed("node", "src"), "src")
+        .join(dimHint(g, score.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("score div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
-      score = g.nodes.join(contrib, Seq("node"), "left")
+      score = g.nodes.join(dimHint(g, contrib), Seq("node"), "left")
         .join(broadcast(s), Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("basis"), lit(0L)) +
@@ -201,6 +288,7 @@ object Graph {
             .as("score"))
         .localCheckpoint()
     }
+    if (iters >= 1) g.release()
     score
   }
 
@@ -520,10 +608,41 @@ object Graph {
     * ·10⁶ product overflows 2⁶³ once in-degrees pass ~10⁷ — hub graphs
     * at warehouse scale do. */
   def hits(edges: DataFrame, rounds: Int,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      assumeDistinct: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val g = prepare(edges, srcCol, dstCol, redistributeDangling = false)
-    val e = g.eDeg.select("src", "dst")
+    // HITS never divides by out-degree, so it skips [[prepare]]'s eDeg
+    // build entirely — that join measured 3.4 s of pure waste at sf1's
+    // 11.7 M-edge trade graph. Invariants persist columnar (the
+    // [[prepare]] rationale); the node count (broadcast gate) is the
+    // one materializing action. `assumeDistinct` as in [[prepare]].
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    val e =
+      if (assumeDistinct) e0
+      else e0.filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+        .persist(mad)
+    val nodes = nodesOf(e).persist(mad)
+    val n = nodes.count()
+    val out = hitsOn(nodes, e, n, rounds)
+    (if (assumeDistinct) Seq(nodes) else Seq(e, nodes))
+      .foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** HITS over CALLER-prepared invariants (`nodes` from [[nodesOf]] —
+    * extra columns like `dang` are ignored; `e` a deduped (src, dst)
+    * relation; `nNodes` its node count). Invariant lifecycle belongs to
+    * the caller — [[hits]] delegates here. */
+  def hitsOn(nodesIn: DataFrame, e: DataFrame, nNodes: Long,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val nodes = nodesIn.select("node")
+    val g = PrGraph(nodes, e, nNodes, 0L, redistribute = false,
+      invariants = Nil)
     def rescale(raw: DataFrame, out: String): DataFrame = {
       // The max rides the checkpoint job as an Observation: the gather
       // join materializes ONCE (the old shape ran it twice — once for
@@ -541,9 +660,9 @@ object Graph {
     }
     def gather(score: DataFrame, scoreCol: String, from: String,
         to: String): DataFrame =
-      g.nodes.join(
-        e.join(score.withColumnRenamed("node", from), from)
-          .groupBy(col(to).as("node")).agg(sum(col(scoreCol)).as("raw")),
+      g.nodes.join(dimHint(g,
+        e.join(dimHint(g, score.withColumnRenamed("node", from)), from)
+          .groupBy(col(to).as("node")).agg(sum(col(scoreCol)).as("raw"))),
         Seq("node"), "left")
         .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
     var hub = g.nodes.withColumn("hub", lit(Scale))
@@ -651,6 +770,7 @@ object Graph {
       score = next
       rounds += 1
     }
+    if (rounds >= 1) g.release()
     (score.select("node", "score"), rounds)
   }
 

@@ -18,10 +18,14 @@ object GraphQ extends QueryPack {
     * parity namespace keeps the bipartite id spaces disjoint), edges are
     * both directions of every distinct (customer, supplier) trade pair,
     * 3 damped rounds, top-20 nodes by (score desc, node). */
-  private def grPagerank(spark: SparkSession, d: String): DataFrame =
-    Graph.pageRank(tradeEdges(spark, d), iters = 3)
+  private def grPagerank(spark: SparkSession, d: String): DataFrame = {
+    val (n, _) = statsOf(spark, s"sym|$d", symNodes(spark, d),
+      dangling = false)
+    Graph.pageRankOn(symNodes(spark, d), symEDeg(spark, d), n, 0L,
+        iters = 3, redistributeDangling = false)
       .orderBy(col("score").desc, col("node").asc)
       .limit(20)
+  }
 
   private val grPagerankSql = {
     // one damped integer round: score_{t+1}(v) = 150000 + (85·Σ_{u→v} score_t(u) div outdeg(u)) div 100
@@ -60,13 +64,10 @@ object GraphQ extends QueryPack {
     * actually carries mass every round — the oracle unrolls the
     * floor-share per round, bit-exact integers. */
   private def grPagerankDirected(spark: SparkSession, d: String): DataFrame = {
-    val edges = Tables.orders(spark, d)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-    Graph.pageRank(edges, iters = 3, redistributeDangling = true)
+    val (n, nd) = statsOf(spark, s"dir|$d", dirNodes(spark, d),
+      dangling = true)
+    Graph.pageRankOn(dirNodes(spark, d), dirEDeg(spark, d), n, nd,
+        iters = 3, redistributeDangling = true)
       .orderBy(col("score").desc, col("node").asc)
       .limit(20)
   }
@@ -213,13 +214,102 @@ object GraphQ extends QueryPack {
   /** The customer↔supplier trade edge list (both directions; parity
     * namespace keeps the bipartite id spaces disjoint) — shared by the
     * PageRank / label-propagation / BFS queries. */
+  private val edgeCache = graft.util.ManagedCaches.register()
+
+  /** The orders⋈lineitem trade-pair relation every gr_* derivation
+    * shares — built once per (session, dir) and persisted columnar (the
+    * sim_corpus_build discipline; `gr_edges_build` is the named warm
+    * row): ~6 M rows at sf1, so re-running the join per family member
+    * was the dominant shared base under the whole graph pack. Consumers
+    * project src/dst flavors off the cache; parallel-pair dedup stays
+    * where it always was (inside [[Graph]]'s prepare). */
+  private[queries] def tradePairs(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.cache(edgeCache, spark, s"pairs|$d") {
+      Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cust_node"),
+          (col("l_suppkey") * 2 + 1).as("supp_node"))
+    }
+
+  /** The DEDUPED symmetric trade edge set, cached once per session —
+    * consumers pass `assumeDistinct = true` into [[Graph]] so the
+    * per-query re-distinct of ~12 M rows disappears too. */
+  private[queries] def symTradeEdges(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.cache(edgeCache, spark, s"sym|$d") {
+      val pairs = tradePairs(spark, d)
+      pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
+        .union(pairs.select(col("supp_node").as("src"),
+          col("cust_node").as("dst")))
+        .distinct()
+    }
+
+  /** The DEDUPED directed (customer → supplier) edge set, cached. */
+  private[queries] def dirTradeEdges(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.cache(edgeCache, spark, s"dir|$d") {
+      tradePairs(spark, d)
+        .select(col("cust_node").as("src"), col("supp_node").as("dst"))
+        .distinct()
+    }
+
+  /** Cached loop invariants over the deduped edge sets ([[Graph.nodesOf]]
+    * / [[Graph.eDegOf]]) — with these warm, a ranking query pays for its
+    * ROUNDS, not a per-query graph rebuild. */
+  private[queries] def symNodes(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.cache(edgeCache, spark, s"nodes-sym|$d") {
+      Graph.nodesOf(symTradeEdges(spark, d))
+    }
+  private[queries] def dirNodes(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.cache(edgeCache, spark, s"nodes-dir|$d") {
+      Graph.nodesOf(dirTradeEdges(spark, d), withDanglingFlag = true)
+    }
+  private[queries] def symEDeg(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.cache(edgeCache, spark, s"edeg-sym|$d") {
+      Graph.eDegOf(symTradeEdges(spark, d))
+    }
+  private[queries] def dirEDeg(spark: SparkSession, d: String): DataFrame =
+    graft.util.ManagedCaches.cache(edgeCache, spark, s"edeg-dir|$d") {
+      Graph.eDegOf(dirTradeEdges(spark, d))
+    }
+
+  /** (node count, dangling count) per cached node table — one aggregate
+    * job each per session, against the warm cache. */
+  private val graphStats = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Long, Long)]
+
+  private def statsOf(spark: SparkSession, key: String, nodes: DataFrame,
+      dangling: Boolean): (Long, Long) = {
+    graphStats.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(graphStats.remove)
+    graphStats.getOrElseUpdate((spark, key), {
+      if (!dangling) (nodes.count(), 0L)
+      else {
+        val r = nodes.agg(count(lit(1)),
+          sum(when(col("dang"), lit(1L)).otherwise(lit(0L)))).head()
+        (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      }
+    })
+  }
+
+  /** The shared edge + invariant builds as their own timed bench row:
+    * the union's count touches EVERY cache entry — pairs, both deduped
+    * edge sets, both eDeg relations, and (projected into the same
+    * (src, dst, outdeg) shape purely so one count can reach them) both
+    * node tables — so member queries measure their rounds against a
+    * fully warm graph. */
+  override def warms: Seq[Q] = Seq(
+    Q("gr_edges_build",
+      (s, d) => symEDeg(s, d).union(dirEDeg(s, d))
+        .union(symNodes(s, d).select(col("node"), col("node"),
+          lit(0L)))
+        .union(dirNodes(s, d).select(col("node"), col("node"),
+          lit(0L))), None))
+
   private[queries] def tradeEdges(spark: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(spark, d)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("cust_node"),
-        (col("l_suppkey") * 2 + 1).as("supp_node"))
+    val pairs = tradePairs(spark, d)
     pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
   }
@@ -369,10 +459,10 @@ object GraphQ extends QueryPack {
     * fixed-point; the oracle unrolls the seeded basis per round. */
   private def grPpr(spark: SparkSession, d: String): DataFrame =
     Graph.personalizedPageRank(
-        tradeEdges(spark, d),
+        symTradeEdges(spark, d),
         Tables.supplier(spark, d).filter(col("s_nationkey") === 0)
           .select((col("s_suppkey") * 2 + 1).as("node")),
-        iters = 3)
+        iters = 3, assumeDistinct = true)
       .orderBy(col("score").desc, col("node").asc)
       .limit(20)
 
@@ -423,13 +513,9 @@ object GraphQ extends QueryPack {
     * max-normalization each half-step; the oracle replays every
     * half-step including the scalar max divisions. */
   private def grHits(spark: SparkSession, d: String): DataFrame = {
-    val edges = Tables.orders(spark, d)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-    Graph.hits(edges, rounds = 2)
+    val (n, _) = statsOf(spark, s"dir|$d", dirNodes(spark, d),
+      dangling = true)
+    Graph.hitsOn(dirNodes(spark, d), dirTradeEdges(spark, d), n, rounds = 2)
       .orderBy(col("auth").desc, col("hub").desc, col("node").asc)
       .limit(20)
   }

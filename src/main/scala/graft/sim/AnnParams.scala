@@ -36,7 +36,7 @@ import org.apache.spark.sql.DataFrame
   * multiprobe move), so the recall lost to truncation is bought back
   * from the bucket's neighbors rather than silently dropped. */
 final case class AnnParams(bands: Int, slotBits: Int, bandBits: Int,
-    bucketCap: Int, words: Int = 1) {
+    bucketCap: Int, words: Int = 1, corpusN: Long = 0L) {
   require(words >= 1 && bands % words == 0,
     s"bands=$bands must split evenly across words=$words")
   require(bands >= 1 && slotBits >= 1 && (bands / words) * slotBits <= 62,
@@ -89,7 +89,7 @@ object AnnParams {
       .getOrElse(SlotBits)
 
   def forCount(n: Long): AnnParams =
-    AnnParams(Bands, SlotBits, bandBitsFor(n), BucketCap)
+    AnnParams(Bands, SlotBits, bandBitsFor(n), BucketCap, corpusN = n)
 
   /** Hyperplanes per band slot in the WIDE two-word layout: 2 bands ×
     * 30 bits per BIGINT word (60 bits — the same signed-64 headroom
@@ -109,7 +109,8 @@ object AnnParams {
     * .lshCandidateSims]] branches only on the per-word bucket
     * extraction) and both have generated DuckDB oracles. */
   def forCountWide(n: Long): AnnParams =
-    AnnParams(Bands, WideSlotBits, bandBitsForWide(n), BucketCap, words = 2)
+    AnnParams(Bands, WideSlotBits, bandBitsForWide(n), BucketCap, words = 2,
+      corpusN = n)
 
   /** The pre-derivation legacy layout (contiguous r-bit bands, no cap) —
     * kept for spec-level A/Bs of the banding algebra itself; registered

@@ -382,6 +382,15 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Corpus size above which the bucket cap switches from the
+    * one-exchange window shape to the hash-prefiltered plan that never
+    * sorts a full posting list in one task (see the branch comment in
+    * [[lshCandidateSims]]). 10 M rows × ~24 B is a ~0.25 GB worst-case
+    * single-task sort — seconds, not a spill death — so below this the
+    * window shape's single exchange wins (the prefilter's extra
+    * exchanges measured ~2 s/query at sf1). */
+  val CapSortMax = 10000000L
+
   /** Query batches up to this size ride the broadcast probe/query plan
     * in [[ivfTopKWithCentroids]] (64 k × ~0.5 KB normalized vector ≈
     * 35 MB on the driver — comfortably inside executor/driver broadcast
@@ -760,22 +769,73 @@ object Similarity {
         s"WHEN band < ${(w + 1) * bpw} " +
           s"THEN shiftright(sig$w, (band - ${w * bpw}) * $slot) ").mkString +
       s"END) & ${params.mask}")
-    val sized = c.select(col("neighbor_id") +:
+    // ---- capped posting lists -----------------------------------
+    // The cap keeps each (band, bucket)'s first `bucketCap` members
+    // under the deterministic shuffle order (hash asc, id asc). Two
+    // exact plans for the same relation, gated on the derived corpus
+    // size (params.corpusN, 0 = unknown → small):
+    //  - at/below CapSortMax: ONE exchange on (band, bucket) carrying
+    //    both the rank and size windows — the cheapest shape when even
+    //    a fully-degenerate bucket (every vector identical) sorts in
+    //    one task in seconds;
+    //  - above it: per-bucket sizes from a partial-agg count, buckets
+    //    at/under the cap pass whole (no sort — the common case at
+    //    derived occupancy), hot buckets are PRE-FILTERED to
+    //    hash < (2·cap·1048573) div sz — a scan, not a sort. Survivors
+    //    are a hash-order PREFIX, so whenever ≥ cap survive, the true
+    //    first-cap set is inside them and an exact rank over ≤ ~2·cap
+    //    survivors finishes the cut; any under-filled bucket (P ≈
+    //    e^{-cap/4} each under hash uniformity) takes a full-sort
+    //    fallback, so NO single task ever sorts a data-sized posting
+    //    list. Extra exchanges cost ~2 s/query at sf1 (measured), which
+    //    is why the small regime keeps the window shape.
+    // Outputs are BIT-IDENTICAL (spec-asserted) — the oracle algebra
+    // replays the windowed form at every checked scale.
+    val hval = expr("(neighbor_id * 48271) % 1048573")
+    val bucketed = c.select(col("neighbor_id") +:
         explode(sequence(lit(0), lit(params.bands - 1))).as("band") +:
         sigRefs: _*)
       .withColumn("bucket", bucketOf)
       .select("neighbor_id", "band", "bucket")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("band", "bucket")
-          .orderBy(expr("(neighbor_id * 48271) % 1048573").asc,
-            col("neighbor_id").asc)))
-      .withColumn("sz", count(lit(1)).over(
-        Window.partitionBy("band", "bucket")))
-    val cb = sized.filter(col("rn") <= params.bucketCap)
-      .select("neighbor_id", "band", "bucket")
-    val hot = sized.filter(col("sz") > params.bucketCap)
-      .select(col("band").as("hband"), col("bucket").as("hbucket"))
-      .distinct()
+    val capRank = row_number().over(
+      Window.partitionBy("band", "bucket")
+        .orderBy(hval.asc, col("neighbor_id").asc))
+    val (cb, hot) =
+      if (params.corpusN <= CapSortMax) {
+        val sized = bucketed
+          .withColumn("rn", capRank)
+          .withColumn("sz", count(lit(1)).over(
+            Window.partitionBy("band", "bucket")))
+        (sized.filter(col("rn") <= params.bucketCap)
+            .select("neighbor_id", "band", "bucket"),
+          sized.filter(col("sz") > params.bucketCap)
+            .select(col("band").as("hband"), col("bucket").as("hbucket"))
+            .distinct())
+      } else {
+        val bsz = bucketed.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("sz"))
+        val withSz = bucketed.join(bsz, Seq("band", "bucket"))
+        val cool = withSz.filter(col("sz") <= params.bucketCap)
+          .select("neighbor_id", "band", "bucket")
+        val hotRows = withSz.filter(col("sz") > params.bucketCap)
+        val surv = hotRows.filter(
+          hval < expr(s"(${2L * params.bucketCap} * 1048573) div sz"))
+        val okBuckets = surv.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("n_surv"))
+          .filter(col("n_surv") >= params.bucketCap)
+          .select("band", "bucket")
+        val rankedOk = surv
+          .join(okBuckets, Seq("band", "bucket"), "left_semi")
+          .withColumn("rn", capRank).filter(col("rn") <= params.bucketCap)
+          .select("neighbor_id", "band", "bucket")
+        val rankedFallback = hotRows
+          .join(okBuckets, Seq("band", "bucket"), "left_anti")
+          .withColumn("rn", capRank).filter(col("rn") <= params.bucketCap)
+          .select("neighbor_id", "band", "bucket")
+        (cool.unionAll(rankedOk).unionAll(rankedFallback),
+          bsz.filter(col("sz") > params.bucketCap)
+            .select(col("band").as("hband"), col("bucket").as("hbucket")))
+      }
     val qs = q.select(col("query_id") +:
         explode(sequence(lit(0), lit(params.bands - 1))).as("band") +:
         sigRefs: _*)

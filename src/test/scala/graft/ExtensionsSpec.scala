@@ -248,6 +248,37 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out1 == out2 && out1.nonEmpty, "wide path must be deterministic")
   }
 
+  test("bucket cap's hash prefilter falls back exactly when it under-fills") {
+    // 8 identical vectors → one bucket per band, all 8 in it; cap = 2
+    // with T = (2·2·1048573) div 8 = 524286 and ids 11..18 whose
+    // multiplicative hashes ALL sit above T — zero survivors, so the
+    // prefilter path must take the full-sort fallback and still keep
+    // exactly the first cap by (hash, id): ids 11 and 12. Every query
+    // then collides with only those two (self excluded) plus whatever
+    // the hot-bucket Hamming-1 re-probe finds (nothing — all other
+    // buckets are empty).
+    val ids = Seq(11L, 12L, 13L, 14L, 15L, 16L, 17L, 18L)
+    val vecs = spark.createDataFrame(
+        ids.map(i => (i, Array.fill(64)(0.5f))))
+      .toDF("vec_id", "embedding")
+    // corpusN above CapSortMax forces the prefilter branch
+    val prefiltered = graft.sim.AnnParams(bands = 4, slotBits = 15,
+      bandBits = 4, bucketCap = 2, corpusN = Similarity.CapSortMax + 1)
+    def pairsOf(p: graft.sim.AnnParams) =
+      Similarity.lshCandidateSims(vecs, vecs, p)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = pairsOf(prefiltered)
+    val expected = (for {
+      q <- ids; n <- Seq(11L, 12L) if n != q
+    } yield (q, n)).toSet
+    assert(pairs == expected,
+      s"fallback path diverged from the exact capped algebra: $pairs")
+    // the small-regime window branch produces the identical relation
+    assert(pairsOf(prefiltered.copy(corpusN = 0L)) == pairs,
+      "window and prefilter cap branches diverged")
+  }
+
   test("postingJoinFits gates on Σdf², not vocabulary count alone") {
     // Synthetic HUGE-HOT corpus: every doc shares the same 4 shingles
     // (vocab stays tiny as docs grow) — the regime where Σdf² grows
