@@ -986,9 +986,10 @@ object Graph {
     * source-role rows excluded. */
   def betweennessBp(edges: DataFrame, sources: DataFrame, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      sourceCol: String = "node"): DataFrame =
+      sourceCol: String = "node",
+      assumeDistinct: Boolean = false): DataFrame =
     aggregateBrandes(brandesPerSource(edges, sources, rounds,
-      srcCol, dstCol, sourceCol))
+      srcCol, dstCol, sourceCol, assumeDistinct))
 
   /** Final Brandes aggregation: Σ over sources of each node's
     * dependency, source-role rows excluded — split out so the
@@ -1008,41 +1009,61 @@ object Graph {
     * trees can see a changed edge ([[betweennessBpWarm]]). */
   def brandesPerSource(edges: DataFrame, sources: DataFrame, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      sourceCol: String = "node"): DataFrame = {
+      sourceCol: String = "node",
+      assumeDistinct: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val idiv = graft.util.Exact.idiv _
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
-    var settled = sources.select(col(sourceCol).cast("long").as("s"))
-      .distinct()
-      .select(col("s"), col("s").as("node"), lit(0L).as("dist"),
-        lit(1L).as("sigma"))
-      .localCheckpoint()
+    // invariant: columnar persist, released once the (checkpoint-backed)
+    // result exists — the prepare() discipline
+    val e =
+      if (assumeDistinct) e0
+      else e0.filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-LAYER checkpoint fragments instead of re-materializing the
+    // whole settled relation every round: the old
+    // `settled.union(grown).localCheckpoint()` rewrote Σ_l |settled_l|
+    // rows across the forward pass (quadratic in depth for the rows
+    // settled early); fragments write each row exactly once. Reads
+    // compose for free — `dist = l` slices ARE layers(l), and the
+    // anti-join / backward joins read the lazy union of fragments.
+    var layers = Vector(
+      sources.select(col(sourceCol).cast("long").as("s"))
+        .distinct()
+        .select(col("s"), col("s").as("node"), lit(0L).as("dist"),
+          lit(1L).as("sigma"))
+        .localCheckpoint())
+    def settledAll = layers.reduce(_.union(_))
     for (l <- 1 to rounds) {
-      val grown = settled.filter(col("dist") === (l - 1))
+      val grown = layers(l - 1)
         .select(col("s"), col("node").as("src"), col("sigma"))
         .join(e, "src")
         .select(col("s"), col("dst").as("node"), col("sigma"))
-        .join(settled.select("s", "node"), Seq("s", "node"), "left_anti")
+        .join(settledAll.select("s", "node"), Seq("s", "node"), "left_anti")
         .groupBy("s", "node")
         .agg(sum(col("sigma")).cast("long").as("sigma"))
         .select(col("s"), col("node"), lit(l.toLong).as("dist"),
           col("sigma"))
-      settled = settled.union(grown).localCheckpoint()
+      layers = layers :+ grown.localCheckpoint()
     }
-    var delta = settled.limit(0)
-      .select(col("s"), col("node"), lit(0L).as("delta_bp"))
+    // backward pass: per-layer dependency fragments, same discipline
+    var deltaLayers = Vector.empty[DataFrame]
+    def deltaAll =
+      if (deltaLayers.isEmpty)
+        layers.head.limit(0)
+          .select(col("s"), col("node"), lit(0L).as("delta_bp"))
+      else deltaLayers.reduce(_.union(_))
     for (l <- rounds to 1 by -1) {
-      val dv = settled.filter(col("dist") === l)
-        .join(delta.withColumnRenamed("delta_bp", "dnext"),
+      val dv = layers(l)
+        .join(deltaAll.withColumnRenamed("delta_bp", "dnext"),
           Seq("s", "node"), "left")
         .select(col("s"), col("node").as("dst"),
           col("sigma").as("sig_v"),
           coalesce(col("dnext"), lit(0L)).as("dv"))
-      val contrib = settled.filter(col("dist") === (l - 1))
+      val contrib = layers(l - 1)
         .select(col("s"), col("node").as("src"), col("sigma").as("sig_u"))
         .join(e, "src")
         .join(dv, Seq("s", "dst"))
@@ -1051,9 +1072,10 @@ object Graph {
             .as("c"))
         .groupBy("s", "node")
         .agg(sum(col("c")).cast("long").as("delta_bp"))
-      delta = delta.union(contrib).localCheckpoint()
+      deltaLayers = deltaLayers :+ contrib.localCheckpoint()
     }
-    delta
+    if (!assumeDistinct) e.unpersist(blocking = false)
+    deltaAll
   }
 
   /** Sampled-source Brandes estimator (Brandes & Pich 2007): run the
@@ -1087,7 +1109,8 @@ object Graph {
   def betweennessBpSampled(edges: DataFrame, sources: DataFrame,
       rounds: Int, stride: Long,
       srcCol: String = "src", dstCol: String = "dst",
-      sourceCol: String = "node"): DataFrame = {
+      sourceCol: String = "node",
+      assumeDistinct: Boolean = false): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val srcs = sources.select(col(sourceCol).cast("long").as("s")).distinct()
     val sampled = srcs
@@ -1096,7 +1119,7 @@ object Graph {
       .crossJoin(sampled.agg(count(lit(1)).as("n_smp")))
     aggregateBrandes(
       brandesPerSource(edges, sampled.select(col("s").as("node")), rounds,
-        srcCol, dstCol))
+        srcCol, dstCol, assumeDistinct = assumeDistinct))
       .crossJoin(counts)
       .select(col("node"),
         expr("(bc_bp * n_tot) div n_smp").as("bc_est_bp"))
@@ -1155,7 +1178,7 @@ object Graph {
     val recomputed =
       if (nAffected == 0) prevPerSource.limit(0)
       else brandesPerSource(e, affected.select(col("s").as("node")),
-        rounds)
+        rounds, assumeDistinct = true) // e deduped + checkpointed above
     (aggregateBrandes(kept.unionByName(recomputed)), nAffected)
   }
 
