@@ -75,6 +75,80 @@ object RetrievalQ extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** BANDED hard negatives — the 100 TB path for `sim_hard_neg`'s exact
+    * broadcast-scan contract (the sim_near_dup_banded discipline applied
+    * to hard-negative mining): candidates from the capped corpus-derived
+    * LSH banding (linear in n), label-disequality filter, exact-cosine
+    * rerank top-5. Fewer than 5 when a query's collision set is thin —
+    * the standard ANN trade, priced by `sim_recall_hard_neg`. */
+  private def simHardNegBanded(spark: SparkSession, d: String): DataFrame =
+    hardNegBanded(spark, d)
+      .orderBy("query_id", "rank")
+
+  private def hardNegBanded(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, d)
+    val lab = e.select(col("vec_id"), col("label"))
+    graft.sim.Similarity.lshCandidateSims(
+        e.filter(col("vec_id") % 25 === 0), e,
+        graft.sim.Similarity.annParamsFor(e, d))
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("qlab")), "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlab")), "neighbor_id")
+      .filter(col("qlab") =!= col("nlab"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  private val simHardNegBandedSql =
+    s"""WITH ${AnnSql.simsCtes("vec_id % 25 = 0")},
+       lab AS (SELECT vec_id, label FROM embeddings)
+       SELECT query_id, rank, neighbor_id, sim FROM (
+         SELECT s.query_id, s.neighbor_id, s.sim,
+                CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+                     ORDER BY s.sim DESC, s.neighbor_id) AS INT) AS rank
+         FROM sims s JOIN lab a ON a.vec_id = s.query_id
+                     JOIN lab b ON b.vec_id = s.neighbor_id
+         WHERE a.label != b.label) t
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Recall@5 of the banded hard-negative path against the exact
+    * contract, per query in integer bp (the sim_recall_lsh shape). */
+  private def simRecallHardNeg(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    val exact = Similarity
+      .hardNegativeTopK(e.filter(col("vec_id") % 25 === 0), e, k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = hardNegBanded(spark, d).select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("(coalesce(hits, CAST(0 AS BIGINT)) * 10000) div 5")
+          .as("recall_bp"))
+      .orderBy("query_id")
+  }
+
+  private lazy val simRecallHardNegSql =
+    s"""WITH exact AS ($simHardNegSql),
+       approx AS ($simHardNegBandedSql),
+       hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+                FROM exact e JOIN approx a
+                  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+                GROUP BY e.query_id)
+       SELECT q.query_id,
+         CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         CAST((COALESCE(h.hits, 0) * 10000) // 5 AS BIGINT) AS recall_bp
+       FROM (SELECT DISTINCT query_id FROM exact) q
+       LEFT JOIN hits h ON q.query_id = h.query_id
+       ORDER BY q.query_id"""
+
   private val simHardNegSql =
     """WITH v AS (SELECT vec_id, label,
                 list_transform(embedding::DOUBLE[],
@@ -184,5 +258,7 @@ object RetrievalQ extends QueryPack {
     Q("t_phrase", tPhrase, Some(tPhraseSql)),
     Q("t_proximity", tProximity, Some(tProximitySql)),
     Q("sim_hard_neg", simHardNeg, Some(simHardNegSql)),
+    Q("sim_hard_neg_banded", simHardNegBanded, Some(simHardNegBandedSql)),
+    Q("sim_recall_hard_neg", simRecallHardNeg, Some(simRecallHardNegSql)),
     Q("sim_centroids", simCentroids, Some(simCentroidsSql)))
 }

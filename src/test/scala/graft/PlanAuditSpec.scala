@@ -79,8 +79,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ONE-row total-count aggregate — fixed-size sides by construction
     "sk_qhist",
     // hard-negative mining broadcasts the (small) query side — the
-    // sim_topk ANN shape with a label-disequality filter
-    "sim_hard_neg",
+    // sim_topk ANN shape with a label-disequality filter; its recall
+    // harness pays for the same exact side as ground truth (the banded
+    // row under grade is pure equi-joins)
+    "sim_hard_neg", "sim_recall_hard_neg",
     // the banded-near-dup recall harness pays for its own ground truth:
     // the exact side IS sim_near_dup's contracted SHUFFLE_REPLICATE_NL
     // all-pairs join, and the summary row crosses three ONE-row counts
