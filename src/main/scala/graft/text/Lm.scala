@@ -85,14 +85,33 @@ object Lm {
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", modelTopK: Int = 0,
       minCount: Long = 1L): DataFrame = {
-    // Materialized ONCE: three consumers (model counts, unigram
-    // denominators, the scoring join) otherwise each re-run the
-    // interpreted-lambda bigram explode — measured as 2/3 of the whole
-    // chain's cost at sf1 (the explode is a Generate over a lambda
-    // `transform`, which never enters codegen).
-    val b = bigrams(docs, idCol, textCol).localCheckpoint()
-    val model = bigramModel(b, modelTopK, minCount)
-    val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // No materialization of the bigram relation at all: with the
+    // codegen'd [[graft.plans.BigramsExpr]] extraction the relation is
+    // cheaper to RE-DERIVE from the scan (twice: once into the count
+    // aggregate, once for the scoring join) than to checkpoint — the
+    // earlier eager checkpoint existed to amortize the interpreted
+    // lambda explode it replaced, and measured SLOWER than re-derivation
+    // once the explode entered codegen (a columnar persist is slower
+    // still: wide string rows make the InMemoryRelation batch write
+    // cost more than the scans save).
+    val b = bigrams(docs, idCol, textCol)
+    // ONE aggregation pass feeds BOTH the model and the unigram
+    // denominators: c1(w1) = Σ_{w2} c2(w1, w2) — an identity (every
+    // bigram row contributes exactly once to its w1's count), so the
+    // old second full scan of the bigram relation disappears. The
+    // count relation is CHECKPOINTED (vocab-sized, distributed — never
+    // a collect): its two consumers materialize as separate BROADCAST
+    // jobs, which do not share exchanges across jobs — without the
+    // checkpoint each broadcast re-ran the full bigram scan+aggregate
+    // (measured as ~2/3 of the whole c_ccnet chain at sf1).
+    val c2f = b.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val floored = if (minCount > 1L) c2f.filter(col("c2") >= minCount)
+      else c2f
+    val model = if (modelTopK > 0)
+        floored.orderBy(col("c2").desc, col("w1"), col("w2")).limit(modelTopK)
+      else floored
+    val c1 = c2f.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val trimmed = modelTopK > 0 || minCount > 1L
     val c1r = if (trimmed)
       c1.join(model.select("w1").distinct(), Seq("w1"), "left_semi")
