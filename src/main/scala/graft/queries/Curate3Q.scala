@@ -66,7 +66,8 @@ object Curate3Q extends QueryPack {
       .toDF("query_id", "term")
     val docs = Tables.documents(spark, d)
     val index = Bm25.buildIndex(docs)
-    val ranked = Bm25.scoreBatchFromIndex(index, queries, k = 10)
+    val ranked = Bm25.scoreBatchFromIndex(index, queries, k = 10,
+      docLengths = Some(Bm25.docLengths(docs)))
     val discDf = ndcgDisc.toDF("i", "disc_bp")
     val idcgDf = ndcgIdcg.toDF("m", "idcg_bp")
     val dtoks = index.select("doc_id", "tok")

@@ -143,7 +143,8 @@ object EvalQ extends QueryPack {
       .toDF("query_id", "term")
     val docs = Tables.documents(spark, d)
     val index = Bm25.buildIndex(docs)
-    val ranked = Bm25.scoreBatchFromIndex(index, queries, k = Int.MaxValue)
+    val ranked = Bm25.scoreBatchFromIndex(index, queries, k = Int.MaxValue,
+      docLengths = Some(Bm25.docLengths(docs)))
     // The index's postings ARE the distinct (doc_id, tok) pairs — derive
     // the relevance oracle from them instead of re-tokenizing the corpus
     // (drops a second corpus-sized explode+distinct shuffle).

@@ -93,8 +93,7 @@ object MineQ extends QueryPack {
       (25L, "join"), (25L, "scan"),
       (50L, "stream"), (50L, "window"), (50L, "sort"))
       .toDF("query_id", "term")
-    val lex = graft.text.Bm25.scoreBatchFromIndex(
-        graft.text.Bm25.buildIndex(Tables.documents(spark, d)),
+    val lex = graft.text.Bm25.scoreBatch(Tables.documents(spark, d),
         lexQueries, k = 10)
       .select("query_id", "doc_id", "rank")
     val e = Tables.embeddings(spark, d)

@@ -39,7 +39,8 @@ object RankQ extends QueryPack {
       .toDF("query_id", "term")
     val docs = Tables.documents(spark, d)
     val index = Bm25.buildIndex(docs)
-    val ranked = Bm25.scoreBatchFromIndex(index, queries, k = Int.MaxValue)
+    val ranked = Bm25.scoreBatchFromIndex(index, queries, k = Int.MaxValue,
+      docLengths = Some(Bm25.docLengths(docs)))
     val dtoks = index.select("doc_id", "tok")
     val q = queries.select(col("query_id"), col("term").as("tok")).distinct()
     val qn = q.groupBy("query_id").agg(count(lit(1)).as("nt"))

@@ -345,8 +345,7 @@ object TextQ extends QueryPack {
     * big shuffles are the per-doc length and tf groupBys; top-10 is
     * TakeOrderedAndProject, never a global sort. */
   private def tBm25(spark: SparkSession, d: String): DataFrame =
-    graft.text.Bm25.scoreFromIndex(
-      graft.text.Bm25.buildIndex(Tables.documents(spark, d)),
+    graft.text.Bm25.score(Tables.documents(spark, d),
       Seq("vector", "hash", "merge"), k = 10)
 
   private val tBm25Sql =
@@ -386,8 +385,7 @@ object TextQ extends QueryPack {
       (2L, "join"), (2L, "scan"),
       (3L, "stream"), (3L, "window"), (3L, "sort"))
       .toDF("query_id", "term")
-    graft.text.Bm25.scoreBatchFromIndex(
-      graft.text.Bm25.buildIndex(Tables.documents(spark, d)), queries, k = 5)
+    graft.text.Bm25.scoreBatch(Tables.documents(spark, d), queries, k = 5)
       .orderBy("query_id", "rank")
   }
 
