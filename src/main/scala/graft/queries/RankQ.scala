@@ -243,6 +243,10 @@ object RankQ extends QueryPack {
       .limit(3)
       .select(lit(1L).as("query_id"), col("tok").as("term"))
     val q2 = q1.unionByName(exp)
+    // (Measured non-fixes, sf1: checkpointing q2 and a (doc, dlen)
+    // sidecar ADDED ~1 s — the second pass's broadcast re-evaluations
+    // all read the checkpointed index, so they were already cheap and
+    // the extra materialization jobs were pure overhead.)
     Bm25.scoreBatchFromIndex(index, q2, k = 10)
       .select("doc_id", "rank", "score")
       .orderBy("rank")
